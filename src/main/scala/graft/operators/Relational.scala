@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Relational operators mirroring the reference's dbt-model semantics
+  * (reference: the SQL models under src/dbt/models/metaflow), re-expressed as
+  * declarative DataFrame transforms so Catalyst handles pushdown, pruning and
+  * join-strategy selection.
+  */
+object Relational {
+
+  /** Latest-batch snapshot: keep only rows of the batch with the max order
+    * value. Reference: articles_staging.sql:1-7,23-26 (the `latest_etl` CTE
+    * joined back on ETL_ID). The 1-row build side is broadcast, so at 100 TB
+    * this is a map-side filter, no shuffle of the fact table.
+    */
+  def latestBatch(df: DataFrame, batchCol: String, orderCol: String): DataFrame = {
+    val latest = df.groupBy(col(batchCol))
+      .agg(max(col(orderCol)).as("__ord"))
+      .orderBy(col("__ord").desc)
+      .limit(1)
+      .select(col(batchCol))
+    df.join(broadcast(latest), Seq(batchCol))
+  }
+
+  /** GROUP BY-style tuple dedup + whole-partition LAST_VALUE annotation.
+    * Reference: dedup_transactions.sql:1-17 (A2 + W1-W3 in SURVEY §2).
+    *
+    * Semantics preserved exactly:
+    *  - dedup is over the full projected tuple (GROUP BY with no aggregates);
+    *  - each surviving tuple is annotated with the partition-wise LAST value
+    *    of `valueCols` and of `orderCol` — Snowflake's LAST_VALUE defaults to
+    *    the whole-partition frame, so the frame here is explicitly
+    *    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING (Spark's
+    *    default with ORDER BY would be RANGE..CURRENT ROW, a silent bug);
+    *  - output may still contain several rows per key (duplicate-preserving,
+    *    see SURVEY §2.5 note) — callers wanting one row per key compose with
+    *    keepFirstPerKey.
+    * The window order adds `valueCols` as tie-breakers so "last" is total-
+    * ordered and deterministic across engines/partitionings.
+    */
+  def dedupWithLastValue(
+      df: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val projected = df.select((keys ++ valueCols :+ orderCol).distinct.map(col): _*)
+    val deduped = projected.distinct()
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy((orderCol +: valueCols).map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withLast = valueCols.foldLeft(deduped) { (d, c) =>
+      d.withColumn(s"last_$c", last(col(c)).over(w))
+    }
+    withLast.withColumn(s"last_$orderCol", last(col(orderCol)).over(w))
+  }
+
+  /** Frequency filter with semi-join semantics. Reference:
+    * filtered_dataframe.sql:1-19 (COUNT(*) .. HAVING >= minCount, then join
+    * keeping only fact columns = left semi join).
+    */
+  def frequencyFilter(df: DataFrame, key: String, countCol: Column, minCount: Long): DataFrame = {
+    val frequent = df.groupBy(col(key))
+      .agg(count(countCol).as("__n"))
+      .filter(col("__n") >= minCount)
+      .select(col(key))
+    df.join(frequent, Seq(key), "left_semi")
+  }
+
+  /** Per-key top-k by explicit ordering (reference: my_merlin_flow.py:478-481
+    * top-k retrieval; also the O1 latest-row pattern). Callers must make
+    * `orderCols` a total order (include a unique tie-breaker) for
+    * deterministic output. At scale this is a single shuffle on the
+    * partition keys + per-partition heap (Spark WindowExec).
+    */
+  def topKPerGroup(df: DataFrame, keys: Seq[String], orderCols: Seq[Column], k: Int,
+      rankCol: String = "rk"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** Keep-first-per-key dedup (reference: my_merlin_flow.py:526-535 — skip
+    * users already seen, in order). */
+  def keepFirstPerKey(df: DataFrame, keys: Seq[String], orderCols: Seq[Column]): DataFrame =
+    topKPerGroup(df, keys, orderCols, 1, "__rk").drop("__rk")
+
+  /** Three-way time split (reference: my_merlin_flow.py:196-199): train
+    * strictly before b1, validation [b1, b2), test >= b2. The three filters
+    * partition the input exactly.
+    */
+  def timeSplit(df: DataFrame, tsCol: String, b1: Column, b2: Column)
+      : (DataFrame, DataFrame, DataFrame) = (
+    df.filter(col(tsCol) < b1),
+    df.filter(col(tsCol) >= b1 && col(tsCol) < b2),
+    df.filter(col(tsCol) >= b2))
+
+  /** Group-statistic join (reference: workflow_builder.py:60-69 JoinGroupby):
+    * compute per-key aggregates and join them back onto every row. The
+    * aggregate side is the same table reduced by key, so Catalyst plans a
+    * shuffled hash/sort-merge join on the key; for low-cardinality keys the
+    * agg output is broadcast.
+    */
+  def groupStatJoin(df: DataFrame, key: String, stats: Seq[Column]): DataFrame = {
+    val agg = df.groupBy(col(key)).agg(stats.head, stats.tail: _*)
+    df.join(agg, Seq(key))
+  }
+
+  /** Envelope encode (reference: upload_to_snowflake.py:129-144): wrap every
+    * record as (etl_timestamp, etl_id, event_type, raw_data=json(record)).
+    */
+  def toEnvelope(df: DataFrame, eventType: String, etlTimestamp: Long, etlId: String): DataFrame =
+    df.select(
+      lit(etlTimestamp).as("etl_timestamp"),
+      lit(etlId).as("etl_id"),
+      lit(eventType).as("event_type"),
+      to_json(struct(df.columns.map(col): _*)).as("raw_data"))
+
+  /** Envelope decode (reference: the RAW_DATA:"field"::type casts in every
+    * staging model, e.g. articles_staging.sql:10-22): parse the JSON payload
+    * back into typed columns.
+    */
+  def fromEnvelope(df: DataFrame, schema: StructType): DataFrame =
+    df.select(from_json(col("raw_data"), schema).as("__r")).select("__r.*")
+}

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+import QueryHelpers._
+
+/** Operator coverage over the `events` table: envelope/JSON extraction,
+  * latest-batch snapshots, GROUP-BY-dedup + whole-partition LAST_VALUE, and
+  * keep-first-per-key (SURVEY §2.2 P1, §2.3 J1, §2.5 W1-W3, §2.6 O5).
+  * Timestamps are emitted as epoch microseconds for cross-engine parity
+  * (parquet ns vs Spark µs precision).
+  */
+object EventQueries {
+
+  val defs: Map[String, QueryFn] = Map(
+    // Latest-batch snapshot (reference: articles_staging.sql:1-7,23-26 —
+    // batch = calendar day here, order = event ts).
+    "q20_latest_batch" -> { (s, d) =>
+      val ev = table(s, d, "events").withColumn("batch_d", to_date(col("ts")))
+      Relational.latestBatch(ev, "batch_d", "ts")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .orderBy(col("event_id"))
+    },
+
+    // JSON path extraction + cast + aggregate (reference:
+    // articles_staging.sql:10-22 P1 RAW_DATA:"field"::INT).
+    "q21_json_extract" -> { (s, d) =>
+      table(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+
+    // Tuple dedup + whole-partition LAST_VALUE (reference:
+    // dedup_transactions.sql:1-17; the explicit-frame gotcha of SURVEY §2.5).
+    // Duplicate-preserving: one row per distinct (user, type, value, ts)
+    // tuple, annotated with the partition's last value/ts.
+    "q22_dedup_lastvalue" -> { (s, d) =>
+      val ev = table(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("ts_us"))
+      Relational.dedupWithLastValue(ev, Seq("user_id", "event_type"), "ts_us", Seq("value"))
+        .orderBy(col("user_id"), col("event_type"), col("ts_us"), col("value"))
+    },
+
+    // Keep-first-per-key (reference: my_merlin_flow.py:526-535 O5).
+    "q23_keep_first" -> { (s, d) =>
+      val ev = table(s, d, "events")
+      Relational.keepFirstPerKey(ev, Seq("user_id"),
+          Seq(col("ts").asc, col("event_id").asc))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .orderBy(col("user_id"))
+    },
+
+    // Frequency filter (reference: filtered_dataframe.sql:1-19 A1+J4): keep
+    // events of users with >= 8 'purchase' events, as a left semi join.
+    "q24_frequency_filter" -> { (s, d) =>
+      val ev = table(s, d, "events")
+      val purchases = ev.filter(col("event_type") === lit("purchase"))
+      val frequent = purchases.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 8).select(col("user_id"))
+      ev.join(frequent, Seq("user_id"), "left_semi")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value"), 4).as("sum_value"))
+        .orderBy(col("user_id"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q20_latest_batch" ->
+      """SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+         FROM events
+         WHERE CAST(ts AS DATE) = (SELECT MAX(CAST(ts AS DATE)) FROM events)
+         ORDER BY event_id""",
+    "q21_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+         MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q22_dedup_lastvalue" ->
+      """WITH dedup AS (
+           SELECT DISTINCT user_id, event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+           FROM events)
+         SELECT user_id, event_type, value, ts_us,
+           LAST_VALUE(value) OVER w AS last_value,
+           LAST_VALUE(ts_us) OVER w AS last_ts_us
+         FROM dedup
+         WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, value
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY user_id, event_type, ts_us, value""",
+    "q23_keep_first" ->
+      """SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+               FROM events) t
+         WHERE rk = 1 ORDER BY user_id""",
+    "q24_frequency_filter" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase'
+                           GROUP BY user_id HAVING COUNT(*) >= 8)
+         GROUP BY user_id ORDER BY user_id""")
+}

@@ -1,0 +1,318 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+import QueryHelpers._
+
+/** Relational operator coverage over the TPC-H-ish star schema
+  * (SURVEY §2.2-2.7: projections/filters, joins, aggregations, windows,
+  * sorts/limits/top-k, set ops). One oracle-checked query per operator row.
+  */
+object StarQueries {
+
+  val defs: Map[String, QueryFn] = Map(
+    // A1-equivalent pricing summary (group-agg with several aggregate kinds;
+    // reference pattern: filtered_dataframe.sql:1-12 count/having over facts).
+    "q01_pricing_summary" -> { (s, d) =>
+      val li = table(s, d, "lineitem")
+      li.filter(col("l_shipdate") < lit("2000-06-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("sum_disc_price"),
+          (dsum(col("l_quantity"), 2) / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_discount"), 4) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // COUNT(*) per key + HAVING (reference: filtered_dataframe.sql:1-12).
+    "q02_agg_having" -> { (s, d) =>
+      table(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 2).as("total_spent"))
+        .filter(col("n_orders") >= 10)
+        .orderBy(col("o_custkey"))
+    },
+
+    // 3-way inner equi-join fact⨝dim⨝dim (reference: joined_dataframe.sql:7-16).
+    // customer is broadcast-sized relative to the fact side; Catalyst/AQE
+    // picks BHJ for dims and keeps the fact table un-shuffled where possible.
+    "q03_join3_revenue" -> { (s, d) =>
+      val li = table(s, d, "lineitem")
+      val ord = table(s, d, "orders")
+      val cust = table(s, d, "customer")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("c_mktsegment"), col("o_orderstatus"))
+    },
+
+    // Left outer join + null-fill (reference: articles_metadata.sql:4-8 J2 +
+    // workflow_builder.py:27,65 FillMissing F2).
+    "q04_left_join_fill" -> { (s, d) =>
+      val part = table(s, d, "part")
+      val sales = table(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_sales"), dsum(col("l_quantity"), 2).as("qty"))
+      part.join(sales, part("p_partkey") === sales("l_partkey"), "left")
+        .select(
+          col("p_partkey"), col("p_brand"),
+          coalesce(col("n_sales"), lit(0L)).as("n_sales"),
+          coalesce(col("qty"), lit(0.0)).as("qty"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // Left semi join (reference: filtered_dataframe.sql:13-19 J4 semantics).
+    "q05_semi_join" -> { (s, d) =>
+      val cust = table(s, d, "customer")
+      val big = table(s, d, "orders").filter(col("o_totalprice") > lit(200000.0))
+      cust.join(big, cust("c_custkey") === big("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Left anti join (SURVEY §2.3 "free from Spark" completeness row).
+    "q06_anti_join" -> { (s, d) =>
+      val cust = table(s, d, "customer")
+      val ord = table(s, d, "orders")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Per-group top-k by computed measure (reference: my_merlin_flow.py:478-481
+    // top-k retrieval pattern O4; rank ties broken by key for determinism).
+    "q07_topk_per_group" -> { (s, d) =>
+      val li = table(s, d, "lineitem")
+      val part = table(s, d, "part")
+      val rev = li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .groupBy(col("p_brand"), col("p_partkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+      Relational.topKPerGroup(rev, Seq("p_brand"),
+          Seq(col("revenue").desc, col("p_partkey").asc), 3)
+        .orderBy(col("p_brand"), col("rk"))
+    },
+
+    // Global sort + limit → TakeOrderedAndProject (reference:
+    // articles_staging.sql:1-7 O1 ORDER BY .. DESC LIMIT 1 pattern).
+    "q08_sort_limit" -> { (s, d) =>
+      table(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+
+    // Time split + union-back (reference: my_merlin_flow.py:196-199 P7 split,
+    // :233 U1 union); the three filters partition the input exactly.
+    "q09_time_split" -> { (s, d) =>
+      val ord = table(s, d, "orders")
+      val b1 = lit("1999-01-01").cast("timestamp")
+      val b2 = lit("2000-01-01").cast("timestamp")
+      val (tr, va, te) = Relational.timeSplit(ord, "o_orderdate", b1, b2)
+      tr.select(lit("1_train").as("split"), col("o_totalprice"))
+        .unionByName(va.select(lit("2_valid").as("split"), col("o_totalprice")))
+        .unionByName(te.select(lit("3_test").as("split"), col("o_totalprice")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("split"))
+    },
+
+    // Group-stat join-back (reference: workflow_builder.py:60-69 JoinGroupby).
+    "q10_group_stat_join" -> { (s, d) =>
+      val li = table(s, d, "lineitem")
+      Relational.groupStatJoin(li, "l_partkey",
+          Seq((dsum(col("l_extendedprice"), 2) / count(lit(1))).as("part_avg_price")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_extendedprice"), col("part_avg_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // Deterministic z-score standardization (reference: workflow_builder.py:66
+    // Normalize F5 + A4 fit stats). Mean/std are built from exact decimal
+    // sums so both engines compute bit-identical doubles.
+    "q11_zscore" -> { (s, d) =>
+      val cust = table(s, d, "customer")
+      val stats = cust.agg(
+        dsum(col("c_acctbal"), 4).as("s1"),
+        dsum(col("c_acctbal") * col("c_acctbal"), 6).as("s2"),
+        count(lit(1)).as("n"))
+      val mean = col("s1") / col("n")
+      val std = sqrt((col("s2") - col("n") * (col("s1") / col("n")) * (col("s1") / col("n"))) / (col("n") - lit(1)))
+      cust.crossJoin(broadcast(stats))
+        .select(col("c_custkey"), round((col("c_acctbal") - mean) / std, 4).as("z"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Bucketize (reference: workflow_builder.py:26-27 F3): left-closed
+    // buckets [s_i, s_{i+1}) over splits (-inf,0,1000,...,9000,+inf),
+    // matching spark.ml Bucketizer semantics (see features.BucketizeSpec).
+    "q12_bucketize" -> { (s, d) =>
+      val splits = (0 to 9).map(_ * 1000.0)
+      val bucket = splits.zipWithIndex.reverse.foldLeft(lit(10)) { case (acc, (b, i)) =>
+        when(col("c_acctbal") < lit(b), lit(i)).otherwise(acc)
+      }
+      table(s, d, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), bucket.as("bucket"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Categorify dictionary encode (reference: workflow_builder.py:18,24,27
+    // F1/A5): ids assigned by frequency desc, value asc; id 0 reserved for
+    // null/OOV (here: none). See features.Categorify for the Estimator form.
+    "q13_categorify" -> { (s, d) =>
+      val cust = table(s, d, "customer")
+      val dict = graft.features.Categorify.fitDictionary(cust, "c_mktsegment")
+      cust.join(broadcast(dict.withColumnRenamed("value", "c_mktsegment")), Seq("c_mktsegment"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("id").as("seg_id"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Argmax per group via max_by (reference: my_merlin_flow.py:355-364 A8).
+    "q14_argmax" -> { (s, d) =>
+      table(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
+          max(col("o_totalprice")).as("best_price"))
+        .orderBy(col("o_custkey"))
+    },
+
+    // Distinct value list (reference: pred_inspector.py:78 A7).
+    "q15_distinct" -> { (s, d) =>
+      table(s, d, "part").select(col("p_type")).distinct().orderBy(col("p_type"))
+    },
+
+    // Scalar expression battery: concat/coalesce/nullif/date-parts
+    // (reference: images_staging.sql:10 P3, customers_staging.sql:11-13 P2,
+    // workflow_builder.py:30-40 P12).
+    "q16_scalar_exprs" -> { (s, d) =>
+      table(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          concat(lit("https://img.example.com/"), col("o_orderkey").cast("string"), lit(".jpg")).as("url"),
+          coalesce(nullif(col("o_orderpriority"), lit("")), lit("NONE")).as("priority_norm"),
+          year(col("o_orderdate")).as("o_year"),
+          month(col("o_orderdate")).as("o_month"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // Envelope encode → decode roundtrip (reference:
+    // upload_to_snowflake.py:129-144 S2 + articles_staging.sql:10-22 P1):
+    // wrap nation rows as JSON envelopes, then extract typed columns back.
+    "q17_envelope_roundtrip" -> { (s, d) =>
+      val nation = table(s, d, "nation")
+      val env = Relational.toEnvelope(nation, "nation", 1700000000L, "batch-1")
+      env.select(
+          get_json_object(col("raw_data"), "$.n_nationkey").cast("int").as("n_nationkey"),
+          get_json_object(col("raw_data"), "$.n_name").as("n_name"),
+          get_json_object(col("raw_data"), "$.n_regionkey").cast("int").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-06-01'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q02_agg_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+         FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 10 ORDER BY o_custkey""",
+    "q03_join3_revenue" ->
+      """SELECT c_mktsegment, o_orderstatus,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment, o_orderstatus ORDER BY c_mktsegment, o_orderstatus""",
+    "q04_left_join_fill" ->
+      """SELECT p_partkey, p_brand, COALESCE(n_sales, 0) AS n_sales, COALESCE(qty, 0.0) AS qty
+         FROM part LEFT JOIN (
+           SELECT l_partkey, COUNT(*) AS n_sales,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+           FROM lineitem GROUP BY l_partkey) s ON p_partkey = l_partkey
+         ORDER BY p_partkey""",
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+         ORDER BY c_custkey""",
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q07_topk_per_group" ->
+      """WITH rev AS (
+           SELECT p_brand, p_partkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand, p_partkey),
+         ranked AS (
+           SELECT p_brand, p_partkey, revenue,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS INT) AS rk
+           FROM rev)
+         SELECT * FROM ranked WHERE rk <= 3 ORDER BY p_brand, rk""",
+    "q08_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q09_time_split" ->
+      """SELECT split, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM (SELECT CASE WHEN o_orderdate < TIMESTAMP '1999-01-01' THEN '1_train'
+                           WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN '2_valid'
+                           ELSE '3_test' END AS split, o_totalprice FROM orders) t
+         GROUP BY split ORDER BY split""",
+    "q10_group_stat_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice, part_avg_price
+         FROM lineitem JOIN (
+           SELECT l_partkey AS pk,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS part_avg_price
+           FROM lineitem GROUP BY l_partkey) s ON l_partkey = pk
+         ORDER BY l_orderkey, l_linenumber""",
+    "q11_zscore" ->
+      """WITH st AS (SELECT
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+           COUNT(*) AS n FROM customer)
+         SELECT c_custkey,
+           ROUND((c_acctbal - s1 / n) / sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - 1)), 4) AS z
+         FROM customer, st ORDER BY c_custkey""",
+    "q12_bucketize" ->
+      """SELECT c_custkey, c_acctbal,
+         CASE WHEN c_acctbal < 0 THEN 0 WHEN c_acctbal < 1000 THEN 1 WHEN c_acctbal < 2000 THEN 2
+              WHEN c_acctbal < 3000 THEN 3 WHEN c_acctbal < 4000 THEN 4 WHEN c_acctbal < 5000 THEN 5
+              WHEN c_acctbal < 6000 THEN 6 WHEN c_acctbal < 7000 THEN 7 WHEN c_acctbal < 8000 THEN 8
+              WHEN c_acctbal < 9000 THEN 9 ELSE 10 END AS bucket
+         FROM customer ORDER BY c_custkey""",
+    "q13_categorify" ->
+      """WITH dict AS (
+           SELECT c_mktsegment AS v,
+             CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, c_mktsegment) AS INT) AS id
+           FROM customer GROUP BY c_mktsegment)
+         SELECT c_custkey, c_mktsegment, id AS seg_id
+         FROM customer JOIN dict ON c_mktsegment = v ORDER BY c_custkey""",
+    "q14_argmax" ->
+      """SELECT o_custkey, arg_max(o_orderkey, o_totalprice) AS best_order,
+         max(o_totalprice) AS best_price
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "q15_distinct" ->
+      "SELECT DISTINCT p_type FROM part ORDER BY p_type",
+    "q16_scalar_exprs" ->
+      """SELECT o_orderkey,
+         'https://img.example.com/' || CAST(o_orderkey AS VARCHAR) || '.jpg' AS url,
+         COALESCE(NULLIF(o_orderpriority, ''), 'NONE') AS priority_norm,
+         CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(month(o_orderdate) AS INT) AS o_month
+         FROM orders ORDER BY o_orderkey""",
+    "q17_envelope_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")
+}

@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Local pre-flight for the driver's correctness gate: run Verify's parquet
+dumps against the DuckDB oracle SQL and compare (schema + values), so oracle
+mismatches are caught before the round ends. Usage:
+    python tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, math
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]
+
+def canon(rows, cols):
+    """Sort columns by name, then rows; stringify values canonically."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v): vals.append("NaN")
+                else: vals.append(repr(v))
+            else:
+                vals.append(repr(v))
+        out.append(tuple(vals))
+    out.sort()
+    return [cols[i] for i in order], out
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+        try:
+            got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            g_cols = [d[0] for d in got.description]; g_rows = got.fetchall()
+            exp = con.execute(oracle[name])
+            e_cols = [d[0] for d in exp.description]; e_rows = exp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_bad += 1; continue
+        if sorted(g_cols) != sorted(e_cols):
+            print(f"FAIL {name}: cols spark={sorted(g_cols)} oracle={sorted(e_cols)}")
+            n_bad += 1; continue
+        gc, g = canon(g_rows, g_cols)
+        ec, e = canon(e_rows, e_cols)
+        if len(g) != len(e):
+            print(f"FAIL {name}: rowcount spark={len(g)} oracle={len(e)}"); n_bad += 1; continue
+        diffs = [(a, b) for a, b in zip(g, e) if a != b]
+        if diffs:
+            print(f"FAIL {name}: {len(diffs)}/{len(g)} rows differ; first: spark={diffs[0][0]} oracle={diffs[0][1]}")
+            n_bad += 1
+        else:
+            print(f"ok   {name} ({len(g)} rows)"); n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} fail")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
