@@ -20,7 +20,9 @@ object SparkEntry {
   private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (StarQueries.defs, StarQueries.oracles),
-      (EventQueries.defs, EventQueries.oracles))
+      (EventQueries.defs, EventQueries.oracles),
+      (TextQueries.defs, TextQueries.oracles),
+      (VectorQueries.defs, VectorQueries.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     groups.map(_._1).reduce(_ ++ _)

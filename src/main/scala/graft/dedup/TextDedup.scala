@@ -1,0 +1,108 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Document deduplication operators for training-data pipelines: exact
+  * (hash-groupBy), MinHash+LSH (shingle→minhash→band→bucket-join), SimHash,
+  * and n-gram Jaccard. Extension scope per BASELINE.json; no reference
+  * counterpart (the reference's dedup is the GROUP-BY tuple dedup of
+  * dedup_transactions.sql, covered in operators.Relational).
+  *
+  * Scale notes (100 TB): every operator here is a pure shuffle-bounded
+  * dataflow — no driver-side state. Exact dedup shuffles once on the
+  * fingerprint. MinHash/LSH shuffles once on (band, hash) — the candidate
+  * set is linear in true-duplicate density, unlike the all-pairs shingle
+  * join, which is quadratic in per-shingle document frequency and is only
+  * safe below ~10^4 docs per shingle (use `jaccardPairs` for verification /
+  * small corpora, LSH for discovery at scale; hot shingles should be capped
+  * with a document-frequency filter first).
+  */
+object TextDedup {
+
+  /** Exact duplicate groups by canonical-text fingerprint: one row per
+    * distinct fingerprint with the canonical (min) id and group size. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** Keep one canonical row per fingerprint (min id wins). */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactDupGroups(df, idCol, textCol)
+      .select(col("canonical_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash signature columns sig_0..sig_{k-1}: string-min of
+    * md5("<seed>:" + shingle) per seed — deterministic, engine-agnostic
+    * (no reliance on a specific 64-bit hash implementation). Documents with
+    * no shingles are dropped (filter shorter docs upstream).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, shingles: Column, numHashes: Int): DataFrame = {
+    val sigs = (0 until numHashes).map { s =>
+      array_min(transform(shingles, x => md5(concat(lit(s"$s:"), x)))).as(s"sig_$s")
+    }
+    df.select((col(idCol) +: sigs): _*).filter(col("sig_0").isNotNull)
+  }
+
+  /** LSH banding: one row per (id, band, band_hash); equal band hashes are
+    * duplicate candidates. rowsPerBand trades recall vs precision
+    * (P[candidate] = 1 - (1 - J^rows)^bands). */
+  def lshBands(sig: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"sig_$i"))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("h"))
+    }
+    sig.select(col(idCol), explode(array(bands: _*)).as("bh"))
+      .select(col(idCol), col("bh.band").as("band"), col("bh.h").as("band_hash"))
+  }
+
+  /** Candidate near-duplicate pairs from LSH buckets (a < b, distinct). */
+  def lshCandidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col("band"), col("band_hash"), col(idCol).as("a"))
+    val b = bands.select(col("band"), col("band_hash"), col(idCol).as("b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard over pairs sharing at least one shingle.
+    * Quadratic in per-shingle doc frequency — verification-scale only;
+    * compose with lshCandidatePairs for discovery at scale. */
+  def jaccardPairs(df: DataFrame, idCol: String, shingles: Column): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(array_distinct(shingles)).as("s"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("l").join(sh.as("r"), col("l.s") === col("r.s") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"), col("common"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over a token multiset: per-token xxhash64, each bit
+    * votes ±1, sign of the vote becomes the output bit. Near-duplicates
+    * have small Hamming distance. Explode + 64 conditional sums — a single
+    * shuffle on the id, all codegen'd.
+    */
+  def simhash64(df: DataFrame, idCol: String, toks: Column): DataFrame = {
+    val t = df.select(col(idCol), explode(toks).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b_$j")
+    }
+    val summed = t.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sh = (0 until 64).map { j =>
+      when(col(s"b_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    summed.select(col(idCol), sh.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

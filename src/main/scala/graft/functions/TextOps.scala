@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
+import org.apache.spark.sql.types.StringType
+
+/** Text-analysis building blocks for large-scale training-data pipelines:
+  * tokenization, normalization, fingerprinting, quality scoring, shingling.
+  *
+  * All functions are pure Column expressions (codegen-friendly, stay inside
+  * whole-stage codegen) — no UDFs in the hot path. The reference's only text
+  * ops are lowercase renames and string concat (SURVEY §2.9); these extend
+  * that surface per the BASELINE.json extension scope.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Lowercase + collapse internal whitespace (canonical text form). */
+  def normalizeText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Stable document fingerprint over the canonical form (exact-dedup key). */
+  def fingerprint(text: Column): Column = md5(normalizeText(text))
+
+  /** BPE-ish token count: word runs + single non-word-non-space chars. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  /** Word n-gram shingles over a token array; empty array when the document
+    * is shorter than n. The building block for MinHash / Jaccard dedup.
+    */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Sum of token lengths (for mean-token-length quality scoring). */
+  def totalTokenLength(toks: Column): Column =
+    aggregate(toks, lit(0), (acc, x) => acc + length(x))
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, x => x.isin(stopwords.map(lit(_)): _*))).cast("double") / size(toks)
+
+  /** Type-token ratio (lexical diversity). */
+  def typeTokenRatio(toks: Column): Column =
+    size(array_distinct(toks)).cast("double") / size(toks)
+
+  /** Character n-grams of the canonical text (language-ID features). */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t = normalizeText(text)
+    when(length(t) >= n,
+      transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+}

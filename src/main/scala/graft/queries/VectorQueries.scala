@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+import graft.sim.Knn
+import QueryHelpers._
+
+/** Similarity-search extension coverage over `embeddings` (BASELINE.json
+  * scope): vector norms, brute-force cosine top-k (exact baseline),
+  * embedding-cosine near-dup pairs, and SRP-LSH ANN (scale path).
+  *
+  * The oracle-checked queries use the exact-decimal kernel
+  * (VectorOps.cosineExact) so doubles are bit-identical to DuckDB; the LSH
+  * query and the bench path use the fast double kernel.
+  */
+object VectorQueries {
+
+  private val dim = 64
+
+  val defs: Map[String, QueryFn] = Map(
+    // L2 norms + dims (F8 surface).
+    "q40_vector_norms" -> { (s, d) =>
+      table(s, d, "embeddings")
+        .select(col("vec_id"), size(col("embedding")).as("dim"),
+          VectorOps.norm2Exact(col("embedding")).as("l2"))
+        .orderBy(col("vec_id"))
+    },
+
+    // Brute-force cosine top-5 for a small query set (exact ANN baseline).
+    "q41_knn_exact" -> { (s, d) =>
+      val emb = table(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 32)
+      Knn.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // Embedding-cosine near-duplicate pairs within a label block
+    // (blocking keeps the pair space linear-ish; threshold from data range).
+    "q42_cosine_neardup" -> { (s, d) =>
+      val emb = table(s, d, "embeddings")
+      val a = emb.select(col("label"), col("vec_id").as("a"), col("embedding").as("va"))
+      val b = emb.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb"))
+      a.join(b, Seq("label"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"), VectorOps.cosineExact(col("va"), col("vb")).as("cos"))
+        .filter(col("cos") > 0.3)
+        .orderBy(col("a"), col("b"))
+    },
+
+    // SRP-LSH ANN top-5 (rows-only: approximate; recall vs exact asserted
+    // in KnnSpec).
+    "q43_knn_lsh" -> { (s, d) =>
+      Knn.lshTopK(table(s, d, "embeddings"), "vec_id", "embedding", dim,
+          bits = 8, k = 5, probes = 2)
+        .select(col("query_id"), col("rk"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rk"))
+    })
+
+  private val dotSql =
+    """CAST(list_sum(list_transform(list_zip(%s, %s),
+       z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS DOUBLE)"""
+
+  private def dot(x: String, y: String) = dotSql.format(x, y)
+
+  val oracles: Map[String, String] = Map(
+    "q40_vector_norms" ->
+      s"""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+          sqrt(${dot("embedding", "embedding")}) AS l2
+          FROM embeddings ORDER BY vec_id""",
+    "q41_knn_exact" ->
+      s"""WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 32),
+          scored AS (
+            SELECT qid AS query_id, vec_id AS neighbor_id,
+              ${dot("qv", "embedding")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("embedding", "embedding")})) AS cos
+            FROM q JOIN embeddings ON vec_id <> qid),
+          ranked AS (
+            SELECT query_id, neighbor_id, cos,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rk
+            FROM scored)
+          SELECT query_id, rk, neighbor_id, cos FROM ranked WHERE rk <= 5
+          ORDER BY query_id, rk""",
+    "q42_cosine_neardup" ->
+      s"""SELECT x.vec_id a, y.vec_id b,
+          ${dot("x.embedding", "y.embedding")} / (sqrt(${dot("x.embedding", "x.embedding")}) * sqrt(${dot("y.embedding", "y.embedding")})) AS cos
+          FROM embeddings x JOIN embeddings y ON x.label = y.label AND x.vec_id < y.vec_id
+          WHERE ${dot("x.embedding", "y.embedding")} / (sqrt(${dot("x.embedding", "x.embedding")}) * sqrt(${dot("y.embedding", "y.embedding")})) > 0.3
+          ORDER BY a, b""")
+}
