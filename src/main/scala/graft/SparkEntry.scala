@@ -29,4 +29,10 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     groups.map(_._2).reduce(_ ++ _)
+
+  /** Bench-only programs with no DuckDB-expressible oracle (model training /
+    * approximate retrieval); correctness for these lives in the ScalaTest
+    * suite (see graft.rank.RecommenderSpec). Run by Bench, not Verify.
+    */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map.empty
 }

@@ -32,8 +32,9 @@ object Categorify {
       .agg(count(lit(1)).as("freq"))
     // The window has no partition key: acceptable because input here is the
     // *distinct-value* set. High-cardinality path below avoids it.
+    // Long ids so both fitters produce the same persisted dictionary schema.
     val w = Window.orderBy(col("freq").desc, col("value").asc)
-    counts.select(col("value"), row_number().over(w).as("id"))
+    counts.select(col("value"), row_number().over(w).cast("long").as("id"))
   }
 
   /** High-cardinality variant: ids are still deterministic (freq desc, value
@@ -60,7 +61,7 @@ object Categorify {
     val d = dict.select(col("value").as(s"__v_$column"), col("id").as(outputCol))
     df.join(d, df(column) === col(s"__v_$column"), "left")
       .drop(s"__v_$column")
-      .withColumn(outputCol, coalesce(col(outputCol), lit(0)))
+      .withColumn(outputCol, coalesce(col(outputCol), lit(0L)))
   }
 
   /** Decode ids back to natural keys (reference: my_merlin_flow.py:488,524 J5). */

@@ -77,7 +77,7 @@ object EventQueries {
          ORDER BY event_id""",
     "q21_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
-         SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+         CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
          MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q22_dedup_lastvalue" ->

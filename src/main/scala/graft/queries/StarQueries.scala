@@ -296,7 +296,7 @@ object StarQueries {
     "q13_categorify" ->
       """WITH dict AS (
            SELECT c_mktsegment AS v,
-             CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, c_mktsegment) AS INT) AS id
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, c_mktsegment) AS id
            FROM customer GROUP BY c_mktsegment)
          SELECT c_custkey, c_mktsegment, id AS seg_id
          FROM customer JOIN dict ON c_mktsegment = v ORDER BY c_custkey""",

@@ -9,9 +9,8 @@ import QueryHelpers._
   * scope): vector norms, brute-force cosine top-k (exact baseline),
   * embedding-cosine near-dup pairs, and SRP-LSH ANN (scale path).
   *
-  * The oracle-checked queries use the exact-decimal kernel
-  * (VectorOps.cosineExact) so doubles are bit-identical to DuckDB; the LSH
-  * query and the bench path use the fast double kernel.
+  * All scoring goes through VectorOps' sequential-fold kernel, which is
+  * bit-identical to DuckDB's list_sum evaluation (see VectorOps doc).
   */
 object VectorQueries {
 
@@ -22,7 +21,7 @@ object VectorQueries {
     "q40_vector_norms" -> { (s, d) =>
       table(s, d, "embeddings")
         .select(col("vec_id"), size(col("embedding")).as("dim"),
-          VectorOps.norm2Exact(col("embedding")).as("l2"))
+          VectorOps.norm2(col("embedding")).as("l2"))
         .orderBy(col("vec_id"))
     },
 
@@ -43,7 +42,7 @@ object VectorQueries {
       val b = emb.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb"))
       a.join(b, Seq("label"))
         .filter(col("a") < col("b"))
-        .select(col("a"), col("b"), VectorOps.cosineExact(col("va"), col("vb")).as("cos"))
+        .select(col("a"), col("b"), VectorOps.cosine(col("va"), col("vb")).as("cos"))
         .filter(col("cos") > 0.3)
         .orderBy(col("a"), col("b"))
     },

@@ -22,7 +22,7 @@ object Knn {
     * simFn lets callers pick the scoring kernel (exact-decimal for oracle
     * parity, fast double / codegen Expression for throughput). */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
-      vecCol: String, k: Int, simFn: (Column, Column) => Column = VectorOps.cosineExact): DataFrame = {
+      vecCol: String, k: Int, simFn: (Column, Column) => Column = VectorOps.cosine): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
