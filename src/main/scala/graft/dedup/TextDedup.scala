@@ -85,10 +85,31 @@ object TextDedup {
         (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard"))
   }
 
+  /** Jaccard similarity restricted to an explicit candidate-pair set (the
+    * scale path: LSH proposes candidates, this verifies them). Each side of
+    * the pair joins to its per-document distinct-shingle set and the
+    * intersection is computed per pair with array_intersect — cost is
+    * O(|candidates| × shingles-per-doc), never all-pairs. Output matches
+    * jaccardPairs (a, b, common, jaccard).
+    */
+  def jaccardForPairs(cand: DataFrame, df: DataFrame, idCol: String, shingles: Column): DataFrame = {
+    val sets = df.select(col(idCol).as("id"), array_distinct(shingles).as("ss"))
+    cand
+      .join(sets.select(col("id").as("a"), col("ss").as("sa")), Seq("a"))
+      .join(sets.select(col("id").as("b"), col("ss").as("sb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("common"),
+        col("sa"), col("sb"))
+      .select(col("a"), col("b"), col("common"),
+        (col("common").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("common"))).as("jaccard"))
+  }
+
   /** 64-bit SimHash over a token multiset: per-token xxhash64, each bit
     * votes ±1, sign of the vote becomes the output bit. Near-duplicates
     * have small Hamming distance. Explode + 64 conditional sums — a single
-    * shuffle on the id, all codegen'd.
+    * shuffle on the id, all codegen'd. Engine-native hash → fastest path;
+    * for cross-engine verification use simhashPortable.
     */
   def simhash64(df: DataFrame, idCol: String, toks: Column): DataFrame = {
     val t = df.select(col(idCol), explode(toks).as("tok"))
@@ -105,4 +126,29 @@ object TextDedup {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Portable SimHash: identical voting scheme but bits come from md5 hex
+    * digits (bit j = (hexdigit(j/4) >> (j%4)) & 1), so any engine with md5
+    * can reproduce it exactly — the cross-engine-verifiable variant of
+    * simhash64. Output is a 64-char '0'/'1' string, bit 0 first.
+    */
+  def simhashPortable(df: DataFrame, idCol: String, toks: Column): DataFrame = {
+    val t = df.select(col(idCol), explode(toks).as("tok"))
+      .select(col(idCol), md5(col("tok")).as("hx"))
+    val withDigits = t.select(
+      (col(idCol) +: (0 until 16).map(p =>
+        conv(substring(col("hx"), p + 1, 1), 16, 10).cast("int").as(s"d_$p"))): _*)
+    val bitSums = (0 until 64).map { j =>
+      val d = col(s"d_${j / 4}")
+      sum(when(shiftright(d, j % 4).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)).as(s"b_$j")
+    }
+    val summed = withDigits.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val bitsStr = concat((0 until 64).map(j =>
+      when(col(s"b_$j") > 0, lit("1")).otherwise(lit("0"))): _*)
+    summed.select(col(idCol), bitsStr.as("simhash"))
+  }
+
+  /** Hamming distance between two simhashPortable bit strings. */
+  def hammingBits(a: Column, b: Column): Column =
+    size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y), x => x))
 }

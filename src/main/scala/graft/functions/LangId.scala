@@ -2,42 +2,52 @@ package graft.functions
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Relational
 
-/** N-gram language identification heuristic (extension scope): fit per-label
-  * character-trigram log-probability profiles from a labeled corpus, predict
-  * by max total log-likelihood. Entirely dataflow: fit = groupBy counts,
-  * predict = explode → broadcast-join profiles → sum → argmax, so it scales
-  * with the corpus (no driver-side model object; the profile table itself is
-  * the model and can be persisted as parquet like Categorify dictionaries).
+/** Character-n-gram language identification (extension scope; simplified
+  * Cavnar–Trenkle profile matching). Fit builds the top-`profileSize`
+  * most-frequent n-grams per language; predict scores each document by how
+  * many of its n-gram occurrences fall in each language's profile and takes
+  * the argmax. All-integer scoring → deterministic and exactly reproducible
+  * in any SQL engine (no float log-prob summation-order hazards).
+  *
+  * Scale design: entirely dataflow, no driver-side model object.
+  *  - fit: one shuffle (groupBy lang×ngram) + a per-language top-k window;
+  *    the fitted profile is numLangs × profileSize rows — bounded by
+  *    construction, safely broadcastable at any corpus size (the profile
+  *    table can be persisted as parquet like Categorify dictionaries);
+  *  - predict: document n-grams are pre-aggregated to (doc, ngram, count)
+  *    BEFORE the profile join, so the join input is distinct-grams-per-doc,
+  *    not occurrences × languages.
   */
 object LangId {
 
-  /** Fit: DataFrame[lang, ngram, logp] with add-one smoothing. */
-  def fitProfiles(df: DataFrame, textCol: String, labelCol: String, n: Int = 3): DataFrame = {
-    val grams = df.select(col(labelCol).as("lang"),
+  /** Fit: DataFrame[lang, ngram] — the top-`profileSize` n-grams per
+    * language by frequency (count desc, ngram asc — deterministic). */
+  def fitProfiles(df: DataFrame, textCol: String, labelCol: String,
+      n: Int = 3, profileSize: Int = 300): DataFrame = {
+    val counts = df
+      .select(col(labelCol).as("lang"),
         explode(TextOps.charNgrams(col(textCol), n)).as("ngram"))
-    val counts = grams.groupBy(col("lang"), col("ngram")).agg(count(lit(1)).as("c"))
-    val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("total"))
-    counts.join(totals, Seq("lang"))
-      .select(col("lang"), col("ngram"),
-        log((col("c") + lit(1)).cast("double") / (col("total") + lit(1))).as("logp"))
+      .groupBy(col("lang"), col("ngram")).agg(count(lit(1)).as("c"))
+    Relational.topKPerGroup(counts, Seq("lang"),
+        Seq(col("c").desc, col("ngram").asc), profileSize)
+      .select(col("lang"), col("ngram"))
   }
 
-  /** Predict: adds `predicted_<labelCol>` with the argmax-likelihood label.
-    * Unmatched n-grams contribute the per-language floor penalty. */
+  /** Predict: adds `outputCol` = argmax-score language (score desc, lang asc
+    * tie-break); documents matching no profile n-gram get "und". */
   def predict(df: DataFrame, idCol: String, textCol: String, profiles: DataFrame,
       n: Int = 3, outputCol: String = "predicted_lang"): DataFrame = {
-    val floor = profiles.groupBy(col("lang"))
-      .agg(min(col("logp")).as("floor"))
-    val grams = df.select(col(idCol), explode(TextOps.charNgrams(col(textCol), n)).as("ngram"))
-    // Score every (doc ngram, lang) pair: cross over languages via the floor
-    // table (small, broadcast), left-join the actual profile entry.
-    val scored = grams
-      .crossJoin(broadcast(floor))
-      .join(broadcast(profiles), Seq("lang", "ngram"), "left")
-      .select(col(idCol), col("lang"), coalesce(col("logp"), col("floor")).as("lp"))
-    val perLang = scored.groupBy(col(idCol), col("lang")).agg(sum(col("lp")).as("score"))
-    perLang.groupBy(col(idCol))
-      .agg(max_by(col("lang"), struct(col("score"), col("lang"))).as(outputCol))
+    val grams = df
+      .select(col(idCol), explode(TextOps.charNgrams(col(textCol), n)).as("ngram"))
+      .groupBy(col(idCol), col("ngram")).agg(count(lit(1)).as("cnt"))
+    val scores = grams.join(broadcast(profiles), Seq("ngram"))
+      .groupBy(col(idCol), col("lang")).agg(sum(col("cnt")).as("score"))
+    val pred = Relational.keepFirstPerKey(scores, Seq(idCol),
+        Seq(col("score").desc, col("lang").asc))
+      .select(col(idCol), col("lang").as(outputCol))
+    df.select(col(idCol)).join(pred, Seq(idCol), "left")
+      .withColumn(outputCol, coalesce(col(outputCol), lit("und")))
   }
 }

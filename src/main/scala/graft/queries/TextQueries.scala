@@ -62,15 +62,17 @@ object TextQueries {
         .orderBy(col("a"), col("b"))
     },
 
-    // SimHash (rows-only check: engine-specific 64-bit hash).
+    // Portable SimHash (md5-hex-digit bits — exactly reproducible by the
+    // DuckDB oracle; simhash64 is the engine-native fast path, its Hamming
+    // properties are asserted in TextDedupSpec).
     "q35_simhash" -> { (s, d) =>
-      TextDedup.simhash64(table(s, d, "documents"), "doc_id",
+      TextDedup.simhashPortable(table(s, d, "documents"), "doc_id",
           TextOps.tokens(col("text")))
         .orderBy(col("doc_id"))
     },
 
-    // Language-ID heuristic: fit trigram profiles on the labeled corpus,
-    // predict per doc (rows-only check; accuracy asserted in LangIdSpec).
+    // Language-ID: integer top-300-trigram profile matching — fully
+    // oracle-checked; accuracy vs the `lang` label asserted in LangIdSpec.
     "q36_langid" -> { (s, d) =>
       val docs = table(s, d, "documents")
       val profiles = LangId.fitProfiles(docs, "text", "lang")
@@ -81,7 +83,8 @@ object TextQueries {
     },
 
     // MinHash-LSH candidate pairs (16 hashes, 8 bands of 2) verified with
-    // exact Jaccard — the scale path for near-dup discovery.
+    // candidate-restricted exact Jaccard — the scale path for near-dup
+    // discovery: Jaccard cost is O(|candidates|), never all-pairs.
     "q37_lsh_neardup" -> { (s, d) =>
       val docs = table(s, d, "documents")
         .filter(size(TextOps.tokens(col("text"))) >= shingleN)
@@ -89,8 +92,8 @@ object TextQueries {
       val sig = TextDedup.minhashSignatures(docs, "doc_id", shingles, 16)
       val cand = TextDedup.lshCandidatePairs(
         TextDedup.lshBands(sig, "doc_id", 16, 2), "doc_id")
-      val jac = TextDedup.jaccardPairs(docs, "doc_id", shingles)
-      cand.join(jac, Seq("a", "b"))
+      TextDedup.jaccardForPairs(cand, docs, "doc_id", shingles)
+        .filter(col("common") >= 1)
         .select(col("a"), col("b"), col("jaccard"))
         .orderBy(col("a"), col("b"))
     })
@@ -135,5 +138,56 @@ object TextQueries {
          SELECT a, b, common,
            CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
          FROM pairs JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
-         ORDER BY a, b""")
+         ORDER BY a, b""",
+    "q35_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) tok FROM documents),
+         h AS (SELECT doc_id, md5(tok) hx FROM toks),
+         votes AS (
+           SELECT doc_id, j,
+             SUM(CASE WHEN ((strpos('0123456789abcdef', hx[(j//4+1):(j//4+1)]) - 1) >> (j % 4)) & 1 = 1
+                      THEN 1 ELSE -1 END) v
+           FROM h CROSS JOIN (SELECT unnest(range(64)) j) bits
+           GROUP BY doc_id, j)
+         SELECT doc_id,
+           array_to_string(list(CASE WHEN v > 0 THEN '1' ELSE '0' END ORDER BY j), '') AS simhash
+         FROM votes GROUP BY doc_id ORDER BY doc_id""",
+    "q36_langid" ->
+      """WITH norm AS (SELECT doc_id, lang, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t FROM documents),
+         g AS (SELECT doc_id, lang, unnest(list_transform(range(len(t)-2), i -> t[i+1:i+3])) ngram
+               FROM norm WHERE len(t) >= 3),
+         counts AS (SELECT lang, ngram, COUNT(*) c FROM g GROUP BY 1, 2),
+         prof AS (SELECT lang, ngram FROM (
+             SELECT lang, ngram, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, ngram) rk
+             FROM counts) WHERE rk <= 300),
+         dg AS (SELECT doc_id, ngram, COUNT(*) cnt FROM g GROUP BY 1, 2),
+         sc AS (SELECT doc_id, lang, SUM(cnt) score FROM dg JOIN prof USING (ngram) GROUP BY 1, 2),
+         pred AS (SELECT doc_id, lang AS predicted_lang FROM (
+             SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) rk
+             FROM sc) WHERE rk = 1)
+         SELECT d.doc_id, d.lang, COALESCE(p.predicted_lang, 'und') AS predicted_lang
+         FROM documents d LEFT JOIN pred p USING (doc_id) ORDER BY d.doc_id""",
+    "q37_lsh_neardup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(len(w)-7), i -> array_to_string(w[i+1:i+8], ' '))) s
+                FROM t WHERE len(w) >= 8),
+         sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+         sig AS (SELECT doc_id,
+             min(md5('0:'||s)) s0, min(md5('1:'||s)) s1, min(md5('2:'||s)) s2, min(md5('3:'||s)) s3,
+             min(md5('4:'||s)) s4, min(md5('5:'||s)) s5, min(md5('6:'||s)) s6, min(md5('7:'||s)) s7,
+             min(md5('8:'||s)) s8, min(md5('9:'||s)) s9, min(md5('10:'||s)) s10, min(md5('11:'||s)) s11,
+             min(md5('12:'||s)) s12, min(md5('13:'||s)) s13, min(md5('14:'||s)) s14, min(md5('15:'||s)) s15
+           FROM sh GROUP BY doc_id),
+         bands AS (SELECT doc_id,
+             unnest([md5(s0||'|'||s1), md5(s2||'|'||s3), md5(s4||'|'||s5), md5(s6||'|'||s7),
+                     md5(s8||'|'||s9), md5(s10||'|'||s11), md5(s12||'|'||s13), md5(s14||'|'||s15)]) h,
+             unnest([0, 1, 2, 3, 4, 5, 6, 7]) band
+           FROM sig),
+         cand AS (SELECT DISTINCT l.doc_id a, r.doc_id b
+                  FROM bands l JOIN bands r ON l.band = r.band AND l.h = r.h AND l.doc_id < r.doc_id),
+         common AS (SELECT l.doc_id a, r.doc_id b, COUNT(*) common
+                    FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id GROUP BY 1, 2)
+         SELECT c.a AS a, c.b AS b, CAST(cm.common AS DOUBLE) / (sa.n + sb.n - cm.common) AS jaccard
+         FROM cand c JOIN common cm ON c.a = cm.a AND c.b = cm.b
+         JOIN sizes sa ON c.a = sa.doc_id JOIN sizes sb ON c.b = sb.doc_id
+         ORDER BY c.a, c.b""")
 }

@@ -47,14 +47,23 @@ object VectorQueries {
         .orderBy(col("a"), col("b"))
     },
 
-    // SRP-LSH ANN top-5 (rows-only: approximate; recall vs exact asserted
-    // in KnnSpec).
+    // SRP-LSH ANN top-5 — fully oracle-checked: the ±1 hyperplane
+    // coefficients are plan-time constants embedded in BOTH the Spark plan
+    // and the DuckDB oracle SQL, so the bucketing (and thus the approximate
+    // result) is engine-independent. Recall vs the exact baseline is
+    // additionally asserted in KnnSpec.
     "q43_knn_lsh" -> { (s, d) =>
       Knn.lshTopK(table(s, d, "embeddings"), "vec_id", "embedding", dim,
-          bits = 8, k = 5, probes = 2)
+          bits = srpBits, k = 5, probes = 2)
         .select(col("query_id"), col("rk"), col("neighbor_id"))
         .orderBy(col("query_id"), col("rk"))
     })
+
+  private val srpBits = 8
+
+  private lazy val srpSignLists: IndexedSeq[String] =
+    Knn.srpSigns(srpBits, dim).toIndexedSeq
+      .map(_.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
 
   private val dotSql =
     """CAST(list_sum(list_transform(list_zip(%s, %s),
@@ -84,5 +93,20 @@ object VectorQueries {
           ${dot("x.embedding", "y.embedding")} / (sqrt(${dot("x.embedding", "x.embedding")}) * sqrt(${dot("y.embedding", "y.embedding")})) AS cos
           FROM embeddings x JOIN embeddings y ON x.label = y.label AND x.vec_id < y.vec_id
           WHERE ${dot("x.embedding", "y.embedding")} / (sqrt(${dot("x.embedding", "x.embedding")}) * sqrt(${dot("y.embedding", "y.embedding")})) > 0.3
-          ORDER BY a, b""")
+          ORDER BY a, b""",
+    "q43_knn_lsh" -> {
+      val bucketSql = (0 until srpBits).map { p =>
+        s"(CASE WHEN ${dot("embedding", srpSignLists(p))} >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+          q AS (SELECT vec_id, embedding, unnest([bucket, xor(bucket, 1), xor(bucket, 2)]) pb FROM b),
+          scored AS (SELECT q.vec_id query_id, c.vec_id neighbor_id,
+              MAX(${dot("q.embedding", "c.embedding")} / (sqrt(${dot("q.embedding", "q.embedding")}) * sqrt(${dot("c.embedding", "c.embedding")}))) cos
+            FROM q JOIN b c ON q.pb = c.bucket AND q.vec_id <> c.vec_id
+            GROUP BY 1, 2),
+          ranked AS (SELECT query_id, neighbor_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) rk
+            FROM scored)
+          SELECT query_id, rk, neighbor_id FROM ranked WHERE rk <= 5 ORDER BY query_id, rk"""
+    })
 }

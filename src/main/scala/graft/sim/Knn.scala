@@ -19,8 +19,9 @@ import graft.operators.Relational
 object Knn {
 
   /** Exact brute-force top-k by cosine. `queries` must be small (broadcast).
-    * simFn lets callers pick the scoring kernel (exact-decimal for oracle
-    * parity, fast double / codegen Expression for throughput). */
+    * simFn lets callers pick the scoring kernel (HOF fold for cross-engine
+    * parity, graft.sql.DotF32-based for max throughput — both compute the
+    * identical sequential fold). */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, simFn: (Column, Column) => Column = VectorOps.cosine): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
@@ -31,21 +32,31 @@ object Knn {
       Seq(col("cos").desc, col("neighbor_id").asc), k)
   }
 
-  /** Deterministic sign-random-projection bucket id: `bits` hyperplanes
-    * whose coefficients are pseudo-random in {-1,+1} derived from
-    * xxhash64(plane, dim) — reproducible across runs/engines with no stored
-    * model. Bucket = the sign-bit string. */
-  def srpBucket(vec: Column, dim: Int, bits: Int): Column = {
-    val planeBits = (0 until bits).map { p =>
-      // dot(vec, hyperplane_p) where hyperplane_p[d] = ±1 from a hash
-      val contrib = (0 until dim).map { d =>
-        val sign = when(xxhash64(lit(p), lit(d)).bitwiseAND(lit(1L)) === 1L, 1.0).otherwise(-1.0)
-        element_at(vec, d + 1).cast("double") * sign
-      }.reduce(_ + _)
-      when(contrib >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+  /** Deterministic ±1 hyperplane coefficients for SRP-LSH: sign(p, d) from
+    * the low bit of md5("p:d") — reproducible across runs with no stored
+    * model, and embeddable as plain literals both in the Spark plan and in
+    * an external oracle's SQL (no engine hash function involved at query
+    * time). */
+  def srpSigns(bits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(bits, dim) { (p, d) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$d".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1.0 else -1.0
     }
-    planeBits.reduce((a, b) => a.bitwiseOR(b))
-  }
+
+  /** Sign-random-projection bucket id: bit p of the bucket is the sign of
+    * dot(vec, hyperplane_p). Each plane is ONE aggregate over a zip_with
+    * with a literal coefficient array — plan size is O(bits), independent of
+    * dim, so CLIP-scale dims (512+) stay inside whole-stage codegen (the
+    * previous formulation unrolled bits×dim expression terms and blew the
+    * Janino method limit). */
+  def srpBucket(vec: Column, signs: Array[Array[Double]]): Column =
+    signs.indices.map { p =>
+      val dotp = aggregate(
+        zip_with(vec, lit(signs(p)), (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotp >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
 
   /** ANN top-k: candidates restricted to the query's SRP bucket. One shuffle
     * on the bucket key; recall tuned by `bits` (fewer bits = bigger buckets =
@@ -54,8 +65,9 @@ object Knn {
     * bits). */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int, bits: Int,
       k: Int, probes: Int = 0): DataFrame = {
+    val signs = srpSigns(bits, dim)
     val withBucket = df.select(col(idCol), col(vecCol),
-      srpBucket(col(vecCol), dim, bits).as("bucket"))
+      srpBucket(col(vecCol), signs).as("bucket"))
     val qBuckets =
       if (probes == 0) withBucket.select(col(idCol), col(vecCol), col("bucket"))
       else {

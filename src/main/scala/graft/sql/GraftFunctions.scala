@@ -1,0 +1,34 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration surface for graft's custom Catalyst expressions.
+  *
+  * `register` installs them into a session's function registry (idempotent);
+  * `GraftExtensions` is the `spark.sql.extensions` form for clusters that
+  * configure extensions at session build time:
+  *   SparkSession.builder.config("spark.sql.extensions", "graft.sql.GraftExtensions")
+  */
+object GraftFunctions {
+
+  val DotName = "graft_dot_f32"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      DotName, exprs => DotF32(exprs.head, exprs(1)), "built-in")
+
+  /** Column-level call; requires `register` (or GraftExtensions) first. */
+  def dotF32(a: Column, b: Column): Column = call_function(DotName, a, b)
+}
+
+/** spark.sql.extensions entry point. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.DotName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotF32].getName, GraftFunctions.DotName),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotF32(exprs.head, exprs(1))))
+}
