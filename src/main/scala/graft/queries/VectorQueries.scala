@@ -47,22 +47,23 @@ object VectorQueries {
         .orderBy(col("a"), col("b"))
     },
 
-    // SRP-LSH ANN top-5 — fully oracle-checked: the ±1 hyperplane
-    // coefficients are plan-time constants embedded in BOTH the Spark plan
-    // and the DuckDB oracle SQL, so the bucketing (and thus the approximate
-    // result) is engine-independent. Recall vs the exact baseline is
-    // additionally asserted in KnnSpec.
+    // Multi-table SRP-LSH ANN top-5 — fully oracle-checked: the ±1
+    // hyperplane coefficients are plan-time constants embedded in BOTH the
+    // Spark plan and the DuckDB oracle SQL, so the bucketing (and thus the
+    // approximate result) is engine-independent. Recall vs the exact
+    // baseline is additionally asserted in KnnSpec.
     "q43_knn_lsh" -> { (s, d) =>
       Knn.lshTopK(table(s, d, "embeddings"), "vec_id", "embedding", dim,
-          bits = srpBits, k = 5, probes = 2)
+          bits = srpBits, k = 5, tables = srpTables)
         .select(col("query_id"), col("rk"), col("neighbor_id"))
         .orderBy(col("query_id"), col("rk"))
     })
 
-  private val srpBits = 8
+  private val srpBits = 4
+  private val srpTables = 8
 
   private lazy val srpSignLists: IndexedSeq[String] =
-    Knn.srpSigns(srpBits, dim).toIndexedSeq
+    Knn.srpSigns(srpTables * srpBits, dim).toIndexedSeq
       .map(_.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
 
   private val dotSql =
@@ -95,14 +96,17 @@ object VectorQueries {
           WHERE ${dot("x.embedding", "y.embedding")} / (sqrt(${dot("x.embedding", "x.embedding")}) * sqrt(${dot("y.embedding", "y.embedding")})) > 0.3
           ORDER BY a, b""",
     "q43_knn_lsh" -> {
-      val bucketSql = (0 until srpBits).map { p =>
-        s"(CASE WHEN ${dot("embedding", srpSignLists(p))} >= 0 THEN ${1L << p} ELSE 0 END)"
+      def bucketSql(t: Int): String = (0 until srpBits).map { b =>
+        s"(CASE WHEN ${dot("embedding", srpSignLists(t * srpBits + b))} >= 0 THEN ${1L << b} ELSE 0 END)"
       }.mkString(" + ")
-      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
-          q AS (SELECT vec_id, embedding, unnest([bucket, xor(bucket, 1), xor(bucket, 2)]) pb FROM b),
+      val bucketAliases = (0 until srpTables).map(t => s"${bucketSql(t)} AS bt$t").mkString(", ")
+      val tList = (0 until srpTables).mkString("[", ", ", "]")
+      val btList = (0 until srpTables).map(t => s"bt$t").mkString("[", ", ", "]")
+      s"""WITH b0 AS (SELECT vec_id, embedding, $bucketAliases FROM embeddings),
+          b AS (SELECT vec_id, embedding, unnest($tList) t, unnest($btList) bucket FROM b0),
           scored AS (SELECT q.vec_id query_id, c.vec_id neighbor_id,
               MAX(${dot("q.embedding", "c.embedding")} / (sqrt(${dot("q.embedding", "q.embedding")}) * sqrt(${dot("c.embedding", "c.embedding")}))) cos
-            FROM q JOIN b c ON q.pb = c.bucket AND q.vec_id <> c.vec_id
+            FROM b q JOIN b c ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
             GROUP BY 1, 2),
           ranked AS (SELECT query_id, neighbor_id,
               CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) rk

@@ -58,26 +58,35 @@ object Knn {
       when(dotp >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** ANN top-k: candidates restricted to the query's SRP bucket. One shuffle
-    * on the bucket key; recall tuned by `bits` (fewer bits = bigger buckets =
-    * higher recall, more compute). Multi-probe: pass probes>0 to also search
-    * buckets at Hamming distance 1 (flipping each of the first `probes`
-    * bits). */
+  /** ANN top-k via multi-table SRP-LSH: `tables` independent hash tables of
+    * `bits` hyperplanes each; a pair is a candidate if it collides in ANY
+    * table (recall = 1 - (1 - p^bits)^tables for per-bit agreement
+    * probability p = 1 - θ/π). One shuffle on the (table, bucket) key; the
+    * candidate set per query is tables × bucket-size, a tunable fraction of
+    * the corpus. Multi-probe: probes>0 additionally searches buckets at
+    * Hamming distance 1 within each table (flipping each of the first
+    * `probes` bits). Size `bits` ≈ log2(corpus / target-bucket-size).
+    */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int, bits: Int,
-      k: Int, probes: Int = 0): DataFrame = {
-    val signs = srpSigns(bits, dim)
-    val withBucket = df.select(col(idCol), col(vecCol),
-      srpBucket(col(vecCol), signs).as("bucket"))
+      k: Int, tables: Int = 1, probes: Int = 0): DataFrame = {
+    val signs = srpSigns(tables * bits, dim)
+    val bucketCols = (0 until tables).map { t =>
+      struct(lit(t).as("t"),
+        srpBucket(col(vecCol), signs.slice(t * bits, (t + 1) * bits)).as("b"))
+    }
+    val withBuckets = df
+      .select(col(idCol), col(vecCol), explode(array(bucketCols: _*)).as("tb"))
+      .select(col(idCol), col(vecCol), col("tb.t").as("t"), col("tb.b").as("bucket"))
     val qBuckets =
-      if (probes == 0) withBucket.select(col(idCol), col(vecCol), col("bucket"))
+      if (probes == 0) withBuckets
       else {
         val flips = lit(0L) +: (0 until probes).map(p => shiftleft(lit(1L), p))
-        withBucket.select(col(idCol), col(vecCol),
+        withBuckets.select(col(idCol), col(vecCol), col("t"),
           explode(array(flips.map(f => col("bucket").bitwiseXOR(f)): _*)).as("bucket"))
       }
-    val q = qBuckets.select(col("bucket"), col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = withBucket.select(col("bucket"), col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val scored = q.join(c, Seq("bucket"))
+    val q = qBuckets.select(col("t"), col("bucket"), col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = withBuckets.select(col("t"), col("bucket"), col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = q.join(c, Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         VectorOps.cosine(col("__qv"), col("__cv")).as("cos"))

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all suites (one JVM per `sbt test` fork;
+  * building a session per suite would dominate runtime). Test data comes
+  * from the driver-generated fixtures (TESTDATA.md), sf0.001 by default.
+  */
+object SparkSpecBase {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    graft.sql.GraftFunctions.register(s)
+    s
+  }
+  val sfDir = "/root/testdata/sf0.001"
+  val sfDirMid = "/root/testdata/sf0.01"
+}
+
+trait SparkSpecBase extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpecBase.session
+  def sfDir: String = SparkSpecBase.sfDir
+  def sfDirMid: String = SparkSpecBase.sfDirMid
+  def tbl(name: String, dir: String = SparkSpecBase.sfDir): DataFrame =
+    Tables.load(spark, dir, name)
+}

@@ -1,0 +1,67 @@
+package graft.dedup
+
+import graft.SparkSpecBase
+import graft.functions.TextOps
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val shingleN = 8
+
+  test("exact dedup groups whitespace/case variants; dropExactDuplicates is idempotent") {
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "other doc")).toDF("doc_id", "text")
+    val groups = TextDedup.exactDupGroups(df, "doc_id", "text")
+    assert(groups.count() == 2)
+    assert(groups.filter($"n_dups" === 2).select("canonical_id").as[Long].head() == 1L)
+    val once = TextDedup.dropExactDuplicates(df, "doc_id", "text")
+    val twice = TextDedup.dropExactDuplicates(once, "doc_id", "text")
+    assert(once.count() == 2 && twice.count() == 2)
+  }
+
+  test("identical documents get identical minhash signatures and land in the same LSH bucket") {
+    val text = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, text), (2L, text), (3L, (21 to 40).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sig = TextDedup.minhashSignatures(df, "doc_id",
+      TextOps.wordShingles(TextOps.tokens(col("text")), shingleN), 16)
+    val rows = sig.orderBy("doc_id").collect()
+    assert(rows(0).toSeq.tail == rows(1).toSeq.tail, "identical docs, identical signatures")
+    val cand = TextDedup.lshCandidatePairs(TextDedup.lshBands(sig, "doc_id", 16, 2), "doc_id")
+    assert(cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("jaccardForPairs equals all-pairs jaccardPairs restricted to the candidate set") {
+    val docs = tbl("documents").filter(size(TextOps.tokens(col("text"))) >= shingleN)
+    val shingles = TextOps.wordShingles(TextOps.tokens(col("text")), shingleN)
+    val all = TextDedup.jaccardPairs(docs, "doc_id", shingles)
+    val cand = all.select("a", "b") // every co-shingled pair as candidates
+    val restricted = TextDedup.jaccardForPairs(cand, docs, "doc_id", shingles)
+    assert(restricted.exceptAll(all).isEmpty && all.exceptAll(restricted).isEmpty)
+  }
+
+  test("simhash64: duplicates at Hamming 0, perturbed docs near, disjoint docs far") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val perturbed = ((1 to 57).map(i => s"tok$i") ++ Seq("x", "y", "z")).mkString(" ")
+    val other = (1 to 60).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, perturbed), (4L, other)).toDF("doc_id", "text")
+    val sh = TextDedup.simhash64(df, "doc_id", TextOps.tokens(col("text")))
+    val m = sh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) == 0)
+    assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)),
+      "perturbed doc must be closer than a disjoint doc")
+  }
+
+  test("simhashPortable is deterministic and flags duplicates") {
+    val df = tbl("documents").limit(50)
+    val a = TextDedup.simhashPortable(df, "doc_id", TextOps.tokens(col("text")))
+    val b = TextDedup.simhashPortable(df, "doc_id", TextOps.tokens(col("text")))
+    assert(a.exceptAll(b).isEmpty)
+    val dup = Seq((1L, "same text here okay"), (2L, "same text here okay")).toDF("doc_id", "text")
+    val s = TextDedup.simhashPortable(dup, "doc_id", TextOps.tokens(col("text")))
+      .select("simhash").as[String].collect()
+    assert(s(0) == s(1) && s(0).length == 64)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("dedupWithLastValue uses the whole-partition frame (Snowflake LAST_VALUE gotcha)") {
+    // With Spark's default RANGE..CURRENT ROW frame, last(value) would equal
+    // each row's own value; the whole-partition frame must return 30 for all.
+    val df = Seq(
+      ("u1", 1L, 10.0), ("u1", 2L, 20.0), ("u1", 3L, 30.0),
+      ("u2", 1L, 5.0)).toDF("k", "ts", "value")
+    val out = Relational.dedupWithLastValue(df, Seq("k"), "ts", Seq("value"))
+    val u1 = out.filter($"k" === "u1").select("last_value").as[Double].collect().toSet
+    assert(u1 == Set(30.0), "every u1 row must carry the partition-wise last value")
+    val u1ts = out.filter($"k" === "u1").select("last_ts").as[Long].collect().toSet
+    assert(u1ts == Set(3L))
+  }
+
+  test("dedupWithLastValue dedups full tuples but preserves per-key multiplicity") {
+    val df = Seq(
+      ("u1", 1L, 10.0), ("u1", 1L, 10.0), // exact dup -> 1 row
+      ("u1", 2L, 20.0)).toDF("k", "ts", "value")
+    val out = Relational.dedupWithLastValue(df, Seq("k"), "ts", Seq("value"))
+    assert(out.count() == 2, "tuple dedup, not per-key dedup")
+  }
+
+  test("timeSplit partitions the input exactly") {
+    val ord = tbl("orders")
+    val (tr, va, te) = Relational.timeSplit(ord, "o_orderdate",
+      lit("1999-01-01").cast("timestamp"), lit("2000-01-01").cast("timestamp"))
+    assert(tr.count() + va.count() + te.count() == ord.count())
+    assert(tr.intersect(va).isEmpty && va.intersect(te).isEmpty && tr.intersect(te).isEmpty)
+  }
+
+  test("keepFirstPerKey keeps exactly the first row in the given order") {
+    val df = Seq(("a", 2, "second"), ("a", 1, "first"), ("b", 9, "only"))
+      .toDF("k", "ord", "tag")
+    val out = Relational.keepFirstPerKey(df, Seq("k"), Seq(col("ord").asc))
+    assert(out.count() == 2)
+    assert(out.filter($"k" === "a").select("tag").as[String].head() == "first")
+  }
+
+  test("latestBatch keeps only the max-order batch") {
+    val df = Seq(("b1", 100L, "x"), ("b1", 101L, "y"), ("b2", 205L, "z"))
+      .toDF("batch", "ts", "v")
+    val out = Relational.latestBatch(df, "batch", "ts")
+    assert(out.select("batch").distinct().as[String].collect().toSeq == Seq("b2"))
+  }
+
+  test("frequencyFilter keeps only keys meeting the threshold") {
+    val df = Seq("a", "a", "a", "b").toDF("k")
+    val out = Relational.frequencyFilter(df, "k", lit(1), 3)
+    assert(out.count() == 3 && out.select("k").distinct().as[String].head() == "a")
+  }
+
+  test("envelope encode/decode roundtrip preserves rows") {
+    val nation = tbl("nation")
+    val env = Relational.toEnvelope(nation, "nation", 1L, "b1")
+    val back = Relational.fromEnvelope(env, nation.schema)
+    assert(back.exceptAll(nation).isEmpty && nation.exceptAll(back).isEmpty)
+  }
+}

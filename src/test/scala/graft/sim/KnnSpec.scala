@@ -1,0 +1,44 @@
+package graft.sim
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class KnnSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("multi-table SRP-LSH reaches recall@5 >= 0.5 vs the exact baseline (sf0.01)") {
+    val emb = tbl("embeddings", sfDirMid)
+    val queries = emb.filter($"vec_id" < 32)
+    val exact = Knn.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id")
+    val approx = Knn.lshTopK(emb, "vec_id", "embedding", dim = 64, bits = 4,
+        k = 5, tables = 8)
+      .filter($"query_id" < 32)
+      .select($"query_id", $"neighbor_id")
+    val hits = exact.intersect(approx).count().toDouble
+    val recall = hits / exact.count()
+    assert(recall >= 0.5, s"recall@5 was $recall")
+  }
+
+  test("LSH candidate generation prunes the pair space (not brute force in disguise)") {
+    val emb = tbl("embeddings", sfDirMid)
+    val n = emb.count()
+    val signs = Knn.srpSigns(8 * 4, 64)
+    // every table's bucketed pair space must be well below the full cross
+    // product — the work a 100 TB run would actually shuffle per table
+    (0 until 8).foreach { t =>
+      val pairSpace = emb
+        .select(Knn.srpBucket($"embedding", signs.slice(t * 4, (t + 1) * 4)).as("b"))
+        .groupBy("b").count().agg(sum($"count" * $"count")).as[Long].head()
+      assert(pairSpace < n * n / 4, s"table $t pair space $pairSpace vs ${n * n}")
+    }
+  }
+
+  test("srpSigns is deterministic and balanced-ish") {
+    val s1 = Knn.srpSigns(8, 64)
+    val s2 = Knn.srpSigns(8, 64)
+    assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq)
+    val pos = s1.flatten.count(_ > 0)
+    assert(pos > 8 * 64 / 4 && pos < 8 * 64 * 3 / 4)
+  }
+}
