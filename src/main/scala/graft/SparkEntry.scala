@@ -22,7 +22,8 @@ object SparkEntry {
       (StarQueries.defs, StarQueries.oracles),
       (EventQueries.defs, EventQueries.oracles),
       (TextQueries.defs, TextQueries.oracles),
-      (VectorQueries.defs, VectorQueries.oracles))
+      (VectorQueries.defs, VectorQueries.oracles),
+      (RankQueries.defs, RankQueries.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     groups.map(_._1).reduce(_ ++ _)
@@ -34,5 +35,13 @@ object SparkEntry {
     * approximate retrieval); correctness for these lives in the ScalaTest
     * suite (see graft.rank.RecommenderSpec). Run by Bench, not Verify.
     */
-  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map.empty
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ALS train + per-user top-10 + ranking eval, end to end (F9/F12).
+    "q60_als_retrieval" -> { (s, d) =>
+      import graft.rank._
+      val (tr, te) = Interactions.splitByTime(Interactions.fromStar(s, d), "2000-01-01")
+      val model = AlsRecommender.train(tr, AlsConfig(rank = 16, maxIter = 5))
+      val recs = AlsRecommender.recommend(model, te.select("user_id"), 10)
+      RankingEval.perUser(recs, te, 10)
+    })
 }

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.rank.{Cooccur, Interactions, RankingEval}
+import graft.serve.RecsTable
+import QueryHelpers._
+
+/** Retrieval / eval / serving coverage (SURVEY §2.8 F9-F13, §2.6 O4/O5,
+  * §2.1 S9): deterministic co-occurrence retrieval (oracle-checked end to
+  * end), per-user recall@10 + NDCG@10, and the assembled serving contract.
+  * The learned ALS path (non-SQL-expressible) lives in rank.AlsRecommender,
+  * verified in RecommenderSpec and benched via SparkEntry.benchOnly.
+  */
+object RankQueries {
+
+  private val b1 = "2000-01-01" // train < b1, test >= b1 (q09's split point)
+  private val neighborCap = 50
+  private val k = 10
+
+  val defs: Map[String, QueryFn] = Map(
+    // Item-item co-occurrence retrieval: top-10 unseen items per user
+    // (reference capability: top-k retrieval, my_merlin_flow.py:333-345).
+    "q50_topk_retrieval" -> { (s, d) =>
+      val (tr, _) = Interactions.splitByTime(Interactions.fromStar(s, d), b1)
+      val nb = Cooccur.itemNeighbors(tr, neighborCap)
+      Cooccur.recommend(tr, nb, k)
+        .filter(col("user_id") < 200)
+        .orderBy(col("user_id"), col("rk"))
+    },
+
+    // Ranking eval: per-user recall@10 / NDCG@10 of the q50 recommender
+    // against the held-out test window (reference: my_merlin_flow.py:
+    // 318,324,446-450). DCG discounts are plan-time literals (see
+    // RankingEval doc) so the doubles hash-match the oracle.
+    "q51_rank_eval" -> { (s, d) =>
+      val (tr, te) = Interactions.splitByTime(Interactions.fromStar(s, d), b1)
+      val nb = Cooccur.itemNeighbors(tr, neighborCap)
+      val recs = Cooccur.recommend(tr, nb, k)
+      RankingEval.perUser(recs, te, k)
+        .orderBy(col("user_id"))
+    },
+
+    // Serving contract: user_id → ordered rec list (JSON) + held-out target,
+    // with the no_user fallback row (reference: my_merlin_flow.py:512-537,
+    // 620-630; handler.py:56-64).
+    "q52_recs_table" -> { (s, d) =>
+      val (tr, te) = Interactions.splitByTime(Interactions.fromStar(s, d), b1)
+      val nb = Cooccur.itemNeighbors(tr, neighborCap)
+      val recs = Cooccur.recommend(tr, nb, k)
+      val targets = RecsTable.firstTargetPerUser(te, Seq(col("ts").asc, col("item_id").asc))
+      val popular = tr.select(col("user_id"), col("item_id")).distinct()
+        .groupBy(col("item_id")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("item_id").asc).limit(k)
+        .select(col("item_id").cast("string")).collect().map(_.getString(0)).toSeq
+      RecsTable.assemble(recs, targets, popular)
+        .select(col("user_id"), to_json(col("recs")).as("recs_json"), col("target"))
+        .orderBy(col("user_id"))
+    })
+
+  private def interSql(cmp: String): String =
+    s"""SELECT DISTINCT o_custkey u, l_partkey i FROM orders
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderdate $cmp TIMESTAMP '$b1'"""
+
+  /** Shared CTE chain computing the co-occurrence recs (mirrors Cooccur). */
+  private val recsCtes =
+    s"""tr AS (${interSql("<")}),
+        pc AS (SELECT a.i ia, b.i ib, COUNT(*) c FROM tr a
+               JOIN tr b ON a.u = b.u AND a.i <> b.i GROUP BY 1, 2),
+        nb AS (SELECT ia, ib, c FROM (
+            SELECT ia, ib, c, ROW_NUMBER() OVER (PARTITION BY ia ORDER BY c DESC, ib) nrk
+            FROM pc) WHERE nrk <= $neighborCap),
+        sc AS (SELECT t.u, nb.ib, CAST(SUM(nb.c) AS BIGINT) s FROM tr t
+               JOIN nb ON t.i = nb.ia GROUP BY 1, 2),
+        un AS (SELECT u, ib, s FROM sc
+               WHERE NOT EXISTS (SELECT 1 FROM tr x WHERE x.u = sc.u AND x.i = sc.ib)),
+        recs AS (SELECT u, ib, s,
+            CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY s DESC, ib) AS INT) rk
+          FROM un)"""
+
+  private def sqlList(xs: Array[Long]): String = xs.mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "q50_topk_retrieval" ->
+      s"""WITH $recsCtes
+          SELECT u AS user_id, rk, ib AS item_id, s AS score FROM recs
+          WHERE rk <= $k AND u < 200 ORDER BY user_id, rk""",
+    "q51_rank_eval" ->
+      s"""WITH $recsCtes,
+          te AS (${interSql(">=")}),
+          tsize AS (SELECT u, COUNT(*) n_test FROM te GROUP BY 1),
+          hits AS (SELECT r.u, r.rk FROM recs r JOIN te ON r.u = te.u AND r.ib = te.i
+                   WHERE r.rk <= $k),
+          h AS (SELECT u, COUNT(*) hits,
+                  CAST(SUM(${sqlList(RankingEval.discountsScaled(k))}[rk]) AS BIGINT) dcg_s
+                FROM hits GROUP BY u)
+          SELECT ts.u AS user_id, ts.n_test, COALESCE(h.hits, 0) AS hits,
+            CAST(COALESCE(h.hits, 0) AS DOUBLE) / ts.n_test AS recall,
+            CAST(COALESCE(h.dcg_s, 0) AS DOUBLE) /
+              CAST(${sqlList(RankingEval.idcgScaled(k))}[LEAST(ts.n_test, $k)] AS DOUBLE) AS ndcg
+          FROM tsize ts LEFT JOIN h USING (u) ORDER BY user_id""",
+    "q52_recs_table" ->
+      s"""WITH $recsCtes,
+          teo AS (SELECT o_custkey u, l_partkey i, o_orderdate ts FROM orders
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  WHERE o_orderdate >= TIMESTAMP '$b1'),
+          tgt AS (SELECT u, i FROM (
+              SELECT u, i, ROW_NUMBER() OVER (PARTITION BY u ORDER BY ts, i) trk
+              FROM teo) WHERE trk = 1),
+          lists AS (SELECT u, list(CAST(ib AS VARCHAR) ORDER BY rk) recs
+                    FROM recs WHERE rk <= $k GROUP BY u),
+          pop AS (SELECT i, COUNT(*) c FROM tr GROUP BY 1),
+          popt AS (SELECT i, prk FROM (
+              SELECT i, ROW_NUMBER() OVER (ORDER BY c DESC, i) prk FROM pop)
+            WHERE prk <= $k),
+          popl AS (SELECT to_json(list(CAST(i AS VARCHAR) ORDER BY prk)) j FROM popt)
+          SELECT CAST(l.u AS VARCHAR) AS user_id, to_json(l.recs) AS recs_json,
+                 CAST(t.i AS VARCHAR) AS target
+          FROM lists l LEFT JOIN tgt t ON l.u = t.u
+          UNION ALL
+          SELECT 'no_user', (SELECT j FROM popl), NULL
+          ORDER BY user_id""")
+}

@@ -1,0 +1,65 @@
+package graft.serve
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+/** The serving contract (reference: prediction serialization
+  * my_merlin_flow.py:512-537, DynamoDB write :620-630, read back at
+  * serverless/handler.py:56-64): one row per user —
+  *   user_id: String, recs: Array[String] (rank order), target: String|null
+  * — plus a fallback row keyed `no_user` carrying a global default list, so
+  * the point-lookup path always answers.
+  */
+object RecsTable {
+
+  /** Assemble from per-user ranked recs (user_id, rk, item_id), an optional
+    * targets table (user_id, item_id — first row per user in its given
+    * ordering wins, the reference's keep-first O5), and the fallback list.
+    */
+  def assemble(recs: DataFrame, targets: DataFrame, fallback: Seq[String],
+      fallbackKey: String = "no_user"): DataFrame = {
+    val spark = recs.sparkSession
+    val lists = recs
+      .groupBy(col("user_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("rk"),
+          col("item_id").cast("string").as("item")))),
+        x => x.getField("item")).as("recs"))
+    val tgt = targets
+      .select(col("user_id"), col("item_id").cast("string").as("target"))
+    val keyed = lists
+      .join(tgt, Seq("user_id"), "left")
+      .select(col("user_id").cast("string").as("user_id"), col("recs"), col("target"))
+    import spark.implicits._
+    val fallbackRow = Seq((fallbackKey, fallback, Option.empty[String]))
+      .toDF("user_id", "recs", "target")
+    keyed.unionByName(fallbackRow)
+  }
+
+  /** First target item per user by the given ordering (keep-first O5). */
+  def firstTargetPerUser(test: DataFrame, orderCols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    Relational.keepFirstPerKey(
+      test.select(col("user_id"), col("item_id"), col("ts")), Seq("user_id"), orderCols)
+      .select(col("user_id"), col("item_id"))
+
+  /** Canonical sink: parquet, partition-count chosen by the writer. */
+  def writeParquet(recsTable: DataFrame, path: String): Unit =
+    recsTable.write.mode("overwrite").parquet(path)
+
+  /** JSON sink (reference: predictions.json logging, my_merlin_flow.py:
+    * 376-411 S11). */
+  def writeJson(recsTable: DataFrame, path: String): Unit =
+    recsTable.write.mode("overwrite").json(path)
+
+  /** KV sink seam (S9): streams (key, json-payload) pairs per partition to
+    * any batch-put client — the DynamoDB batch_writer shape — without
+    * collecting to the driver. The payload is the JSON-encoded rec list,
+    * exactly the string handler.py:64 json.loads's back. */
+  def kvSink(recsTable: DataFrame, put: Iterator[(String, String)] => Unit): Unit =
+    recsTable
+      .select(col("user_id"), to_json(col("recs")).as("payload"))
+      .foreachPartition { it: Iterator[Row] =>
+        put(it.map(r => (r.getString(0), r.getString(1))))
+      }
+}

@@ -1,0 +1,63 @@
+package graft.rank
+
+import graft.SparkSpecBase
+import org.apache.spark.mllib.evaluation.RankingMetrics
+import org.apache.spark.sql.functions._
+
+class RecommenderSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val inter = Interactions.fromStar(spark, sfDir)
+  private lazy val split = Interactions.splitByTime(inter, "2000-01-01")
+
+  test("ALS trains, recommends k ranked items per user, and is seed-deterministic") {
+    val (tr, te) = split
+    val cfg = AlsConfig(rank = 8, maxIter = 3, seed = 7L)
+    val users = te.select("user_id").distinct().limit(50)
+    val r1 = AlsRecommender.recommend(AlsRecommender.train(tr, cfg), users, 5)
+    val r2 = AlsRecommender.recommend(AlsRecommender.train(tr, cfg), users, 5)
+    assert(r1.count() > 0)
+    assert(r1.groupBy("user_id").count().filter($"count" > 5).count() == 0)
+    // same seed, same data -> identical item rankings
+    assert(r1.select("user_id", "rk", "item_id")
+      .exceptAll(r2.select("user_id", "rk", "item_id")).isEmpty)
+  }
+
+  test("RankingEval matches mllib RankingMetrics (recall@k mean and ndcg@k mean)") {
+    val (tr, te) = split
+    val nb = Cooccur.itemNeighbors(tr, 50)
+    val recs = Cooccur.recommend(tr, nb, 10)
+    val (recall, ndcg) = RankingEval.meanMetrics(RankingEval.perUser(recs, te, 10))
+
+    val predByUser = recs.groupBy("user_id")
+      .agg(transform(sort_array(collect_list(struct($"rk", $"item_id"))),
+        x => x.getField("item_id")).as("pred"))
+    val truthByUser = te.select($"user_id", $"item_id").distinct()
+      .groupBy("user_id").agg(collect_list($"item_id").as("truth"))
+    val joined = truthByUser.join(predByUser, Seq("user_id"), "left")
+      .select(coalesce($"pred", array()).as("pred"), $"truth")
+      .as[(Array[Long], Array[Long])]
+      .rdd.map { case (p, t) => (p.map(_.toDouble), t.map(_.toDouble)) }
+    val rm = new RankingMetrics(joined)
+    assert(math.abs(rm.recallAt(10) - recall) < 1e-9, s"recall ${rm.recallAt(10)} vs $recall")
+    assert(math.abs(rm.ndcgAt(10) - ndcg) < 1e-9, s"ndcg ${rm.ndcgAt(10)} vs $ndcg")
+  }
+
+  test("grid search selects the best validation recall deterministically (F10/F11)") {
+    val (tr, te) = split
+    val grid = Seq(
+      AlsConfig(rank = 4, maxIter = 2, seed = 7L),
+      AlsConfig(rank = 8, maxIter = 2, seed = 7L))
+    val (best, _, metrics) = AlsRecommender.gridSearch(tr, te, grid, k = 10)
+    assert(metrics.size == 2)
+    assert(metrics(best.key) == metrics.values.max)
+  }
+
+  test("cooccur recommender never recommends already-seen items") {
+    val (tr, _) = split
+    val nb = Cooccur.itemNeighbors(tr, 50)
+    val recs = Cooccur.recommend(tr, nb, 10)
+    val seen = tr.select($"user_id", $"item_id").distinct()
+    assert(recs.join(seen, Seq("user_id", "item_id"), "left_semi").count() == 0)
+  }
+}

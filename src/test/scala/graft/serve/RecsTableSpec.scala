@@ -1,0 +1,60 @@
+package graft.serve
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import java.util.concurrent.ConcurrentHashMap
+
+/** In-memory KV store standing in for the DynamoDB batch writer — static so
+  * local-mode executor threads and the test share it. */
+object InMemoryKv {
+  val store = new ConcurrentHashMap[String, String]()
+  def putBatch(it: Iterator[(String, String)]): Unit =
+    it.foreach { case (k, v) => store.put(k, v) }
+}
+
+class RecsTableSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def recs = Seq(
+    (1L, 1, 101L), (1L, 2, 102L), (2L, 1, 201L)).toDF("user_id", "rk", "item_id")
+  private def targets = Seq((1L, 999L)).toDF("user_id", "item_id")
+
+  test("assemble produces the serving contract incl. the no_user fallback") {
+    val out = RecsTable.assemble(recs, targets, Seq("7", "8"))
+    val rows = out.collect().map(r =>
+      r.getString(0) -> ((r.getSeq[String](1).toList, Option(r.getString(2))))).toMap
+    assert(rows.keySet == Set("1", "2", "no_user"))
+    assert(rows("1") == (List("101", "102"), Some("999")))
+    assert(rows("2") == (List("201"), None))
+    assert(rows("no_user") == (List("7", "8"), None))
+  }
+
+  test("kvSink streams the handler.py contract: key -> JSON array payload") {
+    InMemoryKv.store.clear()
+    val table = RecsTable.assemble(recs, targets, Seq("7", "8"))
+    RecsTable.kvSink(table, InMemoryKv.putBatch)
+    assert(InMemoryKv.store.size() == 3)
+    assert(InMemoryKv.store.get("1") == """["101","102"]""")
+    assert(InMemoryKv.store.get("no_user") == """["7","8"]""")
+  }
+
+  test("json sink (S11) round-trips the table") {
+    val tmp = java.nio.file.Files.createTempDirectory("recsjson").toString
+    val table = RecsTable.assemble(recs, targets, Seq("7"))
+    RecsTable.writeJson(table, tmp)
+    val back = spark.read.json(tmp)
+    assert(back.count() == 3)
+    assert(back.filter($"user_id" === "1")
+      .select(to_json($"recs")).as[String].head() == """["101","102"]""")
+  }
+
+  test("firstTargetPerUser keeps the earliest (ts, item) per user") {
+    val te = Seq(
+      (1L, 5L, java.sql.Timestamp.valueOf("2000-02-01 00:00:00")),
+      (1L, 3L, java.sql.Timestamp.valueOf("2000-01-01 00:00:00")),
+      (1L, 4L, java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+      .toDF("user_id", "item_id", "ts")
+    val out = RecsTable.firstTargetPerUser(te, Seq(col("ts").asc, col("item_id").asc))
+    assert(out.as[(Long, Long)].collect().toSeq == Seq((1L, 3L)))
+  }
+}
