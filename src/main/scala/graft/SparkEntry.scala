@@ -23,7 +23,8 @@ object SparkEntry {
       (EventQueries.defs, EventQueries.oracles),
       (TextQueries.defs, TextQueries.oracles),
       (VectorQueries.defs, VectorQueries.oracles),
-      (RankQueries.defs, RankQueries.oracles))
+      (RankQueries.defs, RankQueries.oracles),
+      (DagQueries.defs, DagQueries.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     groups.map(_._1).reduce(_ ++ _)

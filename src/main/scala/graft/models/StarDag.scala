@@ -1,0 +1,135 @@
+package graft.models
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.operators.Relational
+
+/** The reference's 8-model dbt DAG (the sql models under
+  * src/dbt/models/metaflow/), re-expressed as composable DataFrame
+  * transforms over the star-schema
+  * analogs: transactions = orders ⨝ lineitem, articles = part,
+  * customers = customer, images = synthesized URLs for even article ids
+  * (so the left join genuinely keeps null-URL articles, like
+  * articles_metadata.sql:4-8).
+  *
+  * Unlike dbt, models compose lazily by default — Catalyst sees the whole
+  * DAG and prunes/pushes across model boundaries; materialize any
+  * intermediate with .write.parquet when rerunnability matters (SURVEY §4
+  * "materialization boundaries").
+  */
+object StarDag {
+
+  val txSchema: StructType = StructType(Seq(
+    StructField("customer_id", LongType), StructField("article_id", LongType),
+    StructField("price", DoubleType), StructField("sales_channel_id", IntegerType),
+    StructField("t_dat_us", LongType)))
+
+  val articleSchema: StructType = StructType(Seq(
+    StructField("article_id", LongType), StructField("brand", StringType),
+    StructField("ptype", StringType), StructField("psize", IntegerType)))
+
+  val customerSchema: StructType = StructType(Seq(
+    StructField("customer_id", LongType), StructField("mktsegment", StringType),
+    StructField("acctbal", DoubleType)))
+
+  val imageSchema: StructType = StructType(Seq(
+    StructField("article_id", LongType), StructField("s3_url", StringType)))
+
+  /** Raw sources (the CSV-analog inputs before envelope encoding). */
+  def transactionsRaw(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    orders.join(li, orders("o_orderkey") === li("l_orderkey"))
+      .select(col("o_custkey").as("customer_id"), col("l_partkey").as("article_id"),
+        col("l_extendedprice").as("price"), col("l_linenumber").as("sales_channel_id"),
+        // o_orderdate is TIMESTAMP_NTZ in the fixture parquet; session TZ is
+        // pinned UTC so the cast is value-preserving (= DuckDB epoch_us).
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t_dat_us"))
+  }
+
+  def articlesRaw(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "part").select(col("p_partkey").as("article_id"),
+      col("p_brand").as("brand"), col("p_type").as("ptype"), col("p_size").as("psize"))
+
+  def customersRaw(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer").select(col("c_custkey").as("customer_id"),
+      col("c_mktsegment").as("mktsegment"), col("c_acctbal").as("acctbal"))
+
+  /** Image URLs exist only for even article ids (P3 concat; forces real
+    * left-join null handling downstream). */
+  def imagesRaw(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "part").filter(col("p_partkey") % 2 === 0)
+      .select(col("p_partkey").as("article_id"),
+        concat(lit("https://img.example.com/"), col("p_partkey").cast("string"),
+          lit(".jpg")).as("s3_url"))
+
+  /** Staging: latest ETL batch (J1/O1 — partition-pruned when bronze is
+    * partitioned by etl_id) + envelope decode with explicit casts (P1). */
+  def staging(envelopes: DataFrame, schema: StructType): DataFrame =
+    Relational.fromEnvelope(
+      Relational.latestBatch(envelopes, "etl_id", "etl_timestamp"), schema)
+
+  /** articles_metadata.sql: left join images, qualified-star projection
+    * (P4: `i_s.S3_URL, cd.*`). */
+  def articlesMetadata(articles: DataFrame, images: DataFrame): DataFrame =
+    articles.as("a").join(images.as("i"), Seq("article_id"), "left")
+      .select(col("i.s3_url") +: articles.columns.map(c => col(s"a.$c")): _*)
+
+  /** dedup_transactions.sql: 5-tuple GROUP-BY dedup + whole-partition
+    * LAST_VALUE (A2 + W1-W3, duplicate-preserving — see Relational doc). */
+  def dedupTransactions(tx: DataFrame): DataFrame =
+    Relational.dedupWithLastValue(tx, Seq("article_id", "customer_id"),
+      "t_dat_us", Seq("price", "sales_channel_id"))
+
+  /** joined_dataframe.sql: 3-way join, dims broadcast (J3). */
+  def joinedDataframe(dedup: DataFrame, meta: DataFrame, customers: DataFrame): DataFrame =
+    dedup.join(broadcast(meta), Seq("article_id"))
+      .join(broadcast(customers), Seq("customer_id"))
+
+  /** filtered_dataframe.sql: training-window count ≥ min per customer (P8 +
+    * A1) then semi join of the full table (J4). */
+  def filteredDataframe(joined: DataFrame, trainEndUs: Long, minInteractions: Long): DataFrame = {
+    val freq = joined.filter(col("t_dat_us") < trainEndUs)
+      .groupBy(col("customer_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minInteractions).select(col("customer_id"))
+    joined.join(freq, Seq("customer_id"), "left_semi")
+  }
+
+  /** The model-feed pull (my_merlin_flow.py:154-185): wide projection built
+    * as a column-set union (P5/U2), lowercased names (P6), time order (O2). */
+  def finalPull(filtered: DataFrame): DataFrame = {
+    val txCols = Seq("customer_id", "article_id", "t_dat_us", "price",
+      "sales_channel_id", "last_price", "last_sales_channel_id", "last_t_dat_us")
+    val artCols = Seq("brand", "ptype", "psize", "s3_url")
+    val custCols = Seq("mktsegment", "acctbal")
+    val wide = columnUnion(Seq(txCols, artCols, custCols))
+    lowercaseColumns(filtered.select(wide.map(col): _*))
+      .orderBy(col("t_dat_us"), col("customer_id"), col("article_id"),
+        col("price"), col("sales_channel_id"))
+  }
+
+  /** U2: ordered, deduplicated union of column groups (NVT op-graph `+`). */
+  def columnUnion(groups: Seq[Seq[String]]): Seq[String] =
+    groups.flatten.distinct
+
+  /** P6: lowercase all column names (my_merlin_flow.py:190-192). */
+  def lowercaseColumns(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.toLowerCase): _*)
+
+  /** The whole DAG from in-memory envelopes (etl batch `etlId`). */
+  def run(spark: SparkSession, dir: String, trainEndUs: Long = 946684800000000L,
+      minInteractions: Long = 5L): DataFrame = {
+    def env(df: DataFrame, tpe: String) =
+      Relational.toEnvelope(df, tpe, 1700000000L, "batch-1")
+    val tx = staging(env(transactionsRaw(spark, dir), "transactions"), txSchema)
+    val art = staging(env(articlesRaw(spark, dir), "articles"), articleSchema)
+    val cust = staging(env(customersRaw(spark, dir), "customers"), customerSchema)
+    val img = staging(env(imagesRaw(spark, dir), "images"), imageSchema)
+    val meta = articlesMetadata(art, img)
+    val dedup = dedupTransactions(tx)
+    val joined = joinedDataframe(dedup, meta, cust)
+    finalPull(filteredDataframe(joined, trainEndUs, minInteractions))
+  }
+}

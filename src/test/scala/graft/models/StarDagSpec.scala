@@ -1,0 +1,51 @@
+package graft.models
+
+import graft.SparkSpecBase
+import graft.bronze.CsvEnvelopeLoader
+import org.apache.spark.sql.functions._
+
+class StarDagSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("full DAG runs end-to-end at sf0.001 and respects the frequency gate") {
+    val out = StarDag.run(spark, sfDir)
+    assert(out.count() > 0)
+    assert(out.columns.forall(c => c == c.toLowerCase), "P6 lowercase names")
+    // every surviving customer has >= 5 training-window interactions
+    val bad = out.filter($"t_dat_us" < 946684800000000L)
+      .groupBy("customer_id").count().filter($"count" < 5).count()
+    assert(bad == 0)
+  }
+
+  test("articlesMetadata keeps articles without images (null s3_url)") {
+    val art = StarDag.articlesRaw(spark, sfDir)
+    val img = StarDag.imagesRaw(spark, sfDir)
+    val meta = StarDag.articlesMetadata(art, img)
+    assert(meta.count() == art.count())
+    assert(meta.filter($"s3_url".isNull).count() ==
+      art.filter($"article_id" % 2 =!= 0).count())
+  }
+
+  test("bronze loadBatch partitions by etl_id and latest-batch reads the newest") {
+    val tmp = java.nio.file.Files.createTempDirectory("bronze").toString
+    val v1 = Seq((1L, "old")).toDF("id", "v")
+    val v2 = Seq((1L, "new"), (2L, "new2")).toDF("id", "v")
+    CsvEnvelopeLoader.loadBatch(v1, "t", 100L, "batch-1", tmp)
+    CsvEnvelopeLoader.loadBatch(v2, "t", 200L, "batch-2", tmp)
+    val bronze = CsvEnvelopeLoader.readBronze(spark, tmp, "t")
+    assert(bronze.count() == 3, "append-only batches")
+    assert(new java.io.File(s"$tmp/t/etl_id=batch-2").isDirectory, "partitioned by etl_id")
+    val latest = StarDag.staging(bronze,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+    assert(latest.select("v").as[String].collect().toSet == Set("new", "new2"))
+  }
+
+  test("saveAsTable registers a catalog table (S5)") {
+    val df = Seq((1, "a")).toDF("k", "v")
+    CsvEnvelopeLoader.saveAsTable(df, "graft_s5_test")
+    assert(spark.table("graft_s5_test").count() == 1)
+    spark.sql("DROP TABLE graft_s5_test")
+  }
+}
