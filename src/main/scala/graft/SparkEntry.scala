@@ -24,7 +24,8 @@ object SparkEntry {
       (TextQueries.defs, TextQueries.oracles),
       (VectorQueries.defs, VectorQueries.oracles),
       (RankQueries.defs, RankQueries.oracles),
-      (DagQueries.defs, DagQueries.oracles))
+      (DagQueries.defs, DagQueries.oracles),
+      (MultimodalQueries.defs, MultimodalQueries.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     groups.map(_._1).reduce(_ ++ _)

@@ -109,6 +109,19 @@ object Relational {
     df.join(agg, Seq(key))
   }
 
+  /** P11 row sampling, deterministic flavor (reference: SAMPLE(n) on the
+    * model-feed scan, my_merlin_flow.py:42-46,151-152 — which is Bernoulli
+    * and non-reproducible; Spark's own `df.sample` matches that). This
+    * variant keys the coin on md5(key): reproducible across runs, engines
+    * and partitionings, join-stable (the same keys survive on both sides) —
+    * the sane sampling at 100 TB. Threshold granularity 1/65536.
+    */
+  def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction $fraction")
+    val v = conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int")
+    df.filter(v < math.floor(fraction * 65536).toInt)
+  }
+
   /** Envelope encode (reference: upload_to_snowflake.py:129-144): wrap every
     * record as (etl_timestamp, etl_id, event_type, raw_data=json(record)).
     */

@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.operators.Relational
+import QueryHelpers._
+
+/** Multimodal-column (S12/F14) and deterministic-sampling (P11) coverage.
+  * The q44 feature extraction is the SQL-expressible stub (hex chunks of
+  * md5) so the whole binary-column pipeline shape is oracle-checked; the
+  * mapPartitions batch-inference seam with a model function is exercised in
+  * MultimodalSpec.
+  */
+object MultimodalQueries {
+
+  /** DuckDB SQL for the value of 4 hex digits of `hexExpr` starting at
+    * 1-based offset — mirrors Multimodal.hashFeature exactly. */
+  private def hex4Sql(hexExpr: String, off: Int): String =
+    Seq(4096, 256, 16, 1).zipWithIndex.map { case (m, i) =>
+      s"(strpos('0123456789abcdef', ($hexExpr)[${off + i + 1}:${off + i + 1}]) - 1) * $m"
+    }.mkString("(", " + ", ")")
+
+  val defs: Map[String, QueryFn] = Map(
+    // Binary asset column + typed metadata + deterministic feature columns.
+    "q44_multimodal_features" -> { (s, d) =>
+      val docs = table(s, d, "documents")
+      val withBin = Multimodal.asBinaryAsset(docs, "text", "text/plain")
+      withBin.select(
+          (col("doc_id") +: col("asset_meta.byte_len").as("byte_len") +:
+            (0 until 4).map(j => Multimodal.hashFeature(col("asset"), j).as(s"emb_$j"))): _*)
+        .orderBy(col("doc_id"))
+    },
+
+    // Deterministic hash sampling: reproducible 10% of orders.
+    "q19_hash_sample" -> { (s, d) =>
+      Relational.hashSample(table(s, d, "orders"), col("o_orderkey"), 0.1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q44_multimodal_features" -> {
+      // DuckDB md5 takes VARCHAR; it hashes the same UTF-8 bytes the Spark
+      // side hashes through the binary column.
+      val h = "md5(text)"
+      s"""SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
+          ${(0 until 4).map(j => s"CAST(${hex4Sql(h, j * 4)} AS DOUBLE) / 65535.0 AS emb_$j").mkString(", ")}
+          FROM documents ORDER BY doc_id"""
+    },
+    "q19_hash_sample" ->
+      s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          WHERE ${hex4Sql("md5(CAST(o_orderkey AS VARCHAR))", 0)} < ${math.floor(0.1 * 65536).toInt}
+          ORDER BY o_orderkey""")
+}

@@ -1,0 +1,45 @@
+package graft.multimodal
+
+import graft.SparkSpecBase
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("asBinaryAsset produces binary payload + typed metadata") {
+    val df = Multimodal.asBinaryAsset(
+      Seq((1L, "hello")).toDF("doc_id", "text"), "text", "text/plain")
+    val row = df.select($"asset", $"asset_meta.content_type", $"asset_meta.byte_len").head()
+    assert(row.getAs[Array[Byte]](0).toSeq == "hello".getBytes("UTF-8").toSeq)
+    assert(row.getString(1) == "text/plain" && row.getInt(2) == 5)
+  }
+
+  test("batchEmbed runs the model in fixed-size batches incl. the remainder") {
+    val docs = Multimodal.asBinaryAsset(
+      tbl("documents").limit(25).select($"doc_id", $"text"), "text", "text/plain")
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val out = Multimodal.batchEmbed(docs, "doc_id", "asset", batchSize = 8) { batch =>
+      batchSizes.add(batch.length)
+      Multimodal.stubEncoder(16)(batch)
+    }
+    assert(out.count() == 25)
+    assert(out.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false))
+    import scala.jdk.CollectionConverters._
+    assert(batchSizes.asScala.forall(_ <= 8), s"oversized batch: $batchSizes")
+  }
+
+  test("stub embeddings are deterministic and feed the similarity ops") {
+    val docs = Multimodal.asBinaryAsset(
+      Seq((1L, "same text"), (2L, "same text"), (3L, "different")).toDF("doc_id", "text"),
+      "text", "text/plain")
+    val emb = Multimodal.batchEmbed(docs, "doc_id", "asset", 2)(Multimodal.stubEncoder(8))
+    val pairs = emb.as("a").join(emb.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-12, "identical payloads -> identical embeddings")
+    assert(pairs((1L, 3L)) < 1.0)
+  }
+}
