@@ -35,16 +35,38 @@ object TextDedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** MinHash signature columns sig_0..sig_{k-1}: string-min of
-    * md5("<seed>:" + shingle) per seed — deterministic, engine-agnostic
-    * (no reliance on a specific 64-bit hash implementation). Documents with
-    * no shingles are dropped (filter shorter docs upstream).
+  /** Modulus for the minhash permutation family (smallest prime > 2^32). */
+  val MinhashPrime = 4294967311L
+
+  /** Deterministic permutation coefficients (a_i, b_i), a_i ∈ [1, 2^31),
+    * b_i ∈ [0, 2^31): derived from md5 of the index, so they are plain
+    * constants embeddable in both the Spark plan and an external oracle's
+    * SQL. With H < 2^32, a·H + b < 2^63 — no BIGINT overflow in any
+    * engine. */
+  def minhashCoefficients(k: Int): Array[(Long, Long)] = {
+    def h31(tag: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tag.getBytes("UTF-8"))
+      BigInt(1, d.take(8)).toLong & 0x7fffffffL
+    }
+    Array.tabulate(k)(i => (h31(s"a:$i") | 1L, h31(s"b:$i")))
+  }
+
+  /** MinHash signature columns sig_0..sig_{k-1}: ONE base hash per shingle
+    * (first 8 md5 hex chars as a 32-bit integer) permuted k times with
+    * (a_i·H + b_i) mod p — k integer ops instead of k cryptographic hashes
+    * per shingle, and every step is reproducible in any SQL engine.
+    * Documents with no shingles are dropped (filter shorter docs upstream).
     */
   def minhashSignatures(df: DataFrame, idCol: String, shingles: Column, numHashes: Int): DataFrame = {
-    val sigs = (0 until numHashes).map { s =>
-      array_min(transform(shingles, x => md5(concat(lit(s"$s:"), x)))).as(s"sig_$s")
+    val coef = minhashCoefficients(numHashes)
+    val withBase = df.select(col(idCol),
+      transform(shingles, x =>
+        conv(substring(md5(x), 1, 8), 16, 10).cast("long")).as("__h"))
+    val sigs = coef.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("__h"), h => (h * a + b) % MinhashPrime)).as(s"sig_$i")
     }
-    df.select((col(idCol) +: sigs): _*).filter(col("sig_0").isNotNull)
+    withBase.select((col(idCol) +: sigs): _*).filter(col("sig_0").isNotNull)
   }
 
   /** LSH banding: one row per (id, band, band_hash); equal band hashes are

@@ -98,6 +98,22 @@ object TextQueries {
         .orderBy(col("a"), col("b"))
     })
 
+  /** DuckDB value of 4 hex digits of `expr` at 1-based offset `off`. */
+  private def hex4Sql(expr: String, off: Int): String =
+    Seq(4096, 256, 16, 1).zipWithIndex.map { case (m, i) =>
+      s"(strpos('0123456789abcdef', ($expr)[${off + i + 1}:${off + i + 1}]) - 1) * $m"
+    }.mkString("(", " + ", ")")
+
+  /** Base 32-bit shingle hash (first 8 md5 hex chars) — mirrors
+    * TextDedup.minhashSignatures. */
+  private val baseHashSql =
+    s"(${hex4Sql("m", 0)} * 65536 + ${hex4Sql("m", 4)})"
+
+  private def sigSql(i: Int, alias: String): String = {
+    val (a, b) = TextDedup.minhashCoefficients(16)(i)
+    s"MIN((H * $a + $b) % ${TextDedup.MinhashPrime}) AS $alias"
+  }
+
   val oracles: Map[String, String] = Map(
     "q30_token_stats" ->
       """SELECT doc_id,
@@ -119,15 +135,14 @@ object TextQueries {
          MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
          FROM documents GROUP BY 1 ORDER BY fp""",
     "q33_minhash_sig" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
          sh AS (SELECT doc_id, unnest(list_transform(range(len(w)-7), i -> array_to_string(w[i+1:i+8], ' '))) s
-                FROM t WHERE len(w) >= 8)
+                FROM t WHERE len(w) >= 8),
+         hx AS (SELECT doc_id, md5(s) m FROM sh),
+         hb AS (SELECT doc_id, $baseHashSql H FROM hx)
          SELECT doc_id,
-           min(md5('0:'||s)) AS sig_0, min(md5('1:'||s)) AS sig_1,
-           min(md5('2:'||s)) AS sig_2, min(md5('3:'||s)) AS sig_3,
-           min(md5('4:'||s)) AS sig_4, min(md5('5:'||s)) AS sig_5,
-           min(md5('6:'||s)) AS sig_6, min(md5('7:'||s)) AS sig_7
-         FROM sh GROUP BY doc_id ORDER BY doc_id""",
+           ${(0 until 8).map(i => sigSql(i, s"sig_$i")).mkString(", ")}
+         FROM hb GROUP BY doc_id ORDER BY doc_id""",
     "q34_shingle_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
          sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(len(w)-7), i -> array_to_string(w[i+1:i+8], ' '))) s
@@ -166,20 +181,20 @@ object TextQueries {
              FROM sc) WHERE rk = 1)
          SELECT d.doc_id, d.lang, COALESCE(p.predicted_lang, 'und') AS predicted_lang
          FROM documents d LEFT JOIN pred p USING (doc_id) ORDER BY d.doc_id""",
-    "q37_lsh_neardup" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+    "q37_lsh_neardup" -> {
+      val bandHashes = (0 until 8).map(b =>
+        s"md5(CAST(s${2 * b} AS VARCHAR) || '|' || CAST(s${2 * b + 1} AS VARCHAR))")
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
          sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(len(w)-7), i -> array_to_string(w[i+1:i+8], ' '))) s
                 FROM t WHERE len(w) >= 8),
          sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+         hx AS (SELECT doc_id, md5(s) m FROM sh),
+         hb AS (SELECT doc_id, $baseHashSql H FROM hx),
          sig AS (SELECT doc_id,
-             min(md5('0:'||s)) s0, min(md5('1:'||s)) s1, min(md5('2:'||s)) s2, min(md5('3:'||s)) s3,
-             min(md5('4:'||s)) s4, min(md5('5:'||s)) s5, min(md5('6:'||s)) s6, min(md5('7:'||s)) s7,
-             min(md5('8:'||s)) s8, min(md5('9:'||s)) s9, min(md5('10:'||s)) s10, min(md5('11:'||s)) s11,
-             min(md5('12:'||s)) s12, min(md5('13:'||s)) s13, min(md5('14:'||s)) s14, min(md5('15:'||s)) s15
-           FROM sh GROUP BY doc_id),
+             ${(0 until 16).map(i => sigSql(i, s"s$i")).mkString(", ")}
+           FROM hb GROUP BY doc_id),
          bands AS (SELECT doc_id,
-             unnest([md5(s0||'|'||s1), md5(s2||'|'||s3), md5(s4||'|'||s5), md5(s6||'|'||s7),
-                     md5(s8||'|'||s9), md5(s10||'|'||s11), md5(s12||'|'||s13), md5(s14||'|'||s15)]) h,
+             unnest([${bandHashes.mkString(", ")}]) h,
              unnest([0, 1, 2, 3, 4, 5, 6, 7]) band
            FROM sig),
          cand AS (SELECT DISTINCT l.doc_id a, r.doc_id b
@@ -189,5 +204,6 @@ object TextQueries {
          SELECT c.a AS a, c.b AS b, CAST(cm.common AS DOUBLE) / (sa.n + sb.n - cm.common) AS jaccard
          FROM cand c JOIN common cm ON c.a = cm.a AND c.b = cm.b
          JOIN sizes sa ON c.a = sa.doc_id JOIN sizes sb ON c.b = sb.doc_id
-         ORDER BY c.a, c.b""")
+         ORDER BY c.a, c.b"""
+    })
 }

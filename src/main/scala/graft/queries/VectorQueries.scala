@@ -36,13 +36,19 @@ object VectorQueries {
 
     // Embedding-cosine near-duplicate pairs within a label block
     // (blocking keeps the pair space linear-ish; threshold from data range).
+    // Vectors are L2-normalized once per row, so the pair score is a single
+    // codegen'd dot product.
     "q42_cosine_neardup" -> { (s, d) =>
+      graft.sql.GraftFunctions.register(s)
       val emb = table(s, d, "embeddings")
-      val a = emb.select(col("label"), col("vec_id").as("a"), col("embedding").as("va"))
-      val b = emb.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb"))
+        .select(col("label"), col("vec_id"),
+          VectorOps.l2Normalize(col("embedding")).as("nv"))
+      val a = emb.select(col("label"), col("vec_id").as("a"), col("nv").as("na"))
+      val b = emb.select(col("label"), col("vec_id").as("b"), col("nv").as("nb"))
       a.join(b, Seq("label"))
         .filter(col("a") < col("b"))
-        .select(col("a"), col("b"), VectorOps.cosine(col("va"), col("vb")).as("cos"))
+        .select(col("a"), col("b"),
+          graft.sql.GraftFunctions.dotF32(col("na"), col("nb")).as("cos"))
         .filter(col("cos") > 0.3)
         .orderBy(col("a"), col("b"))
     },
@@ -90,10 +96,13 @@ object VectorQueries {
           SELECT query_id, rk, neighbor_id, cos FROM ranked WHERE rk <= 5
           ORDER BY query_id, rk""",
     "q42_cosine_neardup" ->
-      s"""SELECT x.vec_id a, y.vec_id b,
-          ${dot("x.embedding", "y.embedding")} / (sqrt(${dot("x.embedding", "x.embedding")}) * sqrt(${dot("y.embedding", "y.embedding")})) AS cos
-          FROM embeddings x JOIN embeddings y ON x.label = y.label AND x.vec_id < y.vec_id
-          WHERE ${dot("x.embedding", "y.embedding")} / (sqrt(${dot("x.embedding", "x.embedding")}) * sqrt(${dot("y.embedding", "y.embedding")})) > 0.3
+      s"""WITH n AS (SELECT label, vec_id,
+              list_transform(embedding,
+                x -> CAST(CAST(x AS DOUBLE) / sqrt(${dot("embedding", "embedding")}) AS REAL)) ne
+            FROM embeddings)
+          SELECT x.vec_id a, y.vec_id b, ${dot("x.ne", "y.ne")} AS cos
+          FROM n x JOIN n y ON x.label = y.label AND x.vec_id < y.vec_id
+          WHERE ${dot("x.ne", "y.ne")} > 0.3
           ORDER BY a, b""",
     "q43_knn_lsh" -> {
       def bucketSql(t: Int): String = (0 until srpBits).map { b =>
@@ -102,10 +111,13 @@ object VectorQueries {
       val bucketAliases = (0 until srpTables).map(t => s"${bucketSql(t)} AS bt$t").mkString(", ")
       val tList = (0 until srpTables).mkString("[", ", ", "]")
       val btList = (0 until srpTables).map(t => s"bt$t").mkString("[", ", ", "]")
-      s"""WITH b0 AS (SELECT vec_id, embedding, $bucketAliases FROM embeddings),
-          b AS (SELECT vec_id, embedding, unnest($tList) t, unnest($btList) bucket FROM b0),
+      s"""WITH b0 AS (SELECT vec_id, embedding,
+              list_transform(embedding,
+                x -> CAST(CAST(x AS DOUBLE) / sqrt(${dot("embedding", "embedding")}) AS REAL)) ne,
+              $bucketAliases FROM embeddings),
+          b AS (SELECT vec_id, ne, unnest($tList) t, unnest($btList) bucket FROM b0),
           scored AS (SELECT q.vec_id query_id, c.vec_id neighbor_id,
-              MAX(${dot("q.embedding", "c.embedding")} / (sqrt(${dot("q.embedding", "q.embedding")}) * sqrt(${dot("c.embedding", "c.embedding")}))) cos
+              MAX(${dot("q.ne", "c.ne")}) cos
             FROM b q JOIN b c ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
             GROUP BY 1, 2),
           ranked AS (SELECT query_id, neighbor_id,

@@ -45,16 +45,16 @@ object Knn {
     }
 
   /** Sign-random-projection bucket id: bit p of the bucket is the sign of
-    * dot(vec, hyperplane_p). Each plane is ONE aggregate over a zip_with
-    * with a literal coefficient array — plan size is O(bits), independent of
+    * dot(vec, hyperplane_p). Each plane is ONE codegen'd DotF32 call with a
+    * literal ±1 coefficient array — plan size is O(bits), independent of
     * dim, so CLIP-scale dims (512+) stay inside whole-stage codegen (the
-    * previous formulation unrolled bits×dim expression terms and blew the
-    * Janino method limit). */
+    * original formulation unrolled bits×dim expression terms and blew the
+    * Janino method limit). ±1 is exact in float, so the fold equals the
+    * double form an external oracle computes. Requires
+    * GraftFunctions.register on the executing session. */
   def srpBucket(vec: Column, signs: Array[Array[Double]]): Column =
     signs.indices.map { p =>
-      val dotp = aggregate(
-        zip_with(vec, lit(signs(p)), (x, s) => x.cast("double") * s),
-        lit(0.0), (acc, v) => acc + v)
+      val dotp = graft.sql.GraftFunctions.dotF32(vec, lit(signs(p).map(_.toFloat)))
       when(dotp >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
@@ -69,27 +69,32 @@ object Knn {
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int, bits: Int,
       k: Int, tables: Int = 1, probes: Int = 0): DataFrame = {
+    graft.sql.GraftFunctions.register(df.sparkSession)
     val signs = srpSigns(tables * bits, dim)
     val bucketCols = (0 until tables).map { t =>
       struct(lit(t).as("t"),
         srpBucket(col(vecCol), signs.slice(t * bits, (t + 1) * bits)).as("b"))
     }
+    // Normalize ONCE per row (not per pair) so the pair score is a single
+    // codegen'd dot product — buckets still hash the raw vector (sign-
+    // invariant under positive scaling, and bit-reproducible externally).
     val withBuckets = df
-      .select(col(idCol), col(vecCol), explode(array(bucketCols: _*)).as("tb"))
-      .select(col(idCol), col(vecCol), col("tb.t").as("t"), col("tb.b").as("bucket"))
+      .select(col(idCol), VectorOps.l2Normalize(col(vecCol)).as("__nv"),
+        explode(array(bucketCols: _*)).as("tb"))
+      .select(col(idCol), col("__nv"), col("tb.t").as("t"), col("tb.b").as("bucket"))
     val qBuckets =
       if (probes == 0) withBuckets
       else {
         val flips = lit(0L) +: (0 until probes).map(p => shiftleft(lit(1L), p))
-        withBuckets.select(col(idCol), col(vecCol), col("t"),
+        withBuckets.select(col(idCol), col("__nv"), col("t"),
           explode(array(flips.map(f => col("bucket").bitwiseXOR(f)): _*)).as("bucket"))
       }
-    val q = qBuckets.select(col("t"), col("bucket"), col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = withBuckets.select(col("t"), col("bucket"), col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = qBuckets.select(col("t"), col("bucket"), col(idCol).as("query_id"), col("__nv").as("__qn"))
+    val c = withBuckets.select(col("t"), col("bucket"), col(idCol).as("neighbor_id"), col("__nv").as("__cn"))
     val scored = q.join(c, Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        VectorOps.cosine(col("__qv"), col("__cv")).as("cos"))
+        graft.sql.GraftFunctions.dotF32(col("__qn"), col("__cn")).as("cos"))
       .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("cos")).as("cos"))
     Relational.topKPerGroup(scored, Seq("query_id"),
       Seq(col("cos").desc, col("neighbor_id").asc), k)
