@@ -56,7 +56,13 @@ object TextDedup {
     * (first 8 md5 hex chars as a 32-bit integer) permuted k times with
     * (a_i·H + b_i) mod p — k integer ops instead of k cryptographic hashes
     * per shingle, and every step is reproducible in any SQL engine.
-    * Documents with no shingles are dropped (filter shorter docs upstream).
+    *
+    * Callers MUST filter out documents with no shingles upstream (cheap:
+    * `size(toks) >= n` on the bound token column) — rows with an empty
+    * shingle array come back with all-null sigs. A trailing
+    * `filter(sig_0.isNotNull)` here would be pushed below the projects by
+    * Catalyst, substituting and re-evaluating the entire signature chain
+    * per row (measured 5×).
     */
   def minhashSignatures(df: DataFrame, idCol: String, shingles: Column, numHashes: Int): DataFrame = {
     val coef = minhashCoefficients(numHashes)
@@ -66,7 +72,7 @@ object TextDedup {
     val sigs = coef.zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(col("__h"), h => (h * a + b) % MinhashPrime)).as(s"sig_$i")
     }
-    withBase.select((col(idCol) +: sigs): _*).filter(col("sig_0").isNotNull)
+    withBase.select((col(idCol) +: sigs): _*)
   }
 
   /** LSH banding: one row per (id, band, band_hash); equal band hashes are

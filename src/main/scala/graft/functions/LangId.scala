@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.operators.Relational
 
@@ -22,14 +22,19 @@ import graft.operators.Relational
   */
 object LangId {
 
+  /** (keyCol, ngram) rows: canonical text is materialized as a column BEFORE
+    * the n-gram lambda so the normalization regex runs once per document,
+    * not once per character position (see TextOps PERF CONTRACT). */
+  private def ngramRows(df: DataFrame, keyCol: Column, textCol: String, n: Int) =
+    df.select(keyCol.as("__k"), TextOps.normalizeText(col(textCol)).as("__t"))
+      .select(col("__k"), explode(TextOps.charNgrams(col("__t"), n)).as("ngram"))
+
   /** Fit: DataFrame[lang, ngram] — the top-`profileSize` n-grams per
     * language by frequency (count desc, ngram asc — deterministic). */
   def fitProfiles(df: DataFrame, textCol: String, labelCol: String,
       n: Int = 3, profileSize: Int = 300): DataFrame = {
-    val counts = df
-      .select(col(labelCol).as("lang"),
-        explode(TextOps.charNgrams(col(textCol), n)).as("ngram"))
-      .groupBy(col("lang"), col("ngram")).agg(count(lit(1)).as("c"))
+    val counts = ngramRows(df, col(labelCol), textCol, n)
+      .groupBy(col("__k").as("lang"), col("ngram")).agg(count(lit(1)).as("c"))
     Relational.topKPerGroup(counts, Seq("lang"),
         Seq(col("c").desc, col("ngram").asc), profileSize)
       .select(col("lang"), col("ngram"))
@@ -39,9 +44,8 @@ object LangId {
     * tie-break); documents matching no profile n-gram get "und". */
   def predict(df: DataFrame, idCol: String, textCol: String, profiles: DataFrame,
       n: Int = 3, outputCol: String = "predicted_lang"): DataFrame = {
-    val grams = df
-      .select(col(idCol), explode(TextOps.charNgrams(col(textCol), n)).as("ngram"))
-      .groupBy(col(idCol), col("ngram")).agg(count(lit(1)).as("cnt"))
+    val grams = ngramRows(df, col(idCol), textCol, n)
+      .groupBy(col("__k").as(idCol), col("ngram")).agg(count(lit(1)).as("cnt"))
     val scores = grams.join(broadcast(profiles), Seq("ngram"))
       .groupBy(col(idCol), col("lang")).agg(sum(col("cnt")).as("score"))
     val pred = Relational.keepFirstPerKey(scores, Seq(idCol),

@@ -12,6 +12,13 @@ import org.apache.spark.sql.types.StringType
   * whole-stage codegen) — no UDFs in the hot path. The reference's only text
   * ops are lowercase renames and string concat (SURVEY §2.9); these extend
   * that surface per the BASELINE.json extension scope.
+  *
+  * PERF CONTRACT: higher-order functions (transform/aggregate/filter) are
+  * CodegenFallback in Spark — any non-attribute expression captured by the
+  * lambda is RE-EVALUATED per array element. So every HOF here takes an
+  * already-materialized column (`.select(tokens(...).as("__toks"))` first,
+  * then pass `col("__toks")`); measured 7-25× on the dedup/langid paths.
+  * Multi-reference of the alias keeps CollapseProject from inlining it back.
   */
 object TextOps {
 
@@ -50,11 +57,13 @@ object TextOps {
   def typeTokenRatio(toks: Column): Column =
     size(array_distinct(toks)).cast("double") / size(toks)
 
-  /** Character n-grams of the canonical text (language-ID features). */
-  def charNgrams(text: Column, n: Int): Column = {
-    val t = normalizeText(text)
+  /** Character n-grams over an already-materialized canonical text column
+    * (language-ID features). `t` MUST be a bound column (see PERF CONTRACT):
+    * the lambda evaluates `t.substr` once per position, so if `t` were the
+    * normalizeText expression itself the regex would rerun per character.
+    */
+  def charNgrams(t: Column, n: Int): Column =
     when(length(t) >= n,
       transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
       .otherwise(array().cast(ArrayType(StringType)))
-  }
 }

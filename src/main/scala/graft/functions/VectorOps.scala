@@ -31,7 +31,13 @@ object VectorOps {
   /** Cosine similarity (association order fixed: dot / (na * nb)). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
 
-  /** L2-normalize a float vector (reference: app_utils.py:24 F8). */
+  /** L2-normalize a float vector (reference: app_utils.py:24 F8).
+    *
+    * HOF reference form — the captured norm is re-evaluated per element
+    * (O(dim²)/row) and a same-select explode hoists it above the Generate.
+    * Hot paths use graft.sql.L2NormalizeF32 (codegen, bit-identical);
+    * parity between the two is asserted in DotF32Spec.
+    */
   def l2Normalize(a: Column): Column = {
     val n = norm2(a)
     transform(a, x => (x.cast("double") / n).cast("float"))

@@ -89,9 +89,18 @@ object StarDag {
       .join(broadcast(customers), Seq("customer_id"))
 
   /** filtered_dataframe.sql: training-window count ≥ min per customer (P8 +
-    * A1) then semi join of the full table (J4). */
-  def filteredDataframe(joined: DataFrame, trainEndUs: Long, minInteractions: Long): DataFrame = {
-    val freq = joined.filter(col("t_dat_us") < trainEndUs)
+    * A1) then semi join of the full table (J4).
+    *
+    * `freqSource` defaults to `joined` (the dbt model's own input); pass the
+    * pre-join deduped transactions instead when FK integrity holds (every
+    * article/customer key resolves) — the inner dim joins are then
+    * count-preserving, so the frequency branch skips recomputing them and
+    * the per-customer counts are identical.
+    */
+  def filteredDataframe(joined: DataFrame, trainEndUs: Long, minInteractions: Long,
+      freqSource: DataFrame = null): DataFrame = {
+    val src = Option(freqSource).getOrElse(joined)
+    val freq = src.filter(col("t_dat_us") < trainEndUs)
       .groupBy(col("customer_id")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minInteractions).select(col("customer_id"))
     joined.join(freq, Seq("customer_id"), "left_semi")
@@ -130,6 +139,6 @@ object StarDag {
     val meta = articlesMetadata(art, img)
     val dedup = dedupTransactions(tx)
     val joined = joinedDataframe(dedup, meta, cust)
-    finalPull(filteredDataframe(joined, trainEndUs, minInteractions))
+    finalPull(filteredDataframe(joined, trainEndUs, minInteractions, freqSource = dedup))
   }
 }

@@ -13,12 +13,22 @@ object TextQueries {
 
   private val shingleN = 8
 
+  /** documents with the token array materialized as `__toks` (and length
+    * filter applied when `minToks` > 0) — tokenization runs once per doc,
+    * never inside a shingle lambda (TextOps PERF CONTRACT). */
+  private def tokenized(s: org.apache.spark.sql.SparkSession, d: String,
+      minToks: Int = 0) = {
+    val t = table(s, d, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+    if (minToks > 0) t.filter(size(col("__toks")) >= minToks) else t
+  }
+
   val defs: Map[String, QueryFn] = Map(
     // Token counting + quality scoring (lengths, lexical diversity,
     // stopword ratio) — all int-derived doubles, cross-engine exact.
     "q30_token_stats" -> { (s, d) =>
-      val docs = table(s, d, "documents")
-      val toks = TextOps.tokens(col("text"))
+      val docs = tokenized(s, d)
+      val toks = col("__toks")
       docs.select(
           col("doc_id"),
           size(toks).as("n_tokens"),
@@ -46,19 +56,16 @@ object TextQueries {
 
     // MinHash signatures (8 hashes) over 8-gram word shingles.
     "q33_minhash_sig" -> { (s, d) =>
-      val docs = table(s, d, "documents")
-        .filter(size(TextOps.tokens(col("text"))) >= shingleN)
-      TextDedup.minhashSignatures(docs, "doc_id",
-          TextOps.wordShingles(TextOps.tokens(col("text")), shingleN), 8)
+      TextDedup.minhashSignatures(tokenized(s, d, shingleN), "doc_id",
+          TextOps.wordShingles(col("__toks"), shingleN), 8)
         .orderBy(col("doc_id"))
     },
 
     // Exact n-gram Jaccard over pairs sharing a shingle (verification-scale
     // all-pairs; the LSH path below is the discovery path at scale).
     "q34_shingle_jaccard" -> { (s, d) =>
-      val docs = table(s, d, "documents")
-      TextDedup.jaccardPairs(docs, "doc_id",
-          TextOps.wordShingles(TextOps.tokens(col("text")), shingleN))
+      TextDedup.jaccardPairs(tokenized(s, d), "doc_id",
+          TextOps.wordShingles(col("__toks"), shingleN))
         .orderBy(col("a"), col("b"))
     },
 
@@ -86,9 +93,8 @@ object TextQueries {
     // candidate-restricted exact Jaccard — the scale path for near-dup
     // discovery: Jaccard cost is O(|candidates|), never all-pairs.
     "q37_lsh_neardup" -> { (s, d) =>
-      val docs = table(s, d, "documents")
-        .filter(size(TextOps.tokens(col("text"))) >= shingleN)
-      val shingles = TextOps.wordShingles(TextOps.tokens(col("text")), shingleN)
+      val docs = tokenized(s, d, shingleN)
+      val shingles = TextOps.wordShingles(col("__toks"), shingleN)
       val sig = TextDedup.minhashSignatures(docs, "doc_id", shingles, 16)
       val cand = TextDedup.lshCandidatePairs(
         TextDedup.lshBands(sig, "doc_id", 16, 2), "doc_id")

@@ -42,7 +42,7 @@ object VectorQueries {
       graft.sql.GraftFunctions.register(s)
       val emb = table(s, d, "embeddings")
         .select(col("label"), col("vec_id"),
-          VectorOps.l2Normalize(col("embedding")).as("nv"))
+          graft.sql.GraftFunctions.l2NormalizeF32(col("embedding")).as("nv"))
       val a = emb.select(col("label"), col("vec_id").as("a"), col("nv").as("na"))
       val b = emb.select(col("label"), col("vec_id").as("b"), col("nv").as("nb"))
       a.join(b, Seq("label"))

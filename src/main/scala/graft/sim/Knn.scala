@@ -78,8 +78,10 @@ object Knn {
     // Normalize ONCE per row (not per pair) so the pair score is a single
     // codegen'd dot product — buckets still hash the raw vector (sign-
     // invariant under positive scaling, and bit-reproducible externally).
+    // Codegen'd normalize, NOT the HOF form: an HOF in the same select as
+    // explode is planned above the Generate and would run per exploded row.
     val withBuckets = df
-      .select(col(idCol), VectorOps.l2Normalize(col(vecCol)).as("__nv"),
+      .select(col(idCol), graft.sql.GraftFunctions.l2NormalizeF32(col(vecCol)).as("__nv"),
         explode(array(bucketCols: _*)).as("tb"))
       .select(col(idCol), col("__nv"), col("tb.t").as("t"), col("tb.b").as("bucket"))
     val qBuckets =

@@ -13,22 +13,36 @@ import org.apache.spark.sql.functions.call_function
 object GraftFunctions {
 
   val DotName = "graft_dot_f32"
+  val L2NormName = "graft_l2normalize_f32"
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotName, exprs => DotF32(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      L2NormName, exprs => L2NormalizeF32(exprs.head), "built-in")
+  }
 
   /** Column-level call; requires `register` (or GraftExtensions) first. */
   def dotF32(a: Column, b: Column): Column = call_function(DotName, a, b)
+
+  /** Column-level call; requires `register` (or GraftExtensions) first. */
+  def l2NormalizeF32(a: Column): Column = call_function(L2NormName, a)
 }
 
 /** spark.sql.extensions entry point. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.DotName),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotF32].getName, GraftFunctions.DotName),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotF32(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.L2NormName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[L2NormalizeF32].getName, GraftFunctions.L2NormName),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        L2NormalizeF32(exprs.head)))
+  }
 }

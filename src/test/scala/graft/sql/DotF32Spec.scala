@@ -58,4 +58,12 @@ class DotF32Spec extends SparkSpecBase {
       .agg(min("n"), max("n")).as[(Double, Double)].head()
     assert(math.abs(out._1 - 1.0) < 1e-6 && math.abs(out._2 - 1.0) < 1e-6)
   }
+
+  test("L2NormalizeF32 is bit-identical to the HOF l2Normalize") {
+    val out = tbl("embeddings").select(
+      VectorOps.l2Normalize($"embedding").as("hof"),
+      GraftFunctions.l2NormalizeF32($"embedding").as("fast"))
+    assert(out.filter($"hof" =!= $"fast").count() == 0,
+      "codegen normalize must equal the HOF form element-for-element")
+  }
 }
