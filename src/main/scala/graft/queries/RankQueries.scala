@@ -48,11 +48,7 @@ object RankQueries {
       val nb = Cooccur.itemNeighbors(tr, neighborCap)
       val recs = Cooccur.recommend(tr, nb, k)
       val targets = RecsTable.firstTargetPerUser(te, Seq(col("ts").asc, col("item_id").asc))
-      val popular = tr.select(col("user_id"), col("item_id")).distinct()
-        .groupBy(col("item_id")).agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("item_id").asc).limit(k)
-        .select(col("item_id").cast("string")).collect().map(_.getString(0)).toSeq
-      RecsTable.assemble(recs, targets, popular)
+      RecsTable.assemble(recs, targets, RecsTable.popularFallback(tr, k))
         .select(col("user_id"), to_json(col("recs")).as("recs_json"), col("target"))
         .orderBy(col("user_id"))
     })

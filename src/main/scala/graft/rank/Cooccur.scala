@@ -19,12 +19,21 @@ import graft.operators.Relational
 object Cooccur {
 
   /** Fit: DataFrame[item_a, item_b, c] — for each item, its top-M
-    * co-purchased items by co-user count. */
+    * co-purchased items by co-user count.
+    *
+    * Shuffle plan: ONE full-width shuffle. The pair stream is explicitly
+    * repartitioned on item_a; HashPartitioning(item_a) satisfies the
+    * clustering requirement of both the (item_a, item_b) aggregation
+    * (subset-key clustering) and the item_a window, so neither inserts
+    * another exchange over the multi-10M-row pair stream.
+    */
   def itemNeighbors(inter: DataFrame, maxNeighbors: Int = 50): DataFrame = {
     val t = inter.select(col("user_id"), col("item_id")).distinct()
     val pairs = t.as("a").join(t.as("b"),
         col("a.user_id") === col("b.user_id") && col("a.item_id") =!= col("b.item_id"))
-      .groupBy(col("a.item_id").as("item_a"), col("b.item_id").as("item_b"))
+      .select(col("a.item_id").as("item_a"), col("b.item_id").as("item_b"))
+      .repartition(col("item_a"))
+      .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("c"))
     Relational.topKPerGroup(pairs, Seq("item_a"),
         Seq(col("c").desc, col("item_b").asc), maxNeighbors, "__nrk")
@@ -32,14 +41,29 @@ object Cooccur {
   }
 
   /** Recommend: top-k unseen items per user, scored by the summed co-user
-    * count over the user's history. Output: user_id, rk, item_id, score. */
+    * count over the user's history. Output: user_id, rk, item_id, score.
+    *
+    * Shuffle plan: the scored candidate stream (|history| × M rows) crosses
+    * ONE shuffle, on user_id. The seen-items exclusion is NOT a join — an
+    * anti join on (user_id, item_b) would force a second full-width shuffle
+    * and then the per-user window a third. Instead, history rows are
+    * unioned into the candidate stream as null-scored marker rows; the one
+    * (user_id, item_b) aggregation sums scores AND detects the marker, and
+    * HashPartitioning(user_id) satisfies the aggregation, the filter, and
+    * the top-k window without further exchanges.
+    */
   def recommend(inter: DataFrame, neighbors: DataFrame, k: Int = 10): DataFrame = {
     val t = inter.select(col("user_id"), col("item_id")).distinct()
-    val scores = t.join(neighbors, t("item_id") === neighbors("item_a"))
+    val cand = t.join(neighbors, t("item_id") === neighbors("item_a"))
+      .select(col("user_id"), col("item_b"), col("c"), lit(false).as("__seen"))
+    val seenRows = t.select(col("user_id"), col("item_id").as("item_b"),
+      lit(null).cast("long").as("c"), lit(true).as("__seen"))
+    val unseen = cand.unionByName(seenRows)
+      .repartition(col("user_id"))
       .groupBy(col("user_id"), col("item_b"))
-      .agg(sum(col("c")).as("score"))
-    val unseen = scores.join(t.withColumnRenamed("item_id", "item_b"),
-        Seq("user_id", "item_b"), "left_anti")
+      .agg(sum(col("c")).as("score"), max(col("__seen")).as("__s"))
+      .filter(!col("__s"))
+      .select(col("user_id"), col("item_b"), col("score"))
     Relational.topKPerGroup(unseen, Seq("user_id"),
         Seq(col("score").desc, col("item_b").asc), k)
       .select(col("user_id"), col("rk"), col("item_b").as("item_id"), col("score"))

@@ -20,6 +20,16 @@ object RecsTable {
   def assemble(recs: DataFrame, targets: DataFrame, fallback: Seq[String],
       fallbackKey: String = "no_user"): DataFrame = {
     val spark = recs.sparkSession
+    import spark.implicits._
+    val fallbackRow = Seq((fallbackKey, fallback, Option.empty[String]))
+      .toDF("user_id", "recs", "target")
+    assemble(recs, targets, fallbackRow)
+  }
+
+  /** As above, with the fallback supplied as a one-row DataFrame
+    * (user_id, recs, target) — lets the fallback be computed inside the
+    * same job (see popularFallback) instead of a driver-side collect. */
+  def assemble(recs: DataFrame, targets: DataFrame, fallbackRow: DataFrame): DataFrame = {
     val lists = recs
       .groupBy(col("user_id"))
       .agg(transform(
@@ -28,14 +38,29 @@ object RecsTable {
         x => x.getField("item")).as("recs"))
     val tgt = targets
       .select(col("user_id"), col("item_id").cast("string").as("target"))
-    val keyed = lists
+    lists
       .join(tgt, Seq("user_id"), "left")
       .select(col("user_id").cast("string").as("user_id"), col("recs"), col("target"))
-    import spark.implicits._
-    val fallbackRow = Seq((fallbackKey, fallback, Option.empty[String]))
-      .toDF("user_id", "recs", "target")
-    keyed.unionByName(fallbackRow)
+      .unionByName(fallbackRow)
   }
+
+  /** Global most-popular fallback list as a one-row DataFrame
+    * (user_id = fallbackKey, recs = top-k items by distinct-user count
+    * desc / item asc, target = null). A DataFrame instead of a collect():
+    * the interaction lineage stays inside the assembly job, so its
+    * exchanges are reused rather than recomputed in a separate action.
+    */
+  def popularFallback(inter: DataFrame, k: Int, fallbackKey: String = "no_user"): DataFrame =
+    inter.select(col("user_id"), col("item_id")).distinct()
+      .groupBy(col("item_id")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("item_id").asc).limit(k)
+      .agg(transform(
+        sort_array(collect_list(struct((-col("c")).as("negc"),
+          col("item_id").as("tie"),
+          col("item_id").cast("string").as("item")))),
+        x => x.getField("item")).as("recs"))
+      .select(lit(fallbackKey).as("user_id"), col("recs"),
+        lit(null).cast("string").as("target"))
 
   /** First target item per user by the given ordering (keep-first O5). */
   def firstTargetPerUser(test: DataFrame, orderCols: Seq[org.apache.spark.sql.Column]): DataFrame =
