@@ -122,6 +122,16 @@ object Relational {
     df.filter(v < math.floor(fraction * 65536).toInt)
   }
 
+  /** P11 row sampling, Bernoulli flavor — the literal analog of the
+    * reference's `SAMPLE(n)` (my_merlin_flow.py:42-46): seeded per-row coin,
+    * reproducible for a fixed seed AND input partitioning, but NOT across
+    * repartitionings — use hashSample when the sample must be stable under
+    * replanning (which is why the oracle-checked query, q19, is the hash
+    * variant).
+    */
+  def rowSample(df: DataFrame, fraction: Double, seed: Long): DataFrame =
+    df.sample(withReplacement = false, fraction, seed)
+
   /** Envelope encode (reference: upload_to_snowflake.py:129-144): wrap every
     * record as (etl_timestamp, etl_id, event_type, raw_data=json(record)).
     */

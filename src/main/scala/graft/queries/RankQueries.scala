@@ -51,38 +51,69 @@ object RankQueries {
       RecsTable.assemble(recs, targets, RecsTable.popularFallback(tr, k))
         .select(col("user_id"), to_json(col("recs")).as("recs_json"), col("target"))
         .orderBy(col("user_id"))
+    },
+
+    // Grid-search fan-out + model-selection join over the deterministic
+    // co-occurrence recommender (reference: param-grid foreach fan-out
+    // my_merlin_flow.py:248-263, best-model join :347-374 — F10/F11; the
+    // learned-ALS grid is AlsRecommender.gridSearch, RecommenderSpec).
+    // Selection metric is micro-recall@k = total hits / total test pairs —
+    // one integer division, so the argmax is oracle-exact. The three grid
+    // branches share the pair-count lineage (exchange reuse), so the fan-out
+    // costs ~one extra recommend pass, not three.
+    "q53_grid_selection" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val (tr, te) = Interactions.splitByTime(Interactions.fromStar(s, d), b1)
+      val teD = te.select(col("user_id"), col("item_id")).distinct()
+      val total = teD.agg(count(lit(1)).as("n_test"))
+      val rows = gridCaps.map { m =>
+        Cooccur.recommend(tr, Cooccur.itemNeighbors(tr, m), k)
+          .join(teD, Seq("user_id", "item_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(m).as("cap"), col("hits"))
+      }
+      rows.reduce(_ unionByName _).crossJoin(total)
+        .withColumn("micro_recall", col("hits").cast("double") / col("n_test"))
+        .withColumn("selected",
+          row_number().over(Window.orderBy(col("hits").desc, col("cap").asc)) === 1)
+        .select(col("cap"), col("hits"), col("n_test"), col("micro_recall"), col("selected"))
+        .orderBy(col("cap"))
     })
+
+  private val gridCaps = Seq(5, 10, 20)
 
   private def interSql(cmp: String): String =
     s"""SELECT DISTINCT o_custkey u, l_partkey i FROM orders
         JOIN lineitem ON l_orderkey = o_orderkey
         WHERE o_orderdate $cmp TIMESTAMP '$b1'"""
 
-  /** Shared CTE chain computing the co-occurrence recs (mirrors Cooccur). */
-  private val recsCtes =
-    s"""tr AS (${interSql("<")}),
-        pc AS (SELECT a.i ia, b.i ib, COUNT(*) c FROM tr a
-               JOIN tr b ON a.u = b.u AND a.i <> b.i GROUP BY 1, 2),
-        nb AS (SELECT ia, ib, c FROM (
+  /** Shared CTE chain computing the co-occurrence recs (mirrors Cooccur);
+    * `sfx` suffixes every CTE name so q53 can instantiate one chain per
+    * grid point in a single statement. */
+  private def recsCtes(cap: Int, sfx: String = ""): String =
+    s"""tr$sfx AS (${interSql("<")}),
+        pc$sfx AS (SELECT a.i ia, b.i ib, COUNT(*) c FROM tr$sfx a
+               JOIN tr$sfx b ON a.u = b.u AND a.i <> b.i GROUP BY 1, 2),
+        nb$sfx AS (SELECT ia, ib, c FROM (
             SELECT ia, ib, c, ROW_NUMBER() OVER (PARTITION BY ia ORDER BY c DESC, ib) nrk
-            FROM pc) WHERE nrk <= $neighborCap),
-        sc AS (SELECT t.u, nb.ib, CAST(SUM(nb.c) AS BIGINT) s FROM tr t
-               JOIN nb ON t.i = nb.ia GROUP BY 1, 2),
-        un AS (SELECT u, ib, s FROM sc
-               WHERE NOT EXISTS (SELECT 1 FROM tr x WHERE x.u = sc.u AND x.i = sc.ib)),
-        recs AS (SELECT u, ib, s,
+            FROM pc$sfx) WHERE nrk <= $cap),
+        sc$sfx AS (SELECT t.u, nb$sfx.ib, CAST(SUM(nb$sfx.c) AS BIGINT) s FROM tr$sfx t
+               JOIN nb$sfx ON t.i = nb$sfx.ia GROUP BY 1, 2),
+        un$sfx AS (SELECT u, ib, s FROM sc$sfx
+               WHERE NOT EXISTS (SELECT 1 FROM tr$sfx x WHERE x.u = sc$sfx.u AND x.i = sc$sfx.ib)),
+        recs$sfx AS (SELECT u, ib, s,
             CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY s DESC, ib) AS INT) rk
-          FROM un)"""
+          FROM un$sfx)"""
 
   private def sqlList(xs: Array[Long]): String = xs.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
     "q50_topk_retrieval" ->
-      s"""WITH $recsCtes
+      s"""WITH ${recsCtes(neighborCap)}
           SELECT u AS user_id, rk, ib AS item_id, s AS score FROM recs
           WHERE rk <= $k AND u < 200 ORDER BY user_id, rk""",
     "q51_rank_eval" ->
-      s"""WITH $recsCtes,
+      s"""WITH ${recsCtes(neighborCap)},
           te AS (${interSql(">=")}),
           tsize AS (SELECT u, COUNT(*) n_test FROM te GROUP BY 1),
           hits AS (SELECT r.u, r.rk FROM recs r JOIN te ON r.u = te.u AND r.ib = te.i
@@ -96,7 +127,7 @@ object RankQueries {
               CAST(${sqlList(RankingEval.idcgScaled(k))}[LEAST(ts.n_test, $k)] AS DOUBLE) AS ndcg
           FROM tsize ts LEFT JOIN h USING (u) ORDER BY user_id""",
     "q52_recs_table" ->
-      s"""WITH $recsCtes,
+      s"""WITH ${recsCtes(neighborCap)},
           teo AS (SELECT o_custkey u, l_partkey i, o_orderdate ts FROM orders
                   JOIN lineitem ON l_orderkey = o_orderkey
                   WHERE o_orderdate >= TIMESTAMP '$b1'),
@@ -115,5 +146,25 @@ object RankQueries {
           FROM lists l LEFT JOIN tgt t ON l.u = t.u
           UNION ALL
           SELECT 'no_user', (SELECT j FROM popl), NULL
-          ORDER BY user_id""")
+          ORDER BY user_id""",
+    "q53_grid_selection" -> {
+      val chains = gridCaps.map(m => recsCtes(m, s"_$m")).mkString(",\n          ")
+      val hitCtes = gridCaps.map(m =>
+        s"""h_$m AS (SELECT CAST($m AS INT) cap, COUNT(*) hits
+            FROM recs_$m r JOIN ted ON r.u = ted.u AND r.ib = ted.i
+            WHERE r.rk <= $k)""").mkString(",\n          ")
+      val unionAll = gridCaps.map(m => s"SELECT * FROM h_$m").mkString(" UNION ALL ")
+      s"""WITH $chains,
+          ted AS (${interSql(">=")}),
+          tot AS (SELECT COUNT(*) n_test FROM ted),
+          $hitCtes,
+          uni AS ($unionAll),
+          sel AS (SELECT cap, hits, (SELECT n_test FROM tot) AS n_test,
+                    ROW_NUMBER() OVER (ORDER BY hits DESC, cap ASC) rn
+                  FROM uni)
+          SELECT cap, hits, n_test,
+                 CAST(hits AS DOUBLE) / n_test AS micro_recall,
+                 rn = 1 AS selected
+          FROM sel ORDER BY cap"""
+    })
 }

@@ -62,4 +62,27 @@ class RelationalSpec extends SparkSpecBase {
     val back = Relational.fromEnvelope(env, nation.schema)
     assert(back.exceptAll(nation).isEmpty && nation.exceptAll(back).isEmpty)
   }
+
+  test("rowSample is seed-deterministic and lands near the requested fraction") {
+    val li = tbl("lineitem", sfDirMid)
+    val a = Relational.rowSample(li, 0.2, seed = 7L)
+    val b = Relational.rowSample(li, 0.2, seed = 7L)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, "same seed, same rows")
+    val frac = a.count().toDouble / li.count()
+    assert(frac > 0.15 && frac < 0.25, s"fraction $frac out of tolerance")
+  }
+
+  test("hashSample is invariant under repartitioning and join-stable") {
+    val li = tbl("lineitem", sfDirMid).select("l_orderkey", "l_partkey").distinct()
+    val s1 = Relational.hashSample(li, col("l_partkey"), 0.3)
+    val s2 = Relational.hashSample(li.repartition(13), col("l_partkey"), 0.3)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty,
+      "hash sample must not depend on physical partitioning")
+    val sampledKeys = s1.select("l_partkey").distinct()
+    val part = tbl("part", sfDirMid)
+    val joined = Relational.hashSample(part, col("p_partkey"), 0.3)
+      .select(col("p_partkey").as("l_partkey")).distinct()
+    assert(sampledKeys.exceptAll(joined).isEmpty,
+      "the same key universe survives on both sides of a join")
+  }
 }
