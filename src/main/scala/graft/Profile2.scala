@@ -14,17 +14,24 @@ object Profile2 {
       df.write.format("noop").mode("overwrite").save()
       println(f"[profile] $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
-    import graft.rank._
-    val (tr, _) = Interactions.splitByTime(Interactions.fromStar(spark, sfDir), "2000-01-01")
-    time("warmup")(tr)
-    val nb = Cooccur.itemNeighbors(tr, 50)
-    val rec = Cooccur.recommend(tr, nb, 10)
-    val plan = rec.queryExecution.executedPlan.toString
-    println("[plan] exchanges in recommend total: " + "Exchange".r.findAllIn(plan).length)
-    time("recommend_full")(rec)
-    time("q50_full")(SparkEntry.queries("q50_topk_retrieval")(spark, sfDir))
-    time("q51_full")(SparkEntry.queries("q51_rank_eval")(spark, sfDir))
-    time("q52_full")(SparkEntry.queries("q52_recs_table")(spark, sfDir))
+    import graft.models.StarDag
+    import graft.operators.Relational
+    val txRaw = StarDag.transactionsRaw(spark, sfDir)
+    time("warmup")(txRaw)
+    def env(df: DataFrame, tpe: String) = Relational.toEnvelope(df, tpe, 1700000000L, "batch-1")
+    val tx = StarDag.staging(env(txRaw, "transactions"), StarDag.txSchema)
+    time("staging")(tx)
+    val dedup = StarDag.dedupTransactions(tx)
+    time("dedup")(dedup)
+    val art = StarDag.staging(env(StarDag.articlesRaw(spark, sfDir), "articles"), StarDag.articleSchema)
+    val cust = StarDag.staging(env(StarDag.customersRaw(spark, sfDir), "customers"), StarDag.customerSchema)
+    val img = StarDag.staging(env(StarDag.imagesRaw(spark, sfDir), "images"), StarDag.imageSchema)
+    val joined = StarDag.joinedDataframe(dedup, StarDag.articlesMetadata(art, img), cust)
+    time("joined")(joined)
+    val filtered = StarDag.filteredDataframe(joined, 946684800000000L, 5L, freqSource = dedup)
+    time("filtered")(filtered)
+    time("final_sorted")(StarDag.finalPull(filtered))
+    time("final_unsorted")(StarDag.finalPull(filtered).sortWithinPartitions(col("t_dat_us")))
     spark.stop()
   }
 }
