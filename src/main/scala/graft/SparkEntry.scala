@@ -45,5 +45,12 @@ object SparkEntry {
       val model = AlsRecommender.train(tr, AlsConfig(rank = 16, maxIter = 5))
       val recs = AlsRecommender.recommend(model, te.select("user_id"), 10)
       RankingEval.perUser(recs, te, 10)
+    },
+    // IVF coarse-quantized ANN (k-means cells + probed exact rerank) — the
+    // clustered scale path beside the SRP-LSH tables of q43; recall vs the
+    // exact baseline asserted in IvfSpec.
+    "q61_ivf_ann" -> { (s, d) =>
+      graft.sim.Ivf.topK(graft.Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 2)
     })
 }

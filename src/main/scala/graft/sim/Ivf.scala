@@ -1,0 +1,96 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VecCentroidAgg
+import graft.operators.Relational
+import graft.sql.GraftFunctions
+
+/** IVF-style approximate nearest neighbor: a coarse k-means quantizer
+  * partitions the corpus into `nlist` cells; a query is compared only
+  * against the cells of its `nprobe` nearest centroids (extension scope —
+  * the clustered-scale-path counterpart of the SRP-LSH tables in Knn;
+  * reference analog: CLIP dot-product ranking, pred_inspector.py:103-108).
+  *
+  * Scale design:
+  *  - the centroid set is bounded by construction (nlist × dim floats), so
+  *    it lives on the driver between Lloyd iterations and is embedded as
+  *    plan literals — exactly how spark.ml KMeans handles centers;
+  *  - cell assignment is a pure projection (nlist codegen'd DotF32 calls
+  *    per row, argmin via array_min over (dist, cid) structs — ties break
+  *    on cid, deterministic): ZERO shuffle, unlike a crossJoin+window
+  *    formulation which would shuffle corpus × nlist rows;
+  *  - the candidate join is one shuffle on the cell id; per-cell pair space
+  *    is |cell|² — nlist sizes as corpus/target-cell-size, and skewed cells
+  *    are AQE-split;
+  *  - Lloyd iterations use the merge-associative VecCentroidAgg (map-side
+  *    combine, one shuffle of dim+1 doubles per cell per partition).
+  */
+object Ivf {
+
+  /** ||c||² - 2·v·c per centroid, argmin cid (distance ties → lower cid).
+    * The ||v||² term is common to all centroids and dropped. */
+  def nearestCell(vec: Column, centroids: Array[Array[Float]]): Column =
+    cellsByDistance(vec, centroids).getItem(0).getField("cid")
+
+  /** All cells ordered by distance: array<struct<d,cid>> (plan literals). */
+  private def cellsByDistance(vec: Column, centroids: Array[Array[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val normSq = c.map(x => x.toDouble * x.toDouble).sum
+      struct((lit(normSq) - lit(2.0) * GraftFunctions.dotF32(vec, lit(c))).as("d"),
+        lit(i).as("cid"))
+    }
+    array_sort(array(scored: _*))
+  }
+
+  /** The `nprobe` nearest cell ids for a query vector. */
+  def probeCells(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
+    transform(slice(cellsByDistance(vec, centroids), 1, nprobe), x => x.getField("cid"))
+
+  /** Fit `nlist` coarse centroids with `iters` Lloyd steps. Deterministic
+    * init: the nlist vectors with the smallest (md5(id), id) — a seedless,
+    * engine-reproducible sample. Empty cells keep their previous centroid.
+    * Returns the centroid matrix (driver-side by design — bounded).
+    */
+  def fitCentroids(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 3): Array[Array[Float]] = {
+    GraftFunctions.register(df.sparkSession)
+    val init = df
+      .select(col(idCol), col(vecCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    (0 until iters).foldLeft(init) { (centroids, _) =>
+      val assigned = df.select(nearestCell(col(vecCol), centroids).as("cid"),
+        col(vecCol).as("__v"))
+      val updated = assigned.groupBy(col("cid"))
+        .agg(VecCentroidAgg.centroid(col("__v")).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+      centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
+    }
+  }
+
+  /** ANN top-k: assign corpus rows to their cell, probe each query's
+    * `nprobe` nearest cells, exact cosine rerank within the probed cells.
+    * Output: query_id, rk, neighbor_id, cos. */
+  def topK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nlist: Int, nprobe: Int = 2, iters: Int = 3): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val centroids = fitCentroids(df, idCol, vecCol, nlist, iters)
+    val normed = df.select(col(idCol),
+      GraftFunctions.l2NormalizeF32(col(vecCol)).as("__nv"),
+      col(vecCol))
+    val c = normed.select(nearestCell(col(vecCol), centroids).as("cid"),
+      col(idCol).as("neighbor_id"), col("__nv").as("__cn"))
+    val q = normed
+      .select(col(idCol).as("query_id"), col("__nv").as("__qn"),
+        explode(probeCells(col(vecCol), centroids, nprobe)).as("cid"))
+    val scored = q.join(c, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        GraftFunctions.dotF32(col("__qn"), col("__cn")).as("cos"))
+    Relational.topKPerGroup(scored, Seq("query_id"),
+      Seq(col("cos").desc, col("neighbor_id").asc), k)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** ScalaCheck properties (SURVEY §5): algebraic invariants of the pure
+  * plan-constant generators, plus dataflow invariants (dedup idempotence,
+  * split partitioning) over small generated DataFrames.
+  */
+class PropertySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def check(p: Prop, cases: Int = 100): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("minhashCoefficients: a odd in [1,2^31), b in [0,2^31), no a*H+b overflow") {
+    check(Prop.forAll(Gen.choose(1, 64)) { k =>
+      val cs = graft.dedup.TextDedup.minhashCoefficients(k)
+      cs.length == k && cs.forall { case (a, b) =>
+        a % 2 == 1 && a >= 1 && a < (1L << 31) && b >= 0 && b < (1L << 31) &&
+          // H < 2^32 ⇒ a*H+b < 2^63 (the no-BIGINT-overflow contract)
+          a * 4294967295L + b > 0
+      }
+    })
+  }
+
+  test("minhashCoefficients is a stable prefix family (k+1 extends k)") {
+    check(Prop.forAll(Gen.choose(1, 32)) { k =>
+      val small = graft.dedup.TextDedup.minhashCoefficients(k).toSeq
+      val big = graft.dedup.TextDedup.minhashCoefficients(k + 1).toSeq
+      big.take(k) == small
+    })
+  }
+
+  test("DCG discounts decrease; ideal DCG strictly increases with truth size") {
+    check(Prop.forAll(Gen.choose(1, 100)) { k =>
+      val d = graft.rank.RankingEval.discountsScaled(k)
+      val ideal = graft.rank.RankingEval.idcgScaled(k)
+      d.zip(d.tail).forall { case (x, y) => x >= y && y > 0 } &&
+        ideal.zip(ideal.tail).forall { case (x, y) => x < y }
+    })
+  }
+
+  test("columnUnion: deduplicating, order-preserving, idempotent") {
+    val gen = Gen.listOf(Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e")))
+    check(Prop.forAll(gen) { groups =>
+      val u = graft.models.StarDag.columnUnion(groups)
+      u.distinct == u &&
+        u.toSet == groups.flatten.toSet &&
+        graft.models.StarDag.columnUnion(Seq(u)) == u
+    })
+  }
+
+  test("srpSigns entries are exactly ±1 and the family is a stable prefix") {
+    check(Prop.forAll(Gen.choose(1, 16), Gen.choose(1, 32)) { (bits, dim) =>
+      val s = graft.sim.Knn.srpSigns(bits, dim)
+      s.forall(_.forall(v => v == 1.0 || v == -1.0)) &&
+        graft.sim.Knn.srpSigns(bits, dim + 1).map(_.take(dim).toSeq).toSeq ==
+          s.map(_.toSeq).toSeq
+    }, cases = 30)
+  }
+
+  test("dropExactDuplicates is idempotent and canonical ids survive (dataflow)") {
+    val docGen = Gen.listOfN(12,
+      Gen.zip(Gen.choose(1L, 1000L), Gen.oneOf("a b", "A  b", "x", "x ", "y z w")))
+    check(Prop.forAll(docGen) { rows =>
+      val df = rows.toDF("doc_id", "text").dropDuplicates("doc_id")
+      val once = graft.dedup.TextDedup.dropExactDuplicates(df, "doc_id", "text")
+      // re-materialize before the second pass: a doubly-nested self-semi-join
+      // trips an attribute-binding INTERNAL_ERROR in Spark 4.1's analyzer
+      val onceLocal = once.select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      val twice = graft.dedup.TextDedup.dropExactDuplicates(
+        onceLocal.toDF("doc_id", "text"), "doc_id", "text")
+      onceLocal.map(_._1).sorted == twice.select($"doc_id").as[Long].collect().toSeq.sorted
+    }, cases = 10)
+  }
+
+  test("timeSplit partitions exactly for arbitrary boundaries (dataflow)") {
+    val tsGen = Gen.listOfN(20, Gen.choose(0L, 4000L))
+    val bGen = Gen.zip(Gen.choose(0L, 2000L), Gen.choose(2000L, 4000L))
+    check(Prop.forAll(tsGen, bGen) { case (ts, (b1, b2)) =>
+      val df = ts.toDF("t").select(timestamp_seconds($"t").as("ts"))
+      val (a, b, c) = graft.operators.Relational.timeSplit(df, "ts",
+        timestamp_seconds(lit(b1)), timestamp_seconds(lit(b2)))
+      a.count() + b.count() + c.count() == df.count()
+    }, cases = 10)
+  }
+}
