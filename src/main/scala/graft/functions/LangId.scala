@@ -46,12 +46,43 @@ object LangId {
       n: Int = 3, outputCol: String = "predicted_lang"): DataFrame = {
     val grams = ngramRows(df, col(idCol), textCol, n)
       .groupBy(col("__k").as(idCol), col("ngram")).agg(count(lit(1)).as("cnt"))
+    predictFromGrams(df.select(col(idCol)), grams, idCol, profiles, outputCol)
+  }
+
+  private def predictFromGrams(ids: DataFrame, grams: DataFrame, idCol: String,
+      profiles: DataFrame, outputCol: String): DataFrame = {
     val scores = grams.join(broadcast(profiles), Seq("ngram"))
       .groupBy(col(idCol), col("lang")).agg(sum(col("cnt")).as("score"))
     val pred = Relational.keepFirstPerKey(scores, Seq(idCol),
         Seq(col("score").desc, col("lang").asc))
       .select(col(idCol), col("lang").as(outputCol))
-    df.select(col(idCol)).join(pred, Seq(idCol), "left")
+    ids.join(pred, Seq(idCol), "left")
       .withColumn(outputCol, coalesce(col(outputCol), lit("und")))
+  }
+
+  /** Fit + predict on the same labeled corpus in ONE n-gram pass: the
+    * (doc, ngram, count) aggregation feeds both the per-language profile
+    * counts (summed by the doc's label) and the per-document scoring —
+    * versus fit-then-predict, which explodes and aggregates the gram stream
+    * twice. Output: (idCol, labelCol, outputCol). */
+  def fitPredict(df: DataFrame, idCol: String, textCol: String, labelCol: String,
+      n: Int = 3, profileSize: Int = 300,
+      outputCol: String = "predicted_lang"): DataFrame = {
+    val docGrams = df
+      .select(col(idCol), col(labelCol),
+        TextOps.normalizeText(col(textCol)).as("__t"))
+      .select(col(idCol), col(labelCol),
+        explode(TextOps.charNgrams(col("__t"), n)).as("ngram"))
+      .groupBy(col(idCol), col(labelCol), col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+    val langCounts = docGrams
+      .groupBy(col(labelCol).as("lang"), col("ngram"))
+      .agg(sum(col("cnt")).as("c"))
+    val profiles = Relational.topKPerGroup(langCounts, Seq("lang"),
+        Seq(col("c").desc, col("ngram").asc), profileSize)
+      .select(col("lang"), col("ngram"))
+    val grams = docGrams.select(col(idCol), col("ngram"), col("cnt"))
+    predictFromGrams(df.select(col(idCol), col(labelCol)), grams, idCol,
+      profiles, outputCol)
   }
 }

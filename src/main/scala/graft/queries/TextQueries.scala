@@ -80,11 +80,10 @@ object TextQueries {
 
     // Language-ID: integer top-300-trigram profile matching — fully
     // oracle-checked; accuracy vs the `lang` label asserted in LangIdSpec.
+    // fitPredict shares one (doc, ngram, count) aggregation between the
+    // profile fit and the scoring (fit-then-predict grams the corpus twice).
     "q36_langid" -> { (s, d) =>
-      val docs = table(s, d, "documents")
-      val profiles = LangId.fitProfiles(docs, "text", "lang")
-      LangId.predict(docs, "doc_id", "text", profiles)
-        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      LangId.fitPredict(table(s, d, "documents"), "doc_id", "text", "lang")
         .select(col("doc_id"), col("lang"), col("predicted_lang"))
         .orderBy(col("doc_id"))
     },
