@@ -66,39 +66,62 @@ object Knn {
     * the corpus. Multi-probe: probes>0 additionally searches buckets at
     * Hamming distance 1 within each table (flipping each of the first
     * `probes` bits). Size `bits` ≈ log2(corpus / target-bucket-size).
+    *
+    * Cross-table pair dedup is ANALYTIC when probes=0: every row carries
+    * its full bucket array, so a pair is kept only in the FIRST table where
+    * it collides — a codegen'd when-chain per pair row, no aggregation.
+    * The previous groupBy(query, neighbor) dedup built a near-unique-key
+    * hash map over the whole pair stream (measured spill-bound at 30M
+    * pairs: 433 s → 22 s at 20k vectors × 8 tables). The window top-k then
+    * prunes to k per query per partition BEFORE its exchange
+    * (WindowGroupLimit), so the only full-width shuffle is the bucket join.
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int, bits: Int,
       k: Int, tables: Int = 1, probes: Int = 0): DataFrame = {
     graft.sql.GraftFunctions.register(df.sparkSession)
     val signs = srpSigns(tables * bits, dim)
-    val bucketCols = (0 until tables).map { t =>
-      struct(lit(t).as("t"),
-        srpBucket(col(vecCol), signs.slice(t * bits, (t + 1) * bits)).as("b"))
-    }
+    val bucketArr = array((0 until tables).map(t =>
+      srpBucket(col(vecCol), signs.slice(t * bits, (t + 1) * bits))): _*)
     // Normalize ONCE per row (not per pair) so the pair score is a single
     // codegen'd dot product — buckets still hash the raw vector (sign-
     // invariant under positive scaling, and bit-reproducible externally).
     // Codegen'd normalize, NOT the HOF form: an HOF in the same select as
     // explode is planned above the Generate and would run per exploded row.
-    val withBuckets = df
-      .select(col(idCol), graft.sql.GraftFunctions.l2NormalizeF32(col(vecCol)).as("__nv"),
-        explode(array(bucketCols: _*)).as("tb"))
-      .select(col(idCol), col("__nv"), col("tb.t").as("t"), col("tb.b").as("bucket"))
-    val qBuckets =
-      if (probes == 0) withBuckets
-      else {
-        val flips = lit(0L) +: (0 until probes).map(p => shiftleft(lit(1L), p))
-        withBuckets.select(col(idCol), col("__nv"), col("t"),
-          explode(array(flips.map(f => col("bucket").bitwiseXOR(f)): _*)).as("bucket"))
+    val withB = df.select(col(idCol),
+      graft.sql.GraftFunctions.l2NormalizeF32(col(vecCol)).as("__nv"),
+      bucketArr.as("__bs"))
+    val exploded = withB.select(col(idCol), col("__nv"), col("__bs"),
+      posexplode(col("__bs")).as(Seq("t", "bucket")))
+    val c = exploded.select(col("t"), col("bucket"), col(idCol).as("neighbor_id"),
+      col("__nv").as("__cn"), col("__bs").as("__cb"))
+    if (probes == 0) {
+      val q = exploded.select(col("t"), col("bucket"), col(idCol).as("query_id"),
+        col("__nv").as("__qn"), col("__bs").as("__qb"))
+      val firstCollidingTable = (0 until tables).foldRight(lit(-1)) { (t, acc) =>
+        when(col("__qb").getItem(t) === col("__cb").getItem(t), lit(t)).otherwise(acc)
       }
-    val q = qBuckets.select(col("t"), col("bucket"), col(idCol).as("query_id"), col("__nv").as("__qn"))
-    val c = withBuckets.select(col("t"), col("bucket"), col(idCol).as("neighbor_id"), col("__nv").as("__cn"))
-    val scored = q.join(c, Seq("t", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        graft.sql.GraftFunctions.dotF32(col("__qn"), col("__cn")).as("cos"))
-      .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("cos")).as("cos"))
-    Relational.topKPerGroup(scored, Seq("query_id"),
-      Seq(col("cos").desc, col("neighbor_id").asc), k)
+      val scored = q.join(c, Seq("t", "bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .filter(col("t") === firstCollidingTable)
+        .select(col("query_id"), col("neighbor_id"),
+          graft.sql.GraftFunctions.dotF32(col("__qn"), col("__cn")).as("cos"))
+      Relational.topKPerGroup(scored, Seq("query_id"),
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
+    } else {
+      // Probed buckets can collide a pair under several (table, flip)
+      // combinations — dedup falls back to the aggregation form.
+      val flips = lit(0L) +: (0 until probes).map(p => shiftleft(lit(1L), p))
+      val qBuckets = exploded.select(col(idCol), col("__nv"), col("t"),
+        explode(array(flips.map(f => col("bucket").bitwiseXOR(f)): _*)).as("bucket"))
+      val q = qBuckets.select(col("t"), col("bucket"), col(idCol).as("query_id"),
+        col("__nv").as("__qn"))
+      val scored = q.join(c.drop("__cb"), Seq("t", "bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          graft.sql.GraftFunctions.dotF32(col("__qn"), col("__cn")).as("cos"))
+        .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("cos")).as("cos"))
+      Relational.topKPerGroup(scored, Seq("query_id"),
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
+    }
   }
 }
