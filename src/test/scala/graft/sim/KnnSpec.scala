@@ -34,6 +34,32 @@ class KnnSpec extends SparkSpecBase {
     }
   }
 
+  test("analytic first-table pair dedup equals the aggregation form") {
+    val emb = tbl("embeddings", sfDirMid)
+    val fast = Knn.lshTopK(emb, "vec_id", "embedding", dim = 64, bits = 4,
+      k = 5, tables = 8)
+    // reference formulation: collect every colliding (table, pair), dedup
+    // with groupBy-max, then rank — the plan lshTopK replaced
+    graft.sql.GraftFunctions.register(spark)
+    val signs = Knn.srpSigns(8 * 4, 64)
+    val withB = emb.select($"vec_id",
+      graft.sql.GraftFunctions.l2NormalizeF32($"embedding").as("nv"),
+      array((0 until 8).map(t =>
+        Knn.srpBucket($"embedding", signs.slice(t * 4, (t + 1) * 4))): _*).as("bs"))
+    val ex = withB.select($"vec_id", $"nv",
+      posexplode($"bs").as(Seq("t", "bucket")))
+    val q = ex.select($"t", $"bucket", $"vec_id".as("query_id"), $"nv".as("qn"))
+    val c = ex.select($"t", $"bucket", $"vec_id".as("neighbor_id"), $"nv".as("cn"))
+    val scored = q.join(c, Seq("t", "bucket"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        graft.sql.GraftFunctions.dotF32($"qn", $"cn").as("cos"))
+      .groupBy($"query_id", $"neighbor_id").agg(max($"cos").as("cos"))
+    val naive = graft.operators.Relational.topKPerGroup(scored, Seq("query_id"),
+      Seq($"cos".desc, $"neighbor_id".asc), 5)
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
   test("srpSigns is deterministic and balanced-ish") {
     val s1 = Knn.srpSigns(8, 64)
     val s2 = Knn.srpSigns(8, 64)
