@@ -37,6 +37,15 @@ object StarQueries {
         .orderBy(col("o_custkey"))
     },
 
+    // The raw SQL surface (S6: the reference's users write SQL text, not
+    // DataFrames — snowflake_client.py:49-63): ONE ANSI SQL string executed
+    // verbatim by spark.sql over registered views AND by the DuckDB oracle.
+    // TPC-H Q4 shape: range predicate + correlated EXISTS + group count.
+    "q26_sql_text" -> { (s, d) =>
+      graft.Tables.registerAll(s, d)
+      s.sql(sqlTextQ26)
+    },
+
     // 3-way inner equi-join fact⨝dim⨝dim (reference: joined_dataframe.sql:7-16).
     // customer is broadcast-sized relative to the fact side; Catalyst/AQE
     // picks BHJ for dims and keeps the fact table un-shuffled where possible.
@@ -215,7 +224,22 @@ object StarQueries {
         .orderBy(col("n_nationkey"))
     })
 
+  /** ONE SQL text, two engines (q26): must stay inside the dialect
+    * intersection of Spark ANSI SQL and DuckDB. */
+  val sqlTextQ26: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1999-07-01'
+         AND o_orderdate < TIMESTAMP '1999-10-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_shipdate > o_orderdate
+                       AND l_quantity > 25)
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority"""
+
   val oracles: Map[String, String] = Map(
+    "q26_sql_text" -> sqlTextQ26,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
