@@ -148,4 +148,17 @@ object Relational {
     */
   def fromEnvelope(df: DataFrame, schema: StructType): DataFrame =
     df.select(from_json(col("raw_data"), schema).as("__r")).select("__r.*")
+
+  /** Envelope decode via Spark 4 VariantType — the closest analog to
+    * Snowflake's VARIANT (`RAW_DATA:"field"::type`): one binary
+    * `parse_json`, then typed `variant_get` path extractions. Semantics
+    * equal fromEnvelope on flat payloads (asserted in RelationalSpec);
+    * prefer this form when different consumers extract different fields
+    * from the same stored payload (parse once, extract many).
+    */
+  def fromEnvelopeVariant(df: DataFrame, schema: StructType): DataFrame = {
+    val parsed = df.select(parse_json(col("raw_data")).as("__v"))
+    parsed.select(schema.fields.toSeq.map(f =>
+      variant_get(col("__v"), s"$$.${f.name}", f.dataType.sql).as(f.name)): _*)
+  }
 }

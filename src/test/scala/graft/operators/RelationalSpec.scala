@@ -63,6 +63,15 @@ class RelationalSpec extends SparkSpecBase {
     assert(back.exceptAll(nation).isEmpty && nation.exceptAll(back).isEmpty)
   }
 
+  test("fromEnvelopeVariant equals the from_json decode (Spark 4 VariantType path)") {
+    val nation = tbl("nation")
+    val env = Relational.toEnvelope(nation, "nation", 1L, "b1")
+    val a = Relational.fromEnvelope(env, nation.schema)
+    val b = Relational.fromEnvelopeVariant(env, nation.schema)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.schema == b.schema)
+  }
+
   test("rowSample is seed-deterministic and lands near the requested fraction") {
     val li = tbl("lineitem", sfDirMid)
     val a = Relational.rowSample(li, 0.2, seed = 7L)
