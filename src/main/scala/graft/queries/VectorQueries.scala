@@ -7,10 +7,13 @@ import QueryHelpers._
 
 /** Similarity-search extension coverage over `embeddings` (BASELINE.json
   * scope): vector norms, brute-force cosine top-k (exact baseline),
-  * embedding-cosine near-dup pairs, and SRP-LSH ANN (scale path).
+  * embedding-cosine near-dup pairs, and SRP-LSH ANN (scale path; the IVF
+  * scale path is benched as q61 and specced in IvfSpec).
   *
-  * All scoring goes through VectorOps' sequential-fold kernel, which is
-  * bit-identical to DuckDB's list_sum evaluation (see VectorOps doc).
+  * All scoring uses the sequential-fold dot semantics that are
+  * bit-identical to DuckDB's list_sum evaluation — via VectorOps' HOF
+  * kernel or the codegen DotF32/L2NormalizeF32 forms (parity asserted in
+  * DotF32Spec), so every query here hash-matches the oracle.
   */
 object VectorQueries {
 
