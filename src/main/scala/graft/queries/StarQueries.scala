@@ -154,7 +154,9 @@ object StarQueries {
       val mean = col("s1") / col("n")
       val std = sqrt((col("s2") - col("n") * (col("s1") / col("n")) * (col("s1") / col("n"))) / (col("n") - lit(1)))
       cust.crossJoin(broadcast(stats))
-        .select(col("c_custkey"), round((col("c_acctbal") - mean) / std, 4).as("z"))
+        // + 0.0 normalizes IEEE signed zero: Spark's BigDecimal-based round
+        // yields 0.0 where DuckDB's keeps -0.0 (surfaced at sf0.1)
+        .select(col("c_custkey"), (round((col("c_acctbal") - mean) / std, 4) + lit(0.0)).as("z"))
         .orderBy(col("c_custkey"))
     },
 
@@ -308,7 +310,7 @@ object StarQueries {
            CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS s2,
            COUNT(*) AS n FROM customer)
          SELECT c_custkey,
-           ROUND((c_acctbal - s1 / n) / sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - 1)), 4) AS z
+           ROUND((c_acctbal - s1 / n) / sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - 1)), 4) + 0.0 AS z
          FROM customer, st ORDER BY c_custkey""",
     "q12_bucketize" ->
       """SELECT c_custkey, c_acctbal,
