@@ -64,4 +64,23 @@ object Multimodal {
     * of md5(payload), scaled to [0,1]. */
   def hashFeature(bin: Column, j: Int): Column =
     conv(substring(md5(bin), j * 4 + 1, 4), 16, 10).cast("int").cast("double") / 65535.0
+
+  /** Frame sampling over an opaque video-like payload: treat the binary as
+    * consecutive `frameBytes` frames and emit every `stride`-th one with
+    * its index — the Spark-side shape (schema, explode, downstream
+    * batching) a real demuxer fills in at the same seam as batchEmbed.
+    * Output: (idCol, frame_idx int, frame binary).
+    */
+  def frameSample(df: DataFrame, idCol: String, binCol: String,
+      frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    df.select(col(idCol), col(binCol))
+      .filter(octet_length(col(binCol)) > 0)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), ((octet_length(col(binCol)) - 1) / frameBytes).cast("int")),
+          i => col(binCol).substr(i * frameBytes + 1, lit(frameBytes)))))
+      .filter(col("pos") % stride === 0)
+      .select(col(idCol), col("pos").cast("int").as("frame_idx"), col("col").as("frame"))
+  }
 }

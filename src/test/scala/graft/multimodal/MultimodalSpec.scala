@@ -42,4 +42,18 @@ class MultimodalSpec extends SparkSpecBase {
     assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-12, "identical payloads -> identical embeddings")
     assert(pairs((1L, 3L)) < 1.0)
   }
+
+  test("frameSample chunks the payload, honors stride, and reassembles losslessly") {
+    val payload = (0 until 100).map(i => (i % 256).toByte).toArray
+    val df = Seq((1L, payload)).toDF("id", "bin")
+    val all = Multimodal.frameSample(df, "id", "bin", frameBytes = 16, stride = 1)
+      .orderBy($"frame_idx").collect()
+    assert(all.length == 7, "ceil(100/16) frames incl. the short tail")
+    val reassembled = all.flatMap(_.getAs[Array[Byte]]("frame"))
+    assert(reassembled.toSeq == payload.toSeq, "stride 1 must be lossless")
+    assert(all.last.getAs[Array[Byte]]("frame").length == 4, "tail frame is short")
+    val strided = Multimodal.frameSample(df, "id", "bin", frameBytes = 16, stride = 3)
+      .select($"frame_idx").as[Int].collect().sorted
+    assert(strided.toSeq == Seq(0, 3, 6))
+  }
 }
