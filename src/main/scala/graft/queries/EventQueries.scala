@@ -67,6 +67,19 @@ object EventQueries {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), dsum(col("value"), 4).as("sum_value"))
         .orderBy(col("user_id"))
+    },
+
+    // Tumbling-window per-type stats through the ACTUAL streaming code path
+    // (EventStream.windowedTypeStats — withWatermark is a no-op on batch
+    // input): batch/stream unification, §2.10, with a real oracle. Spark
+    // tumbling windows and DuckDB time_bucket both align to the epoch in
+    // UTC, so the buckets agree exactly.
+    "q27_tumbling_stats" -> { (s, d) =>
+      graft.streaming.EventStream
+        .windowedTypeStats(table(s, d, "events"), "ts", "1 hour", "1 hour")
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("window_start_us"), col("event_type"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -102,5 +115,10 @@ object EventQueries {
          FROM events
          WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase'
                            GROUP BY user_id HAVING COUNT(*) >= 8)
-         GROUP BY user_id ORDER BY user_id""")
+         GROUP BY user_id ORDER BY user_id""",
+    "q27_tumbling_stats" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
+         event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""")
 }
