@@ -40,6 +40,14 @@ class CooccurSpec extends SparkSpecBase {
     assert(nb.filter($"c" <= 0).count() == 0)
   }
 
+  test("recommendations from a materialized model equal the inline-lineage ones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nb").toString
+    RetrievalPipeline.fitAndSave(tr, s"$dir/nb", maxNeighbors = 20)
+    val fromModel = RetrievalPipeline.recommendFrom(spark, s"$dir/nb", tr, 10)
+    val inline = Cooccur.recommend(tr, Cooccur.itemNeighbors(tr, 20), 10)
+    assert(fromModel.exceptAll(inline).isEmpty && inline.exceptAll(fromModel).isEmpty)
+  }
+
   test("popularFallback list is ordered by popularity then item id") {
     val fb = graft.serve.RecsTable.popularFallback(tr, 5)
     val row = fb.head()
