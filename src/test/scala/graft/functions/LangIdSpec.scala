@@ -43,6 +43,17 @@ class LangIdSpec extends SparkSpecBase {
     assert(p1.filter($"predicted_lang".isNull).count() == 0)
   }
 
+  test("single-pass fitPredict equals fit-then-predict") {
+    val docs = tbl("documents")
+    val profiles = LangId.fitProfiles(docs, "text", "lang")
+    val twoPass = LangId.predict(docs, "doc_id", "text", profiles)
+      .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+      .select($"doc_id", $"lang", $"predicted_lang")
+    val onePass = LangId.fitPredict(docs, "doc_id", "text", "lang")
+      .select($"doc_id", $"lang", $"predicted_lang")
+    assert(onePass.exceptAll(twoPass).isEmpty && twoPass.exceptAll(onePass).isEmpty)
+  }
+
   test("docs matching no profile n-gram fall back to 'und'") {
     val profiles = LangId.fitProfiles(corpus, "text", "lang")
     val strange = Seq((99L, "零一二三四五六七八九")).toDF("doc_id", "text")
