@@ -133,6 +133,25 @@ object TextDedup {
           (size(col("sa")) + size(col("sb")) - col("common"))).as("jaccard"))
   }
 
+  /** End-to-end near-duplicate REMOVAL (the operation a training-data
+    * pipeline actually runs): MinHash → LSH candidates → candidate-
+    * restricted Jaccard → drop the larger id of every pair at or above the
+    * threshold. Keep-smallest-id is a per-pair policy: a transitive chain
+    * a~b~c collapses fully only when its links share buckets — exact
+    * transitive closure needs iterated connected components, which is
+    * rarely wanted for corpus dedup (it over-merges chains of borderline
+    * pairs). Cost: the LSH pipeline + one anti join on the id.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, shingles: Column,
+      numHashes: Int = 16, rowsPerBand: Int = 2, threshold: Double = 0.7): DataFrame = {
+    val sig = minhashSignatures(df, idCol, shingles, numHashes)
+    val cand = lshCandidatePairs(lshBands(sig, idCol, numHashes, rowsPerBand), idCol)
+    val dupIds = jaccardForPairs(cand, df, idCol, shingles)
+      .filter(col("jaccard") >= threshold)
+      .select(col("b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash over a token multiset: per-token xxhash64, each bit
     * votes ±1, sign of the vote becomes the output bit. Near-duplicates
     * have small Hamming distance. Explode + 64 conditional sums — a single

@@ -32,6 +32,21 @@ class TextDedupSpec extends SparkSpecBase {
     assert(cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("dropNearDuplicates removes higher-id near-dups, keeps distinct docs, and is idempotent") {
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 18).map(i => s"tok$i") ++ Seq("x", "y")).mkString(" ")
+    val other = (1 to 20).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, other)).toDF("doc_id", "text")
+      .select($"doc_id", graft.functions.TextOps.tokens($"text").as("__toks"))
+      .filter(size($"__toks") >= shingleN)
+    val sh = TextOps.wordShingles($"__toks", shingleN)
+    val kept = TextDedup.dropNearDuplicates(df, "doc_id", sh, threshold = 0.5)
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L),
+      "exact dup (2) and near dup (3) drop; smallest id (1) and distinct (4) survive")
+    val again = TextDedup.dropNearDuplicates(kept, "doc_id", sh, threshold = 0.5)
+    assert(again.count() == kept.count(), "idempotent on a deduped corpus")
+  }
+
   test("jaccardForPairs equals all-pairs jaccardPairs restricted to the candidate set") {
     val docs = tbl("documents").filter(size(TextOps.tokens(col("text"))) >= shingleN)
     val shingles = TextOps.wordShingles(TextOps.tokens(col("text")), shingleN)
