@@ -101,6 +101,17 @@ object TextQueries {
         .filter(col("common") >= 1)
         .select(col("a"), col("b"), col("jaccard"))
         .orderBy(col("a"), col("b"))
+    },
+
+    // End-to-end near-dup REMOVAL (the composed operation a pipeline runs):
+    // LSH candidates → candidate Jaccard ≥ 0.5 → drop the larger id.
+    "q38_drop_neardups" -> { (s, d) =>
+      val docs = tokenized(s, d, shingleN)
+      val shingles = TextOps.wordShingles(col("__toks"), shingleN)
+      TextDedup.dropNearDuplicates(docs, "doc_id", shingles,
+          numHashes = 16, rowsPerBand = 2, threshold = 0.5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
     })
 
   /** DuckDB value of 4 hex digits of `expr` at 1-based offset `off`. */
@@ -186,29 +197,46 @@ object TextQueries {
              FROM sc) WHERE rk = 1)
          SELECT d.doc_id, d.lang, COALESCE(p.predicted_lang, 'und') AS predicted_lang
          FROM documents d LEFT JOIN pred p USING (doc_id) ORDER BY d.doc_id""",
-    "q37_lsh_neardup" -> {
-      val bandHashes = (0 until 8).map(b =>
-        s"md5(CAST(s${2 * b} AS VARCHAR) || '|' || CAST(s${2 * b + 1} AS VARCHAR))")
-      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
-         sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(len(w)-7), i -> array_to_string(w[i+1:i+8], ' '))) s
-                FROM t WHERE len(w) >= 8),
-         sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
-         hx AS (SELECT doc_id, md5(s) m FROM sh),
-         hb AS (SELECT doc_id, $baseHashSql H FROM hx),
-         sig AS (SELECT doc_id,
-             ${(0 until 16).map(i => sigSql(i, s"s$i")).mkString(", ")}
-           FROM hb GROUP BY doc_id),
-         bands AS (SELECT doc_id,
-             unnest([${bandHashes.mkString(", ")}]) h,
-             unnest([0, 1, 2, 3, 4, 5, 6, 7]) band
-           FROM sig),
-         cand AS (SELECT DISTINCT l.doc_id a, r.doc_id b
-                  FROM bands l JOIN bands r ON l.band = r.band AND l.h = r.h AND l.doc_id < r.doc_id),
-         common AS (SELECT l.doc_id a, r.doc_id b, COUNT(*) common
-                    FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id GROUP BY 1, 2)
+    "q37_lsh_neardup" ->
+      s"""WITH $lshChainSql
          SELECT c.a AS a, c.b AS b, CAST(cm.common AS DOUBLE) / (sa.n + sb.n - cm.common) AS jaccard
          FROM cand c JOIN common cm ON c.a = cm.a AND c.b = cm.b
          JOIN sizes sa ON c.a = sa.doc_id JOIN sizes sb ON c.b = sb.doc_id
-         ORDER BY c.a, c.b"""
-    })
+         ORDER BY c.a, c.b""",
+    "q38_drop_neardups" ->
+      s"""WITH $lshChainSql,
+         scored AS (SELECT c.a a, c.b b,
+             CAST(cm.common AS DOUBLE) / (sa.n + sb.n - cm.common) j
+           FROM cand c JOIN common cm ON c.a = cm.a AND c.b = cm.b
+           JOIN sizes sa ON c.a = sa.doc_id JOIN sizes sb ON c.b = sb.doc_id),
+         dups AS (SELECT DISTINCT b FROM scored WHERE j >= 0.5)
+         SELECT doc_id FROM sizes
+         WHERE doc_id NOT IN (SELECT b FROM dups)
+         ORDER BY doc_id""")
+
+  /** Shared LSH oracle chain (shingles → sizes → minhash sigs → bands →
+    * candidate pairs → pairwise common counts) — mirrors TextDedup's
+    * minhash/LSH pipeline; used by the q37 scoring and q38 removal
+    * oracles. */
+  private lazy val lshChainSql: String = {
+    val bandHashes = (0 until 8).map(b =>
+      s"md5(CAST(s${2 * b} AS VARCHAR) || '|' || CAST(s${2 * b + 1} AS VARCHAR))")
+    s"""t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+       sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(len(w)-7), i -> array_to_string(w[i+1:i+8], ' '))) s
+              FROM t WHERE len(w) >= 8),
+       sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+       hx AS (SELECT doc_id, md5(s) m FROM sh),
+       hb AS (SELECT doc_id, $baseHashSql H FROM hx),
+       sig AS (SELECT doc_id,
+           ${(0 until 16).map(i => sigSql(i, s"s$i")).mkString(", ")}
+         FROM hb GROUP BY doc_id),
+       bands AS (SELECT doc_id,
+           unnest([${bandHashes.mkString(", ")}]) h,
+           unnest([0, 1, 2, 3, 4, 5, 6, 7]) band
+         FROM sig),
+       cand AS (SELECT DISTINCT l.doc_id a, r.doc_id b
+                FROM bands l JOIN bands r ON l.band = r.band AND l.h = r.h AND l.doc_id < r.doc_id),
+       common AS (SELECT l.doc_id a, r.doc_id b, COUNT(*) common
+                  FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id GROUP BY 1, 2)"""
+  }
 }
