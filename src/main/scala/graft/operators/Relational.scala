@@ -48,7 +48,10 @@ object Relational {
       orderCol: String,
       valueCols: Seq[String]): DataFrame = {
     val projected = df.select((keys ++ valueCols :+ orderCol).distinct.map(col): _*)
-    val deduped = projected.distinct()
+    // ONE wide exchange: repartition on the window keys, then the full-tuple
+    // distinct (subset-key clustering satisfies it) and the window (exact
+    // key match) both reuse that partitioning instead of shuffling twice.
+    val deduped = projected.repartition(keys.map(col): _*).distinct()
     val w = Window
       .partitionBy(keys.map(col): _*)
       .orderBy((orderCol +: valueCols).map(col): _*)
