@@ -34,7 +34,10 @@ object RankingEval {
       rankCol: String = "rk"): DataFrame = {
     val disc = lit(discountsScaled(k))
     val ideal = lit(idcgScaled(k))
-    val t = truth.select(col(userCol), col(itemCol)).distinct()
+    // one exchange for the truth side: user-keyed repartition feeds the
+    // full-tuple distinct (subset clustering) and the per-user count
+    val t = truth.select(col(userCol), col(itemCol))
+      .repartition(col(userCol)).distinct()
     val tsize = t.groupBy(col(userCol)).agg(count(lit(1)).as("n_test"))
     val hits = recs.filter(col(rankCol) <= k)
       .join(t, Seq(userCol, itemCol))
