@@ -56,6 +56,17 @@ object VectorQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // Per-label, per-dimension embedding centroids (cluster-summary QA —
+    // the positional form of VecCentroidAgg, exact-decimal means so the
+    // doubles hash-match the oracle; one shuffle on (label, pos)).
+    "q45_label_centroids" -> { (s, d) =>
+      table(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg((dsum(col("x").cast("double"), 8) / count(lit(1))).as("mean_x"))
+        .orderBy(col("label"), col("pos"))
+    },
+
     // Multi-table SRP-LSH ANN top-5 — fully oracle-checked: the ±1
     // hyperplane coefficients are plan-time constants embedded in BOTH the
     // Spark plan and the DuckDB oracle SQL, so the bucketing (and thus the
@@ -82,6 +93,11 @@ object VectorQueries {
   private def dot(x: String, y: String) = dotSql.format(x, y)
 
   val oracles: Map[String, String] = Map(
+    "q45_label_centroids" ->
+      s"""SELECT label, CAST(p.i AS INT) AS pos,
+         CAST(SUM(CAST(CAST(embedding[p.i + 1] AS DOUBLE) AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS mean_x
+         FROM embeddings CROSS JOIN (SELECT unnest(range($dim)) i) p
+         GROUP BY label, p.i ORDER BY label, pos""",
     "q40_vector_norms" ->
       s"""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
           sqrt(${dot("embedding", "embedding")}) AS l2
