@@ -16,6 +16,7 @@ object RankQueries {
   private val b1 = "2000-01-01" // train < b1, test >= b1 (q09's split point)
   private val neighborCap = 50
   private val k = 10
+  private val basketCap = 8 // q54's per-user recent-items bound
 
   val defs: Map[String, QueryFn] = Map(
     // Item-item co-occurrence retrieval: top-10 unseen items per user
@@ -78,6 +79,20 @@ object RankQueries {
           row_number().over(Window.orderBy(col("hits").desc, col("cap").asc)) === 1)
         .select(col("cap"), col("hits"), col("n_test"), col("micro_recall"), col("selected"))
         .orderBy(col("cap"))
+    },
+
+    // Basket-capped retrieval: the 100 TB form of q50 — candidate
+    // generation and the co-occurrence fit both run over each user's
+    // `basketCap` most recent items (Interactions.recentN), so the per-user
+    // pair space is bounded at N·(N-1) regardless of user heat; the
+    // seen-items exclusion still covers the full history. Fully
+    // oracle-checked (the cap is a plain ROW_NUMBER window in SQL).
+    "q54_capped_topk" -> { (s, d) =>
+      val (tr, _) = Interactions.splitByTime(Interactions.fromStar(s, d), b1)
+      val nb = Cooccur.itemNeighbors(tr, neighborCap, maxBasket = basketCap)
+      Cooccur.recommend(tr, nb, k, maxBasket = basketCap)
+        .filter(col("user_id") < 200)
+        .orderBy(col("user_id"), col("rk"))
     })
 
   private val gridCaps = Seq(5, 10, 20)
@@ -89,27 +104,46 @@ object RankQueries {
 
   /** Shared CTE chain computing the co-occurrence recs (mirrors Cooccur);
     * `sfx` suffixes every CTE name so q53 can instantiate one chain per
-    * grid point in a single statement. */
-  private def recsCtes(cap: Int, sfx: String = ""): String =
-    s"""tr$sfx AS (${interSql("<")}),
-        pc$sfx AS (SELECT a.i ia, b.i ib, COUNT(*) c FROM tr$sfx a
-               JOIN tr$sfx b ON a.u = b.u AND a.i <> b.i GROUP BY 1, 2),
+    * grid point in a single statement. With `basket` > 0 the fit and the
+    * candidate history both read the per-user recent-N capped view
+    * (mirrors Interactions.recentN: recency = max ts per (user, item),
+    * ties on item asc); the NOT EXISTS seen-exclusion still reads the full
+    * history — same split as Cooccur.recommend. */
+  private def recsCtes(cap: Int, sfx: String = "", basket: Int = 0): String = {
+    val hist = if (basket > 0) s"trc$sfx" else s"tr$sfx"
+    val basketCtes = if (basket > 0)
+      s"""
+        trm$sfx AS (SELECT o_custkey u, l_partkey i, MAX(o_orderdate) mts FROM orders
+               JOIN lineitem ON l_orderkey = o_orderkey
+               WHERE o_orderdate < TIMESTAMP '$b1' GROUP BY 1, 2),
+        trc$sfx AS (SELECT u, i FROM (
+            SELECT u, i, ROW_NUMBER() OVER (PARTITION BY u ORDER BY mts DESC, i) brk
+            FROM trm$sfx) WHERE brk <= $basket),"""
+    else ""
+    s"""tr$sfx AS (${interSql("<")}),$basketCtes
+        pc$sfx AS (SELECT a.i ia, b.i ib, COUNT(*) c FROM $hist a
+               JOIN $hist b ON a.u = b.u AND a.i <> b.i GROUP BY 1, 2),
         nb$sfx AS (SELECT ia, ib, c FROM (
             SELECT ia, ib, c, ROW_NUMBER() OVER (PARTITION BY ia ORDER BY c DESC, ib) nrk
             FROM pc$sfx) WHERE nrk <= $cap),
-        sc$sfx AS (SELECT t.u, nb$sfx.ib, CAST(SUM(nb$sfx.c) AS BIGINT) s FROM tr$sfx t
+        sc$sfx AS (SELECT t.u, nb$sfx.ib, CAST(SUM(nb$sfx.c) AS BIGINT) s FROM $hist t
                JOIN nb$sfx ON t.i = nb$sfx.ia GROUP BY 1, 2),
         un$sfx AS (SELECT u, ib, s FROM sc$sfx
                WHERE NOT EXISTS (SELECT 1 FROM tr$sfx x WHERE x.u = sc$sfx.u AND x.i = sc$sfx.ib)),
         recs$sfx AS (SELECT u, ib, s,
             CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY s DESC, ib) AS INT) rk
           FROM un$sfx)"""
+  }
 
   private def sqlList(xs: Array[Long]): String = xs.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
     "q50_topk_retrieval" ->
       s"""WITH ${recsCtes(neighborCap)}
+          SELECT u AS user_id, rk, ib AS item_id, s AS score FROM recs
+          WHERE rk <= $k AND u < 200 ORDER BY user_id, rk""",
+    "q54_capped_topk" ->
+      s"""WITH ${recsCtes(neighborCap, basket = basketCap)}
           SELECT u AS user_id, rk, ib AS item_id, s AS score FROM recs
           WHERE rk <= $k AND u < 200 ORDER BY user_id, rk""",
     "q51_rank_eval" ->

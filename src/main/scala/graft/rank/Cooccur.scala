@@ -10,11 +10,13 @@ import graft.operators.Relational
   * exactly reproducible in any SQL engine — the ALS path in AlsRecommender
   * is the learned counterpart).
   *
-  * Scale design: the per-user self-join is quadratic in basket size — at
-  * 100 TB cap baskets upstream (keep each user's most recent N items) and
-  * the neighbor model is capped at `maxNeighbors` per item (count desc,
-  * item asc — deterministic), so the model table is |items| × M rows:
-  * broadcastable for dims in the millions, shuffle-joinable beyond.
+  * Scale design: the per-user self-join is quadratic in basket size — pass
+  * `maxBasket` to bound it (Interactions.recentN keeps each user's most
+  * recent N items, so per-user pair space is <= N·(N-1) no matter how hot
+  * the user); the neighbor model is capped at `maxNeighbors` per item
+  * (count desc, item asc — deterministic), so the model table is
+  * |items| × M rows: broadcastable for dims in the millions,
+  * shuffle-joinable beyond. At 100 TB both caps are mandatory.
   */
 object Cooccur {
 
@@ -27,12 +29,19 @@ object Cooccur {
     * (subset-key clustering) and the item_a window, so neither inserts
     * another exchange over the multi-10M-row pair stream.
     */
-  def itemNeighbors(inter: DataFrame, maxNeighbors: Int = 50): DataFrame = {
+  def itemNeighbors(inter: DataFrame, maxNeighbors: Int = 50, maxBasket: Int = 0): DataFrame = {
     // user-keyed repartition feeds the (user, item) distinct (subset
     // clustering) AND both sides of the self-join (co-partitioned on the
-    // join key) — measured 2 fewer exchanges than distinct-then-join
-    val t = inter.select(col("user_id"), col("item_id"))
-      .repartition(col("user_id")).distinct()
+    // join key) — measured 2 fewer exchanges than distinct-then-join.
+    // With maxBasket > 0 the capped history is already distinct AND already
+    // HashPartitioning(user_id) after recentN's window, so the self-join
+    // still reuses one exchange and the pair space is bounded by N·(N-1)
+    // per user.
+    val t =
+      if (maxBasket > 0)
+        Interactions.recentN(inter, maxBasket).select(col("user_id"), col("item_id"))
+      else inter.select(col("user_id"), col("item_id"))
+        .repartition(col("user_id")).distinct()
     val pairs = t.as("a").join(t.as("b"),
         col("a.user_id") === col("b.user_id") && col("a.item_id") =!= col("b.item_id"))
       .select(col("a.item_id").as("item_a"), col("b.item_id").as("item_b"))
@@ -56,9 +65,19 @@ object Cooccur {
     * HashPartitioning(user_id) satisfies the aggregation, the filter, and
     * the top-k window without further exchanges.
     */
-  def recommend(inter: DataFrame, neighbors: DataFrame, k: Int = 10): DataFrame = {
+  def recommend(inter: DataFrame, neighbors: DataFrame, k: Int = 10,
+      maxBasket: Int = 0): DataFrame = {
     val t = inter.select(col("user_id"), col("item_id")).distinct()
-    val cand = t.join(neighbors, t("item_id") === neighbors("item_a"))
+    // With maxBasket > 0, candidates are generated from the capped recent
+    // history (|hist| × M rows stays bounded for hot users), but the seen-
+    // items exclusion still covers the FULL history — an item the user
+    // touched long ago is still "seen", and the seen stream is linear in
+    // interactions, so keeping it uncapped costs nothing quadratic.
+    val hist =
+      if (maxBasket > 0)
+        Interactions.recentN(inter, maxBasket).select(col("user_id"), col("item_id"))
+      else t
+    val cand = hist.join(neighbors, hist("item_id") === neighbors("item_a"))
       .select(col("user_id"), col("item_b"), col("c"), lit(false).as("__seen"))
     val seenRows = t.select(col("user_id"), col("item_id").as("item_b"),
       lit(null).cast("long").as("c"), lit(true).as("__seen"))

@@ -29,4 +29,31 @@ object Interactions {
   def splitByTime(inter: DataFrame, boundary: String): (DataFrame, DataFrame) = (
     inter.filter(col("ts") < lit(boundary).cast("timestamp")),
     inter.filter(col("ts") >= lit(boundary).cast("timestamp")))
+
+  /** Per-user basket cap: each user's `n` most recently interacted DISTINCT
+    * items (an item's recency = its latest interaction ts; ties break on
+    * item_id asc — total order, deterministic in any engine). The upper
+    * bound complementing the reference's lower bound (>= 5 interactions,
+    * filtered_dataframe.sql:10; time-windowed pull my_merlin_flow.py:154-185)
+    * — at 100 TB a hot user would otherwise make every downstream per-user
+    * self-join quadratic in basket size (see Cooccur).
+    *
+    * Shuffle plan: ONE exchange. HashPartitioning(user_id) satisfies the
+    * (user_id, item_id) aggregation (subset-key clustering) and the user_id
+    * window; the window's row_number <= n prunes per partition
+    * (WindowGroupLimit) before anything else sees the rows. Output keeps
+    * `ts` (the item's latest interaction) so the result is still an
+    * interactions frame.
+    */
+  def recentN(inter: DataFrame, n: Int): DataFrame = {
+    require(n > 0, s"basket cap must be positive, got $n")
+    val latest = inter
+      .select(col("user_id"), col("item_id"), col("ts"))
+      .repartition(col("user_id"))
+      .groupBy(col("user_id"), col("item_id"))
+      .agg(max(col("ts")).as("ts"))
+    graft.operators.Relational.topKPerGroup(latest, Seq("user_id"),
+        Seq(col("ts").desc, col("item_id").asc), n, "__brk")
+      .drop("__brk")
+  }
 }
