@@ -99,9 +99,25 @@ object TextDedup {
 
   /** Exact n-gram Jaccard over pairs sharing at least one shingle.
     * Quadratic in per-shingle doc frequency — verification-scale only;
-    * compose with lshCandidatePairs for discovery at scale. */
-  def jaccardPairs(df: DataFrame, idCol: String, shingles: Column): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(array_distinct(shingles)).as("s"))
+    * compose with lshCandidatePairs for discovery at scale.
+    *
+    * `maxDocFreq > 0` enforces the hot-shingle guard: shingles appearing in
+    * more than that many documents are dropped before the self-join (the
+    * stop-word analog), bounding the pair fan-out of any single shingle at
+    * maxDocFreq²/2 rows. Sizes are computed on the SAME filtered stream, so
+    * the output is exact Jaccard over the surviving shingle vocabulary —
+    * consistent numerator and denominator, not a mixed estimate. 0 = exact
+    * over all shingles (the q34 verification form).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, shingles: Column,
+      maxDocFreq: Int = 0): DataFrame = {
+    val all = df.select(col(idCol).as("id"), explode(array_distinct(shingles)).as("s"))
+    val sh =
+      if (maxDocFreq > 0) {
+        val cold = all.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDocFreq).select(col("s"))
+        all.join(cold, Seq("s"), "left_semi")
+      } else all
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val common = sh.as("l").join(sh.as("r"), col("l.s") === col("r.s") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("a"), col("r.id").as("b"))
@@ -144,9 +160,17 @@ object TextDedup {
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, shingles: Column,
       numHashes: Int = 16, rowsPerBand: Int = 2, threshold: Double = 0.7): DataFrame = {
-    val sig = minhashSignatures(df, idCol, shingles, numHashes)
+    // Enforce minhashSignatures' precondition HERE, on the pipeline's input:
+    // a doc with no shingles would get all-null sigs, and concat_ws in
+    // lshBands skips nulls — every such doc would hash to md5("") in every
+    // band, colliding all short docs into one bucket (O(m²) candidates with
+    // null jaccard). Shingle-less docs can't be near-duplicates under this
+    // measure, so they bypass the LSH pipeline and are always kept (the
+    // anti join below runs over the FULL df).
+    val withShingles = df.filter(size(shingles) > 0)
+    val sig = minhashSignatures(withShingles, idCol, shingles, numHashes)
     val cand = lshCandidatePairs(lshBands(sig, idCol, numHashes, rowsPerBand), idCol)
-    val dupIds = jaccardForPairs(cand, df, idCol, shingles)
+    val dupIds = jaccardForPairs(cand, withShingles, idCol, shingles)
       .filter(col("jaccard") >= threshold)
       .select(col("b").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")

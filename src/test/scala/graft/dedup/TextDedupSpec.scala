@@ -47,6 +47,43 @@ class TextDedupSpec extends SparkSpecBase {
     assert(again.count() == kept.count(), "idempotent on a deduped corpus")
   }
 
+  test("dropNearDuplicates keeps shingle-less docs and never cross-collides them") {
+    // Without the size(shingles) > 0 pre-filter, every short doc gets
+    // all-null sigs → md5("") in every band → one giant bucket. The fix
+    // must (a) keep every short doc (not near-dup-comparable), (b) still
+    // drop real near-dups among the long docs.
+    val long1 = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val shorts = (10L to 29L).map(i => (i, s"short $i"))
+    val df = (Seq((1L, long1), (2L, long1)) ++ shorts).toDF("doc_id", "text")
+      .select($"doc_id", TextOps.tokens($"text").as("__toks"))
+    val sh = TextOps.wordShingles($"__toks", shingleN)
+    val kept = TextDedup.dropNearDuplicates(df, "doc_id", sh, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == (1L +: (10L to 29L)), "all 20 short docs kept, dup long doc 2 dropped")
+  }
+
+  test("jaccardPairs maxDocFreq caps hot-shingle pair fan-out") {
+    // Adversarial corpus: one shingle common to ALL docs (would propose
+    // n*(n-1)/2 pairs), plus per-doc unique shingles. With the cap below n,
+    // the hot shingle proposes nothing and only genuinely-overlapping pairs
+    // survive.
+    val n = 40
+    val df = (1 to n).map { i =>
+      // docs 1 and 2 additionally share "pair"; everyone shares "hot"
+      val extra = if (i <= 2) Seq("pair") else Seq(s"solo$i")
+      (i.toLong, Seq("hot") ++ extra ++ Seq(s"u${i}a", s"u${i}b"))
+    }.toDF("doc_id", "shingles")
+    val uncapped = TextDedup.jaccardPairs(df, "doc_id", $"shingles")
+    assert(uncapped.count() == n.toLong * (n - 1) / 2, "hot shingle links every pair")
+    val capped = TextDedup.jaccardPairs(df, "doc_id", $"shingles", maxDocFreq = 10)
+    val rows = capped.collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)),
+      "only the genuinely-overlapping pair survives the cap")
+    // Jaccard is exact over the surviving vocabulary: {pair,u1a,u1b} vs
+    // {pair,u2a,u2b} → 1/5.
+    assert(math.abs(rows.head.getDouble(3) - 0.2) < 1e-12)
+  }
+
   test("jaccardForPairs equals all-pairs jaccardPairs restricted to the candidate set") {
     val docs = tbl("documents").filter(size(TextOps.tokens(col("text"))) >= shingleN)
     val shingles = TextOps.wordShingles(TextOps.tokens(col("text")), shingleN)
