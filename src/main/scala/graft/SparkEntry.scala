@@ -52,5 +52,22 @@ object SparkEntry {
     "q61_ivf_ann" -> { (s, d) =>
       graft.sim.Ivf.topK(graft.Tables.load(s, d, "embeddings"),
         "vec_id", "embedding", k = 5, nlist = 16, nprobe = 2)
+    },
+    // The IVF probe kernel at production nlist (1024 cells): assignment +
+    // nprobe=8 probing per row through the single matrix-loop expression
+    // (IvfProbeF32) — the plan shape that used to be a codegen bomb when
+    // cells were unrolled as plan literals. Deterministic synthetic matrix:
+    // the corpus is the real embeddings table, only the quantizer is
+    // synthetic (its values don't affect the measured work).
+    "q62_ivf_probe1024" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val emb = graft.Tables.load(s, d, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val centroids = Array.tabulate(1024)(c =>
+        Array.tabulate(dim)(j => (((c * 31 + j * 7) % 97) - 48) / 48.0f))
+      emb.select(col("vec_id"),
+          graft.sim.Ivf.nearestCell(col("embedding"), centroids).as("cid"),
+          explode(graft.sim.Ivf.probeCells(col("embedding"), centroids, 8)).as("probe"))
+        .groupBy(col("probe")).agg(count(lit(1)).as("n"), countDistinct(col("cid")).as("cells"))
     })
 }

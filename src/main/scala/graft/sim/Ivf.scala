@@ -14,11 +14,13 @@ import graft.sql.GraftFunctions
   *
   * Scale design:
   *  - the centroid set is bounded by construction (nlist × dim floats), so
-  *    it lives on the driver between Lloyd iterations and is embedded as
-  *    plan literals — exactly how spark.ml KMeans handles centers;
-  *  - cell assignment is a pure projection (nlist codegen'd DotF32 calls
-  *    per row, argmin via array_min over (dist, cid) structs — ties break
-  *    on cid, deterministic): ZERO shuffle, unlike a crossJoin+window
+  *    it lives on the driver between Lloyd iterations and ships to
+  *    executors as ONE flattened reference object inside IvfProbeF32 —
+  *    exactly how spark.ml KMeans handles centers;
+  *  - cell assignment is a pure projection (one codegen'd matrix-loop
+  *    expression per row — ties break on cid, deterministic; plan and
+  *    generated code are O(1) in nlist, so production cell counts don't
+  *    blow up codegen): ZERO shuffle, unlike a crossJoin+window
   *    formulation which would shuffle corpus × nlist rows;
   *  - the candidate join is one shuffle on the cell id; per-cell pair space
   *    is |cell|² — nlist sizes as corpus/target-cell-size, and skewed cells
@@ -29,23 +31,15 @@ import graft.sql.GraftFunctions
 object Ivf {
 
   /** ||c||² - 2·v·c per centroid, argmin cid (distance ties → lower cid).
-    * The ||v||² term is common to all centroids and dropped. */
+    * The ||v||² term is common to all centroids and dropped. One codegen'd
+    * loop over a single matrix reference object (IvfProbeF32) — plan size
+    * O(1) in nlist, so production cell counts (10³–10⁵) are fine. */
   def nearestCell(vec: Column, centroids: Array[Array[Float]]): Column =
-    cellsByDistance(vec, centroids).getItem(0).getField("cid")
+    GraftFunctions.ivfProbeF32(vec, centroids, 1).getItem(0)
 
-  /** All cells ordered by distance: array<struct<d,cid>> (plan literals). */
-  private def cellsByDistance(vec: Column, centroids: Array[Array[Float]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val normSq = c.map(x => x.toDouble * x.toDouble).sum
-      struct((lit(normSq) - lit(2.0) * GraftFunctions.dotF32(vec, lit(c))).as("d"),
-        lit(i).as("cid"))
-    }
-    array_sort(array(scored: _*))
-  }
-
-  /** The `nprobe` nearest cell ids for a query vector. */
+  /** The `nprobe` nearest cell ids for a query vector, distance ascending. */
   def probeCells(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
-    transform(slice(cellsByDistance(vec, centroids), 1, nprobe), x => x.getField("cid"))
+    GraftFunctions.ivfProbeF32(vec, centroids, nprobe)
 
   /** Fit `nlist` coarse centroids with `iters` Lloyd steps. Deterministic
     * init: the nlist vectors with the smallest (md5(id), id) — a seedless,

@@ -14,12 +14,15 @@ object GraftFunctions {
 
   val DotName = "graft_dot_f32"
   val L2NormName = "graft_l2normalize_f32"
+  val IvfProbeName = "graft_ivf_probe_f32"
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotName, exprs => DotF32(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       L2NormName, exprs => L2NormalizeF32(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      IvfProbeName, exprs => IvfProbeF32.fromExprs(exprs.head, exprs(1), exprs(2)), "built-in")
   }
 
   /** Column-level call; requires `register` (or GraftExtensions) first. */
@@ -27,6 +30,13 @@ object GraftFunctions {
 
   /** Column-level call; requires `register` (or GraftExtensions) first. */
   def l2NormalizeF32(a: Column): Column = call_function(L2NormName, a)
+
+  /** Column-level call; requires `register` (or GraftExtensions) first.
+    * The matrix travels as ONE nested-array literal (data, not plan code). */
+  def ivfProbeF32(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
+    call_function(IvfProbeName, vec,
+      org.apache.spark.sql.functions.typedLit(centroids.map(_.toSeq).toSeq),
+      org.apache.spark.sql.functions.lit(nprobe))
 }
 
 /** spark.sql.extensions entry point. */
@@ -44,5 +54,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[L2NormalizeF32].getName, GraftFunctions.L2NormName),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         L2NormalizeF32(exprs.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.IvfProbeName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[IvfProbeF32].getName, GraftFunctions.IvfProbeName),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        IvfProbeF32.fromExprs(exprs.head, exprs(1), exprs(2))))
   }
 }

@@ -31,4 +31,15 @@ trait SparkSpecBase extends AnyFunSuite {
   def sfDirMid: String = SparkSpecBase.sfDirMid
   def tbl(name: String, dir: String = SparkSpecBase.sfDir): DataFrame =
     Tables.load(spark, dir, name)
+
+  /** Run `body` with the given SQL confs set, restoring priors after. */
+  def withSQLConf[T](pairs: (String, String)*)(body: => T): T = {
+    val prior = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

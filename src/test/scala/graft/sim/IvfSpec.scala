@@ -43,6 +43,53 @@ class IvfSpec extends SparkSpecBase {
     assert(cids == Set(0), s"tie-break must pick cid 0, got $cids")
   }
 
+  test("IvfProbeF32 is bit-identical to the unrolled DotF32 + array_sort form") {
+    import graft.sql.GraftFunctions
+    GraftFunctions.register(spark)
+    val emb = tbl("embeddings", sfDirMid)
+    val centroids = Ivf.fitCentroids(emb, "vec_id", "embedding", nlist = 8)
+    // the pre-rewrite plan shape: nlist scored structs sorted in-plan
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val normSq = c.map(x => x.toDouble * x.toDouble).sum
+      struct((lit(normSq) - lit(2.0) * GraftFunctions.dotF32($"embedding", lit(c))).as("d"),
+        lit(i).as("cid"))
+    }
+    val unrolled = emb.select($"vec_id",
+      transform(slice(array_sort(array(scored: _*)), 1, 3), x => x.getField("cid")).as("probes"))
+    val fused = emb.select($"vec_id", Ivf.probeCells($"embedding", centroids, 3).as("probes"))
+    assert(fused.exceptAll(unrolled).isEmpty && unrolled.exceptAll(fused).isEmpty)
+  }
+
+  test("nlist=1024 assignment runs with codegen fallback disabled (plan is O(1) in nlist)") {
+    val emb = tbl("embeddings", sfDirMid)
+    val dim = emb.select(size($"embedding")).as[Int].head()
+    // deterministic synthetic matrix at production-ish nlist
+    val centroids = Array.tabulate(1024)(c =>
+      Array.tabulate(dim)(j => (((c * 31 + j * 7) % 97) - 48) / 48.0f))
+    withSQLConf("spark.sql.codegen.fallback" -> "false",
+        "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY") {
+      val assigned = emb.select($"vec_id",
+        Ivf.nearestCell($"embedding", centroids).as("cid"),
+        Ivf.probeCells($"embedding", centroids, 4).as("probes"))
+      val rows = assigned.collect()
+      assert(rows.length == emb.count().toInt)
+      assert(rows.forall { r =>
+        val probes = r.getSeq[Int](2)
+        probes.length == 4 && probes.head == r.getInt(1)
+      })
+      // spot-check one row against a driver-side argmin over all 1024 cells
+      val v = emb.orderBy($"vec_id").select($"embedding").as[Seq[Float]].head().toArray
+      val best = centroids.zipWithIndex.map { case (c, i) =>
+        val norm = c.map(x => x.toDouble * x.toDouble).sum
+        val dot = v.indices.map(j => v(j).toDouble * c(j).toDouble).sum
+        (norm - 2.0 * dot, i)
+      }.min._2
+      val got = emb.orderBy($"vec_id")
+        .select(Ivf.nearestCell($"embedding", centroids)).as[Int].head()
+      assert(got == best)
+    }
+  }
+
   test("probeCells returns nprobe distinct cells led by the nearest") {
     val emb = tbl("embeddings", sfDirMid)
     val centroids = Ivf.fitCentroids(emb, "vec_id", "embedding", nlist = 8)
