@@ -67,6 +67,19 @@ object VectorQueries {
         .orderBy(col("label"), col("pos"))
     },
 
+    // Blocked near-dup with hot-block SRP splitting (the operator form of
+    // the q42 composition): blocks over maxBlock rows are subdivided by the
+    // low bits of a deterministic SRP bucket, smallest power-of-two split
+    // that bounds the expected sub-block at maxBlock. Fully oracle-checked —
+    // hyperplanes AND the split ladder are engine-independent constants.
+    "q46_blocked_neardup" -> { (s, d) =>
+      graft.sim.BlockedNearDup.pairs(table(s, d, "embeddings"),
+          "vec_id", "embedding", "label",
+          maxBlock = blockedMaxBlock, threshold = 0.3, dim = dim,
+          maxSplitBits = blockedSplitBits)
+        .orderBy(col("label"), col("a"), col("b"))
+    },
+
     // Multi-table SRP-LSH ANN top-5 — fully oracle-checked: the ±1
     // hyperplane coefficients are plan-time constants embedded in BOTH the
     // Spark plan and the DuckDB oracle SQL, so the bucketing (and thus the
@@ -81,6 +94,8 @@ object VectorQueries {
 
   private val srpBits = 4
   private val srpTables = 8
+  private val blockedMaxBlock = 16
+  private val blockedSplitBits = 8
 
   private lazy val srpSignLists: IndexedSeq[String] =
     Knn.srpSigns(srpTables * srpBits, dim).toIndexedSeq
@@ -123,6 +138,30 @@ object VectorQueries {
           FROM n x JOIN n y ON x.label = y.label AND x.vec_id < y.vec_id
           WHERE ${dot("x.ne", "y.ne")} > 0.3
           ORDER BY a, b""",
+    "q46_blocked_neardup" -> {
+      // same hyperplane constants as the Spark plan (srpSigns is tabulated
+      // per plane index, so the first blockedSplitBits rows of the q43 table
+      // ARE the q46 planes)
+      val bucketSql = (0 until blockedSplitBits).map { p =>
+        s"(CASE WHEN ${dot("embedding", srpSignLists(p))} >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      val ladder = (0 until blockedSplitBits).map { s =>
+        s"WHEN bn <= ${blockedMaxBlock.toLong << s} THEN ${1L << s}"
+      }.mkString(" ")
+      s"""WITH n AS (SELECT label, vec_id,
+              list_transform(embedding,
+                x -> CAST(CAST(x AS DOUBLE) / sqrt(${dot("embedding", "embedding")}) AS REAL)) ne,
+              $bucketSql AS bucket,
+              COUNT(*) OVER (PARTITION BY label) AS bn
+            FROM embeddings),
+          s AS (SELECT label, vec_id, ne,
+              bucket % (CASE $ladder ELSE ${1L << blockedSplitBits} END) AS sub
+            FROM n)
+          SELECT x.label, x.vec_id a, y.vec_id b, ${dot("x.ne", "y.ne")} AS cos
+          FROM s x JOIN s y ON x.label = y.label AND x.sub = y.sub AND x.vec_id < y.vec_id
+          WHERE ${dot("x.ne", "y.ne")} >= 0.3
+          ORDER BY x.label, a, b"""
+    },
     "q43_knn_lsh" -> {
       def bucketSql(t: Int): String = (0 until srpBits).map { b =>
         s"(CASE WHEN ${dot("embedding", srpSignLists(t * srpBits + b))} >= 0 THEN ${1L << b} ELSE 0 END)"

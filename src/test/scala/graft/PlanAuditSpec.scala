@@ -49,6 +49,24 @@ class PlanAuditSpec extends SparkSpecBase {
       s"anti-join-style (user_id, item_b) exchange crept back in:\n$p")
   }
 
+  test("blockedNearDup: the corpus crosses one reused (block, sub) exchange") {
+    val emb = tbl("embeddings")
+    val df = graft.sim.BlockedNearDup.pairs(emb, "vec_id", "embedding", "label",
+      maxBlock = 16, threshold = 0.3, dim = 64)
+    // AQE's pre-execution plan prints both sides unreused (reuse happens at
+    // stage materialization); disable it to audit the static rule
+    val p = withSQLConf("spark.sql.adaptive.enabled" -> "false")(plan(df))
+    // both self-join sides hang off the SAME repartition lineage — the
+    // second side must be a ReusedExchange, not a second full-width shuffle
+    assert(p.contains("ReusedExchange"), s"self-join sides don't share the exchange:\n$p")
+    // the deliberate wide exchange is on (label, __sub) — hot blocks spread
+    // across tasks; a block-only partitioning would serialize a hot block
+    assert("hashpartitioning\\(label#\\d+, __sub".r.findFirstIn(p).isDefined,
+      s"missing (label, __sub) repartition:\n$p")
+    // block-size side is broadcast, not shuffled back into the corpus
+    assert(p.contains("BroadcastHashJoin"), s"sizes join not broadcast:\n$p")
+  }
+
   test("lshTopK (probes=0) has no aggregation between scoring and the top-k window") {
     val emb = tbl("embeddings")
     val p = plan(graft.sim.Knn.lshTopK(emb, "vec_id", "embedding",
