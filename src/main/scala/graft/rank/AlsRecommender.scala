@@ -1,8 +1,9 @@
 package graft.rank
 
 import org.apache.spark.ml.recommendation.{ALS, ALSModel}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.features.Categorify
 
 /** Learned retrieval via implicit-feedback ALS — the spark.ml
   * collaborative-filtering capability equivalent of the reference's
@@ -19,14 +20,48 @@ case class AlsConfig(rank: Int = 16, regParam: Double = 0.1, alpha: Double = 1.0
   def key: String = s"rank=$rank,reg=$regParam,alpha=$alpha,iter=$maxIter"
 }
 
+/** A fitted ALS model plus the Categorify dictionaries that map natural
+  * user/item keys to its int ids — the persistable unit of the encoded
+  * path. `save`/`load` lay the three artifacts side by side. */
+case class EncodedAlsModel(model: ALSModel, userDict: DataFrame, itemDict: DataFrame) {
+  def save(path: String): Unit = {
+    AlsRecommender.saveModel(model, s"$path/als")
+    userDict.write.mode("overwrite").parquet(s"$path/unique.user_id.parquet")
+    itemDict.write.mode("overwrite").parquet(s"$path/unique.item_id.parquet")
+  }
+}
+
+object EncodedAlsModel {
+  def load(spark: SparkSession, path: String): EncodedAlsModel =
+    EncodedAlsModel(AlsRecommender.loadModel(spark, s"$path/als"),
+      spark.read.parquet(s"$path/unique.user_id.parquet"),
+      spark.read.parquet(s"$path/unique.item_id.parquet"))
+}
+
 object AlsRecommender {
 
+  /** spark.ml ALS requires int ids; a silent cast would CORRUPT natural
+    * keys past 2³¹ (the reference's customer keys are UUID-ish,
+    * upload_to_snowflake.py:50). This guard raises per-row inside codegen —
+    * no extra pass over the data — and points callers at trainEncoded. */
+  private def toIntId(c: Column, name: String): Column = {
+    val asLong = c.cast("long")
+    when(c.isNotNull &&
+        (asLong.isNull || asLong > Int.MaxValue || asLong < Int.MinValue),
+      raise_error(concat(
+        lit(s"$name does not fit ALS's int ids (use trainEncoded): "),
+        c.cast("string"))))
+      .otherwise(asLong).cast("int")
+  }
+
   /** Train on (user_id, item_id[, ...]) interactions; rating = interaction
-    * count (implicit confidence). Ids are cast to int (ALS requirement). */
+    * count (implicit confidence). Ids must fit int (ALS requirement) — rows
+    * outside the range fail loudly; for UUID-ish or >2³¹ keys use
+    * `trainEncoded`. */
   def train(inter: DataFrame, cfg: AlsConfig = AlsConfig()): ALSModel = {
     val ratings = inter
-      .select(col("user_id").cast("int").as("user_id"),
-        col("item_id").cast("int").as("item_id"))
+      .select(toIntId(col("user_id"), "user_id").as("user_id"),
+        toIntId(col("item_id"), "item_id").as("item_id"))
       .groupBy("user_id", "item_id")
       .agg(count(lit(1)).cast("float").as("rating"))
     new ALS()
@@ -47,6 +82,44 @@ object AlsRecommender {
       .select(col("user_id"), posexplode(col("recommendations")))
       .select(col("user_id"), (col("pos") + 1).cast("int").as("rk"),
         col("col.item_id").as("item_id"), col("col.rating").as("score"))
+  }
+
+  /** Model persistence (spark.ml native format — factor tables as parquet,
+    * loadable on any cluster). */
+  def saveModel(model: ALSModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  def loadModel(spark: SparkSession, path: String): ALSModel =
+    ALSModel.load(path)
+
+  /** ALS over NATURAL keys of any type/width: Categorify-encode user/item
+    * ids to contiguous ints (dictionary cardinality always fits int long
+    * before raw keys do), train on the encoded ids, decode recommendations
+    * back through the same dictionaries. The dictionaries are the id
+    * contract — distributed, joinable, persisted beside the factors. */
+  def trainEncoded(inter: DataFrame, cfg: AlsConfig = AlsConfig()): EncodedAlsModel = {
+    val userDict = Categorify.fitDictionary(inter, "user_id")
+    val itemDict = Categorify.fitDictionary(inter, "item_id")
+    val enc = Categorify.encode(
+        Categorify.encode(inter, "user_id", userDict, "__u"),
+        "item_id", itemDict, "__i")
+      .select(col("__u").as("user_id"), col("__i").as("item_id"))
+    EncodedAlsModel(train(enc, cfg), userDict, itemDict)
+  }
+
+  /** Top-k per user with natural keys in and out. Unknown users (OOV id 0)
+    * have no factors and produce no rows — same cold-start contract as
+    * recommend's coldStartStrategy=drop. */
+  def recommendDecoded(em: EncodedAlsModel, users: DataFrame, k: Int = 10): DataFrame = {
+    val encUsers = Categorify.encode(users.select(col("user_id")),
+        "user_id", em.userDict, "__u")
+      .filter(col("__u") > 0)
+      .select(col("__u").as("user_id"))
+    val recs = recommend(em.model, encUsers, k)
+    val u = Categorify.decode(recs, "user_id", em.userDict, "__nu")
+    val ui = Categorify.decode(u, "item_id", em.itemDict, "__ni")
+    ui.select(col("__nu").as("user_id"), col("rk"),
+      col("__ni").as("item_id"), col("score"))
   }
 
   /** Grid-search fan-out + model selection: fit every config, evaluate mean

@@ -53,6 +53,46 @@ class RecommenderSpec extends SparkSpecBase {
     assert(metrics(best.key) == metrics.values.max)
   }
 
+  test("train fails loudly on ids past 2^31 instead of silently truncating") {
+    val wide = Seq((3_000_000_000L, 1L), (3_000_000_001L, 2L), (5L, 1L))
+      .toDF("user_id", "item_id")
+    val e = intercept[Exception] {
+      AlsRecommender.train(wide, AlsConfig(rank = 2, maxIter = 1))
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("trainEncoded")),
+      s"expected the id-contract error, got: $e")
+  }
+
+  test("trainEncoded round-trips natural keys past 2^31 (and persists)") {
+    // UUID-ish wide keys on BOTH sides; derived from the real interaction
+    // structure so ALS has signal to fit
+    val (tr, te) = split
+    val base = 10_000_000_000L
+    val wide = tr.select(($"user_id" + base).as("user_id"),
+      ($"item_id" * 1_000_000_007L).as("item_id"))
+    val em = AlsRecommender.trainEncoded(wide, AlsConfig(rank = 8, maxIter = 3, seed = 7L))
+    val users = te.select(($"user_id" + base).as("user_id")).distinct().limit(50)
+    val recs = AlsRecommender.recommendDecoded(em, users, 5)
+    assert(recs.count() > 0)
+    // every decoded key is a genuine natural key, none are truncated ints
+    val validUsers = wide.select($"user_id").distinct()
+    val validItems = wide.select($"item_id").distinct()
+    assert(recs.join(validUsers, Seq("user_id"), "left_anti").count() == 0)
+    assert(recs.select($"item_id".as("item_id"))
+      .join(validItems, Seq("item_id"), "left_anti").count() == 0)
+    assert(recs.groupBy("user_id").count().filter($"count" > 5).count() == 0)
+
+    // persistence: save -> load -> identical recommendations
+    val dir = java.nio.file.Files.createTempDirectory("graft_als").toString
+    em.save(dir)
+    val reloaded = EncodedAlsModel.load(spark, dir)
+    val recs2 = AlsRecommender.recommendDecoded(reloaded, users, 5)
+    assert(recs.select("user_id", "rk", "item_id")
+      .exceptAll(recs2.select("user_id", "rk", "item_id")).isEmpty)
+  }
+
   test("cooccur recommender never recommends already-seen items") {
     val (tr, _) = split
     val nb = Cooccur.itemNeighbors(tr, 50)
