@@ -80,6 +80,16 @@ object EventQueries {
         .select(unix_micros(col("window.start")).as("window_start_us"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("window_start_us"), col("event_type"))
+    },
+
+    // Sessionization (30-min gap) through the batch gaps-and-islands form —
+    // same merge semantics as the streaming flatMapGroupsWithState path
+    // (equivalence asserted in EventStreamSpec); here it gets a real oracle.
+    "q28_sessions" -> { (s, d) =>
+      graft.streaming.EventStream
+        .sessionizeBatch(table(s, d, "events"), "user_id",
+          unix_millis(col("ts")), gapMs = 1800000L)
+        .orderBy(col("user_id"), col("session_id"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -120,5 +130,19 @@ object EventQueries {
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
          event_type, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""")
+         FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
+    "q28_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms FROM events),
+         g AS (SELECT user_id, tms,
+                 CASE WHEN lag(tms) OVER w IS NULL OR tms - lag(tms) OVER w > 1800000
+                      THEN 1 ELSE 0 END AS isn
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms)),
+         s AS (SELECT user_id, tms,
+                 CAST(SUM(isn) OVER (PARTITION BY user_id ORDER BY tms
+                   ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+               FROM g)
+         SELECT user_id, session_id, MIN(tms) AS session_start_ms,
+           MAX(tms) AS session_end_ms, COUNT(*) AS n_events
+         FROM s GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""")
 }

@@ -56,6 +56,33 @@ object EventStream {
       case ((closed, Some(s)), t) => (closed :+ s, Some(SessionState(t, t, 1)))
     }
 
+  /** Batch sessionize — gaps-and-islands with the SAME merge semantics as
+    * the streaming path (split strictly when gap > gapMs), emitting every
+    * session including the trailing open one (which a batch run of
+    * flatMapGroupsWithState would hold in state forever: timeouts never
+    * fire on batch input). Output: user_id, session_id (1-based per user,
+    * time order), session_start_ms, session_end_ms, n_events.
+    *
+    * Shuffle plan: ONE exchange on the user key — HashPartitioning(user)
+    * satisfies the lag window, the running-sum window, AND the
+    * (user, session) aggregation (subset-key clustering).
+    */
+  def sessionizeBatch(events: DataFrame, userCol: String, tsMs: org.apache.spark.sql.Column,
+      gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy(col(userCol)).orderBy(col("__tms"))
+    val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(col(userCol), tsMs.as("__tms"))
+      .withColumn("__isn",
+        when(lag(col("__tms"), 1).over(byTime).isNull ||
+          col("__tms") - lag(col("__tms"), 1).over(byTime) > gapMs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__isn")).over(running).cast("int"))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(min(col("__tms")).as("session_start_ms"),
+        max(col("__tms")).as("session_end_ms"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Session windows per user: events within `gapMs` of each other merge; a
     * session is emitted when a later event opens the next session, or when
     * the event-time watermark passes its end + gap (timeout). */

@@ -75,4 +75,29 @@ class EventStreamSpec extends SparkSpecBase {
     assert(out == Seq(Session(7L,
       ts("2024-01-01 10:00:00").getTime, ts("2024-01-01 10:02:00").getTime, 2)))
   }
+
+  test("sessionizeBatch equals the streaming merge semantics on the events fixture") {
+    import org.apache.spark.sql.functions._
+    val gap = 1800000L
+    val ev = tbl("events")
+    val got = EventStream.sessionizeBatch(ev, "user_id", unix_millis(col("ts")), gap)
+      .select($"user_id", $"session_start_ms", $"session_end_ms", $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // expected: fold each user's sorted timestamps through the SAME pure
+    // transition the streaming path uses; closed ++ open = all sessions
+    val perUser = ev.select($"user_id", unix_millis($"ts").as("tms"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+    val expected = perUser.flatMap { case (u, rows) =>
+      val (closed, open) = EventStream.mergeSessions(None, rows.map(_._2).sorted.toSeq, gap)
+      (closed ++ open).map(s => (u, s.start, s.end, s.nEvents.toLong))
+    }.toSet
+    assert(got == expected)
+    // session ids are 1-based and time-ordered per user
+    val ids = EventStream.sessionizeBatch(ev, "user_id", unix_millis(col("ts")), gap)
+      .groupBy($"user_id")
+      .agg(min($"session_id").as("lo"), max($"session_id").as("hi"),
+        count(lit(1)).as("n"))
+      .filter($"lo" =!= 1 || $"hi" =!= $"n")
+    assert(ids.isEmpty)
+  }
 }
