@@ -95,15 +95,30 @@ object StarDag {
     * pre-join deduped transactions instead when FK integrity holds (every
     * article/customer key resolves) — the inner dim joins are then
     * count-preserving, so the frequency branch skips recomputing them and
-    * the per-customer counts are identical.
+    * the per-customer counts are identical. Check the precondition with
+    * `fkViolations` (run() does when asked).
     */
   def filteredDataframe(joined: DataFrame, trainEndUs: Long, minInteractions: Long,
-      freqSource: DataFrame = null): DataFrame = {
-    val src = Option(freqSource).getOrElse(joined)
+      freqSource: Option[DataFrame] = None): DataFrame = {
+    val src = freqSource.getOrElse(joined)
     val freq = src.filter(col("t_dat_us") < trainEndUs)
       .groupBy(col("customer_id")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minInteractions).select(col("customer_id"))
     joined.join(freq, Seq("customer_id"), "left_semi")
+  }
+
+  /** Transactions whose article/customer keys do NOT resolve against the
+    * dims — the FK-integrity precondition of the `freqSource = dedup` fast
+    * path, as data (empty ⇔ the inner joins are count-preserving). The
+    * dims are broadcast, so each anti join is one corpus pass. */
+  def fkViolations(dedup: DataFrame, meta: DataFrame, customers: DataFrame): DataFrame = {
+    val badArticle = dedup.join(broadcast(meta.select(col("article_id"))),
+      Seq("article_id"), "left_anti")
+    val badCustomer = dedup.join(broadcast(customers.select(col("customer_id"))),
+      Seq("customer_id"), "left_anti")
+    badArticle.select(col("customer_id"), col("article_id"), lit("article").as("missing_fk"))
+      .unionByName(badCustomer.select(col("customer_id"), col("article_id"),
+        lit("customer").as("missing_fk")))
   }
 
   /** The model-feed pull (my_merlin_flow.py:154-185): wide projection built
@@ -127,9 +142,16 @@ object StarDag {
   def lowercaseColumns(df: DataFrame): DataFrame =
     df.toDF(df.columns.map(_.toLowerCase): _*)
 
-  /** The whole DAG from in-memory envelopes (etl batch `etlId`). */
+  /** The whole DAG from in-memory envelopes (etl batch `etlId`).
+    *
+    * The frequency branch counts from the pre-join deduped transactions (one
+    * fewer recomputation of the dim joins) — valid only under FK integrity;
+    * `verifyFk = true` asserts it with one broadcast anti-join pass before
+    * composing (the dbt-test analog). The fixture DAG satisfies it by
+    * construction (StarDagSpec pins this), so q25 leaves it off.
+    */
   def run(spark: SparkSession, dir: String, trainEndUs: Long = 946684800000000L,
-      minInteractions: Long = 5L): DataFrame = {
+      minInteractions: Long = 5L, verifyFk: Boolean = false): DataFrame = {
     def env(df: DataFrame, tpe: String) =
       Relational.toEnvelope(df, tpe, 1700000000L, "batch-1")
     val tx = staging(env(transactionsRaw(spark, dir), "transactions"), txSchema)
@@ -138,7 +160,51 @@ object StarDag {
     val img = staging(env(imagesRaw(spark, dir), "images"), imageSchema)
     val meta = articlesMetadata(art, img)
     val dedup = dedupTransactions(tx)
+    if (verifyFk) {
+      val bad = fkViolations(dedup, meta, cust).limit(5).collect()
+      require(bad.isEmpty,
+        s"freqSource=dedup requires FK integrity; violations: ${bad.mkString(", ")}")
+    }
     val joined = joinedDataframe(dedup, meta, cust)
-    finalPull(filteredDataframe(joined, trainEndUs, minInteractions, freqSource = dedup))
+    finalPull(filteredDataframe(joined, trainEndUs, minInteractions, freqSource = Some(dedup)))
+  }
+
+  /** The same 8-model DAG through the materialization registry (Dag):
+    * every dbt model is declared with its deps; `tables` marks which are
+    * materialized to `warehouseDir` and reused on later runs (dbt's
+    * `materialized: table`). `resolve("final_pull")` with tables = ∅ is
+    * plan-identical to `run` above.
+    */
+  def dag(dir: String, warehouseDir: String, tables: Set[String] = Set.empty,
+      trainEndUs: Long = 946684800000000L, minInteractions: Long = 5L): Dag = {
+    def env(df: DataFrame, tpe: String) =
+      Relational.toEnvelope(df, tpe, 1700000000L, "batch-1")
+    def t(name: String) = tables.contains(name)
+    new Dag(Seq(
+      DagModel("stg_transactions", Nil, t("stg_transactions"))((s, _) =>
+        staging(env(transactionsRaw(s, dir), "transactions"), txSchema)),
+      DagModel("stg_articles", Nil, t("stg_articles"))((s, _) =>
+        staging(env(articlesRaw(s, dir), "articles"), articleSchema)),
+      DagModel("stg_customers", Nil, t("stg_customers"))((s, _) =>
+        staging(env(customersRaw(s, dir), "customers"), customerSchema)),
+      DagModel("stg_images", Nil, t("stg_images"))((s, _) =>
+        staging(env(imagesRaw(s, dir), "images"), imageSchema)),
+      DagModel("articles_metadata", Seq("stg_articles", "stg_images"),
+        t("articles_metadata"))((_, d) =>
+        articlesMetadata(d("stg_articles"), d("stg_images"))),
+      DagModel("dedup_transactions", Seq("stg_transactions"),
+        t("dedup_transactions"))((_, d) =>
+        dedupTransactions(d("stg_transactions"))),
+      DagModel("joined_dataframe",
+        Seq("dedup_transactions", "articles_metadata", "stg_customers"),
+        t("joined_dataframe"))((_, d) =>
+        joinedDataframe(d("dedup_transactions"), d("articles_metadata"), d("stg_customers"))),
+      DagModel("filtered_dataframe", Seq("joined_dataframe", "dedup_transactions"),
+        t("filtered_dataframe"))((_, d) =>
+        filteredDataframe(d("joined_dataframe"), trainEndUs, minInteractions,
+          freqSource = Some(d("dedup_transactions")))),
+      DagModel("final_pull", Seq("filtered_dataframe"), t("final_pull"))((_, d) =>
+        finalPull(d("filtered_dataframe")))),
+      warehouseDir)
   }
 }

@@ -48,4 +48,41 @@ class StarDagSpec extends SparkSpecBase {
     assert(spark.table("graft_s5_test").count() == 1)
     spark.sql("DROP TABLE graft_s5_test")
   }
+
+  test("fixture DAG satisfies FK integrity (the freqSource=dedup precondition)") {
+    assert(StarDag.run(spark, sfDir, verifyFk = true).count() > 0)
+  }
+
+  test("registry: materialized DAG equals the lazy composition (q25 parity)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_dag_wh").toString
+    val lazyOut = StarDag.dag(sfDir, wh).resolve(spark, "final_pull")
+    val matOut = StarDag.dag(sfDir, wh,
+        tables = Set("dedup_transactions", "joined_dataframe", "final_pull"))
+      .resolve(spark, "final_pull")
+    assert(lazyOut.exceptAll(matOut).isEmpty && matOut.exceptAll(lazyOut).isEmpty)
+    // and the registry's lazy form matches the hand-composed run()
+    val direct = StarDag.run(spark, sfDir)
+    assert(lazyOut.exceptAll(direct).isEmpty && direct.exceptAll(lazyOut).isEmpty)
+  }
+
+  test("registry: a later run reuses the materialized artifact; refresh rebuilds") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_dag_wh2").toString
+    var builds = 0
+    def mkDag = new Dag(Seq(
+      DagModel("base", Nil, table = true) { (s, _) =>
+        builds += 1
+        import s.implicits._
+        Seq((1, "a"), (2, "b")).toDF("id", "v")
+      },
+      DagModel("down", Seq("base")) { (_, d) => d("base").filter(col("id") > 1) }),
+      wh)
+    assert(mkDag.resolve(spark, "down").count() == 1)
+    assert(builds == 1)
+    // second run: the parquet artifact is reused, base is NOT rebuilt
+    assert(mkDag.resolve(spark, "down").count() == 1)
+    assert(builds == 1)
+    // refresh forces the rebuild
+    assert(mkDag.resolve(spark, "down", refresh = Set("base")).count() == 1)
+    assert(builds == 2)
+  }
 }
