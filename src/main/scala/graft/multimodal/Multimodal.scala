@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column support (SURVEY §2.1 S12 / §2.8 F14; reference: image
@@ -24,6 +24,37 @@ object Multimodal {
       .withColumn(metaCol, struct(
         lit(contentType).as("content_type"),
         octet_length(col(binCol)).as("byte_len")))
+
+  private val extContentTypes = Map(
+    "jpg" -> "image/jpeg", "jpeg" -> "image/jpeg", "png" -> "image/png",
+    "gif" -> "image/gif", "webp" -> "image/webp", "mp4" -> "video/mp4",
+    "mkv" -> "video/x-matroska", "wav" -> "audio/wav", "mp3" -> "audio/mpeg",
+    "flac" -> "audio/flac")
+
+  /** File → BinaryType ingestion through Spark's distributed `binaryFile`
+    * source — the front half of the reference's URL→bytes fetch
+    * (app_utils.py:10-26), offline form: the fetch loop becomes a
+    * partitioned scan (any Hadoop-compatible FS), with pushdown-capable
+    * length/modificationTime filters instead of per-row HTTP. Output rows
+    * are already in the asBinaryAsset shape: asset_name, asset bytes, and
+    * an asset_meta struct (content type inferred from the extension,
+    * byte_len, full path, mtime µs) — feed straight into batchEmbed /
+    * frameSample.
+    */
+  def readBinaryFiles(spark: SparkSession, dir: String, glob: String = "*"): DataFrame = {
+    val raw = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir)
+    val ext = lower(element_at(split(col("path"), "\\."), -1))
+    val ctype = extContentTypes.foldLeft(lit("application/octet-stream")) {
+      case (acc, (e, t)) => when(ext === e, lit(t)).otherwise(acc)
+    }
+    raw.select(
+      regexp_extract(col("path"), "([^/]+)$", 1).as("asset_name"),
+      col("content").as("asset"),
+      struct(ctype.as("content_type"), col("length").as("byte_len"),
+        col("path").as("path"),
+        unix_micros(col("modificationTime")).as("modified_us")).as("asset_meta"))
+  }
 
   /** Batch-inference seam (the to-the-model boundary, reference
     * my_merlin_flow.py:586-599): runs `model` over fixed-size batches of

@@ -56,4 +56,34 @@ class MultimodalSpec extends SparkSpecBase {
       .select($"frame_idx").as[Int].collect().sorted
     assert(strided.toSeq == Seq(0, 3, 6))
   }
+
+  test("readBinaryFiles ingests local files into the asset shape and feeds batchEmbed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin")
+    val img = Array.tabulate(300)(i => (i % 251).toByte)
+    val wav = "RIFF....WAVE".getBytes("UTF-8")
+    java.nio.file.Files.write(dir.resolve("cat.jpg"), img)
+    java.nio.file.Files.write(dir.resolve("meow.wav"), wav)
+    java.nio.file.Files.write(dir.resolve("notes.txt"), "hello".getBytes("UTF-8"))
+
+    val assets = Multimodal.readBinaryFiles(spark, dir.toString)
+    val rows = assets.orderBy($"asset_name").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("cat.jpg", "meow.wav", "notes.txt"))
+    val byName = rows.map(r => r.getString(0) ->
+      (r.getAs[Array[Byte]]("asset"), r.getStruct(2))).toMap
+    assert(byName("cat.jpg")._1.toSeq == img.toSeq, "bytes must round-trip")
+    assert(byName("cat.jpg")._2.getAs[String]("content_type") == "image/jpeg")
+    assert(byName("cat.jpg")._2.getAs[Long]("byte_len") == 300L)
+    assert(byName("meow.wav")._2.getAs[String]("content_type") == "audio/wav")
+    assert(byName("notes.txt")._2.getAs[String]("content_type") == "application/octet-stream")
+
+    // glob filter narrows the scan, and the ingested assets flow through
+    // the batch-inference seam unchanged
+    val jpgOnly = Multimodal.readBinaryFiles(spark, dir.toString, glob = "*.jpg")
+    assert(jpgOnly.count() == 1)
+    val withId = jpgOnly.withColumn("asset_id", lit(1L))
+    val emb = Multimodal.batchEmbed(withId, "asset_id", "asset", batchSize = 4)(
+      Multimodal.stubEncoder(8))
+    val v = emb.select($"embedding").as[Seq[Float]].head()
+    assert(v.length == 8 && v == Multimodal.stubEncoder(8)(Seq(img)).head.toSeq)
+  }
 }
