@@ -74,6 +74,11 @@ case class IvfProbeF32(child: Expression, centroids: Array[Array[Float]], nprobe
     * over the flattened matrix, insertion into a sorted top-`kept`. */
   def probe(v: ArrayData): ArrayData = {
     val vn = math.min(v.numElements(), dim)
+    // copy once per row: the hot loop then runs on two primitive arrays
+    // (nlist × dim iterations dominate; vn ArrayData reads don't)
+    val va = new Array[Float](vn)
+    var j = 0
+    while (j < vn) { va(j) = v.getFloat(j); j += 1 }
     val dist = new Array[Double](kept)
     val cids = new Array[Int](kept)
     var filled = 0
@@ -82,7 +87,7 @@ case class IvfProbeF32(child: Expression, centroids: Array[Array[Float]], nprobe
       var s = 0.0
       var i = 0
       val base = c * dim
-      while (i < vn) { s += v.getFloat(i).toDouble * flat(base + i).toDouble; i += 1 }
+      while (i < vn) { s += va(i).toDouble * flat(base + i).toDouble; i += 1 }
       val d = normsSq(c) - 2.0 * s
       if (filled < kept || d < dist(filled - 1)) {
         var j = math.min(filled, kept - 1)
