@@ -14,12 +14,19 @@ class BucketedJoinSpec extends SparkSpecBase {
     "Exchange".r.findAllIn(
       df.queryExecution.executedPlan.toString).length
 
-  test("join of co-bucketed tables has no exchange; plain parquet join shuffles") {
-    val orders = tbl("orders").select($"o_orderkey", $"o_custkey", $"o_totalprice")
-    val li = tbl("lineitem").select($"l_orderkey", $"l_quantity")
+  private def orders = tbl("orders").select($"o_orderkey", $"o_custkey", $"o_totalprice")
+  private def li = tbl("lineitem").select($"l_orderkey", $"l_quantity")
+
+  /** Shared fixture: both tests read these catalog tables, so create them
+    * once here — not inside the first test, which broke `testOnly -z` and
+    * test reordering. */
+  private lazy val bucketedTables: Unit = {
     BucketedTables.writeBucketed(orders, "orders_b", 4, "o_orderkey", Seq("o_orderkey"))
     BucketedTables.writeBucketed(li, "lineitem_b", 4, "l_orderkey", Seq("l_orderkey"))
+  }
 
+  test("join of co-bucketed tables has no exchange; plain parquet join shuffles") {
+    bucketedTables
     // disable auto-broadcast so the join strategy question is real
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -37,6 +44,7 @@ class BucketedJoinSpec extends SparkSpecBase {
   }
 
   test("bucketed aggregation on the bucket key also skips the exchange") {
+    bucketedTables
     val agg = BucketedTables.readBucketed(spark, "orders_b")
       .groupBy($"o_orderkey").agg(sum($"o_totalprice"))
     assert(exchanges(agg) == 0,

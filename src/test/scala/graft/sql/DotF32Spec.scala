@@ -66,4 +66,25 @@ class DotF32Spec extends SparkSpecBase {
     assert(out.filter($"hof" =!= $"fast").count() == 0,
       "codegen normalize must equal the HOF form element-for-element")
   }
+
+  test("L2NormalizeF32 keeps null elements null; norm from non-null elements") {
+    // 3-4-null: norm must be 5 (null contributes 0, same convention as
+    // DotF32), and the null slot must stay null — not silently read as 0
+    val df = Seq((1L, Seq[java.lang.Float](3.0f, 4.0f, null)),
+      (2L, Seq[java.lang.Float](6.0f, 8.0f, 0.0f))).toDF("id", "v")
+      .select($"id", $"v".cast("array<float>").as("v"))
+    def check(rows: Array[org.apache.spark.sql.Row]): Unit = {
+      val r1 = rows(0).getSeq[java.lang.Float](1)
+      assert(r1(0) == 0.6f && r1(1) == 0.8f && r1(2) == null)
+      val r2 = rows(1).getSeq[java.lang.Float](1)
+      assert(r2(0) == 0.6f && r2(1) == 0.8f && r2(2) == 0.0f)
+    }
+    val q = df.select($"id", GraftFunctions.l2NormalizeF32($"v")).orderBy($"id")
+    check(q.collect())
+    // same contract on the interpreted path
+    withSQLConf("spark.sql.codegen.factoryMode" -> "NO_CODEGEN",
+        "spark.sql.codegen.wholeStage" -> "false") {
+      check(q.collect())
+    }
+  }
 }
