@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The SCALE.md replication experiment, as a runnable main (pairs with
+  * tools/replicate_fixture.py):
+  *
+  *   python tools/replicate_fixture.py /root/testdata/sf0.1 /tmp/sf1x10 10
+  *   sbt "runMain graft.ScaleExperiment /tmp/sf1x10"
+  *
+  * Measures the adversarial regimes the round-3 operators exist for, on a
+  * 10× fixture with real data shapes:
+  *  - co-occurrence fit with an injected 3000-item hot user, capped vs
+  *    uncapped (the Cooccur maxBasket story);
+  *  - within-label embedding near-dup at 2000 rows/label, plain self-join
+  *    vs blockedNearDup's SRP hot-block splitting;
+  *  - IvfProbeF32 nlist sweep (16 → 8192): time must grow ~linearly in
+  *    nlist with no plan/codegen blowup (the r2 unrolled form died here);
+  *  - jaccardPairs with a shingle shared by EVERY document, capped vs
+  *    uncapped (the maxDocFreq guard).
+  *
+  * Timings sink to noop like Bench; one line per case: `name seconds rows`
+  * (rows = -1 when the sink has no count).
+  */
+object ScaleExperiment {
+
+  private def timed(name: String)(df: DataFrame): Unit = {
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+  }
+
+  private def counted(name: String)(df: DataFrame): Long = {
+    val t0 = System.nanoTime()
+    val n = df.count()
+    println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%8.1f s  rows=$n")
+    n
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/sf1x10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.sql.GraftFunctions.register(spark)
+
+    // 1. hot-user co-occurrence fit
+    val inter = graft.rank.Interactions.fromStar(spark, dir)
+    val hot = inter.select(col("item_id")).distinct().limit(3000)
+      .select(lit(999999999L).as("user_id"), col("item_id"),
+        lit("1998-01-01").cast("timestamp").as("ts"))
+    val withHot = inter.unionByName(hot)
+    timed("cooccur_fit_capped8_hotuser")(
+      graft.rank.Cooccur.itemNeighbors(withHot, 50, maxBasket = 8))
+    timed("cooccur_fit_uncapped_hotuser")(
+      graft.rank.Cooccur.itemNeighbors(withHot, 50))
+
+    // 2. within-label near-dup: plain vs blocked (2000 rows/label)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val n = emb.select(col("label"), col("vec_id"),
+      graft.sql.GraftFunctions.l2NormalizeF32(col("embedding")).as("nv"))
+    val a = n.select(col("label"), col("vec_id").as("a"), col("nv").as("na"))
+    val b = n.select(col("label"), col("vec_id").as("b"), col("nv").as("nb"))
+    counted("neardup_plain_label")(
+      a.join(b, Seq("label")).filter(col("a") < col("b"))
+        .select(graft.sql.GraftFunctions.dotF32(col("na"), col("nb")).as("cos"))
+        .filter(col("cos") >= 0.3))
+    counted("neardup_blocked64")(
+      graft.sim.BlockedNearDup.pairs(emb, "vec_id", "embedding", "label",
+        maxBlock = 64, threshold = 0.3, dim = 64))
+
+    // 3. IvfProbeF32 nlist sweep (assignment + nprobe=8 per row)
+    val emb32 = emb.repartition(cpus.toInt)
+    for (nlist <- Seq(16, 1024, 8192)) {
+      val centroids = Array.tabulate(nlist)(c =>
+        Array.tabulate(64)(j => (((c * 31 + j * 7) % 97) - 48) / 48.0f))
+      timed(s"ivf_probe_nlist$nlist")(
+        emb32.select(col("vec_id"),
+          graft.sim.Ivf.nearestCell(col("embedding"), centroids).as("cid"),
+          graft.sim.Ivf.probeCells(col("embedding"), centroids, 8).as("probes")))
+    }
+
+    // 4. universal hot shingle: every doc shares 'hot'
+    val docs = spark.range(5000).select(col("id").as("doc_id"),
+      array(lit("hot"), concat(lit("u"), col("id")),
+        concat(lit("v"), col("id"))).as("shingles"))
+    counted("jaccard_capped50_hotshingle")(
+      graft.dedup.TextDedup.jaccardPairs(docs, "doc_id", col("shingles"), maxDocFreq = 50))
+    counted("jaccard_uncapped_hotshingle")(
+      graft.dedup.TextDedup.jaccardPairs(docs, "doc_id", col("shingles")))
+
+    spark.stop()
+  }
+}

@@ -15,9 +15,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object RetrievalPipeline {
 
-  /** Fit on interactions and persist the neighbor model. */
-  def fitAndSave(inter: DataFrame, modelPath: String, maxNeighbors: Int = 50): Unit =
-    Cooccur.itemNeighbors(inter, maxNeighbors)
+  /** Fit on interactions and persist the neighbor model. `maxBasket > 0`
+    * applies the per-user recent-N cap before the pair self-join
+    * (Interactions.recentN) — mandatory at 100 TB scale, see Cooccur. */
+  def fitAndSave(inter: DataFrame, modelPath: String, maxNeighbors: Int = 50,
+      maxBasket: Int = 0): Unit =
+    Cooccur.itemNeighbors(inter, maxNeighbors, maxBasket)
       .write.mode("overwrite").parquet(modelPath)
 
   /** Load the persisted model. */
@@ -25,8 +28,9 @@ object RetrievalPipeline {
     spark.read.parquet(modelPath)
 
   /** Recommend from the materialized model — the fit lineage is never
-    * re-executed, only the model parquet is scanned. */
+    * re-executed, only the model parquet is scanned. `maxBasket` caps the
+    * candidate-generating history (seen-item exclusion stays full). */
   def recommendFrom(spark: SparkSession, modelPath: String,
-      inter: DataFrame, k: Int = 10): DataFrame =
-    Cooccur.recommend(inter, loadModel(spark, modelPath), k)
+      inter: DataFrame, k: Int = 10, maxBasket: Int = 0): DataFrame =
+    Cooccur.recommend(inter, loadModel(spark, modelPath), k, maxBasket)
 }

@@ -65,6 +65,23 @@ object Ivf {
     }
   }
 
+  /** Persist fitted centroids as parquet (cid, vec) — the IVF model
+    * artifact, same philosophy as Categorify dictionaries and the
+    * RetrievalPipeline neighbor table: a plain dataset, joinable and
+    * inspectable anywhere. Bounded at nlist rows by construction. */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Float]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "vec").repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Float]] =
+    spark.read.parquet(path).orderBy(col("cid"))
+      .collect().map(_.getSeq[Float](1).toArray)
+
   /** ANN top-k: assign corpus rows to their cell, probe each query's
     * `nprobe` nearest cells, exact cosine rerank within the probed cells.
     * Output: query_id, rk, neighbor_id, cos. */

@@ -90,6 +90,19 @@ class IvfSpec extends SparkSpecBase {
     }
   }
 
+  test("centroids persist and reload bit-identically; assignments agree") {
+    val emb = tbl("embeddings", sfDirMid)
+    val centroids = Ivf.fitCentroids(emb, "vec_id", "embedding", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Ivf.saveCentroids(spark, centroids, dir)
+    val reloaded = Ivf.loadCentroids(spark, dir)
+    assert(reloaded.length == centroids.length)
+    assert(centroids.zip(reloaded).forall { case (x, y) => x.sameElements(y) })
+    val a1 = emb.select($"vec_id", Ivf.nearestCell($"embedding", centroids).as("cid"))
+    val a2 = emb.select($"vec_id", Ivf.nearestCell($"embedding", reloaded).as("cid"))
+    assert(a1.exceptAll(a2).isEmpty)
+  }
+
   test("probeCells returns nprobe distinct cells led by the nearest") {
     val emb = tbl("embeddings", sfDirMid)
     val centroids = Ivf.fitCentroids(emb, "vec_id", "embedding", nlist = 8)
