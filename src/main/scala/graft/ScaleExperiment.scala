@@ -40,6 +40,9 @@ object ScaleExperiment {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/sf1x10")
+    // optional second arg: only run cases whose name contains it
+    val only = args.drop(1).headOption.getOrElse("")
+    def on(name: String): Boolean = name.contains(only)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -51,49 +54,61 @@ object ScaleExperiment {
     graft.sql.GraftFunctions.register(spark)
 
     // 1. hot-user co-occurrence fit
-    val inter = graft.rank.Interactions.fromStar(spark, dir)
-    val hot = inter.select(col("item_id")).distinct().limit(3000)
-      .select(lit(999999999L).as("user_id"), col("item_id"),
-        lit("1998-01-01").cast("timestamp").as("ts"))
-    val withHot = inter.unionByName(hot)
-    timed("cooccur_fit_capped8_hotuser")(
-      graft.rank.Cooccur.itemNeighbors(withHot, 50, maxBasket = 8))
-    timed("cooccur_fit_uncapped_hotuser")(
-      graft.rank.Cooccur.itemNeighbors(withHot, 50))
-
-    // 2. within-label near-dup: plain vs blocked (2000 rows/label)
-    val emb = Tables.load(spark, dir, "embeddings")
-    val n = emb.select(col("label"), col("vec_id"),
-      graft.sql.GraftFunctions.l2NormalizeF32(col("embedding")).as("nv"))
-    val a = n.select(col("label"), col("vec_id").as("a"), col("nv").as("na"))
-    val b = n.select(col("label"), col("vec_id").as("b"), col("nv").as("nb"))
-    counted("neardup_plain_label")(
-      a.join(b, Seq("label")).filter(col("a") < col("b"))
-        .select(graft.sql.GraftFunctions.dotF32(col("na"), col("nb")).as("cos"))
-        .filter(col("cos") >= 0.3))
-    counted("neardup_blocked64")(
-      graft.sim.BlockedNearDup.pairs(emb, "vec_id", "embedding", "label",
-        maxBlock = 64, threshold = 0.3, dim = 64))
-
-    // 3. IvfProbeF32 nlist sweep (assignment + nprobe=8 per row)
-    val emb32 = emb.repartition(cpus.toInt)
-    for (nlist <- Seq(16, 1024, 8192)) {
-      val centroids = Array.tabulate(nlist)(c =>
-        Array.tabulate(64)(j => (((c * 31 + j * 7) % 97) - 48) / 48.0f))
-      timed(s"ivf_probe_nlist$nlist")(
-        emb32.select(col("vec_id"),
-          graft.sim.Ivf.nearestCell(col("embedding"), centroids).as("cid"),
-          graft.sim.Ivf.probeCells(col("embedding"), centroids, 8).as("probes")))
+    if (on("cooccur")) {
+      val inter = graft.rank.Interactions.fromStar(spark, dir)
+      val hot = inter.select(col("item_id")).distinct().limit(3000)
+        .select(lit(999999999L).as("user_id"), col("item_id"),
+          lit("1998-01-01").cast("timestamp").as("ts"))
+      val withHot = inter.unionByName(hot)
+      timed("cooccur_fit_capped8_hotuser")(
+        graft.rank.Cooccur.itemNeighbors(withHot, 50, maxBasket = 8))
+      timed("cooccur_fit_uncapped_hotuser")(
+        graft.rank.Cooccur.itemNeighbors(withHot, 50))
     }
 
-    // 4. universal hot shingle: every doc shares 'hot'
-    val docs = spark.range(5000).select(col("id").as("doc_id"),
-      array(lit("hot"), concat(lit("u"), col("id")),
-        concat(lit("v"), col("id"))).as("shingles"))
-    counted("jaccard_capped50_hotshingle")(
-      graft.dedup.TextDedup.jaccardPairs(docs, "doc_id", col("shingles"), maxDocFreq = 50))
-    counted("jaccard_uncapped_hotshingle")(
-      graft.dedup.TextDedup.jaccardPairs(docs, "doc_id", col("shingles")))
+    // 2. within-label near-dup: plain vs blocked (2000 rows/label)
+    if (on("neardup")) {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val n = emb.select(col("label"), col("vec_id"),
+        graft.sql.GraftFunctions.l2NormalizeF32(col("embedding")).as("nv"))
+      val a = n.select(col("label"), col("vec_id").as("a"), col("nv").as("na"))
+      val b = n.select(col("label"), col("vec_id").as("b"), col("nv").as("nb"))
+      counted("neardup_plain_label")(
+        a.join(b, Seq("label")).filter(col("a") < col("b"))
+          .select(graft.sql.GraftFunctions.dotF32(col("na"), col("nb")).as("cos"))
+          .filter(col("cos") >= 0.3))
+      counted("neardup_blocked64")(
+        graft.sim.BlockedNearDup.pairs(emb, "vec_id", "embedding", "label",
+          maxBlock = 64, threshold = 0.3, dim = 64))
+    }
+
+    // 3. IvfProbeF32 nlist sweep (assignment + nprobe=8 per row)
+    if (on("ivf_probe")) {
+      val emb32 = Tables.load(spark, dir, "embeddings").repartition(cpus.toInt)
+      for (nlist <- Seq(16, 1024, 8192)) {
+        val centroids = Array.tabulate(nlist)(c =>
+          Array.tabulate(64)(j => (((c * 31 + j * 7) % 97) - 48) / 48.0f))
+        timed(s"ivf_probe_nlist$nlist")(
+          emb32.select(col("vec_id"),
+            graft.sim.Ivf.nearestCell(col("embedding"), centroids).as("cid"),
+            graft.sim.Ivf.probeCells(col("embedding"), centroids, 8).as("probes")))
+      }
+    }
+
+    // 4. universal hot shingle shared by every doc, PLUS genuine pairwise
+    // overlaps (docs i and i+1 share bridge shingle p{i}) — the cap must
+    // kill the universal shingle's n²/2 fan-out while keeping every real
+    // overlap pair alive.
+    if (on("jaccard")) {
+      val docs = spark.range(5000).select(col("id").as("doc_id"),
+        array(lit("hot"), concat(lit("p"), col("id")),
+          concat(lit("p"), col("id") - 1),
+          concat(lit("u"), col("id"))).as("shingles"))
+      counted("jaccard_capped50_hotshingle")(
+        graft.dedup.TextDedup.jaccardPairs(docs, "doc_id", col("shingles"), maxDocFreq = 50))
+      counted("jaccard_uncapped_hotshingle")(
+        graft.dedup.TextDedup.jaccardPairs(docs, "doc_id", col("shingles")))
+    }
 
     spark.stop()
   }
