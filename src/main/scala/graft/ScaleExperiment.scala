@@ -110,6 +110,17 @@ object ScaleExperiment {
         graft.dedup.TextDedup.jaccardPairs(docs, "doc_id", col("shingles")))
     }
 
+    // 5. sessionization over the replicated interaction stream (the
+    // gaps-and-islands window chain: one exchange on the user key)
+    if (on("sessions")) {
+      val inter = graft.rank.Interactions.fromStar(spark, dir)
+      // o_orderdate is TIMESTAMP_NTZ; session TZ is pinned UTC so the cast
+      // is value-preserving (same note as StarDag.transactionsRaw)
+      counted("sessions_batch")(
+        graft.streaming.EventStream.sessionizeBatch(inter, "user_id",
+          unix_millis(col("ts").cast("timestamp")), gapMs = 7L * 24 * 3600 * 1000))
+    }
+
     spark.stop()
   }
 }

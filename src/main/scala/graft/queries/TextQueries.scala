@@ -24,6 +24,21 @@ object TextQueries {
   }
 
   val defs: Map[String, QueryFn] = Map(
+    // Corpus profiling per (source, lang): the pre-training data-QA sweep —
+    // doc counts, length min/median/max, exact-decimal mean. The median is
+    // Spark's exact `percentile` (linear interpolation over int lengths —
+    // halves are exact in double, so it hash-matches quantile_cont).
+    "q29_corpus_profile" -> { (s, d) =>
+      table(s, d, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          percentile(col("n_chars"), lit(0.5)).as("med_chars"),
+          max(col("n_chars")).as("max_chars"),
+          (dsum(col("n_chars").cast("double"), 4) / count(lit(1))).as("mean_chars"))
+        .orderBy(col("source"), col("lang"))
+    },
+
     // Token counting + quality scoring (lengths, lexical diversity,
     // stopword ratio) — all int-derived doubles, cross-engine exact.
     "q30_token_stats" -> { (s, d) =>
@@ -131,6 +146,13 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q29_corpus_profile" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+         MIN(n_chars) AS min_chars,
+         CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS med_chars,
+         MAX(n_chars) AS max_chars,
+         CAST(SUM(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean_chars
+         FROM documents GROUP BY source, lang ORDER BY source, lang""",
     "q30_token_stats" ->
       """SELECT doc_id,
          CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
