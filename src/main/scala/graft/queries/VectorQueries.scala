@@ -80,6 +80,19 @@ object VectorQueries {
         .orderBy(col("label"), col("a"), col("b"))
     },
 
+    // IVF ANN top-5 against a plan-constant quantizer — the FULL pipeline
+    // (cell assignment via IvfProbeF32, nprobe probing, exact cosine
+    // rerank) oracle-checked: with the centroid matrix a deterministic
+    // constant in both engines, assignment/probing is an exact-double
+    // argmin any SQL engine reproduces (the k-means fit stays spec-checked
+    // in IvfSpec — the search path is what serves queries).
+    "q47_ivf_ann" -> { (s, d) =>
+      graft.sim.Ivf.topKWithCentroids(table(s, d, "embeddings"),
+          "vec_id", "embedding", k = 5, centroids = ivfCentroids, nprobe = 2)
+        .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // Multi-table SRP-LSH ANN top-5 — fully oracle-checked: the ±1
     // hyperplane coefficients are plan-time constants embedded in BOTH the
     // Spark plan and the DuckDB oracle SQL, so the bucketing (and thus the
@@ -96,6 +109,14 @@ object VectorQueries {
   private val srpTables = 8
   private val blockedMaxBlock = 16
   private val blockedSplitBits = 8
+  private val ivfNlist = 16
+
+  /** Deterministic synthetic quantizer (same formula as the q62 bench and
+    * the scale experiment) — float values, widened exactly to double for
+    * the oracle's literals. */
+  private lazy val ivfCentroids: Array[Array[Float]] =
+    Array.tabulate(ivfNlist)(c =>
+      Array.tabulate(dim)(j => (((c * 31 + j * 7) % 97) - 48) / 48.0f))
 
   private lazy val srpSignLists: IndexedSeq[String] =
     Knn.srpSigns(srpTables * srpBits, dim).toIndexedSeq
@@ -138,6 +159,39 @@ object VectorQueries {
           FROM n x JOIN n y ON x.label = y.label AND x.vec_id < y.vec_id
           WHERE ${dot("x.ne", "y.ne")} > 0.3
           ORDER BY a, b""",
+    "q47_ivf_ann" -> {
+      // centroid matrix as literal rows; Float→Double widening is exact and
+      // Double.toString round-trips, so both engines score identical values
+      val cvals = ivfCentroids.zipWithIndex.map { case (cv, i) =>
+        s"($i, ${cv.map(_.toDouble.toString).mkString("[", ", ", "]")})"
+      }.mkString(",\n              ")
+      s"""WITH c(cid, cv) AS (VALUES
+              $cvals),
+          n AS (SELECT vec_id, embedding,
+              list_transform(embedding,
+                x -> CAST(CAST(x AS DOUBLE) / sqrt(${dot("embedding", "embedding")}) AS REAL)) ne
+            FROM embeddings),
+          dist AS (SELECT n.vec_id, c.cid,
+              CAST(list_sum(list_transform(c.cv, x -> x * x)) AS DOUBLE)
+                - 2 * ${dot("n.embedding", "c.cv")} AS dd
+            FROM n CROSS JOIN c),
+          rankedc AS (SELECT vec_id, cid,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cid) rn FROM dist),
+          assigned AS (SELECT vec_id, cid FROM rankedc WHERE rn = 1),
+          probes AS (SELECT vec_id, cid FROM rankedc WHERE rn <= 2),
+          cand AS (SELECT p.vec_id query_id, a.vec_id neighbor_id
+            FROM probes p JOIN assigned a USING (cid) WHERE p.vec_id <> a.vec_id),
+          scored AS (SELECT cand.query_id, cand.neighbor_id,
+              ${dot("qn.ne", "nn.ne")} AS cos
+            FROM cand JOIN n qn ON qn.vec_id = cand.query_id
+                      JOIN n nn ON nn.vec_id = cand.neighbor_id),
+          ranked AS (SELECT query_id, neighbor_id, cos,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS INT) rk
+            FROM scored)
+          SELECT query_id, rk, neighbor_id, cos FROM ranked WHERE rk <= 5
+          ORDER BY query_id, rk"""
+    },
     "q46_blocked_neardup" -> {
       // same hyperplane constants as the Spark plan (srpSigns is tabulated
       // per plane index, so the first blockedSplitBits rows of the q43 table

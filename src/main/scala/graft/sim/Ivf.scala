@@ -86,9 +86,17 @@ object Ivf {
     * `nprobe` nearest cells, exact cosine rerank within the probed cells.
     * Output: query_id, rk, neighbor_id, cos. */
   def topK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      nlist: Int, nprobe: Int = 2, iters: Int = 3): DataFrame = {
+      nlist: Int, nprobe: Int = 2, iters: Int = 3): DataFrame =
+    topKWithCentroids(df, idCol, vecCol, k,
+      fitCentroids(df, idCol, vecCol, nlist, iters), nprobe)
+
+  /** The search half of topK against a GIVEN quantizer (loaded from
+    * loadCentroids, or any deterministic matrix — with plan-constant
+    * centroids the whole pipeline is reproducible in an external SQL
+    * engine, which is how q47 oracle-checks it). */
+  def topKWithCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      centroids: Array[Array[Float]], nprobe: Int = 2): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val centroids = fitCentroids(df, idCol, vecCol, nlist, iters)
     val normed = df.select(col(idCol),
       GraftFunctions.l2NormalizeF32(col(vecCol)).as("__nv"),
       col(vecCol))
