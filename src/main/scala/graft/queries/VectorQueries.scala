@@ -86,6 +86,18 @@ object VectorQueries {
     // constant in both engines, assignment/probing is an exact-double
     // argmin any SQL engine reproduces (the k-means fit stays spec-checked
     // in IvfSpec — the search path is what serves queries).
+    // End-to-end embedding near-dup REMOVAL (the vector q38): blocked pair
+    // generation (with hot-block SRP splitting) → drop the larger id of
+    // every pair at/above threshold → anti join. Output: surviving rows.
+    "q48_drop_vector_neardups" -> { (s, d) =>
+      graft.sim.BlockedNearDup.dropNearDuplicates(table(s, d, "embeddings"),
+          "vec_id", "embedding", "label",
+          maxBlock = blockedMaxBlock, threshold = 0.98, dim = dim,
+          maxSplitBits = blockedSplitBits)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    },
+
     "q47_ivf_ann" -> { (s, d) =>
       graft.sim.Ivf.topKWithCentroids(table(s, d, "embeddings"),
           "vec_id", "embedding", k = 5, centroids = ivfCentroids, nprobe = 2)
@@ -117,6 +129,28 @@ object VectorQueries {
   private lazy val ivfCentroids: Array[Array[Float]] =
     Array.tabulate(ivfNlist)(c =>
       Array.tabulate(dim)(j => (((c * 31 + j * 7) % 97) - 48) / 48.0f))
+
+  /** Shared q46/q48 oracle CTEs: per-row normalized vector, SRP bucket from
+    * the same hyperplane constants as the Spark plan (srpSigns is tabulated
+    * per plane index, so the first blockedSplitBits rows of the q43 table
+    * ARE these planes), and the per-block power-of-two split ladder. */
+  private lazy val blockedSubCtes: String = {
+    val bucketSql = (0 until blockedSplitBits).map { p =>
+      s"(CASE WHEN ${dot("embedding", srpSignLists(p))} >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val ladder = (0 until blockedSplitBits).map { s =>
+      s"WHEN bn <= ${blockedMaxBlock.toLong << s} THEN ${1L << s}"
+    }.mkString(" ")
+    s"""n AS (SELECT label, vec_id,
+              list_transform(embedding,
+                x -> CAST(CAST(x AS DOUBLE) / sqrt(${dot("embedding", "embedding")}) AS REAL)) ne,
+              $bucketSql AS bucket,
+              COUNT(*) OVER (PARTITION BY label) AS bn
+            FROM embeddings),
+          s AS (SELECT label, vec_id, ne,
+              bucket % (CASE $ladder ELSE ${1L << blockedSplitBits} END) AS sub
+            FROM n)"""
+  }
 
   private lazy val srpSignLists: IndexedSeq[String] =
     Knn.srpSigns(srpTables * srpBits, dim).toIndexedSeq
@@ -192,30 +226,20 @@ object VectorQueries {
           SELECT query_id, rk, neighbor_id, cos FROM ranked WHERE rk <= 5
           ORDER BY query_id, rk"""
     },
-    "q46_blocked_neardup" -> {
-      // same hyperplane constants as the Spark plan (srpSigns is tabulated
-      // per plane index, so the first blockedSplitBits rows of the q43 table
-      // ARE the q46 planes)
-      val bucketSql = (0 until blockedSplitBits).map { p =>
-        s"(CASE WHEN ${dot("embedding", srpSignLists(p))} >= 0 THEN ${1L << p} ELSE 0 END)"
-      }.mkString(" + ")
-      val ladder = (0 until blockedSplitBits).map { s =>
-        s"WHEN bn <= ${blockedMaxBlock.toLong << s} THEN ${1L << s}"
-      }.mkString(" ")
-      s"""WITH n AS (SELECT label, vec_id,
-              list_transform(embedding,
-                x -> CAST(CAST(x AS DOUBLE) / sqrt(${dot("embedding", "embedding")}) AS REAL)) ne,
-              $bucketSql AS bucket,
-              COUNT(*) OVER (PARTITION BY label) AS bn
-            FROM embeddings),
-          s AS (SELECT label, vec_id, ne,
-              bucket % (CASE $ladder ELSE ${1L << blockedSplitBits} END) AS sub
-            FROM n)
+    "q46_blocked_neardup" ->
+      s"""WITH $blockedSubCtes
           SELECT x.label, x.vec_id a, y.vec_id b, ${dot("x.ne", "y.ne")} AS cos
           FROM s x JOIN s y ON x.label = y.label AND x.sub = y.sub AND x.vec_id < y.vec_id
           WHERE ${dot("x.ne", "y.ne")} >= 0.3
-          ORDER BY x.label, a, b"""
-    },
+          ORDER BY x.label, a, b""",
+    "q48_drop_vector_neardups" ->
+      s"""WITH $blockedSubCtes,
+          dups AS (SELECT DISTINCT y.vec_id AS b
+            FROM s x JOIN s y ON x.label = y.label AND x.sub = y.sub AND x.vec_id < y.vec_id
+            WHERE ${dot("x.ne", "y.ne")} >= 0.98)
+          SELECT e.vec_id, e.label FROM embeddings e
+          WHERE e.vec_id NOT IN (SELECT b FROM dups)
+          ORDER BY e.vec_id""",
     "q43_knn_lsh" -> {
       def bucketSql(t: Int): String = (0 until srpBits).map { b =>
         s"(CASE WHEN ${dot("embedding", srpSignLists(t * srpBits + b))} >= 0 THEN ${1L << b} ELSE 0 END)"

@@ -63,4 +63,17 @@ object BlockedNearDup {
         GraftFunctions.dotF32(col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** End-to-end embedding near-duplicate REMOVAL — the vector analog of
+    * TextDedup.dropNearDuplicates, same keep-smallest-id per-pair policy
+    * (and the same transitive-chain caveat documented there): every pair at
+    * or above the threshold drops its larger id; one anti join on the id
+    * after the pair pipeline. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, maxBlock: Int, threshold: Double, dim: Int,
+      maxSplitBits: Int = 8): DataFrame = {
+    val dupIds = pairs(df, idCol, vecCol, blockCol, maxBlock, threshold, dim, maxSplitBits)
+      .select(col("b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
 }

@@ -44,6 +44,20 @@ class BlockedNearDupSpec extends SparkSpecBase {
       s"split must prune the pair space: $comparedPairs vs $allPairs")
   }
 
+  test("dropNearDuplicates removes planted dups (keep-smallest-id) and is idempotent") {
+    val base = (0 until 60).map(i => (i.toLong, s"b${i % 3}", vec(i)))
+    // exact duplicates of ids 4 and 17, planted with larger ids
+    val dups = Seq((100L, "b1", vec(4)), (101L, "b2", vec(17)))
+    val df = (base ++ dups).toDF("id", "blk", "v")
+    val kept = BlockedNearDup.dropNearDuplicates(df, "id", "v", "blk",
+      maxBlock = 16, threshold = 0.9999, dim = dim)
+    val ids = kept.select("id").as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 60L), s"planted dups 100/101 must drop, originals stay: $ids")
+    val again = BlockedNearDup.dropNearDuplicates(kept, "id", "v", "blk",
+      maxBlock = 16, threshold = 0.9999, dim = dim)
+    assert(again.count() == kept.count(), "idempotent on a deduped corpus")
+  }
+
   test("deterministic across runs and partitionings") {
     val df = (0 until 100).map(i => (i.toLong, s"b${i % 2}", vec(i))).toDF("id", "blk", "v")
     val r1 = BlockedNearDup.pairs(df, "id", "v", "blk", 8, 0.0, dim)
