@@ -67,6 +67,44 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), s"sizes join not broadcast:\n$p")
   }
 
+  test("sessionizeBatch: the whole gaps-and-islands chain rides one user-key exchange") {
+    import org.apache.spark.sql.functions._
+    val df = graft.streaming.EventStream.sessionizeBatch(
+      tbl("events"), "user_id", unix_millis(col("ts")), 1800000L)
+    val p = withSQLConf("spark.sql.adaptive.enabled" -> "false")(plan(df))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange (user_id), got $exchanges:\n$p")
+    assert("hashpartitioning\\(user_id#\\d+L?, 4\\)".r.findFirstIn(p).isDefined,
+      s"the one exchange must be on user_id alone:\n$p")
+  }
+
+  test("recentN: cap runs on one user-key exchange with WindowGroupLimit") {
+    val inter = graft.rank.Interactions.fromStar(spark, sfDir)
+    val p = withSQLConf("spark.sql.adaptive.enabled" -> "false")(
+      plan(graft.rank.Interactions.recentN(inter, 8)))
+    assert(p.contains("WindowGroupLimit"), s"missing WindowGroupLimit:\n$p")
+    // one deliberate user-key repartition; the only other exchange is the
+    // orders⨝lineitem fact join's own requirement
+    assert("REPARTITION_BY_COL".r.findAllIn(p).length == 1, s"cap exchange count:\n$p")
+    assert(!"hashpartitioning\\(user_id#\\d+L?, item_id".r.findFirstIn(p).isDefined,
+      s"no (user, item) exchange — subset clustering must reuse the user key:\n$p")
+  }
+
+  test("IVF search: cell assignment is a pure projection (no exchange before the cell join)") {
+    val emb = tbl("embeddings")
+    val centroids = Array.tabulate(16)(c =>
+      Array.tabulate(64)(j => (((c * 31 + j * 7) % 97) - 48) / 48.0f))
+    val df = graft.sim.Ivf.topKWithCentroids(emb, "vec_id", "embedding", 5, centroids, 2)
+    val p = withSQLConf("spark.sql.adaptive.enabled" -> "false")(plan(df))
+    // the probe expression appears as one fused call, not unrolled literals
+    assert(p.contains("graft_ivf_probe_f32"), s"probe expression missing:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"missing WindowGroupLimit:\n$p")
+    // exchanges: the (cid) join requirement on both sides + the top-k
+    // window reusing the query-side partitioning — no more
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"unexpected exchange count $exchanges:\n$p")
+  }
+
   test("lshTopK (probes=0) has no aggregation between scoring and the top-k window") {
     val emb = tbl("embeddings")
     val p = plan(graft.sim.Knn.lshTopK(emb, "vec_id", "embedding",
