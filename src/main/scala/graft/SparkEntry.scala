@@ -73,9 +73,12 @@ object SparkEntry {
       val dim = emb.select(size(col("embedding"))).head().getInt(0)
       val centroids = Array.tabulate(1024)(c =>
         Array.tabulate(dim)(j => (((c * 31 + j * 7) % 97) - 48) / 48.0f))
+      // probe once per row; the assigned cell is the first probe (distance
+      // ascending), so the nlist loop runs once, not twice
       emb.select(col("vec_id"),
-          graft.sim.Ivf.nearestCell(col("embedding"), centroids).as("cid"),
-          explode(graft.sim.Ivf.probeCells(col("embedding"), centroids, 8)).as("probe"))
+          graft.sim.Ivf.probeCells(col("embedding"), centroids, 8).as("probes"))
+        .select(col("vec_id"), element_at(col("probes"), 1).as("cid"),
+          explode(col("probes")).as("probe"))
         .groupBy(col("probe")).agg(count(lit(1)).as("n"), countDistinct(col("cid")).as("cells"))
     })
 }
