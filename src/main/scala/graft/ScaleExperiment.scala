@@ -86,8 +86,7 @@ object ScaleExperiment {
     if (on("ivf_probe")) {
       val emb32 = Tables.load(spark, dir, "embeddings").repartition(cpus.toInt)
       for (nlist <- Seq(16, 1024, 8192)) {
-        val centroids = Array.tabulate(nlist)(c =>
-          Array.tabulate(64)(j => (((c * 31 + j * 7) % 97) - 48) / 48.0f))
+        val centroids = graft.sim.Ivf.syntheticCentroids(nlist, 64)
         timed(s"ivf_probe_nlist$nlist")(
           emb32.select(col("vec_id"),
             graft.sim.Ivf.nearestCell(col("embedding"), centroids).as("cid"),

@@ -71,8 +71,7 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       val emb = graft.Tables.load(s, d, "embeddings")
       val dim = emb.select(size(col("embedding"))).head().getInt(0)
-      val centroids = Array.tabulate(1024)(c =>
-        Array.tabulate(dim)(j => (((c * 31 + j * 7) % 97) - 48) / 48.0f))
+      val centroids = graft.sim.Ivf.syntheticCentroids(1024, dim)
       // probe once per row; the assigned cell is the first probe (distance
       // ascending), so the nlist loop runs once, not twice
       emb.select(col("vec_id"),

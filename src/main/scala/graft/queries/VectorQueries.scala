@@ -80,12 +80,6 @@ object VectorQueries {
         .orderBy(col("label"), col("a"), col("b"))
     },
 
-    // IVF ANN top-5 against a plan-constant quantizer — the FULL pipeline
-    // (cell assignment via IvfProbeF32, nprobe probing, exact cosine
-    // rerank) oracle-checked: with the centroid matrix a deterministic
-    // constant in both engines, assignment/probing is an exact-double
-    // argmin any SQL engine reproduces (the k-means fit stays spec-checked
-    // in IvfSpec — the search path is what serves queries).
     // End-to-end embedding near-dup REMOVAL (the vector q38): blocked pair
     // generation (with hot-block SRP splitting) → drop the larger id of
     // every pair at/above threshold → anti join. Output: surviving rows.
@@ -98,6 +92,12 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     },
 
+    // IVF ANN top-5 against a plan-constant quantizer — the FULL pipeline
+    // (cell assignment via IvfProbeF32, nprobe probing, exact cosine
+    // rerank) oracle-checked: with the centroid matrix a deterministic
+    // constant in both engines, assignment/probing is an exact-double
+    // argmin any SQL engine reproduces (the k-means fit stays spec-checked
+    // in IvfSpec — the search path is what serves queries).
     "q47_ivf_ann" -> { (s, d) =>
       graft.sim.Ivf.topKWithCentroids(table(s, d, "embeddings"),
           "vec_id", "embedding", k = 5, centroids = ivfCentroids, nprobe = 2)
@@ -123,12 +123,12 @@ object VectorQueries {
   private val blockedSplitBits = 8
   private val ivfNlist = 16
 
-  /** Deterministic synthetic quantizer (same formula as the q62 bench and
-    * the scale experiment) — float values, widened exactly to double for
-    * the oracle's literals. */
+  /** Deterministic synthetic quantizer (the shared Ivf.syntheticCentroids
+    * definition, so the q62-bench/scale-experiment/oracle correspondence
+    * can't drift) — float values, widened exactly to double for the
+    * oracle's literals. */
   private lazy val ivfCentroids: Array[Array[Float]] =
-    Array.tabulate(ivfNlist)(c =>
-      Array.tabulate(dim)(j => (((c * 31 + j * 7) % 97) - 48) / 48.0f))
+    graft.sim.Ivf.syntheticCentroids(ivfNlist, dim)
 
   /** Shared q46/q48 oracle CTEs: per-row normalized vector, SRP bucket from
     * the same hyperplane constants as the Spark plan (srpSigns is tabulated

@@ -46,8 +46,13 @@ object AlsRecommender {
     * no extra pass over the data — and points callers at trainEncoded. */
   private def toIntId(c: Column, name: String): Column = {
     val asLong = c.cast("long")
+    // the double round-trip also catches FRACTIONAL numeric ids (2.7 would
+    // otherwise truncate to 2 and merge users silently): both sides lose
+    // the same precision for integral values, so only a dropped fraction
+    // differs
     when(c.isNotNull &&
-        (asLong.isNull || asLong > Int.MaxValue || asLong < Int.MinValue),
+        (asLong.isNull || asLong > Int.MaxValue || asLong < Int.MinValue ||
+          asLong.cast("double") =!= c.cast("double")),
       raise_error(concat(
         lit(s"$name does not fit ALS's int ids (use trainEncoded): "),
         c.cast("string"))))
@@ -98,10 +103,15 @@ object AlsRecommender {
     * back through the same dictionaries. The dictionaries are the id
     * contract — distributed, joinable, persisted beside the factors. */
   def trainEncoded(inter: DataFrame, cfg: AlsConfig = AlsConfig()): EncodedAlsModel = {
-    val userDict = Categorify.fitDictionary(inter, "user_id")
-    val itemDict = Categorify.fitDictionary(inter, "item_id")
+    // Null keys would all encode to OOV id 0 (dictionaries are fit on
+    // non-null values only), training a phantom user/item 0 whose
+    // recommendations then DECODE to null — drop them up front, matching
+    // the loud-failure posture of the plain path.
+    val clean = inter.filter(col("user_id").isNotNull && col("item_id").isNotNull)
+    val userDict = Categorify.fitDictionary(clean, "user_id")
+    val itemDict = Categorify.fitDictionary(clean, "item_id")
     val enc = Categorify.encode(
-        Categorify.encode(inter, "user_id", userDict, "__u"),
+        Categorify.encode(clean, "user_id", userDict, "__u"),
         "item_id", itemDict, "__i")
       .select(col("__u").as("user_id"), col("__i").as("item_id"))
     EncodedAlsModel(train(enc, cfg), userDict, itemDict)

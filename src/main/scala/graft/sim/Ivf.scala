@@ -65,6 +65,14 @@ object Ivf {
     }
   }
 
+  /** Deterministic synthetic quantizer used wherever a fit-free,
+    * engine-reproducible centroid matrix is needed (the q47 oracle, the q62
+    * kernel bench, the scale experiment, plan audits) — ONE definition so
+    * the cross-engine/benchmark correspondence can't drift. */
+  def syntheticCentroids(nlist: Int, dim: Int): Array[Array[Float]] =
+    Array.tabulate(nlist)(c =>
+      Array.tabulate(dim)(j => (((c * 31 + j * 7) % 97) - 48) / 48.0f))
+
   /** Persist fitted centroids as parquet (cid, vec) — the IVF model
     * artifact, same philosophy as Categorify dictionaries and the
     * RetrievalPipeline neighbor table: a plain dataset, joinable and

@@ -70,6 +70,29 @@ case class IvfProbeF32(child: Expression, centroids: Array[Array[Float]], nprobe
   override def toString: String =
     s"$prettyName($child, nlist=$nlist, dim=$dim, nprobe=$nprobe)"
 
+  // Case-class equality on Array fields is REFERENCE equality; every
+  // registry call builds a fresh matrix, so without content-based
+  // equals/hashCode two identical probe calls would never be
+  // semanticEquals and Catalyst CSE / exchange reuse couldn't dedup the
+  // O(nlist·dim) kernel.
+  override def equals(o: Any): Boolean = o match {
+    case that: IvfProbeF32 =>
+      child == that.child && nprobe == that.nprobe &&
+        centroids.length == that.centroids.length &&
+        centroids.indices.forall(i =>
+          java.util.Arrays.equals(centroids(i), that.centroids(i)))
+    case _ => false
+  }
+
+  override def hashCode: Int = {
+    var h = child.hashCode * 31 + nprobe
+    var i = 0
+    while (i < centroids.length) {
+      h = h * 31 + java.util.Arrays.hashCode(centroids(i)); i += 1
+    }
+    h
+  }
+
   /** Shared by eval and the generated code (via reference object): one pass
     * over the flattened matrix, insertion into a sorted top-`kept`. */
   def probe(v: ArrayData): ArrayData = {

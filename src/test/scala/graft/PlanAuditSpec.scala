@@ -92,8 +92,7 @@ class PlanAuditSpec extends SparkSpecBase {
 
   test("IVF search: cell assignment is a pure projection (no exchange before the cell join)") {
     val emb = tbl("embeddings")
-    val centroids = Array.tabulate(16)(c =>
-      Array.tabulate(64)(j => (((c * 31 + j * 7) % 97) - 48) / 48.0f))
+    val centroids = graft.sim.Ivf.syntheticCentroids(16, 64)
     val df = graft.sim.Ivf.topKWithCentroids(emb, "vec_id", "embedding", 5, centroids, 2)
     val p = withSQLConf("spark.sql.adaptive.enabled" -> "false")(plan(df))
     // the probe expression appears as one fused call, not unrolled literals

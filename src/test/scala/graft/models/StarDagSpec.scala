@@ -85,4 +85,32 @@ class StarDagSpec extends SparkSpecBase {
     assert(mkDag.resolve(spark, "down", refresh = Set("base")).count() == 1)
     assert(builds == 2)
   }
+
+  test("registry: refreshing an upstream table cascades to downstream table artifacts") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_dag_wh3").toString
+    var upBuilds, downBuilds = 0
+    def mkDag = new Dag(Seq(
+      DagModel("up", Nil, table = true) { (s, _) =>
+        upBuilds += 1
+        import s.implicits._
+        Seq((1, s"v$upBuilds")).toDF("id", "v")
+      },
+      DagModel("mid", Seq("up")) { (_, d) => d("up") }, // view in between
+      DagModel("down", Seq("mid"), table = true) { (_, d) =>
+        downBuilds += 1
+        d("mid")
+      }),
+      wh)
+    assert(mkDag.resolve(spark, "down").count() == 1)
+    assert(upBuilds == 1 && downBuilds == 1)
+    // refresh up: down's artifact is stale (built from old up) — it must
+    // rebuild through the intervening view, not silently reuse
+    val out = mkDag.resolve(spark, "down", refresh = Set("up"))
+    assert(upBuilds == 2 && downBuilds == 2)
+    assert(out.select("v").as[String].head() == "v2",
+      "downstream artifact must reflect the refreshed upstream data")
+    // no refresh: both artifacts reused
+    mkDag.resolve(spark, "down")
+    assert(upBuilds == 2 && downBuilds == 2)
+  }
 }

@@ -63,6 +63,27 @@ class RecommenderSpec extends SparkSpecBase {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("trainEncoded")),
       s"expected the id-contract error, got: $e")
+
+    // fractional numeric ids must ALSO fail loudly, not truncate-and-merge
+    val frac = Seq((2.4, 1L), (2.7, 2L), (5.0, 1L)).toDF("user_id", "item_id")
+    val e2 = intercept[Exception] {
+      AlsRecommender.train(frac, AlsConfig(rank = 2, maxIter = 1))
+    }
+    assert(messages(e2).exists(_.contains("trainEncoded")),
+      s"fractional ids must raise, got: $e2")
+  }
+
+  test("trainEncoded drops null keys instead of training a phantom OOV id 0") {
+    val withNulls = Seq(
+      (Some(1L), Some(10L)), (Some(1L), Some(11L)), (Some(2L), Some(10L)),
+      (Some(2L), Some(11L)), (None, Some(10L)), (Some(3L), None))
+      .toDF("user_id", "item_id")
+    val em = AlsRecommender.trainEncoded(withNulls, AlsConfig(rank = 2, maxIter = 2))
+    // dictionaries contain only real keys; no phantom id-0 rows survive
+    assert(em.userDict.select("value").as[Long].collect().toSet == Set(1L, 2L))
+    assert(em.itemDict.select("value").as[Long].collect().toSet == Set(10L, 11L))
+    val recs = AlsRecommender.recommendDecoded(em, withNulls.select("user_id"), 5)
+    assert(recs.filter($"user_id".isNull || $"item_id".isNull).count() == 0)
   }
 
   test("trainEncoded round-trips natural keys past 2^31 (and persists)") {

@@ -64,8 +64,7 @@ class IvfSpec extends SparkSpecBase {
     val emb = tbl("embeddings", sfDirMid)
     val dim = emb.select(size($"embedding")).as[Int].head()
     // deterministic synthetic matrix at production-ish nlist
-    val centroids = Array.tabulate(1024)(c =>
-      Array.tabulate(dim)(j => (((c * 31 + j * 7) % 97) - 48) / 48.0f))
+    val centroids = Ivf.syntheticCentroids(1024, dim)
     withSQLConf("spark.sql.codegen.fallback" -> "false",
         "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY") {
       val assigned = emb.select($"vec_id",
