@@ -33,21 +33,36 @@ import graft.sql.GraftFunctions
 object BlockedNearDup {
 
   /** Pairs (block, a, b, cos) with cos >= threshold, a < b, compared within
-    * (block, sub-bucket). dim is the embedding width (hyperplane length). */
+    * (block, sub-bucket). dim is the embedding width (hyperplane length).
+    *
+    * `broadcastSizes = true` (default) assumes block cardinality is
+    * dimension-like (the per-block count table broadcasts); set it false
+    * when blocks number in the many-millions — the count then comes from a
+    * window over the block key (one extra corpus exchange, no driver-side
+    * table). */
   def pairs(df: DataFrame, idCol: String, vecCol: String, blockCol: String,
-      maxBlock: Int, threshold: Double, dim: Int, maxSplitBits: Int = 8): DataFrame = {
+      maxBlock: Int, threshold: Double, dim: Int, maxSplitBits: Int = 8,
+      broadcastSizes: Boolean = true): DataFrame = {
     require(maxBlock >= 1 && maxSplitBits >= 1 && maxSplitBits <= 16)
     GraftFunctions.register(df.sparkSession)
     val signs = Knn.srpSigns(maxSplitBits, dim)
 
-    val sizes = df.groupBy(col(blockCol)).agg(count(lit(1)).as("__bn"))
     // Smallest power-of-two split that brings the expected sub-block size
     // under maxBlock: mod = 2^s with s minimal s.t. bn <= maxBlock * 2^s.
     val subMod = (0 until maxSplitBits).foldRight(lit(1L << maxSplitBits)) { (s, acc) =>
       when(col("__bn") <= lit(maxBlock.toLong << s), lit(1L << s)).otherwise(acc)
     }
 
-    val withSub = df.join(broadcast(sizes), Seq(blockCol))
+    val withBn =
+      if (broadcastSizes) {
+        val sizes = df.groupBy(col(blockCol)).agg(count(lit(1)).as("__bn"))
+        df.join(broadcast(sizes), Seq(blockCol))
+      } else {
+        import org.apache.spark.sql.expressions.Window
+        df.withColumn("__bn",
+          count(lit(1)).over(Window.partitionBy(col(blockCol))))
+      }
+    val withSub = withBn
       .select(col(blockCol), col(idCol),
         GraftFunctions.l2NormalizeF32(col(vecCol)).as("__nv"),
         (Knn.srpBucket(col(vecCol), signs) % subMod).as("__sub"))

@@ -63,5 +63,9 @@ class BlockedNearDupSpec extends SparkSpecBase {
     val r1 = BlockedNearDup.pairs(df, "id", "v", "blk", 8, 0.0, dim)
     val r2 = BlockedNearDup.pairs(df.repartition(13), "id", "v", "blk", 8, 0.0, dim)
     assert(r1.exceptAll(r2).isEmpty && r2.exceptAll(r1).isEmpty)
+    // the high-block-cardinality form (windowed counts) computes the same
+    val r3 = BlockedNearDup.pairs(df, "id", "v", "blk", 8, 0.0, dim,
+      broadcastSizes = false)
+    assert(r1.exceptAll(r3).isEmpty && r3.exceptAll(r1).isEmpty)
   }
 }

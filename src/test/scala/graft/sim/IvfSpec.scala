@@ -89,6 +89,22 @@ class IvfSpec extends SparkSpecBase {
     }
   }
 
+  test("assignCellsJoin (broadcast-table form) agrees with the in-plan expression") {
+    val emb = tbl("embeddings", sfDirMid)
+    val centroids = Ivf.fitCentroids(emb, "vec_id", "embedding", nlist = 8)
+    val cdf = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "vec").select($"cid", $"vec".cast("array<float>").as("vec"))
+    val viaExpr = emb.select($"vec_id", Ivf.nearestCell($"embedding", centroids).as("cid"))
+    val viaJoin = Ivf.assignCellsJoin(emb, "vec_id", "embedding", cdf)
+    assert(viaExpr.exceptAll(viaJoin).isEmpty && viaJoin.exceptAll(viaExpr).isEmpty)
+    // duplicated-centroid tie still resolves to the lower cid
+    val dup = cdf.filter($"cid" === 0)
+      .unionByName(cdf.filter($"cid" === 0).select(lit(1).as("cid"), $"vec"))
+    val cids = Ivf.assignCellsJoin(emb, "vec_id", "embedding", dup)
+      .select("cid").distinct().as[Int].collect().toSet
+    assert(cids == Set(0), s"tie-break must pick cid 0, got $cids")
+  }
+
   test("centroids persist and reload bit-identically; assignments agree") {
     val emb = tbl("embeddings", sfDirMid)
     val centroids = Ivf.fitCentroids(emb, "vec_id", "embedding", nlist = 8)
