@@ -86,7 +86,7 @@ object VectorQueries {
     "q48_drop_vector_neardups" -> { (s, d) =>
       graft.sim.BlockedNearDup.dropNearDuplicates(table(s, d, "embeddings"),
           "vec_id", "embedding", "label",
-          maxBlock = blockedMaxBlock, threshold = 0.98, dim = dim,
+          maxBlock = blockedMaxBlock, threshold = 0.4, dim = dim,
           maxSplitBits = blockedSplitBits)
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))
@@ -236,7 +236,7 @@ object VectorQueries {
       s"""WITH $blockedSubCtes,
           dups AS (SELECT DISTINCT y.vec_id AS b
             FROM s x JOIN s y ON x.label = y.label AND x.sub = y.sub AND x.vec_id < y.vec_id
-            WHERE ${dot("x.ne", "y.ne")} >= 0.98)
+            WHERE ${dot("x.ne", "y.ne")} >= 0.4)
           SELECT e.vec_id, e.label FROM embeddings e
           WHERE e.vec_id NOT IN (SELECT b FROM dups)
           ORDER BY e.vec_id""",
