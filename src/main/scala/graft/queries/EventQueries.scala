@@ -82,6 +82,24 @@ object EventQueries {
         .orderBy(col("window_start_us"), col("event_type"))
     },
 
+    // Point-in-time (as-of) feature join: each purchase event (the label
+    // spine) is enriched with the most recent view/click value at-or-before
+    // its timestamp for the same user, nulled when staler than 24 h — the
+    // label-leakage-safe feature pull (see operators/AsOfJoin.scala; oracle
+    // is DuckDB's native ASOF LEFT JOIN, so the sort-merge window form is
+    // cross-checked against an independent implementation of the semantics).
+    "q55_asof_features" -> { (s, d) =>
+      val ev = table(s, d, "events")
+      val spine = ev.filter(col("event_type") === lit("purchase"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val feat = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"), col("value"))
+      graft.operators.AsOfJoin.asOf(spine, feat, Seq("user_id"),
+          spineTs = "ts_us", featureTs = "t_us", valueCols = Seq("value"),
+          toleranceOpt = Some(86400000000L)) // 24 h in µs
+        .orderBy(col("event_id"))
+    },
+
     // Sessionization (30-min gap) through the batch gaps-and-islands form —
     // same merge semantics as the streaming flatMapGroupsWithState path
     // (equivalence asserted in EventStreamSpec); here it gets a real oracle.
@@ -131,6 +149,17 @@ object EventQueries {
          event_type, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
+    "q55_asof_features" ->
+      """WITH spine AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+                        FROM events WHERE event_type = 'purchase'),
+         feat AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, value
+                  FROM events WHERE event_type IN ('view', 'click'))
+         SELECT s.event_id, s.user_id, s.ts_us,
+           CASE WHEN s.ts_us - f.t_us <= 86400000000 THEN f.value END AS asof_value,
+           CASE WHEN s.ts_us - f.t_us <= 86400000000 THEN f.t_us END AS asof_t_us
+         FROM spine s ASOF LEFT JOIN feat f
+           ON s.user_id = f.user_id AND s.ts_us >= f.t_us
+         ORDER BY s.event_id""",
     "q28_sessions" ->
       """WITH e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms FROM events),
          g AS (SELECT user_id, tms,
