@@ -121,9 +121,56 @@ object Relational {
     */
   def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction $fraction")
-    val v = conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int")
-    df.filter(v < math.floor(fraction * 65536).toInt)
+    df.filter(hashBucket(key) < math.floor(fraction * 65536).toInt)
   }
+
+  /** Per-stratum deterministic sampling — the training-set rebalancer (P11
+    * generalized): keep a different hashSample fraction per stratum (e.g.
+    * downsample an over-represented event type / language / source while
+    * keeping all rare positives). Same md5 coin as hashSample, so the
+    * selection is reproducible across runs, engines and partitionings, and
+    * composable with it: the kept set for rate r is a subset of the kept set
+    * for any r' >= r on the same key.
+    *
+    * `rates` maps stratum value -> fraction; strata absent from the map keep
+    * `defaultRate`. This literal-CASE form is for enum-sized strata (the
+    * thresholds fold into the row predicate — zero joins, fully pushed
+    * down); for high-cardinality strata use [[stratifiedSampleBy]].
+    */
+  def stratifiedSample(df: DataFrame, strata: Column, key: Column,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"bad fraction $f"))
+    val threshold = rates.foldLeft(lit(math.floor(defaultRate * 65536).toInt)) {
+      case (acc, (s, f)) => when(strata === lit(s), lit(math.floor(f * 65536).toInt)).otherwise(acc)
+    }
+    df.filter(hashBucket(key) < threshold)
+  }
+
+  /** High-cardinality flavor of [[stratifiedSample]]: per-stratum rates come
+    * as a (stratum, rate) DataFrame instead of a literal map — the shape a
+    * real pipeline computes them in (e.g. inverse-frequency rates from a
+    * groupBy.count). The rates side is dimension-sized, so it broadcasts:
+    * at 100 TB this stays a map-side filter with no shuffle of the fact
+    * table. Strata missing from `rates` keep `defaultRate`.
+    *
+    * `rates` must be unique per stratum (it is a dimension); the rate column
+    * must be named `rate`.
+    */
+  def stratifiedSampleBy(df: DataFrame, strataCol: String, key: Column,
+      rates: DataFrame, defaultRate: Double = 0.0): DataFrame = {
+    require(rates.columns.contains("rate"), "rates needs a 'rate' column")
+    val threshold =
+      floor(coalesce(col("__rate"), lit(defaultRate)) * 65536).cast("int")
+    df.join(broadcast(rates.withColumnRenamed("rate", "__rate")), Seq(strataCol), "left")
+      .filter(hashBucket(key) < threshold)
+      .select(df.columns.map(col): _*) // the join hoists the key column; restore input order
+  }
+
+  /** The md5 sampling coin shared by hashSample and the stratified variants:
+    * the first 4 hex digits of md5(key) as an int in [0, 65536). */
+  private def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int")
 
   /** P11 row sampling, Bernoulli flavor — the literal analog of the
     * reference's `SAMPLE(n)` (my_merlin_flow.py:42-46): seeded per-row coin,

@@ -36,6 +36,21 @@ object MultimodalQueries {
       Relational.hashSample(table(s, d, "orders"), col("o_orderkey"), 0.1)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // Stratified deterministic sampling, rates-as-dimension form: keep all
+    // purchases, 25% of clicks, 10% of views, 5% of everything else — the
+    // training-set rebalance. The rates side broadcasts (map-side filter,
+    // no fact shuffle); selection is the same md5 coin as q19, so it is
+    // reproducible and composable across engines.
+    "q56_stratified_sample" -> { (s, d) =>
+      import s.implicits._
+      val rates = Seq(("purchase", 1.0), ("click", 0.25), ("view", 0.1))
+        .toDF("event_type", "rate")
+      Relational.stratifiedSampleBy(table(s, d, "events"), "event_type",
+          col("event_id"), rates, defaultRate = 0.05)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -50,5 +65,13 @@ object MultimodalQueries {
     "q19_hash_sample" ->
       s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
           WHERE ${hex4Sql("md5(CAST(o_orderkey AS VARCHAR))", 0)} < ${math.floor(0.1 * 65536).toInt}
-          ORDER BY o_orderkey""")
+          ORDER BY o_orderkey""",
+    "q56_stratified_sample" ->
+      s"""WITH rates(event_type, rate) AS (VALUES
+            ('purchase', 1.0), ('click', 0.25), ('view', 0.1))
+          SELECT e.event_id, e.event_type, e.value
+          FROM events e LEFT JOIN rates r USING (event_type)
+          WHERE ${hex4Sql("md5(CAST(e.event_id AS VARCHAR))", 0)}
+            < CAST(FLOOR(CAST(COALESCE(r.rate, 0.05) AS DOUBLE) * 65536) AS INT)
+          ORDER BY e.event_id""")
 }

@@ -94,4 +94,36 @@ class RelationalSpec extends SparkSpecBase {
     assert(sampledKeys.exceptAll(joined).isEmpty,
       "the same key universe survives on both sides of a join")
   }
+
+  test("stratifiedSample applies per-stratum rates; literal and rates-DF forms agree") {
+    import spark.implicits._
+    val ev = tbl("events", sfDirMid)
+    val rates = Map("purchase" -> 1.0, "view" -> 0.2, "click" -> 0.0)
+    val out = Relational.stratifiedSample(ev, col("event_type"), col("event_id"),
+      rates, defaultRate = 0.05)
+
+    val n = ev.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    val k = out.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    assert(k("purchase") == n("purchase"), "rate 1.0 keeps every row")
+    assert(!k.contains("click"), "rate 0.0 keeps none")
+    val viewRate = k("view").toDouble / n("view")
+    assert(viewRate > 0.1 && viewRate < 0.3, s"~20% of views, got $viewRate")
+    val errRate = k("error").toDouble / n("error")
+    assert(errRate > 0.01 && errRate < 0.12, s"default ~5% for unlisted strata, got $errRate")
+
+    val ratesDf = rates.toSeq.toDF("event_type", "rate")
+    val byDf = Relational.stratifiedSampleBy(ev, "event_type", col("event_id"),
+      ratesDf, defaultRate = 0.05)
+    assert(out.exceptAll(byDf).isEmpty && byDf.exceptAll(out).isEmpty,
+      "literal-CASE and broadcast-rates forms must select identical rows")
+  }
+
+  test("stratifiedSample keeps a subset of any higher-rate sample on the same key") {
+    val ev = tbl("events", sfDirMid)
+    val lo = Relational.stratifiedSample(ev, col("event_type"), col("event_id"),
+      Map("view" -> 0.1), defaultRate = 0.2)
+    val hi = Relational.stratifiedSample(ev, col("event_type"), col("event_id"),
+      Map("view" -> 0.5), defaultRate = 0.9)
+    assert(lo.exceptAll(hi).isEmpty, "md5-coin monotonicity: lower rates nest inside higher")
+  }
 }
