@@ -109,6 +109,35 @@ object ScaleExperiment {
         graft.dedup.TextDedup.jaccardPairs(docs, "doc_id", col("shingles")))
     }
 
+    // 6. skewed top-k: ONE viral key holds 30% of a synthetic fact table,
+    // the rest spreads over 100k keys. The plain window runs the hot key on
+    // one task; the salted form spreads it over 32 sub-partitions. Also the
+    // salted join under the same skew with broadcast disabled (the regime
+    // where the dimension is "too big to broadcast" in production).
+    if (on("skew")) {
+      import graft.operators.Relational
+      val n = 20000000L
+      val fact = spark.range(n).select(
+        when(col("id") % 10 < 3, lit(0L)).otherwise(pmod(xxhash64(col("id")), lit(100000L))).as("k"),
+        (col("id") * 7919 % 1000000).as("v"),
+        col("id").as("row_id"))
+      val ord = Seq(col("v").desc, col("row_id").asc)
+      timed("topk_plain_viralkey")(
+        Relational.topKPerGroup(fact, Seq("k"), ord, 10))
+      timed("topk_salted32_viralkey")(
+        Relational.topKPerGroupSalted(fact, Seq("k"), ord, 10, numSalts = 32))
+      val dim = spark.range(100000).select(col("id").as("k"),
+        md5(col("id").cast("string")).as("attr"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      timed("join_plain_viralkey_noaqe")(fact.join(dim, Seq("k")))
+      timed("join_salted32_viralkey_noaqe")(
+        Relational.saltedJoin(fact, dim, Seq("k"), numSalts = 32))
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      timed("join_plain_viralkey_aqe")(fact.join(dim, Seq("k")))
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+
     // 5. sessionization over the replicated interaction stream (the
     // gaps-and-islands window chain: one exchange on the user key)
     if (on("sessions")) {

@@ -91,6 +91,58 @@ object Relational {
   def keepFirstPerKey(df: DataFrame, keys: Seq[String], orderCols: Seq[Column]): DataFrame =
     topKPerGroup(df, keys, orderCols, 1, "__rk").drop("__rk")
 
+  /** Salted flavor of [[topKPerGroup]] for SKEWED/low-cardinality keys. A
+    * plain per-key window puts each key's whole partition on ONE task — with
+    * 5 distinct keys (or one viral user holding 1% of a 100 TB fact table)
+    * the job runs at the speed of its hottest key, and AQE cannot split a
+    * window partition. Two phases instead: a deterministic row-hash salt
+    * splits every key into `numSalts` sub-partitions, each sub-partition
+    * keeps its local top-k (so at most numSalts*k candidate rows per key
+    * survive), then the tiny candidate set is re-ranked per key. The global
+    * top-k of a key is contained in the union of its per-salt top-k's, so
+    * the result equals topKPerGroup exactly (given the same total-order
+    * precondition on `orderCols`; asserted in RelationalSpec and oracle q58).
+    */
+  def topKPerGroupSalted(df: DataFrame, keys: Seq[String], orderCols: Seq[Column],
+      k: Int, numSalts: Int, rankCol: String = "rk"): DataFrame = {
+    require(numSalts > 0, s"numSalts must be positive, got $numSalts")
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col): _*), lit(numSalts.toLong)).cast("int"))
+    val local = topKPerGroup(salted, keys :+ "__salt", orderCols, k, "__lrk")
+      .drop("__lrk")
+    topKPerGroup(local, keys, orderCols, k, rankCol).drop("__salt")
+  }
+
+  /** Salted equi-join for skewed keys when the small side is too big to
+    * broadcast: the left (fact) side gets a deterministic row-hash salt in
+    * [0, numSalts), the right side is replicated once per salt, and the join
+    * runs on (keys, salt) — a hot key's rows spread across numSalts tasks
+    * instead of melting one. Results are identical to the plain join (every
+    * left row still meets every right match exactly once; asserted in
+    * RelationalSpec + oracle q57).
+    *
+    * Cost: numSalts × a shuffle of the right side — use for mid-sized right
+    * tables (too big for broadcast, small next to the fact side) with
+    * documented skew; AQE's skew-split handles moderate sort-merge skew
+    * without it, but cannot help once the hot key feeds a window or the
+    * skewed partition exceeds what one pass can sort. Inner and left joins
+    * only (right/full-outer would need unmatched-right bookkeeping across
+    * salt copies).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      numSalts: Int, joinType: String = "inner"): DataFrame = {
+    require(numSalts > 0, s"numSalts must be positive, got $numSalts")
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"saltedJoin supports inner/left joins, got $joinType")
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(numSalts.toLong)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(numSalts - 1))))
+    val rightOnly = right.columns.filterNot(keys.contains)
+    l.join(r, keys :+ "__salt", joinType)
+      .select((left.columns ++ rightOnly).map(col): _*)
+  }
+
   /** Three-way time split (reference: my_merlin_flow.py:196-199): train
     * strictly before b1, validation [b1, b2), test >= b2. The three filters
     * partition the input exactly.

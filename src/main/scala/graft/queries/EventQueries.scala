@@ -100,6 +100,31 @@ object EventQueries {
         .orderBy(col("event_id"))
     },
 
+    // Skew-salted equi-join (J-family at scale): the fact side is salted,
+    // the dimension side replicated per salt, so a hot key spreads over 8
+    // tasks instead of one. Results must be IDENTICAL to the plain join —
+    // that is what the oracle (an unsalted DuckDB join) checks.
+    "q57_salted_join" -> { (s, d) =>
+      val ev = table(s, d, "events")
+      val cust = table(s, d, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      Relational.saltedJoin(ev, cust, Seq("user_id"), numSalts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sum_value"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // Salted two-phase top-k over a 5-value key (the worst skew shape: a
+    // plain window would run on 5 tasks): per-(key,salt) local top-k, then
+    // re-rank the <= salts*k survivors. Oracle is the plain ROW_NUMBER
+    // form — equality is the correctness claim.
+    "q58_salted_topk" -> { (s, d) =>
+      val ev = table(s, d, "events").select(col("event_type"), col("event_id"), col("value"))
+      Relational.topKPerGroupSalted(ev, Seq("event_type"),
+          Seq(col("value").desc, col("event_id").asc), k = 3, numSalts = 16)
+        .orderBy(col("event_type"), col("rk"))
+    },
+
     // Sessionization (30-min gap) through the batch gaps-and-islands form —
     // same merge semantics as the streaming flatMapGroupsWithState path
     // (equivalence asserted in EventStreamSpec); here it gets a real oracle.
@@ -149,6 +174,18 @@ object EventQueries {
          event_type, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
+    "q57_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q58_salted_topk" ->
+      """SELECT event_type, event_id, value, CAST(rk AS INT) AS rk
+         FROM (SELECT event_type, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id) AS rk
+               FROM events) t
+         WHERE rk <= 3 ORDER BY event_type, rk""",
     "q55_asof_features" ->
       """WITH spine AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
                         FROM events WHERE event_type = 'purchase'),

@@ -118,6 +118,54 @@ class RelationalSpec extends SparkSpecBase {
       "literal-CASE and broadcast-rates forms must select identical rows")
   }
 
+  test("saltedJoin equals the plain join for inner and left, including fan-out") {
+    import spark.implicits._
+    val left = Seq((1, "a"), (1, "b"), (2, "c"), (3, "d")).toDF("k", "lv")
+    // k=1 matches TWO right rows (fan-out); k=3 matches none (left-null case)
+    val right = Seq((1, 10.0), (1, 11.0), (2, 20.0), (9, 90.0)).toDF("k", "rv")
+    for (jt <- Seq("inner", "left")) {
+      val salted = Relational.saltedJoin(left, right, Seq("k"), numSalts = 4, joinType = jt)
+      val plain = left.join(right, Seq("k"), jt)
+        .select(($"k" +: $"lv" +: Seq($"rv")): _*)
+      assert(salted.columns.toSeq == plain.columns.toSeq)
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+        s"salting must not change $jt join results")
+    }
+  }
+
+  test("saltedJoin spreads a hot key across salts and shuffles on (key, salt)") {
+    import spark.implicits._
+    // one key carrying every row — the regime the operator exists for
+    val hotLeft = (1 to 2000).map(i => (42, i.toLong)).toDF("k", "lv")
+    val right = Seq((42, "x"), (7, "y")).toDF("k", "rv")
+    val out = Relational.saltedJoin(hotLeft, right, Seq("k"), numSalts = 8)
+    assert(out.count() == 2000)
+    val plan = withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      Relational.saltedJoin(hotLeft, right, Seq("k"), 8).queryExecution.executedPlan.toString
+    }
+    assert(plan.contains("__salt"),
+      s"join keys must include the salt so the hot key spreads:\n$plan")
+    // the deterministic row-hash salt actually uses all 8 buckets here
+    val salts = hotLeft.select(
+      pmod(xxhash64(col("k"), col("lv")), lit(8L)).cast("int").as("s"))
+      .distinct().as[Int].collect().toSet
+    assert(salts.size == 8, s"row-hash salt should cover buckets, got $salts")
+  }
+
+  test("topKPerGroupSalted equals topKPerGroup on skewed fixture data") {
+    val ev = tbl("events", sfDirMid).select(col("event_type"), col("event_id"), col("value"))
+    val ord = Seq(col("value").desc, col("event_id").asc)
+    val plain = Relational.topKPerGroup(ev, Seq("event_type"), ord, 7)
+    val salted = Relational.topKPerGroupSalted(ev, Seq("event_type"), ord, 7, numSalts = 16)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+      "two-phase salted top-k must equal the single-window form")
+    // k larger than most per-(key,salt) sub-partitions: still exact
+    val tiny = ev.filter(col("event_id") < 100)
+    val small = Relational.topKPerGroupSalted(tiny, Seq("event_type"), ord, 7, 16)
+    val smallPlain = Relational.topKPerGroup(tiny, Seq("event_type"), ord, 7)
+    assert(small.exceptAll(smallPlain).isEmpty && smallPlain.exceptAll(small).isEmpty)
+  }
+
   test("stratifiedSample keeps a subset of any higher-rate sample on the same key") {
     val ev = tbl("events", sfDirMid)
     val lo = Relational.stratifiedSample(ev, col("event_type"), col("event_id"),
