@@ -13,13 +13,6 @@ import QueryHelpers._
   */
 object MultimodalQueries {
 
-  /** DuckDB SQL for the value of 4 hex digits of `hexExpr` starting at
-    * 1-based offset — mirrors Multimodal.hashFeature exactly. */
-  private def hex4Sql(hexExpr: String, off: Int): String =
-    Seq(4096, 256, 16, 1).zipWithIndex.map { case (m, i) =>
-      s"(strpos('0123456789abcdef', ($hexExpr)[${off + i + 1}:${off + i + 1}]) - 1) * $m"
-    }.mkString("(", " + ", ")")
-
   val defs: Map[String, QueryFn] = Map(
     // Binary asset column + typed metadata + deterministic feature columns.
     "q44_multimodal_features" -> { (s, d) =>

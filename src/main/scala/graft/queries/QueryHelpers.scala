@@ -37,4 +37,17 @@ object QueryHelpers {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
+
+  /** DuckDB SQL for the value of 4 hex digits of `hexExpr` starting at
+    * 1-based offset `off` — the oracle-side mirror of Spark's
+    * conv(substring(hex, off+1, 4), 16, 10). */
+  def hex4Sql(hexExpr: String, off: Int): String =
+    Seq(4096, 256, 16, 1).zipWithIndex.map { case (m, i) =>
+      s"(strpos('0123456789abcdef', ($hexExpr)[${off + i + 1}:${off + i + 1}]) - 1) * $m"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB SQL for the first 12 hex digits of `hexExpr` as a 48-bit BIGINT —
+    * mirror of Spark's CAST(conv(substring(hex, 1, 12), 16, 10) AS BIGINT). */
+  def hex48Sql(hexExpr: String): String =
+    s"(${hex4Sql(hexExpr, 0)}::BIGINT * 4294967296 + ${hex4Sql(hexExpr, 4)}::BIGINT * 65536 + ${hex4Sql(hexExpr, 8)}::BIGINT)"
 }

@@ -93,6 +93,17 @@ object RankQueries {
       Cooccur.recommend(tr, nb, k, maxBasket = basketCap)
         .filter(col("user_id") < 200)
         .orderBy(col("user_id"), col("rk"))
+    },
+
+    // Popularity-weighted negative sampling: 5 reproducible negatives per
+    // user, drawn ∝ interaction count with positives excluded. Exact
+    // integer CDF + 48-bit md5 draws make the sample engine-independent:
+    // the oracle replays the identical draws in DuckDB (range-join lookup
+    // there, bucketed equi-join here — same result, different plan).
+    "q59_negative_sample" -> { (s, d) =>
+      val pos = Interactions.fromStar(s, d).select(col("user_id"), col("item_id"))
+      graft.rank.NegativeSampling.sampleNegatives(pos, k = 5, seed = 42L)
+        .orderBy(col("user_id"), col("rk"))
     })
 
   private val gridCaps = Seq(5, 10, 20)
@@ -178,6 +189,30 @@ object RankQueries {
   private def sqlList(xs: Array[Long]): String = xs.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "q59_negative_sample" -> {
+      val h = "md5(concat_ws('_', CAST(user_id AS VARCHAR), CAST(slot AS VARCHAR), '42'))"
+      s"""WITH pos AS (SELECT o_custkey AS user_id, l_partkey AS item_id
+                       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          pop AS (SELECT item_id, COUNT(*) AS w FROM pos GROUP BY item_id),
+          cdf AS (SELECT item_id, w,
+                    SUM(w) OVER (ORDER BY item_id ROWS UNBOUNDED PRECEDING) - w AS lo,
+                    SUM(w) OVER (ORDER BY item_id ROWS UNBOUNDED PRECEDING) AS hi
+                  FROM pop),
+          tot AS (SELECT SUM(w) AS tw FROM pop),
+          slots AS (SELECT u.user_id, CAST(r.range AS INT) AS slot
+                    FROM (SELECT DISTINCT user_id FROM pos) u CROSS JOIN range(0, 10) r),
+          draws AS (SELECT user_id, slot,
+                      ${hex48Sql(h)} % (SELECT tw FROM tot) AS u FROM slots),
+          hits AS (SELECT d.user_id, d.slot, c.item_id
+                   FROM draws d JOIN cdf c ON d.u >= c.lo AND d.u < c.hi),
+          neg AS (SELECT h.* FROM hits h
+                  WHERE NOT EXISTS (SELECT 1 FROM pos p
+                                    WHERE p.user_id = h.user_id AND p.item_id = h.item_id)),
+          rk AS (SELECT user_id, slot, item_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY slot) AS rk FROM neg)
+          SELECT user_id, CAST(rk AS INT) AS rk, slot, item_id FROM rk
+          WHERE rk <= 5 ORDER BY user_id, rk"""
+    },
     "q50_topk_retrieval" ->
       s"""WITH ${recsCtes(neighborCap)}
           SELECT u AS user_id, rk, ib AS item_id, s AS score FROM recs

@@ -1,0 +1,112 @@
+package graft.rank
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Popularity-weighted negative sampling — the training-data operator that
+  * turns an implicit-feedback interaction log into (user, negative-item)
+  * pairs for two-tower / BPR-style training (reference analog: Merlin's
+  * in-batch popularity-biased negatives behind my_merlin_flow.py:309-314;
+  * here it is an explicit, reproducible dataset op instead of a trainer
+  * side-effect).
+  *
+  * Distribution: item i is drawn with probability weight(i)/W (default
+  * weight = interaction count, i.e. popularity^1; any integer weight column
+  * works, e.g. floor(pow(n, 0.75))). Draws are WITH replacement, per user,
+  * positives excluded post-hoc via oversampling.
+  *
+  * Everything is exact integer arithmetic, so the sample is reproducible
+  * across runs, partitionings AND engines (oracle-checked in q59 against
+  * DuckDB replaying the identical draws with a plain range join):
+  *  - the item CDF is an exact BIGINT prefix sum over items in item_id
+  *    order, built distributively (range partition + per-partition cumsum +
+  *    tiny offset table — no single-task global window, no driver state
+  *    beyond one long per partition);
+  *  - draw j for a user is u = md5_48(user, j, seed) % W — a 48-bit integer
+  *    hash; the modulo bias is < W/2^48, i.e. immaterial below W ~ 2^40;
+  *  - the CDF interval containing u is found with a bucketed EQUI-join
+  *    (quantize [0, W) into `numBuckets` ranges; an item interval lands in
+  *    every bucket it overlaps, ~n + numBuckets rows total), so the lookup
+  *    is one shuffle join at any scale — never a range-join.
+  */
+object NegativeSampling {
+
+  /** Exact integer CDF over items: (item_id, w, lo, hi) with [lo, hi)
+    * half-open, hi of the last item = W. `pop` must be unique per item_id
+    * with a positive BIGINT weight column `w`.
+    *
+    * Distributed exact prefix sum: range-repartition by item_id (sampling
+    * boundaries are seed-fixed, so the pid assignment is deterministic),
+    * cumsum within each partition in parallel, then shift each partition by
+    * the total of its predecessors — the offset window runs on a
+    * numPartitions-sized frame, which is bounded by cluster size, not data.
+    */
+  def itemCdf(pop: DataFrame): DataFrame = {
+    val parts = pop
+      .repartitionByRange(col("item_id"))
+      .sortWithinPartitions("item_id")
+      .withColumn("__pid", spark_partition_id())
+    val local = parts.withColumn("__lcum",
+      sum(col("w")).over(Window.partitionBy(col("__pid")).orderBy(col("item_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = local.groupBy(col("__pid")).agg(max(col("__lcum")).as("__ptot"))
+      .withColumn("__off", coalesce(
+        sum(col("__ptot")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .select(col("item_id"), col("w"),
+        (col("__lcum") - col("w") + col("__off")).as("lo"),
+        (col("__lcum") + col("__off")).as("hi"))
+  }
+
+  /** Up to `k` sampled negatives per user present in `positives`
+    * (user_id, item_id; duplicates fine — they raise the item's weight).
+    * Output: (user_id, rk 1..k, slot, item_id), ordered draws with the
+    * user's own positives removed. `oversample` extra draws absorb the
+    * removals; a user interacting with nearly the whole catalog may still
+    * come up short (documented, not an error).
+    */
+  def sampleNegatives(
+      positives: DataFrame,
+      k: Int,
+      seed: Long,
+      weightExpr: Column = col("n"),
+      numBuckets: Int = 4096,
+      oversample: Int = 2): DataFrame = {
+    require(k > 0 && oversample >= 1 && numBuckets > 0)
+    val pop = positives.groupBy(col("item_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("item_id"), weightExpr.cast("long").as("w"))
+    val totalW = pop.agg(sum(col("w"))).head().getLong(0) // one long — bounded collect
+    require(totalW > 0, "no positive item weights")
+    require(totalW <= (Long.MaxValue / math.max(numBuckets, 4)),
+      s"total weight $totalW too large for $numBuckets buckets without overflow")
+
+    // Bucketize the CDF: an item's interval joins every bucket it overlaps.
+    val cdf = itemCdf(pop)
+    val buckets = cdf.withColumn("__bkt",
+        explode(sequence(expr(s"lo * ${numBuckets}L div ${totalW}L"),
+          expr(s"(hi - 1) * ${numBuckets}L div ${totalW}L"))))
+
+    val kPrime = k * oversample
+    val draws = positives.select(col("user_id")).distinct()
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(kPrime - 1))).as("slot"))
+      .withColumn("__u",
+        conv(substring(md5(concat_ws("_", col("user_id"), col("slot"), lit(seed))), 1, 12),
+          16, 10).cast("long") % totalW)
+      .withColumn("__bkt", expr(s"__u * ${numBuckets}L div ${totalW}L"))
+
+    val hits = draws.join(buckets, Seq("__bkt"))
+      .filter(col("__u") >= col("lo") && col("__u") < col("hi"))
+      .select(col("user_id"), col("slot"), col("item_id"))
+    val negatives = hits.join(
+      positives.select(col("user_id"), col("item_id")).distinct(),
+      Seq("user_id", "item_id"), "left_anti")
+    graft.operators.Relational.topKPerGroup(negatives, Seq("user_id"),
+        Seq(col("slot").asc), k)
+      .select(col("user_id"), col("rk"), col("slot"), col("item_id"))
+  }
+}
