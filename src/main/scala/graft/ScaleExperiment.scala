@@ -138,6 +138,56 @@ object ScaleExperiment {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
 
+    // 7. as-of join over the replicated event stream: spine = purchases,
+    // features = views/clicks; the union+window form must stay linear (one
+    // exchange), vs the naive range-join+argmax form on the same data.
+    if (on("asof")) {
+      import graft.operators.{AsOfJoin, Relational}
+      val ev = Tables.load(spark, dir, "events")
+      val spine = ev.filter(col("event_type") === lit("purchase"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val feat = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"), col("value"))
+      timed("asof_window")(
+        AsOfJoin.asOf(spine, feat, Seq("user_id"), "ts_us", "t_us", Seq("value")))
+      timed("asof_rangejoin_naive")(
+        spine.as("s").join(feat.as("f"),
+            col("s.user_id") === col("f.user_id") && col("f.t_us") <= col("s.ts_us"), "left")
+          .groupBy(col("s.event_id"), col("s.user_id"), col("s.ts_us"))
+          .agg(max_by(struct(col("f.value"), col("f.t_us")), col("f.t_us")).as("m")))
+      // dense regime: collapse the copies onto the original user ids, so
+      // per-user streams are 10× longer — the naive form's per-user
+      // spine×feature product explodes, the window form stays linear
+      val spineD = spine.withColumn("user_id", col("user_id") % 150)
+      val featD = feat.withColumn("user_id", col("user_id") % 150)
+      timed("asof_window_dense")(
+        AsOfJoin.asOf(spineD, featD, Seq("user_id"), "ts_us", "t_us", Seq("value")))
+      timed("asof_rangejoin_naive_dense")(
+        spineD.as("s").join(featD.as("f"),
+            col("s.user_id") === col("f.user_id") && col("f.t_us") <= col("s.ts_us"), "left")
+          .groupBy(col("s.event_id"), col("s.user_id"), col("s.ts_us"))
+          .agg(max_by(struct(col("f.value"), col("f.t_us")), col("f.t_us")).as("m")))
+      // topKPerGroupSalted sanity at 10x: plain vs salted on the event key
+      val evk = ev.select(col("event_type"), col("event_id"), col("value"))
+      val ord = Seq(col("value").desc, col("event_id").asc)
+      timed("asof_topk_plain_5keys")(Relational.topKPerGroup(evk, Seq("event_type"), ord, 10))
+      timed("asof_topk_salted32_5keys")(
+        Relational.topKPerGroupSalted(evk, Seq("event_type"), ord, 10, 32))
+    }
+
+    // 8. negative sampling over the replicated interaction log: the
+    // bucketed-CDF equi-join lookup must stay linear in users×k and never
+    // fall back to a range join (checked by plan string).
+    if (on("negsample")) {
+      val pos = graft.rank.Interactions.fromStar(spark, dir)
+        .select(col("user_id"), col("item_id"))
+      val out = graft.rank.NegativeSampling.sampleNegatives(pos, k = 10, seed = 42L)
+      val plan = out.queryExecution.executedPlan.toString
+      require(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        "CDF lookup must stay an equi-join")
+      counted("negsample_k10")(out)
+    }
+
     // 5. sessionization over the replicated interaction stream (the
     // gaps-and-islands window chain: one exchange on the user key)
     if (on("sessions")) {

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Loaders for the driver-generated test tables (see /root/repo/TESTDATA.md).
   *
@@ -16,13 +16,17 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-      // default. Read nanos as long and convert to a µs TimestampType with
-      // integer division (values are µs-resolution, so this is lossless and
-      // matches DuckDB's ns→µs parquet read).
+      // events.ts is parquet TIMESTAMP(NANOS) in the driver fixtures, which
+      // Spark 4 rejects by default. Read nanos as long and convert to a µs
+      // TimestampType with integer division (values are µs-resolution, so
+      // this is lossless and matches DuckDB's ns→µs parquet read). Derived
+      // fixtures (e.g. the replicate_fixture 10× copies, which DuckDB can
+      // only write at µs) may already carry a timestamp ts — pass through.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df.withColumn("ts", col("ts").cast("timestamp"))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view (for the spark.sql surface). */

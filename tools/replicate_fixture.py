@@ -19,13 +19,16 @@ con.execute(f"CREATE VIEW orders_src AS SELECT * FROM '{src}/orders.parquet'")
 con.execute(f"CREATE VIEW lineitem_src AS SELECT * FROM '{src}/lineitem.parquet'")
 con.execute(f"CREATE VIEW emb_src AS SELECT * FROM '{src}/embeddings.parquet'")
 con.execute(f"CREATE VIEW docs_src AS SELECT * FROM '{src}/documents.parquet'")
+con.execute(f"CREATE VIEW ev_src AS SELECT * FROM '{src}/events.parquet'")
 
-ok, ck, pk, vk, dk = [con.execute(q).fetchone()[0] for q in (
+ok, ck, pk, vk, dk, ek, uk = [con.execute(q).fetchone()[0] for q in (
     "SELECT MAX(o_orderkey)+1 FROM orders_src",
     "SELECT MAX(o_custkey)+1 FROM orders_src",
     "SELECT MAX(l_partkey)+1 FROM lineitem_src",
     "SELECT MAX(vec_id)+1 FROM emb_src",
-    "SELECT MAX(doc_id)+1 FROM docs_src")]
+    "SELECT MAX(doc_id)+1 FROM docs_src",
+    "SELECT MAX(event_id)+1 FROM ev_src",
+    "SELECT MAX(user_id)+1 FROM ev_src")]
 
 import os
 os.makedirs(out, exist_ok=True)
@@ -54,5 +57,11 @@ COPY (SELECT doc_id + i*{dk} AS doc_id, * EXCLUDE (doc_id, text),
       FROM docs_src CROSS JOIN range({n}) t(i))
 TO '{out}/documents.parquet' (FORMAT PARQUET)""")
 
-for t in ("orders", "lineitem", "embeddings", "documents"):
+con.execute(f"""
+COPY (SELECT event_id + i*{ek} AS event_id, CAST(ts AS TIMESTAMP_NS) AS ts,
+             user_id + i*{uk} AS user_id, event_type, value, props
+      FROM ev_src CROSS JOIN range({n}) t(i))
+TO '{out}/events.parquet' (FORMAT PARQUET)""")
+
+for t in ("orders", "lineitem", "embeddings", "documents", "events"):
     print(t, con.execute(f"SELECT COUNT(*) FROM '{out}/{t}.parquet'").fetchone()[0])
