@@ -175,6 +175,35 @@ object ScaleExperiment {
         Relational.topKPerGroupSalted(evk, Seq("event_type"), ord, 10, 32))
     }
 
+    // 9. layout: range-clustered vs hash-shuffled parquet under a selective
+    // scan (1M events). Reported rows = rows the reader materialized after
+    // row-group skipping — the clustered layout should read a sliver.
+    if (on("layout")) {
+      import graft.sources.Layout
+      val ev = Tables.load(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val base = "/tmp/graft_layout_exp"
+      Layout.writeClustered(ev, s"$base/clustered", Seq("user_id"),
+        maxRecordsPerFile = 50000)
+      ev.repartition(32).write.mode("overwrite")
+        .option("maxRecordsPerFile", 50000).parquet(s"$base/shuffled")
+      val pred = col("user_id") < 100 // ~1% of the 10× user domain
+      // AQE off so the scan node (and its metrics) is statically reachable
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      for (variant <- Seq("clustered", "shuffled")) {
+        val df = spark.read.parquet(s"$base/$variant").filter(pred)
+        val t0 = System.nanoTime()
+        // collect (not a fresh write plan) so the scan metrics we read below
+        // belong to the query execution that actually ran
+        df.collect()
+        val scanned = df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.map(_.metrics("numOutputRows").value).sum
+        println(f"layout_scan_$variant%-21s ${(System.nanoTime() - t0) / 1e9}%8.1f s  rows=$scanned")
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+
     // 8. negative sampling over the replicated interaction log: the
     // bucketed-CDF equi-join lookup must stay linear in users×k and never
     // fall back to a range join (checked by plan string).
