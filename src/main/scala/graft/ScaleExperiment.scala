@@ -175,6 +175,25 @@ object ScaleExperiment {
         Relational.topKPerGroupSalted(evk, Seq("event_type"), ord, 10, 32))
     }
 
+    // 10. sketch profiling vs exact over the replicated interactions:
+    // exact per-group distinct shuffles every distinct (group, user) pair
+    // and exact percentiles buffer whole groups; the HLL++/GK forms are
+    // one-pass with fixed per-group state.
+    if (on("sketch")) {
+      val inter = graft.rank.Interactions.fromStar(spark, dir)
+        .select(col("item_id"), col("user_id"),
+          (col("item_id") % 997).cast("double").as("v"))
+      timed("profile_exact")(
+        inter.groupBy(col("item_id"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("d"),
+            percentile(col("v"), lit(0.5)).as("p50"),
+            percentile(col("v"), lit(0.99)).as("p99")))
+      timed("profile_sketch")(
+        graft.functions.ApproxStats.approxProfile(
+          inter, Seq("item_id"), "user_id", "v", Seq(0.5, 0.99)))
+    }
+
     // 9. layout: range-clustered vs hash-shuffled parquet under a selective
     // scan (1M events). Reported rows = rows the reader materialized after
     // row-group skipping — the clustered layout should read a sliver.

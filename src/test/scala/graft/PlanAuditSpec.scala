@@ -112,4 +112,27 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("HashAggregate(keys=[query_id"),
       s"pair-dedup aggregation crept back in:\n$p")
   }
+
+  test("negative sampling: the CDF lookup is an equi-join, never a nested loop") {
+    val pos = graft.rank.Interactions.fromStar(spark, sfDir)
+      .select(col("user_id"), col("item_id"))
+    val p = plan(graft.rank.NegativeSampling.sampleNegatives(pos, k = 5, seed = 42L))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bucketed CDF lookup degenerated into a range/cross join:\n$p")
+    assert(!p.contains("Window [sum") || p.contains("__pid"),
+      s"the CDF prefix sum must stay partition-local (no global un-keyed window over items):\n$p")
+  }
+
+  test("asOf: spine and features cross one shared key exchange") {
+    val ev = tbl("events")
+    val spine = ev.filter(col("event_type") === lit("purchase"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val feat = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"), col("value"))
+    val p = plan(graft.operators.AsOfJoin.asOf(
+      spine, feat, Seq("user_id"), "ts_us", "t_us", Seq("value")))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"asOf must shuffle once on the key, saw $exchanges:\n$p")
+    assert(!p.contains("Join"), s"asOf must not plan any join:\n$p")
+  }
 }
