@@ -87,4 +87,38 @@ object RecsTable {
       .foreachPartition { it: Iterator[Row] =>
         put(it.map(r => (r.getString(0), r.getString(1))))
       }
+
+  /** Streaming serving refresh — the S9 sink driven by a live interaction
+    * stream instead of a nightly batch. Per micro-batch (`foreachBatch`):
+    * recompute recommendations ONLY for users with new activity (left-semi
+    * prune of the static history down to the active-user sliver, then union
+    * the batch's new interactions in), and batch-put the refreshed lists
+    * through the same kvSink seam. The co-occurrence model stays a static
+    * artifact (refit on its own cadence — RetrievalPipeline); what streams
+    * is the per-user state. At 100 TB this is the only sane shape: the
+    * recompute cost per batch is O(active users × history), never O(all
+    * users), and the KV write is idempotent per user (last write wins), so
+    * micro-batch retries are safe.
+    */
+  def streamRefresh(stream: DataFrame, history: DataFrame, neighbors: DataFrame,
+      k: Int, put: Iterator[(String, String)] => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val b = batch.select(col("user_id"), col("item_id"))
+        val active = b.select(col("user_id")).distinct()
+        val hist = history.select(col("user_id"), col("item_id"))
+          .join(active, Seq("user_id"), "left_semi")
+          .unionByName(b)
+        val recs = graft.rank.Cooccur.recommend(hist, neighbors, k)
+        val lists = recs.groupBy(col("user_id"))
+          .agg(transform(
+            sort_array(collect_list(struct(col("rk"),
+              col("item_id").cast("string").as("item")))),
+            x => x.getField("item")).as("recs"))
+          .select(col("user_id").cast("string").as("user_id"), col("recs"))
+        kvSink(lists, put)
+        ()
+      }
+      .start()
 }

@@ -38,6 +38,42 @@ class RecsTableSpec extends SparkSpecBase {
     assert(InMemoryKv.store.get("no_user") == """["7","8"]""")
   }
 
+  test("streamRefresh recomputes KV entries only for users with new activity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    InMemoryKv.store.clear()
+
+    // history: u1 touched {1,2}, u2 touched {3}; neighbor model from a
+    // separate co-occurrence corpus where 1~2, 2~4, 3~4 co-occur
+    val history = Seq((1L, 1L), (1L, 2L), (2L, 3L)).toDF("user_id", "item_id")
+    val corpus = Seq((10L, 1L), (10L, 2L), (11L, 2L), (11L, 4L), (12L, 3L), (12L, 4L))
+      .toDF("user_id", "item_id")
+    val neighbors = graft.rank.Cooccur.itemNeighbors(corpus, maxNeighbors = 5)
+
+    val in = MemoryStream[(Long, Long)]
+    val q = RecsTable.streamRefresh(
+      in.toDF().toDF("user_id", "item_id"), history, neighbors, k = 3,
+      InMemoryKv.putBatch)
+    try {
+      in.addData((1L, 4L)) // u1 interacts with item 4
+      q.processAllAvailable()
+      assert(InMemoryKv.store.containsKey("1"), "active user refreshed")
+      assert(!InMemoryKv.store.containsKey("2"), "inactive user NOT recomputed")
+      // parity with the batch path on the same merged history
+      val merged = history.filter($"user_id" === 1L)
+        .union(Seq((1L, 4L)).toDF("user_id", "item_id"))
+      val expected = graft.rank.Cooccur.recommend(merged, neighbors, 3)
+        .filter($"user_id" === 1L).orderBy($"rk")
+        .select($"item_id".cast("string")).as[String].collect().toList
+      assert(InMemoryKv.store.get("1") == expected.mkString("[\"", "\",\"", "\"]"),
+        s"payload ${InMemoryKv.store.get("1")} vs $expected")
+
+      in.addData((2L, 4L)) // now u2 becomes active
+      q.processAllAvailable()
+      assert(InMemoryKv.store.containsKey("2"), "second batch refreshes u2")
+    } finally q.stop()
+  }
+
   test("json sink (S11) round-trips the table") {
     val tmp = java.nio.file.Files.createTempDirectory("recsjson").toString
     val table = RecsTable.assemble(recs, targets, Seq("7"))
