@@ -175,6 +175,28 @@ object ScaleExperiment {
         Relational.topKPerGroupSalted(evk, Seq("event_type"), ord, 10, 32))
     }
 
+    // 11. interval join at 10×: binned equi-join vs the naive non-equi form
+    // (which Spark plans as BNLJ once there is no equi key). Keyed regime
+    // uses the dense user collapse (150 users) so per-user windows overlap.
+    if (on("interval")) {
+      import graft.operators.Relational
+      val ev = Tables.load(spark, dir, "events")
+      val points = ev.filter(col("event_type").isin("view", "click"))
+        .select((col("user_id") % 150).as("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("t"))
+      val intervals = ev.filter(col("event_type") === lit("purchase"))
+        .select((col("user_id") % 150).as("user_id"), col("event_id").as("anchor_id"),
+          (unix_millis(col("ts")) - 1800000L).as("lo"),
+          (unix_millis(col("ts")) + 1800000L).as("hi"))
+      counted("interval_binned_keyed")(
+        Relational.intervalJoin(points, intervals, "t", "lo", "hi",
+          binSize = 3600000L, keys = Seq("user_id")))
+      counted("interval_naive_keyed")(
+        points.as("p").join(intervals.as("i"),
+          col("p.user_id") === col("i.user_id") &&
+            col("p.t") >= col("i.lo") && col("p.t") <= col("i.hi")))
+    }
+
     // 10. sketch profiling vs exact over the replicated interactions:
     // exact per-group distinct shuffles every distinct (group, user) pair
     // and exact percentiles buffer whole groups; the HLL++/GK forms are

@@ -113,6 +113,38 @@ object Relational {
     topKPerGroup(local, keys, orderCols, k, rankCol).drop("__salt")
   }
 
+  /** Interval (band/range) join: match each point row to every interval row
+    * with `startCol <= pointCol <= endCol` (plus optional equi `keys`) —
+    * attribution windows, session containment, validity-period lookups.
+    *
+    * Spark plans a bare non-equi join as BroadcastNestedLoopJoin (or a
+    * cartesian) — O(|points|×|intervals|) and a guaranteed 100 TB death.
+    * This implementation bins the time axis instead: a point lands in
+    * exactly one `binSize`-wide bin, an interval explodes to every bin it
+    * overlaps, and the join becomes a plain shuffled EQUI-join on
+    * (keys, bin) with a residual band filter — each true pair meets exactly
+    * once (the point's single bin), so no dedup is needed.
+    *
+    * Cost model: the interval side grows by ~(avg interval length /
+    * binSize + 1)×; the join fan-in per bin is bounded by how many
+    * intervals overlap a bin. Pick binSize near the median interval length
+    * (row growth ≈ 2×); a binSize far below it explodes the interval side,
+    * far above it degrades the bin prefilter toward all-pairs-per-key.
+    * Times must be non-negative integers (epoch ms/µs — `div` is floor
+    * division there; negatives would bin toward zero).
+    */
+  def intervalJoin(points: DataFrame, intervals: DataFrame, pointCol: String,
+      startCol: String, endCol: String, binSize: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(binSize > 0, s"binSize must be positive, got $binSize")
+    val p = points.withColumn("__bin", expr(s"$pointCol div ${binSize}L"))
+    val i = intervals.withColumn("__bin",
+      explode(sequence(expr(s"$startCol div ${binSize}L"), expr(s"$endCol div ${binSize}L"))))
+    p.join(i, keys :+ "__bin")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bin")
+  }
+
   /** Salted equi-join for skewed keys when the small side is too big to
     * broadcast: the left (fact) side gets a deterministic row-hash salt in
     * [0, numSalts), the right side is replicated once per salt, and the join

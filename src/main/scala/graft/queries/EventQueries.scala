@@ -125,6 +125,31 @@ object EventQueries {
         .orderBy(col("event_type"), col("rk"))
     },
 
+    // Interval (band) join via time-axis binning: attribute each view/click
+    // to every purchase session of the same user whose ±2 h window contains
+    // it. The bare non-equi form would plan a nested-loop join; binning
+    // makes it a plain equi-join on (user, bin) + residual filter (see
+    // Relational.intervalJoin). Oracle is DuckDB's native range join
+    // (BETWEEN) over the same gaps-and-islands sessions — an independent
+    // execution strategy for identical semantics.
+    "q63_interval_join" -> { (s, d) =>
+      val ev = table(s, d, "events")
+      val sessions = graft.streaming.EventStream
+        .sessionizeBatch(ev.filter(col("event_type") === lit("purchase")),
+          "user_id", unix_millis(col("ts")), gapMs = 1800000L)
+        .select(col("user_id"), col("session_id"),
+          (col("session_start_ms") - 7200000L).as("w_start"),
+          (col("session_end_ms") + 7200000L).as("w_end"))
+      val signals = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tms"))
+      graft.operators.Relational.intervalJoin(signals, sessions,
+          pointCol = "tms", startCol = "w_start", endCol = "w_end",
+          binSize = 3600000L, keys = Seq("user_id"))
+        .select(col("user_id"), col("event_id"), col("session_id"),
+          col("tms"), col("w_start"), col("w_end"))
+        .orderBy(col("user_id"), col("event_id"), col("session_id"))
+    },
+
     // Sessionization (30-min gap) through the batch gaps-and-islands form —
     // same merge semantics as the streaming flatMapGroupsWithState path
     // (equivalence asserted in EventStreamSpec); here it gets a real oracle.
@@ -174,6 +199,26 @@ object EventQueries {
          event_type, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
+    "q63_interval_join" ->
+      """WITH p AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms FROM events
+                    WHERE event_type = 'purchase'),
+         g AS (SELECT user_id, tms,
+                 CASE WHEN lag(tms) OVER w IS NULL OR tms - lag(tms) OVER w > 1800000
+                      THEN 1 ELSE 0 END AS isn
+               FROM p WINDOW w AS (PARTITION BY user_id ORDER BY tms)),
+         s AS (SELECT user_id, tms,
+                 CAST(SUM(isn) OVER (PARTITION BY user_id ORDER BY tms
+                   ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+               FROM g),
+         sess AS (SELECT user_id, session_id,
+                    MIN(tms) - 7200000 AS w_start, MAX(tms) + 7200000 AS w_end
+                  FROM s GROUP BY user_id, session_id),
+         sig AS (SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms
+                 FROM events WHERE event_type IN ('view', 'click'))
+         SELECT v.user_id, v.event_id, x.session_id, v.tms, x.w_start, x.w_end
+         FROM sig v JOIN sess x
+           ON v.user_id = x.user_id AND v.tms BETWEEN x.w_start AND x.w_end
+         ORDER BY v.user_id, v.event_id, x.session_id""",
     "q57_salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value

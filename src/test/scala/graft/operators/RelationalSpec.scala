@@ -166,6 +166,37 @@ class RelationalSpec extends SparkSpecBase {
     assert(small.exceptAll(smallPlain).isEmpty && smallPlain.exceptAll(small).isEmpty)
   }
 
+  test("intervalJoin equals the naive non-equi join, inclusive at both boundaries") {
+    import spark.implicits._
+    val ev = tbl("events", sfDirMid)
+    val points = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("t"))
+    // per-user hourly windows anchored on purchases
+    val intervals = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("anchor_id"),
+        (unix_millis(col("ts")) - 1800000L).as("lo"),
+        (unix_millis(col("ts")) + 1800000L).as("hi"))
+    val binned = Relational.intervalJoin(points, intervals, "t", "lo", "hi",
+      binSize = 600000L, keys = Seq("user_id"))
+    val naive = points.as("p").join(intervals.as("i"),
+        col("p.user_id") === col("i.user_id") &&
+          col("p.t") >= col("i.lo") && col("p.t") <= col("i.hi"))
+      .select(col("p.user_id"), col("p.event_id"), col("p.t"),
+        col("i.anchor_id"), col("i.lo"), col("i.hi"))
+    val b = binned.select("user_id", "event_id", "t", "anchor_id", "lo", "hi")
+    assert(b.exceptAll(naive).isEmpty && naive.exceptAll(b).isEmpty,
+      "binned interval join must equal the nested-loop form")
+    assert(!binned.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "the binned form must plan an equi-join")
+
+    // exact boundary points, keyless intervals, interval spanning many bins
+    val pts = Seq((1L, 10L), (2L, 20L), (3L, 21L), (4L, 9L)).toDF("pid", "t")
+    val ivs = Seq((100L, 10L, 20L)).toDF("iid", "lo", "hi")
+    val hits = Relational.intervalJoin(pts, ivs, "t", "lo", "hi", binSize = 3L)
+      .select($"pid").as[Long].collect().toSet
+    assert(hits == Set(1L, 2L), "inclusive [lo, hi]: boundary points in, outside out")
+  }
+
   test("stratifiedSample keeps a subset of any higher-rate sample on the same key") {
     val ev = tbl("events", sfDirMid)
     val lo = Relational.stratifiedSample(ev, col("event_type"), col("event_id"),
