@@ -1,0 +1,82 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected edge list — the
+  * clustering step that turns PAIRWISE near-duplicate evidence into
+  * duplicate CLUSTERS. `TextDedup.dropNearDuplicates` applies a per-pair
+  * keep-smallest policy (documented there: chains collapse only where links
+  * share buckets); when a corpus has long transitive chains (mirror sites,
+  * template families) the cluster-consistent removal is: connected
+  * components over the verified pair graph, keep one representative per
+  * component. This is how web-scale dedup pipelines structure the job.
+  *
+  * Algorithm: iterative hash-min label propagation (each node adopts the
+  * minimum label among itself and its neighbors) — Pregel-style, expressed
+  * as DataFrame joins so it runs at any scale:
+  *  - one shuffle per iteration (join labels to the symmetrized edges,
+  *    min-aggregate per node);
+  *  - converges in O(max component diameter) iterations — near-dup
+  *    clusters are shallow (stars/short chains), so typically < 5;
+  *  - `localCheckpoint` after every iteration cuts the growing lineage
+  *    (the classic iterative-Spark failure is an exponentially deep plan,
+  *    not the data);
+  *  - the driver only sees ONE long per iteration (the changed-label
+  *    count that decides convergence), never data.
+  *
+  * Output: (node, component) with component = min node id reachable, one
+  * row per node appearing in `edges`. Isolated nodes (no edges) are not
+  * emitted — callers union them back as their own components if needed.
+  */
+object ConnectedComponents {
+
+  def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    require(maxIter > 0)
+    // symmetrize once; self-loops drop out (they never change a min)
+    val sym = edges.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(edges.select(col("b").as("x"), col("a").as("y")))
+      .filter(col("x") =!= col("y"))
+      .localCheckpoint()
+
+    var labels = sym.select(col("x").as("node")).distinct()
+      .select(col("node"), col("node").as("comp"))
+      .localCheckpoint()
+
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      // neighbor's current label, per node; keep own label in the running min
+      val viaNeighbors = sym
+        .join(labels.withColumnRenamed("node", "y"), Seq("y"))
+        .select(col("x").as("node"), col("comp"))
+      val next = viaNeighbors.unionAll(labels)
+        .groupBy(col("node"))
+        .agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.comp") =!= col("o.comp"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0,
+      s"connected components did not converge in $maxIter iterations — " +
+        "component diameter exceeds the bound; raise maxIter")
+    labels
+  }
+
+  /** Cluster-consistent near-duplicate removal: drop every node that is not
+    * its component's minimum (one representative survives per duplicate
+    * cluster, regardless of chain length). `dupPairs` is the verified pair
+    * set (a, b); `df` the corpus. Rows never appearing in a pair are kept.
+    */
+  def keepComponentRepresentatives(df: DataFrame, idCol: String,
+      dupPairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val comps = run(dupPairs, maxIter)
+    val drop = comps.filter(col("node") =!= col("comp"))
+      .select(col("node").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+}

@@ -127,6 +127,24 @@ object TextQueries {
           numHashes = 16, rowsPerBand = 2, threshold = 0.5)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
+    },
+
+    // Connected components over the verified near-dup pair graph (the
+    // cluster-consistent upgrade of q38's per-pair policy): iterative
+    // hash-min label propagation — Pregel as DataFrame joins, one shuffle
+    // per iteration, lineage cut per iteration. The oracle computes the
+    // same components with a DuckDB RECURSIVE CTE (transitive reachability
+    // + min) — a completely different fixpoint mechanism, same labels.
+    "q64_connected_components" -> { (s, d) =>
+      val docs = tokenized(s, d, shingleN)
+      val shingles = TextOps.wordShingles(col("__toks"), shingleN)
+      val sig = TextDedup.minhashSignatures(docs, "doc_id", shingles, 16)
+      val cand = TextDedup.lshCandidatePairs(
+        TextDedup.lshBands(sig, "doc_id", 16, 2), "doc_id")
+      val pairs = TextDedup.jaccardForPairs(cand, docs, "doc_id", shingles)
+        .filter(col("jaccard") >= 0.5).select(col("a"), col("b"))
+      graft.dedup.ConnectedComponents.run(pairs)
+        .orderBy(col("node"))
     })
 
   /** DuckDB value of 4 hex digits of `expr` at 1-based offset `off`. */
@@ -234,7 +252,21 @@ object TextQueries {
          dups AS (SELECT DISTINCT b FROM scored WHERE j >= 0.5)
          SELECT doc_id FROM sizes
          WHERE doc_id NOT IN (SELECT b FROM dups)
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+    "q64_connected_components" ->
+      s"""WITH RECURSIVE $lshChainSql,
+         scored AS (SELECT c.a a, c.b b,
+             CAST(cm.common AS DOUBLE) / (sa.n + sb.n - cm.common) j
+           FROM cand c JOIN common cm ON c.a = cm.a AND c.b = cm.b
+           JOIN sizes sa ON c.a = sa.doc_id JOIN sizes sb ON c.b = sb.doc_id),
+         pairs AS (SELECT a, b FROM scored WHERE j >= 0.5),
+         sym AS (SELECT a AS x, b AS y FROM pairs
+                 UNION ALL SELECT b, a FROM pairs),
+         reach AS (SELECT x AS node, y AS r FROM sym
+                   UNION
+                   SELECT reach.node, sym.y FROM reach JOIN sym ON reach.r = sym.x)
+         SELECT node, LEAST(node, MIN(r)) AS comp FROM reach
+         GROUP BY node ORDER BY node""")
 
   /** Shared LSH oracle chain (shingles → sizes → minhash sigs → bands →
     * candidate pairs → pairwise common counts) — mirrors TextDedup's

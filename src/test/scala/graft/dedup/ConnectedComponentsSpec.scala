@@ -1,0 +1,59 @@
+package graft.dedup
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class ConnectedComponentsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def labels(edges: Seq[(Long, Long)], maxIter: Int = 20): Map[Long, Long] =
+    ConnectedComponents.run(edges.toDF("a", "b"), maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("chains, stars and separate components label to the component minimum") {
+    val out = labels(Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), // chain 1-2-3-4
+      (10L, 11L), (10L, 12L), (10L, 13L), // star at 10
+      (20L, 21L), (21L, 20L), (20L, 20L))) // dup edges + self-loop
+    assert(out == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("matches a brute-force transitive closure on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    // brute force: repeated min-label relaxation to fixpoint on the driver
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    var lab = nodes.map(n => n -> n).toMap
+    var stable = false
+    while (!stable) {
+      stable = true
+      edges.foreach { case (a, b) =>
+        val m = math.min(lab(a), lab(b))
+        if (lab(a) != m || lab(b) != m) { stable = false; lab += a -> m; lab += b -> m }
+      }
+    }
+    assert(labels(edges) == lab)
+  }
+
+  test("fails loudly instead of returning wrong labels when maxIter is too low") {
+    // a path of length 12 needs several hash-min rounds
+    val chain = (1L to 12L).sliding(2).map(s => (s(1), s.head)).toSeq
+    assertThrows[IllegalArgumentException](labels(chain, maxIter = 1))
+    assert(labels(chain, maxIter = 20).values.toSet == Set(1L))
+  }
+
+  test("keepComponentRepresentatives keeps exactly one doc per duplicate cluster") {
+    val docs = (1L to 8L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // clusters {1,2,3} (chain) and {5,6}; 4,7,8 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val kept = ConnectedComponents
+      .keepComponentRepresentatives(docs, "doc_id", pairs)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L, 7L, 8L),
+      "component minima survive; chain member 3 dies even though (1,3) was never a pair")
+  }
+}
