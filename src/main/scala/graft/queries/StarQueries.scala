@@ -12,6 +12,33 @@ import QueryHelpers._
 object StarQueries {
 
   val defs: Map[String, QueryFn] = Map(
+    // SCD2 apply over the customer dimension (incremental maintenance: the
+    // refresh path a 100 TB warehouse runs instead of dbt-style full
+    // rebuilds). The change batch is synthesized deterministically — 30% of
+    // keys change segment+balance, a different 20% re-assert identical
+    // values (must NOT version), 50 unknown keys insert — so DuckDB can
+    // replay the identical batch and hash-compare every validity interval.
+    "q65_scd2_apply" -> { (s, d) =>
+      import graft.operators.Scd
+      val cust = table(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val dim = cust
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("long"))
+      val changed = Relational.hashSample(cust, col("c_custkey"), 0.3)
+        .select(col("c_custkey"),
+          concat(lit("SEG_"), col("c_mktsegment")).as("c_mktsegment"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"), lit(1000L).as("ts"))
+      val noop = Relational.hashSample(cust, col("c_custkey") + 7, 0.2)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          lit(1000L).as("ts"))
+      val newKeys = cust.filter(col("c_custkey") < 50)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          col("c_mktsegment"), col("c_acctbal"), lit(1000L).as("ts"))
+      Scd.scd2Apply(dim, changed.unionByName(noop).unionByName(newKeys),
+          Seq("c_custkey"), Seq("c_mktsegment", "c_acctbal"), "ts")
+        .orderBy(col("c_custkey"), col("valid_from"))
+    },
     // A1-equivalent pricing summary (group-agg with several aggregate kinds;
     // reference pattern: filtered_dataframe.sql:1-12 count/having over facts).
     "q01_pricing_summary" -> { (s, d) =>
@@ -241,6 +268,38 @@ object StarQueries {
        ORDER BY o_orderpriority"""
 
   val oracles: Map[String, String] = Map(
+    "q65_scd2_apply" -> {
+      val selChanged = hex4Sql("md5(CAST(c_custkey AS VARCHAR))", 0) +
+        s" < ${math.floor(0.3 * 65536).toInt}"
+      val selNoop = hex4Sql("md5(CAST(c_custkey + 7 AS VARCHAR))", 0) +
+        s" < ${math.floor(0.2 * 65536).toInt}"
+      s"""WITH cust AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+          allch AS (
+            SELECT c_custkey, 'SEG_' || c_mktsegment AS seg, c_acctbal + 100.0 AS bal,
+                   CAST(1000 AS BIGINT) AS ts FROM cust WHERE $selChanged
+            UNION ALL
+            SELECT c_custkey, c_mktsegment, c_acctbal, 1000 FROM cust WHERE $selNoop
+            UNION ALL
+            SELECT c_custkey + 1000000, c_mktsegment, c_acctbal, 1000 FROM cust
+            WHERE c_custkey < 50),
+          ch AS (SELECT c_custkey, seg, bal, ts FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                     ORDER BY ts DESC, seg DESC, bal DESC) AS rk FROM allch)
+                 WHERE rk = 1),
+          j AS (SELECT cust.c_custkey AS dk, cust.c_mktsegment, cust.c_acctbal,
+                       ch.c_custkey AS ck, ch.seg, ch.bal, ch.ts,
+                       NOT (cust.c_mktsegment IS NOT DISTINCT FROM ch.seg
+                            AND cust.c_acctbal IS NOT DISTINCT FROM ch.bal) AS differs
+                FROM cust FULL OUTER JOIN ch ON cust.c_custkey = ch.c_custkey)
+          SELECT dk AS c_custkey, c_mktsegment, c_acctbal,
+                 CAST(0 AS BIGINT) AS valid_from,
+                 CASE WHEN ts IS NOT NULL AND differs THEN ts END AS valid_to
+          FROM j WHERE dk IS NOT NULL
+          UNION ALL
+          SELECT ck, seg, bal, ts, CAST(NULL AS BIGINT)
+          FROM j WHERE ts IS NOT NULL AND (dk IS NULL OR differs)
+          ORDER BY c_custkey, valid_from"""
+    },
     "q26_sql_text" -> sqlTextQ26,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
