@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-quality gate — the engine form of the reference's dbt schema tests
+  * (schema.yml: `unique` + `not_null` on ARTICLE_ID / CUSTOMER_ID), extended
+  * from pass/fail assertions into row-level QUARANTINE: at 100 TB a failed
+  * batch is not "rerun after fixing the source", it is "route the bad rows
+  * aside and keep the pipeline moving".
+  *
+  * Row checks (not-null, accepted-values, range) are pure predicates —
+  * free, codegen'd, no shuffle. Uniqueness is not row-local: it becomes a
+  * per-key window count (one shuffle per distinct key set). Null-valued
+  * predicates count as PASSING (dbt's convention: range/accepted tests
+  * skip nulls; pair them with notNull to reject nulls) — and the same CASE
+  * WHEN NULL semantics holds in any SQL engine, which keeps the audit
+  * oracle-checkable.
+  */
+object Quality {
+
+  final case class Check(name: String, passes: Column)
+
+  def notNull(c: String): Check = Check(s"not_null_$c", col(c).isNotNull)
+  def accepted(c: String, values: Seq[String]): Check =
+    Check(s"accepted_$c", col(c).isin(values: _*))
+  def inRange(c: String, lo: Double, hi: Double): Check =
+    Check(s"range_$c", col(c).between(lo, hi))
+
+  /** Annotate every row with `failures`: a deterministic comma-joined list
+    * of failed check names (empty string = clean row). `uniqueKeys` adds a
+    * dbt-style uniqueness check per key set. */
+  def audit(df: DataFrame, checks: Seq[Check],
+      uniqueKeys: Seq[Seq[String]] = Nil): DataFrame = {
+    val uniq = uniqueKeys.map { ks =>
+      Check(s"unique_${ks.mkString("_")}",
+        count(lit(1)).over(Window.partitionBy(ks.map(col): _*)) <= 1)
+    }
+    val all = checks ++ uniq
+    require(all.nonEmpty, "audit needs at least one check")
+    df.withColumn("failures",
+      concat_ws(",", all.map(c => when(!c.passes, lit(c.name))): _*))
+  }
+
+  /** Split into (clean, quarantined) — quarantined rows keep their
+    * `failures` annotation for triage. */
+  def quarantine(df: DataFrame, checks: Seq[Check],
+      uniqueKeys: Seq[Seq[String]] = Nil): (DataFrame, DataFrame) = {
+    val a = audit(df, checks, uniqueKeys)
+    (a.filter(col("failures") === "").drop("failures"),
+      a.filter(col("failures") =!= ""))
+  }
+
+  /** Per-check violation counts — the dbt test report, as one aggregation. */
+  def summary(df: DataFrame, checks: Seq[Check],
+      uniqueKeys: Seq[Seq[String]] = Nil): DataFrame =
+    audit(df, checks, uniqueKeys)
+      .select(explode(split(col("failures"), ",")).as("check"))
+      .filter(col("check") =!= "")
+      .groupBy(col("check")).agg(count(lit(1)).as("violations"))
+}

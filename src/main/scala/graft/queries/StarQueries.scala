@@ -12,6 +12,33 @@ import QueryHelpers._
 object StarQueries {
 
   val defs: Map[String, QueryFn] = Map(
+    // Data-quality audit + quarantine (the engine form of the reference's
+    // dbt schema tests — schema.yml unique/not_null on staging keys — with
+    // row-level triage instead of batch pass/fail). Violations are injected
+    // deterministically: keys <20 duplicated, 20 null-key rows, keys 40-49
+    // pushed out of balance range; the query returns the quarantined rows
+    // with their failure lists.
+    "q66_dq_quarantine" -> { (s, d) =>
+      import graft.operators.Quality
+      val cust = table(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val staged = cust
+        .unionByName(cust.filter(col("c_custkey") < 20))
+        .unionByName(cust.filter(col("c_custkey").between(20, 39))
+          .select(lit(null).cast("long").as("c_custkey"),
+            col("c_mktsegment"), col("c_acctbal")))
+        .unionByName(cust.filter(col("c_custkey").between(40, 49))
+          .select(col("c_custkey"), col("c_mktsegment"),
+            (col("c_acctbal") + 1000000.0).as("c_acctbal")))
+      Quality.audit(staged,
+          Seq(Quality.notNull("c_custkey"),
+            Quality.inRange("c_acctbal", -99999, 99999)),
+          uniqueKeys = Seq(Seq("c_custkey")))
+        .filter(col("failures") =!= "")
+        .orderBy(col("c_custkey").asc_nulls_first, col("c_acctbal"),
+          col("c_mktsegment"))
+    },
+
     // SCD2 apply over the customer dimension (incremental maintenance: the
     // refresh path a 100 TB warehouse runs instead of dbt-style full
     // rebuilds). The change batch is synthesized deterministically — 30% of
@@ -268,6 +295,25 @@ object StarQueries {
        ORDER BY o_orderpriority"""
 
   val oracles: Map[String, String] = Map(
+    "q66_dq_quarantine" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+         staged AS (
+           SELECT * FROM cust
+           UNION ALL SELECT * FROM cust WHERE c_custkey < 20
+           UNION ALL SELECT CAST(NULL AS BIGINT), c_mktsegment, c_acctbal
+                     FROM cust WHERE c_custkey BETWEEN 20 AND 39
+           UNION ALL SELECT c_custkey, c_mktsegment, c_acctbal + 1000000.0
+                     FROM cust WHERE c_custkey BETWEEN 40 AND 49),
+         aud AS (SELECT *,
+           concat_ws(',',
+             CASE WHEN NOT (c_custkey IS NOT NULL) THEN 'not_null_c_custkey' END,
+             CASE WHEN NOT (c_acctbal BETWEEN -99999 AND 99999) THEN 'range_c_acctbal' END,
+             CASE WHEN NOT (COUNT(*) OVER (PARTITION BY c_custkey) <= 1)
+                  THEN 'unique_c_custkey' END) AS failures
+           FROM staged)
+         SELECT c_custkey, c_mktsegment, c_acctbal, failures FROM aud
+         WHERE failures <> ''
+         ORDER BY c_custkey NULLS FIRST, c_acctbal, c_mktsegment""",
     "q65_scd2_apply" -> {
       val selChanged = hex4Sql("md5(CAST(c_custkey AS VARCHAR))", 0) +
         s" < ${math.floor(0.3 * 65536).toInt}"

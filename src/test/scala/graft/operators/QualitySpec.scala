@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def staged = Seq(
+    (Some(1L), "BUILDING", 10.0),
+    (Some(1L), "BUILDING", 10.0), // duplicate key
+    (Some(2L), "AUTO", 99.0),
+    (None, "AUTO", 5.0), // null key
+    (Some(3L), "WEIRD", 1e9)) // bad segment + out of range
+    .toDF("k", "seg", "bal")
+
+  private val checks = Seq(
+    Quality.notNull("k"),
+    Quality.accepted("seg", Seq("BUILDING", "AUTO")),
+    Quality.inRange("bal", 0.0, 1000.0))
+
+  test("quarantine splits clean rows from annotated violations") {
+    val (good, bad) = Quality.quarantine(staged, checks, Seq(Seq("k")))
+    assert(good.as[(Option[Long], String, Double)].collect().toSet ==
+      Set((Some(2L), "AUTO", 99.0)))
+    val failures = bad.select($"k", $"failures").collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) -> r.getString(1)).toMap
+    assert(failures(Some(1L)) == "unique_k")
+    assert(failures(None) == "not_null_k")
+    assert(failures(Some(3L)) == "accepted_seg,range_bal")
+  }
+
+  test("null values pass range/accepted checks (dbt convention) — notNull rejects them") {
+    val df = Seq((Some(1L), Option.empty[Double]), (Some(2L), Some(5.0)))
+      .toDF("k", "bal")
+    val a = Quality.audit(df, Seq(Quality.inRange("bal", 0, 10)))
+    assert(a.filter($"failures" =!= "").isEmpty,
+      "a null bal must not fail the range check")
+    val b = Quality.audit(df, Seq(Quality.notNull("bal")))
+    assert(b.filter($"failures" =!= "").count() == 1)
+  }
+
+  test("summary reports per-check violation counts like a dbt test run") {
+    val s = Quality.summary(staged, checks, Seq(Seq("k")))
+      .as[(String, Long)].collect().toMap
+    assert(s == Map("unique_k" -> 2L, "not_null_k" -> 1L,
+      "accepted_seg" -> 1L, "range_bal" -> 1L))
+  }
+
+  test("uniqueness detection is partitioning-invariant") {
+    val many = spark.range(1000).select(($"id" % 500).as("k"))
+    val a = Quality.audit(many.repartition(13), Nil, Seq(Seq("k")))
+    assert(a.filter($"failures" === "").isEmpty,
+      "every key appears twice — all rows must fail uniqueness")
+  }
+}
