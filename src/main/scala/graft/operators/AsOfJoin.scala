@@ -87,19 +87,26 @@ object AsOfJoin {
       .orderBy(col("__t").asc +: col("__side").asc +: valueCols.map(col(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = (valueCols :+ "__ft").foldLeft(spineSide.unionAll(featureSide)) {
-      (d, c) => d.withColumn(s"__asof_$c", last(col(c), ignoreNulls = true).over(w))
-    }
+    // Carry the matched feature ROW as one struct, not column-by-column:
+    // per-column last(..., ignoreNulls) would skip a feature's legitimate
+    // null VALUE and stitch together fields of different feature rows
+    // (mis-timing staleness and emitting tuples that never existed). The
+    // struct is null exactly on spine rows, so ignoreNulls carries the
+    // latest whole feature row — row-wise, like a real ASOF join.
+    val featRow = when(col("__side") === 0,
+      struct(valueCols.map(col) :+ col("__ft").as("__ft"): _*))
+    val carried = spineSide.unionAll(featureSide)
+      .withColumn("__asof", last(featRow, ignoreNulls = true).over(w))
 
     val fresh = toleranceOpt match {
-      case Some(tol) => col("__asof___ft").isNotNull &&
-        col("__t").cast("long") - col("__asof___ft").cast("long") <= tol
-      case None => lit(true)
+      case Some(tol) => col("__asof.__ft").isNotNull &&
+        col("__t").cast("long") - col("__asof.__ft").cast("long") <= tol
+      case None => col("__asof").isNotNull
     }
     carried
       .filter(col("__side") === 1)
       .select(spineCols.map(col) ++
-        valueCols.map(c => when(fresh, col(s"__asof_$c")).as(s"asof_$c")) :+
-        when(fresh, col("__asof___ft")).as(s"asof_$featureTs"): _*)
+        valueCols.map(c => when(fresh, col(s"__asof.$c")).as(s"asof_$c")) :+
+        when(fresh, col("__asof.__ft")).as(s"asof_$featureTs"): _*)
   }
 }

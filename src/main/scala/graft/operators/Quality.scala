@@ -34,8 +34,12 @@ object Quality {
   def audit(df: DataFrame, checks: Seq[Check],
       uniqueKeys: Seq[Seq[String]] = Nil): DataFrame = {
     val uniq = uniqueKeys.map { ks =>
+      // dbt's unique test ignores NULL keys (its SQL filters `where col is
+      // not null`) — null-keyed rows pass here and are notNull's business,
+      // otherwise pairing the two per dbt convention double-counts.
+      val anyNull = ks.map(col(_).isNull).reduce(_ || _)
       Check(s"unique_${ks.mkString("_")}",
-        count(lit(1)).over(Window.partitionBy(ks.map(col): _*)) <= 1)
+        anyNull || count(lit(1)).over(Window.partitionBy(ks.map(col): _*)) <= 1)
     }
     val all = checks ++ uniq
     require(all.nonEmpty, "audit needs at least one check")

@@ -238,15 +238,17 @@ object Relational {
     * at 100 TB this stays a map-side filter with no shuffle of the fact
     * table. Strata missing from `rates` keep `defaultRate`.
     *
-    * `rates` must be unique per stratum (it is a dimension); the rate column
-    * must be named `rate`.
+    * The rate column must be named `rate`. `rates` is reduced to one row
+    * per stratum before the join (max rate wins, deterministically) — a
+    * duplicate stratum row must never fan fact rows out into duplicates.
     */
   def stratifiedSampleBy(df: DataFrame, strataCol: String, key: Column,
       rates: DataFrame, defaultRate: Double = 0.0): DataFrame = {
     require(rates.columns.contains("rate"), "rates needs a 'rate' column")
+    val r = rates.groupBy(col(strataCol)).agg(max(col("rate")).as("__rate"))
     val threshold =
       floor(coalesce(col("__rate"), lit(defaultRate)) * 65536).cast("int")
-    df.join(broadcast(rates.withColumnRenamed("rate", "__rate")), Seq(strataCol), "left")
+    df.join(broadcast(r), Seq(strataCol), "left")
       .filter(hashBucket(key) < threshold)
       .select(df.columns.map(col): _*) // the join hoists the key column; restore input order
   }

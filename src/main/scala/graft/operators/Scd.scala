@@ -29,10 +29,22 @@ import org.apache.spark.sql.functions._
   */
 object Scd {
 
-  /** Type-1 merge: next snapshot = target \ keys(updates) ∪ updates. */
-  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
-    target.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
-      .unionByName(updates.select(target.columns.map(col): _*))
+  /** Type-1 merge: next snapshot = target \ keys(updates) ∪ updates.
+    *
+    * `updates` must be unique per key OR `dedupOrder` must be given: SQL
+    * MERGE errors on multiple source matches, and silently inserting both
+    * rows would corrupt the snapshot's key invariant. With `dedupOrder`
+    * (e.g. `Seq(col("ts").desc)` + a tie-break) the first row per key in
+    * that order wins, deterministically.
+    */
+  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String],
+      dedupOrder: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    val u =
+      if (dedupOrder.nonEmpty) Relational.keepFirstPerKey(updates, keys, dedupOrder)
+      else updates
+    target.join(u.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(u.select(target.columns.map(col): _*))
+  }
 
   /** Type-2 apply. `dim` columns: keys ++ tracked ++ (valid_from, valid_to:
     * long, valid_to null = open row). `changes` columns: keys ++ tracked ++

@@ -308,7 +308,8 @@ object StarQueries {
            concat_ws(',',
              CASE WHEN NOT (c_custkey IS NOT NULL) THEN 'not_null_c_custkey' END,
              CASE WHEN NOT (c_acctbal BETWEEN -99999 AND 99999) THEN 'range_c_acctbal' END,
-             CASE WHEN NOT (COUNT(*) OVER (PARTITION BY c_custkey) <= 1)
+             CASE WHEN NOT (c_custkey IS NULL
+                            OR COUNT(*) OVER (PARTITION BY c_custkey) <= 1)
                   THEN 'unique_c_custkey' END) AS failures
            FROM staged)
          SELECT c_custkey, c_mktsegment, c_acctbal, failures FROM aud

@@ -147,13 +147,8 @@ object TextQueries {
         .orderBy(col("node"))
     })
 
-  /** DuckDB value of 4 hex digits of `expr` at 1-based offset `off`. */
-  private def hex4Sql(expr: String, off: Int): String =
-    Seq(4096, 256, 16, 1).zipWithIndex.map { case (m, i) =>
-      s"(strpos('0123456789abcdef', ($expr)[${off + i + 1}:${off + i + 1}]) - 1) * $m"
-    }.mkString("(", " + ", ")")
-
-  /** Base 32-bit shingle hash (first 8 md5 hex chars) — mirrors
+  /** Base 32-bit shingle hash (first 8 md5 hex chars; hex4Sql from
+    * QueryHelpers — ONE copy of the md5-digit parity contract) — mirrors
     * TextDedup.minhashSignatures. */
   private val baseHashSql =
     s"(${hex4Sql("m", 0)} * 65536 + ${hex4Sql("m", 4)})"

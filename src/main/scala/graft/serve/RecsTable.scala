@@ -29,13 +29,18 @@ object RecsTable {
   /** As above, with the fallback supplied as a one-row DataFrame
     * (user_id, recs, target) — lets the fallback be computed inside the
     * same job (see popularFallback) instead of a driver-side collect. */
+  /** (user_id, recs: Array[String]) from per-user ranked rows — the one
+    * place the serving list shape is defined (batch assemble and the
+    * streaming refresh both go through it). */
+  private def recLists(recs: DataFrame): DataFrame = recs
+    .groupBy(col("user_id"))
+    .agg(transform(
+      sort_array(collect_list(struct(col("rk"),
+        col("item_id").cast("string").as("item")))),
+      x => x.getField("item")).as("recs"))
+
   def assemble(recs: DataFrame, targets: DataFrame, fallbackRow: DataFrame): DataFrame = {
-    val lists = recs
-      .groupBy(col("user_id"))
-      .agg(transform(
-        sort_array(collect_list(struct(col("rk"),
-          col("item_id").cast("string").as("item")))),
-        x => x.getField("item")).as("recs"))
+    val lists = recLists(recs)
     val tgt = targets
       .select(col("user_id"), col("item_id").cast("string").as("target"))
     lists
@@ -91,31 +96,38 @@ object RecsTable {
   /** Streaming serving refresh — the S9 sink driven by a live interaction
     * stream instead of a nightly batch. Per micro-batch (`foreachBatch`):
     * recompute recommendations ONLY for users with new activity (left-semi
-    * prune of the static history down to the active-user sliver, then union
-    * the batch's new interactions in), and batch-put the refreshed lists
-    * through the same kvSink seam. The co-occurrence model stays a static
-    * artifact (refit on its own cadence — RetrievalPipeline); what streams
-    * is the per-user state. At 100 TB this is the only sane shape: the
-    * recompute cost per batch is O(active users × history), never O(all
-    * users), and the KV write is idempotent per user (last write wins), so
-    * micro-batch retries are safe.
+    * prune of the history down to the active-user sliver), and batch-put
+    * the refreshed lists through the same kvSink seam. The co-occurrence
+    * model stays a static artifact (refit on its own cadence —
+    * RetrievalPipeline); what streams is the per-user state.
+    *
+    * Each batch is first APPENDED to `streamLogDir` (parquet), and history
+    * = static snapshot ∪ the accumulated log — so an item seen in batch 1
+    * is still excluded when the same user reappears in batch 5 (without
+    * the log, per-batch recompute would forget earlier stream activity and
+    * regress the KV state). A retried micro-batch appends duplicate rows,
+    * which is harmless: recommend() dedups (user, item) — the log is
+    * at-least-once, the derived state exactly-once. At 100 TB the
+    * recompute cost per batch stays O(active users × their history), never
+    * O(all users), the KV write is idempotent per user (last write wins),
+    * and the log compacts on the same cadence as the model refit
+    * (fold it into the history snapshot and truncate — Layout.compact).
     */
   def streamRefresh(stream: DataFrame, history: DataFrame, neighbors: DataFrame,
-      k: Int, put: Iterator[(String, String)] => Unit)
+      k: Int, put: Iterator[(String, String)] => Unit, streamLogDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
         val b = batch.select(col("user_id"), col("item_id"))
+        b.write.mode("append").parquet(streamLogDir)
         val active = b.select(col("user_id")).distinct()
+        val streamed = spark.read.parquet(streamLogDir)
         val hist = history.select(col("user_id"), col("item_id"))
+          .unionByName(streamed)
           .join(active, Seq("user_id"), "left_semi")
-          .unionByName(b)
         val recs = graft.rank.Cooccur.recommend(hist, neighbors, k)
-        val lists = recs.groupBy(col("user_id"))
-          .agg(transform(
-            sort_array(collect_list(struct(col("rk"),
-              col("item_id").cast("string").as("item")))),
-            x => x.getField("item")).as("recs"))
+        val lists = recLists(recs)
           .select(col("user_id").cast("string").as("user_id"), col("recs"))
         kvSink(lists, put)
         ()

@@ -55,12 +55,18 @@ object Layout {
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetFileBytes: Long = 128L << 20, clusterCols: Seq[String] = Nil): Unit = {
     val df = spark.read.parquet(inPath)
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val bytes = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .getContentSummary(p).getLength
     if (clusterCols.nonEmpty) {
-      writeClustered(df, outPath, clusterCols)
+      // honor targetFileBytes here too: convert it to a record cap via the
+      // input's average row size (row count is parquet footer metadata —
+      // no data pass)
+      val rows = math.max(1L, df.count())
+      val recordsPerFile =
+        math.max(1L, targetFileBytes / math.max(1L, bytes / rows))
+      writeClustered(df, outPath, clusterCols, recordsPerFile)
     } else {
-      val p = new org.apache.hadoop.fs.Path(inPath)
-      val bytes = p.getFileSystem(spark.sessionState.newHadoopConf())
-        .getContentSummary(p).getLength
       val files = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
       df.coalesce(files).write.mode("overwrite").parquet(outPath)
     }

@@ -64,6 +64,29 @@ class AsOfJoinSpec extends SparkSpecBase {
       "window formulation must equal the brute-force argmax")
   }
 
+  test("null feature VALUES carry row-wise: no stitching fields across feature rows") {
+    val s = Seq((1L, "u", 3L)).toDF("id", "k", "t")
+    // latest feature row (t=2) has a null value; an ignoreNulls-per-column
+    // carry would serve v=5.0 from t=1 while timing staleness against t=2
+    val f = Seq(("u", 1L, Some(5.0)), ("u", 2L, Option.empty[Double]))
+      .toDF("k", "ft", "v")
+    val out = AsOfJoin.asOf(s, f, Seq("k"), "t", "ft", Seq("v"))
+      .select($"asof_v", $"asof_ft").head()
+    assert(out.isNullAt(0) && out.getLong(1) == 2L,
+      s"must return the t=2 row wholesale (null value), got $out")
+    // and with tolerance: the t=2 match is fresh, so the (null, 2) row stands
+    val tol = AsOfJoin.asOf(s, f, Seq("k"), "t", "ft", Seq("v"), Some(1L))
+      .select($"asof_v", $"asof_ft").head()
+    assert(tol.isNullAt(0) && tol.getLong(1) == 2L)
+    // two value columns: never mix fields of different feature rows
+    val f2 = Seq(("u", 1L, Some(1.0), Option.empty[Double]),
+      ("u", 2L, Option.empty[Double], Some(2.0))).toDF("k", "ft", "x", "y")
+    val mixed = AsOfJoin.asOf(s, f2, Seq("k"), "t", "ft", Seq("x", "y"))
+      .select($"asof_x", $"asof_y", $"asof_ft").head()
+    assert(mixed.isNullAt(0) && mixed.getDouble(1) == 2.0 && mixed.getLong(2) == 2L,
+      s"(x, y) must come from ONE feature row, got $mixed")
+  }
+
   test("equal-time feature ties resolve to the greatest value tuple") {
     val s = Seq((1L, "u", 10L)).toDF("id", "k", "t")
     val f = Seq(("u", 10L, 3.0), ("u", 10L, 9.0), ("u", 10L, 5.0)).toDF("k", "ft", "v")

@@ -11,6 +11,7 @@ class QualitySpec extends SparkSpecBase {
     (Some(1L), "BUILDING", 10.0), // duplicate key
     (Some(2L), "AUTO", 99.0),
     (None, "AUTO", 5.0), // null key
+    (None, "AUTO", 6.0), // second null key: must NOT count as a unique violation
     (Some(3L), "WEIRD", 1e9)) // bad segment + out of range
     .toDF("k", "seg", "bal")
 
@@ -26,7 +27,8 @@ class QualitySpec extends SparkSpecBase {
     val failures = bad.select($"k", $"failures").collect()
       .map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) -> r.getString(1)).toMap
     assert(failures(Some(1L)) == "unique_k")
-    assert(failures(None) == "not_null_k")
+    assert(failures(None) == "not_null_k",
+      "null keys fail notNull only — dbt's unique test ignores them")
     assert(failures(Some(3L)) == "accepted_seg,range_bal")
   }
 
@@ -43,7 +45,7 @@ class QualitySpec extends SparkSpecBase {
   test("summary reports per-check violation counts like a dbt test run") {
     val s = Quality.summary(staged, checks, Seq(Seq("k")))
       .as[(String, Long)].collect().toMap
-    assert(s == Map("unique_k" -> 2L, "not_null_k" -> 1L,
+    assert(s == Map("unique_k" -> 2L, "not_null_k" -> 2L,
       "accepted_seg" -> 1L, "range_bal" -> 1L))
   }
 

@@ -51,9 +51,10 @@ class RecsTableSpec extends SparkSpecBase {
     val neighbors = graft.rank.Cooccur.itemNeighbors(corpus, maxNeighbors = 5)
 
     val in = MemoryStream[(Long, Long)]
+    val logDir = java.nio.file.Files.createTempDirectory("graft_streamlog").toString
     val q = RecsTable.streamRefresh(
       in.toDF().toDF("user_id", "item_id"), history, neighbors, k = 3,
-      InMemoryKv.putBatch)
+      InMemoryKv.putBatch, s"$logDir/log")
     try {
       in.addData((1L, 4L)) // u1 interacts with item 4
       q.processAllAvailable()
@@ -68,9 +69,14 @@ class RecsTableSpec extends SparkSpecBase {
       assert(InMemoryKv.store.get("1") == expected.mkString("[\"", "\",\"", "\"]"),
         s"payload ${InMemoryKv.store.get("1")} vs $expected")
 
-      in.addData((2L, 4L)) // now u2 becomes active
+      in.addData((2L, 4L), (1L, 2L)) // u2 becomes active; u1 re-touches item 2
       q.processAllAvailable()
       assert(InMemoryKv.store.containsKey("2"), "second batch refreshes u2")
+      // cross-batch memory: u1's batch-1 item 4 must STILL be excluded even
+      // though this batch only carried (1, 2) — the stream log remembers
+      val u1 = InMemoryKv.store.get("1")
+      assert(!u1.contains("\"4\""), s"batch-1 seen item recommended again: $u1")
+      assert(u1.contains("\"3\""), s"the one unseen item should be recommended: $u1")
     } finally q.stop()
   }
 
