@@ -100,6 +100,18 @@ object EventQueries {
         .orderBy(col("event_id"))
     },
 
+    // Leave-one-out target encoding (the leakage-safe train-side form):
+    // each event's type is encoded as the smoothed mean `value` of its type
+    // with the row's OWN value excluded. Exact-decimal sums make the
+    // encoded doubles engine-reproducible — DuckDB replays the identical
+    // arithmetic and hash-matches.
+    "q67_target_encode" -> { (s, d) =>
+      graft.features.TargetEncoder.looEncode(
+          table(s, d, "events").select(col("event_id"), col("event_type"), col("value")),
+          "event_type", "value", alpha = 10.0)
+        .orderBy(col("event_id"))
+    },
+
     // Skew-salted equi-join (J-family at scale): the fact side is salted,
     // the dimension side replicated per salt, so a hot key spreads over 8
     // tasks instead of one. Results must be IDENTICAL to the plain join —
@@ -199,6 +211,17 @@ object EventQueries {
          event_type, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
+    "q67_target_encode" ->
+      """WITH pr AS (SELECT CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS p
+                     FROM events)
+         SELECT event_id, event_type, value,
+           (CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w
+                 - CAST(value AS DECIMAL(18,4)) AS DOUBLE)
+            + (SELECT p FROM pr) * 10.0)
+           / (COUNT(*) OVER w - 1 + 10.0) AS te
+         FROM events
+         WINDOW w AS (PARTITION BY event_type)
+         ORDER BY event_id""",
     "q63_interval_join" ->
       """WITH p AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms FROM events
                     WHERE event_type = 'purchase'),

@@ -31,6 +31,16 @@ object MultimodalQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    // Hashing-trick bucketing (Categorify's no-dictionary sibling for
+    // unbounded cardinalities): brand into 16 buckets, type into 64 —
+    // stateless, reproducible across engines (same md5 coin as q19/q56).
+    "q68_hash_bucket" -> { (s, d) =>
+      graft.features.HashBucket.bucketize(
+          table(s, d, "part").select(col("p_partkey"), col("p_brand"), col("p_type")),
+          Seq("p_brand" -> 16, "p_type" -> 64))
+        .orderBy(col("p_partkey"))
+    },
+
     // Stratified deterministic sampling, rates-as-dimension form: keep all
     // purchases, 25% of clicks, 10% of views, 5% of everything else — the
     // training-set rebalance. The rates side broadcasts (map-side filter,
@@ -59,6 +69,14 @@ object MultimodalQueries {
       s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
           WHERE ${hex4Sql("md5(CAST(o_orderkey AS VARCHAR))", 0)} < ${math.floor(0.1 * 65536).toInt}
           ORDER BY o_orderkey""",
+    "q68_hash_bucket" -> {
+      def hex8(expr: String) =
+        s"(${hex4Sql(s"md5($expr)", 0)}::BIGINT * 65536 + ${hex4Sql(s"md5($expr)", 4)}::BIGINT)"
+      s"""SELECT p_partkey, p_brand, p_type,
+          CAST(${hex8("p_brand")} % 16 AS INT) AS p_brand_bucket,
+          CAST(${hex8("p_type")} % 64 AS INT) AS p_type_bucket
+          FROM part ORDER BY p_partkey"""
+    },
     "q56_stratified_sample" ->
       s"""WITH rates(event_type, rate) AS (VALUES
             ('purchase', 1.0), ('click', 0.25), ('view', 0.1))
