@@ -175,6 +175,25 @@ object ScaleExperiment {
         Relational.topKPerGroupSalted(evk, Seq("event_type"), ord, 10, 32))
     }
 
+    // 12. connected components under adversarial shapes: 1M nodes in
+    // 100k star components (shallow — converges in ~2 rounds) vs one
+    // 100k-node path (diameter 100k — hash-min alone would need 100k
+    // rounds; the maxIter guard must fail loudly, not loop forever).
+    if (on("cc")) {
+      import graft.dedup.ConnectedComponents
+      val stars = spark.range(1000000)
+        .select((col("id") / 10).cast("long").as("a"), col("id").as("b"))
+      val t0 = System.nanoTime()
+      val n = ConnectedComponents.run(stars, maxIter = 10).count()
+      println(f"cc_stars_1m                      ${(System.nanoTime() - t0) / 1e9}%8.1f s  rows=$n")
+      val path = spark.range(100000)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      val t1 = System.nanoTime()
+      val deep = try { ConnectedComponents.run(path, maxIter = 8); "CONVERGED" }
+      catch { case _: IllegalArgumentException => "LOUD_NONCONVERGENCE" }
+      println(f"cc_path_100k_maxiter8            ${(System.nanoTime() - t1) / 1e9}%8.1f s  $deep")
+    }
+
     // 11. interval join at 10×: binned equi-join vs the naive non-equi form
     // (which Spark plans as BNLJ once there is no equi key). Keyed regime
     // uses the dense user collapse (150 users) so per-user windows overlap.

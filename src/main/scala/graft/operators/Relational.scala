@@ -113,6 +113,25 @@ object Relational {
     topKPerGroup(local, keys, orderCols, k, rankCol).drop("__salt")
   }
 
+  /** Forward fill (last observation carried forward): replace nulls in
+    * `fillCols` with the most recent non-null value at-or-before each row,
+    * per key in `orderCols` order — the gap-filling step for sparse
+    * event/sensor columns before training (the single-stream sibling of
+    * AsOfJoin's carry; same IGNORE NULLS running window, one exchange on
+    * the key). Leading nulls (no prior observation) stay null — compose
+    * with FillMissing for a default. `orderCols` must be a total order per
+    * key for deterministic output.
+    */
+  def forwardFill(df: DataFrame, keys: Seq[String], orderCols: Seq[Column],
+      fillCols: Seq[String]): DataFrame = {
+    require(fillCols.nonEmpty, "forwardFill needs at least one column to fill")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fillCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
   /** Interval (band/range) join: match each point row to every interval row
     * with `startCol <= pointCol <= endCol` (plus optional equi `keys`) —
     * attribution windows, session containment, validity-period lookups.

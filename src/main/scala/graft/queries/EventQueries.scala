@@ -100,6 +100,20 @@ object EventQueries {
         .orderBy(col("event_id"))
     },
 
+    // Forward fill (LOCF): per user in time order, carry the last purchase
+    // value forward across non-purchase events — the sparse-column
+    // gap-filling step before training. Leading rows before any purchase
+    // stay null.
+    "q69_forward_fill" -> { (s, d) =>
+      val ev = table(s, d, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"),
+          when(col("event_type") === lit("purchase"), col("value")).as("last_purchase_value"))
+      Relational.forwardFill(ev, Seq("user_id"),
+          Seq(col("ts_us").asc, col("event_id").asc), Seq("last_purchase_value"))
+        .orderBy(col("event_id"))
+    },
+
     // Leave-one-out target encoding (the leakage-safe train-side form):
     // each event's type is encoded as the smoothed mean `value` of its type
     // with the row's OWN value excluded. Exact-decimal sums make the
@@ -211,6 +225,13 @@ object EventQueries {
          event_type, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
+    "q69_forward_fill" ->
+      """SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                   ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+         FROM events ORDER BY event_id""",
     "q67_target_encode" ->
       """WITH pr AS (SELECT CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS p
                      FROM events)

@@ -166,6 +166,27 @@ class RelationalSpec extends SparkSpecBase {
     assert(small.exceptAll(smallPlain).isEmpty && smallPlain.exceptAll(small).isEmpty)
   }
 
+  test("forwardFill carries the last non-null value per key; leading nulls survive") {
+    import spark.implicits._
+    val df = Seq(
+      ("u1", 1L, Option.empty[Double]), // leading null: stays null
+      ("u1", 2L, Some(5.0)),
+      ("u1", 3L, Option.empty[Double]), // filled with 5.0
+      ("u1", 4L, Some(7.0)),
+      ("u1", 5L, Option.empty[Double]), // filled with 7.0
+      ("u2", 1L, Option.empty[Double])) // other key: unaffected
+      .toDF("k", "t", "v")
+    val out = Relational.forwardFill(df, Seq("k"), Seq(col("t").asc), Seq("v"))
+      .orderBy($"k", $"t").select($"v").collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Double])).toSeq
+    assert(out == Seq(None, Some(5.0), Some(5.0), Some(7.0), Some(7.0), None))
+    // invariant under repartitioning
+    val shuffled = Relational.forwardFill(df.repartition(7), Seq("k"),
+      Seq(col("t").asc), Seq("v"))
+    val base = Relational.forwardFill(df, Seq("k"), Seq(col("t").asc), Seq("v"))
+    assert(base.exceptAll(shuffled).isEmpty && shuffled.exceptAll(base).isEmpty)
+  }
+
   test("intervalJoin equals the naive non-equi join, inclusive at both boundaries") {
     import spark.implicits._
     val ev = tbl("events", sfDirMid)
