@@ -87,4 +87,54 @@ class PropertySpec extends SparkSpecBase {
       a.count() + b.count() + c.count() == df.count()
     }, cases = 10)
   }
+
+  test("asOf equals per-row brute force on random event streams (dataflow)") {
+    // random spines/features over few keys and a tight time range, so ties,
+    // matchless keys and duplicate feature times all occur
+    val spineGen = Gen.listOfN(15, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 30L)))
+    val featGen = Gen.listOfN(15,
+      Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 30L), Gen.choose(0, 99)))
+    check(Prop.forAll(spineGen, featGen) { case (sp, ft) =>
+      val spine = sp.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("id", "k", "t")
+      val feats = ft.map { case (k, t, v) => (k, t, v.toDouble) }.toDF("k", "ft", "v")
+      val got = graft.operators.AsOfJoin
+        .asOf(spine, feats, Seq("k"), "t", "ft", Seq("v"))
+        .select($"id", $"asof_v", $"asof_ft").collect()
+        .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+      sp.zipWithIndex.forall { case ((k, t), i) =>
+        val eligible = ft.filter { case (fk, fts, _) => fk == k && fts <= t }
+        val expect =
+          if (eligible.isEmpty) (None, None)
+          else {
+            // operator tie-break: latest time, then greatest value tuple
+            val (_, bt, bv) = eligible.maxBy { case (_, fts, v) => (fts, v) }
+            (Some(bv.toDouble), Some(bt))
+          }
+        got(i.toLong) == expect
+      }
+    }, cases = 20)
+  }
+
+  test("intervalJoin equals the naive band join for random bins (dataflow)") {
+    val ptGen = Gen.listOfN(12, Gen.zip(Gen.choose(0L, 50L), Gen.choose(0L, 3L)))
+    val ivGen = Gen.listOfN(6,
+      Gen.zip(Gen.choose(0L, 50L), Gen.choose(0L, 20L), Gen.choose(0L, 3L)))
+    val binGen = Gen.oneOf(1L, 3L, 7L, 100L)
+    check(Prop.forAll(ptGen, ivGen, binGen) { case (ps, ivs, bin) =>
+      val points = ps.zipWithIndex.map { case ((t, k), i) => (i.toLong, k, t) }
+        .toDF("pid", "k", "t")
+      val intervals = ivs.zipWithIndex.map { case ((lo, len, k), i) =>
+        (1000L + i, k, lo, lo + len) }.toDF("iid", "k", "lo", "hi")
+      val got = graft.operators.Relational
+        .intervalJoin(points, intervals, "t", "lo", "hi", bin, Seq("k"))
+        .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+      val expect = (for {
+        ((t, k), i) <- ps.zipWithIndex
+        ((lo, len, ik), j) <- ivs.zipWithIndex
+        if ik == k && t >= lo && t <= lo + len
+      } yield (i.toLong, 1000L + j)).toSet
+      got == expect
+    }, cases = 20)
+  }
 }
