@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring — the data-quality counterpart of
+  * [[graft.operators.Quality]]'s row checks: compare a column's
+  * distribution between a baseline snapshot and the current batch by
+  * binning BOTH on quantile breakpoints fitted on the BASELINE (the
+  * standard PSI recipe — fixed bins, so a shift shows up as mass moving
+  * between bins rather than bins moving with the data).
+  *
+  * Scale shape: one exact-percentile aggregation on the baseline (breaks
+  * are a handful of doubles — bounded driver state, ZScore pattern), then
+  * one groupBy per side on a literal CASE — two scans, no joins of the
+  * fact tables, output is `bins` rows.
+  *
+  * Cross-engine exactness (oracle q70): with integer-valued inputs and
+  * QUARTILE breakpoints, every interpolation `lower + (upper-lower)*g` has
+  * g ∈ {0, .25, .5, .75} — all exactly representable, all products exact in
+  * IEEE doubles — so breaks, bin assignment and proportions are
+  * bit-identical in any engine. Finer bins (deciles etc.) stay correct but
+  * interpolation rounding may differ in the last ulp across engines; use
+  * them for monitoring, not for hash-compared tests.
+  */
+object Drift {
+
+  /** Per-bin comparison report: bin id, counts and proportions on each
+    * side, using `quantiles` breakpoints fitted on `base`. */
+  def binnedCompare(base: DataFrame, current: DataFrame, valueCol: String,
+      quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(quantiles.nonEmpty && quantiles == quantiles.sorted,
+      "quantiles must be non-empty and ascending")
+    val breaks = base
+      .agg(percentile(col(valueCol), array(quantiles.map(lit): _*)).as("b"))
+      .head().getSeq[Double](0)
+
+    def binOf(v: Column): Column =
+      breaks.zipWithIndex.foldRight(lit(breaks.length)) { case ((b, i), rest) =>
+        when(v <= b, i).otherwise(rest)
+      }
+    def side(df: DataFrame, n: String, p: String): DataFrame = {
+      val total = df.count().toDouble
+      df.select(binOf(col(valueCol)).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(n))
+        .withColumn(p, col(n).cast("double") / total)
+    }
+    // full outer on bin: a bin can be empty on one side (that IS the drift)
+    side(base, "n_base", "p_base")
+      .join(side(current, "n_cur", "p_cur"), Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_cur")).na.fill(0.0, Seq("p_base", "p_cur"))
+  }
+
+  /** Population stability index over a [[binnedCompare]] report (bounded
+    * collect: `bins` rows). `eps` floors empty-bin proportions the standard
+    * way. Rule of thumb: < 0.1 stable, 0.1–0.25 moderate, > 0.25 major. */
+  def psi(report: DataFrame, eps: Double = 1e-4): Double =
+    report.select(col("p_base"), col("p_cur")).collect().map { r =>
+      val p = math.max(r.getDouble(0), eps)
+      val q = math.max(r.getDouble(1), eps)
+      (q - p) * math.log(q / p)
+    }.sum
+}

@@ -39,6 +39,22 @@ object StarQueries {
           col("c_mktsegment"))
     },
 
+    // Distribution-drift report: order totalprice (in exact integer cents)
+    // before vs after 1998-07-01, binned on QUARTILES fitted on the early
+    // window — integer inputs + quartile interpolation are exact in both
+    // engines, so the whole report hash-matches (see functions/Drift).
+    "q70_drift_report" -> { (s, d) =>
+      import graft.functions.Drift
+      val ord = table(s, d, "orders")
+        .select((col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderdate"))
+      val split = lit("1998-07-01").cast("timestamp")
+      Drift.binnedCompare(
+          ord.filter(col("o_orderdate") < split),
+          ord.filter(col("o_orderdate") >= split), "cents")
+        .orderBy(col("bin"))
+    },
+
     // SCD2 apply over the customer dimension (incremental maintenance: the
     // refresh path a 100 TB warehouse runs instead of dbt-style full
     // rebuilds). The change batch is synthesized deterministically — 30% of
@@ -295,6 +311,30 @@ object StarQueries {
        ORDER BY o_orderpriority"""
 
   val oracles: Map[String, String] = Map(
+    "q70_drift_report" ->
+      """WITH ord AS (SELECT CAST(o_totalprice * 100 AS BIGINT) AS cents, o_orderdate
+                      FROM orders),
+         base AS (SELECT cents FROM ord WHERE o_orderdate < TIMESTAMP '1998-07-01'),
+         cur AS (SELECT cents FROM ord WHERE o_orderdate >= TIMESTAMP '1998-07-01'),
+         br AS (SELECT quantile_cont(cents, 0.25) AS b1, quantile_cont(cents, 0.5) AS b2,
+                       quantile_cont(cents, 0.75) AS b3 FROM base),
+         bb AS (SELECT CASE WHEN cents <= (SELECT b1 FROM br) THEN 0
+                            WHEN cents <= (SELECT b2 FROM br) THEN 1
+                            WHEN cents <= (SELECT b3 FROM br) THEN 2
+                            ELSE 3 END AS bin FROM base),
+         cb AS (SELECT CASE WHEN cents <= (SELECT b1 FROM br) THEN 0
+                            WHEN cents <= (SELECT b2 FROM br) THEN 1
+                            WHEN cents <= (SELECT b3 FROM br) THEN 2
+                            ELSE 3 END AS bin FROM cur),
+         bs AS (SELECT bin, COUNT(*) AS n_base FROM bb GROUP BY bin),
+         cs AS (SELECT bin, COUNT(*) AS n_cur FROM cb GROUP BY bin)
+         SELECT CAST(COALESCE(bs.bin, cs.bin) AS INT) AS bin,
+           COALESCE(n_base, 0) AS n_base,
+           CAST(COALESCE(n_base, 0) AS DOUBLE) / (SELECT COUNT(*) FROM base) AS p_base,
+           COALESCE(n_cur, 0) AS n_cur,
+           CAST(COALESCE(n_cur, 0) AS DOUBLE) / (SELECT COUNT(*) FROM cur) AS p_cur
+         FROM bs FULL OUTER JOIN cs ON bs.bin = cs.bin
+         ORDER BY bin""",
     "q66_dq_quarantine" ->
       """WITH cust AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
          staged AS (
