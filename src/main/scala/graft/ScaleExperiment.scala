@@ -181,8 +181,11 @@ object ScaleExperiment {
     // rounds; the maxIter guard must fail loudly, not loop forever).
     if (on("cc")) {
       import graft.dedup.ConnectedComponents
+      // disjoint stars need center ids OUTSIDE the leaf id space — with
+      // centers = id/10 the centers are themselves leaves of other stars
+      // and everything chains into one deep component
       val stars = spark.range(1000000)
-        .select((col("id") / 10).cast("long").as("a"), col("id").as("b"))
+        .select((lit(2000000L) + col("id") / 10).cast("long").as("a"), col("id").as("b"))
       val t0 = System.nanoTime()
       val n = ConnectedComponents.run(stars, maxIter = 10).count()
       println(f"cc_stars_1m                      ${(System.nanoTime() - t0) / 1e9}%8.1f s  rows=$n")

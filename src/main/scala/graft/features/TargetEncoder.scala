@@ -30,41 +30,55 @@ object TargetEncoder {
 
   private val dec = DecimalType(18, 4)
 
-  /** Global prior = exact-decimal mean of the target (one bounded collect,
-    * same pattern as ZScoreEstimator). */
-  def prior(df: DataFrame, targetCol: String): Double =
-    df.agg((sum(col(targetCol).cast(dec)).cast("double") / count(lit(1))).as("p"))
-      .head().getDouble(0)
+  /** Global prior = exact-decimal mean of the NON-NULL targets (one bounded
+    * collect, same pattern as ZScoreEstimator). Sums skip nulls, so counts
+    * must too — count(*) would deflate the mean for nully targets. */
+  def prior(df: DataFrame, targetCol: String): Double = {
+    val row = df.agg((sum(col(targetCol).cast(dec)).cast("double") /
+      count(col(targetCol))).as("p")).head()
+    require(!row.isNullAt(0),
+      s"cannot fit a prior: no non-null '$targetCol' rows")
+    row.getDouble(0)
+  }
 
   final case class TargetEncModel(mapping: DataFrame, catCol: String, prior: Double) {
-    /** Join the fitted encoding onto `df`; unseen categories get the prior. */
+    /** Join the fitted encoding onto `df`; unseen categories get the prior.
+      * No broadcast hint: the mapping is category-sized, which at the
+      * hundreds-of-millions cardinality this encoder targets can exceed
+      * broadcast limits — Spark/AQE picks broadcast vs shuffle by size. */
     def transform(df: DataFrame, encCol: String = "te"): DataFrame =
-      df.join(broadcast(mapping), Seq(catCol), "left")
+      df.join(mapping, Seq(catCol), "left")
         .withColumn(encCol, coalesce(col("__te"), lit(prior)))
         .drop("__te")
   }
 
-  /** Fit per-category smoothed means on (typically) the train split. */
+  /** Fit per-category smoothed means on (typically) the train split.
+    * Null targets contribute to neither sums nor counts. */
   def fit(df: DataFrame, catCol: String, targetCol: String, alpha: Double): TargetEncModel = {
     require(alpha >= 0, s"alpha must be non-negative, got $alpha")
     val p = prior(df, targetCol)
     val mapping = df.groupBy(col(catCol))
       .agg(((sum(col(targetCol).cast(dec)).cast("double") + p * alpha) /
-        (count(lit(1)) + alpha)).as("__te"))
+        (count(col(targetCol)) + alpha)).as("__te"))
     TargetEncModel(mapping, catCol, p)
   }
 
   /** Leave-one-out encode of the training rows themselves. `alpha > 0`
     * required: it is the denominator for singleton categories (a singleton
-    * encodes to exactly the prior). */
+    * encodes to exactly the prior). Rows with a null target encode to null
+    * (there is no label to leave out) and are excluded from every other
+    * row's sums and counts.
+    */
   def looEncode(df: DataFrame, catCol: String, targetCol: String, alpha: Double,
       encCol: String = "te"): DataFrame = {
     require(alpha > 0, s"looEncode needs alpha > 0 (singleton categories), got $alpha")
     val p = prior(df, targetCol)
     val w = Window.partitionBy(col(catCol))
     val y = col(targetCol).cast(dec)
+    // null y: the numerator (sum − y) is null, so the encoding is null; the
+    // denominator uses the NON-NULL count, so other rows are unaffected
     df.withColumn(encCol,
       ((sum(y).over(w) - y).cast("double") + lit(p) * alpha) /
-        (count(lit(1)).over(w) - lit(1) + alpha))
+        (count(y).over(w) - lit(1) + alpha))
   }
 }

@@ -45,8 +45,11 @@ object StarQueries {
     // engines, so the whole report hash-matches (see functions/Drift).
     "q70_drift_report" -> { (s, d) =>
       import graft.functions.Drift
+      // decimal first, THEN ×100: cast(double→long) truncates in Spark but
+      // rounds in DuckDB — going through DECIMAL(12,2) rounds identically
+      // in both engines, so the integer cents really are engine-exact
       val ord = table(s, d, "orders")
-        .select((col("o_totalprice") * 100).cast("long").as("cents"),
+        .select((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("cents"),
           col("o_orderdate"))
       val split = lit("1998-07-01").cast("timestamp")
       Drift.binnedCompare(
@@ -312,7 +315,8 @@ object StarQueries {
 
   val oracles: Map[String, String] = Map(
     "q70_drift_report" ->
-      """WITH ord AS (SELECT CAST(o_totalprice * 100 AS BIGINT) AS cents, o_orderdate
+      """WITH ord AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+                             o_orderdate
                       FROM orders),
          base AS (SELECT cents FROM ord WHERE o_orderdate < TIMESTAMP '1998-07-01'),
          cur AS (SELECT cents FROM ord WHERE o_orderdate >= TIMESTAMP '1998-07-01'),

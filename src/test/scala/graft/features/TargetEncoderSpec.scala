@@ -37,6 +37,24 @@ class TargetEncoderSpec extends SparkSpecBase {
     assert(math.abs(enc("zzz") - p) < 1e-12, "unseen category falls back to the prior")
   }
 
+  test("null targets: excluded from sums AND counts; null rows encode to null") {
+    val nully = Seq(("a", Some(2.0)), ("a", Option.empty[Double]), ("b", Some(4.0)))
+      .toDF("cat", "y")
+    val p = 3.0 // prior over non-null targets only: (2+4)/2
+    assert(math.abs(TargetEncoder.prior(nully, "y") - p) < 1e-12)
+    val out = TargetEncoder.looEncode(nully, "cat", "y", alpha = 1.0)
+      .select($"cat", $"y", $"te").as[(String, Option[Double], Option[Double])]
+      .collect()
+    val aReal = out.find(r => r._1 == "a" && r._2.isDefined).get._3.get
+    // the non-null 'a' row is a singleton among non-null targets -> prior
+    assert(math.abs(aReal - p) < 1e-12,
+      s"null target must not inflate the LOO denominator: $aReal vs $p")
+    assert(out.find(r => r._1 == "a" && r._2.isEmpty).get._3.isEmpty,
+      "a row with no label has no leave-one-out encoding")
+    assertThrows[IllegalArgumentException](
+      TargetEncoder.prior(Seq(("a", Option.empty[Double])).toDF("cat", "y"), "y"))
+  }
+
   test("encoded values are invariant under repartitioning (exact decimal sums)") {
     val ev = tbl("events", sfDirMid).select($"event_id", $"event_type", $"value")
     val a = TargetEncoder.looEncode(ev, "event_type", "value", 10.0)
