@@ -45,6 +45,34 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Resample each key's event stream onto a regular time grid — the
+    * fixed-rate input prep for sequence models: per key, ticks run from
+    * floor(min ts / step)·step to max ts inclusive, and each tick carries
+    * the most recent observation at-or-before it (ticks before the first
+    * observation stay null). `tsCol` must be an integral time (epoch
+    * ms/µs). Output: keys, `tick`, asof_<valueCols>, asof_<tsCol>.
+    *
+    * Plan: one aggregation for per-key bounds, an explode for the grid
+    * (grid size = range/step per key — pick `step` accordingly), then the
+    * [[asOf]] single-exchange carry. No fact-table self-joins.
+    */
+  def resample(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCols: Seq[String],
+      step: Long): DataFrame = {
+    require(step > 0, s"step must be positive, got $step")
+    val grid = df
+      .groupBy(keys.map(col): _*)
+      .agg(min(col(tsCol)).as("__mn"), max(col(tsCol)).as("__mx"))
+      .select(keys.map(col) :+
+        explode(sequence(expr(s"(__mn div ${step}L) * ${step}L"),
+          col("__mx"), lit(step))).as("tick"): _*)
+    asOf(grid, df.select((keys :+ tsCol).map(col) ++ valueCols.map(col): _*),
+      keys, "tick", tsCol, valueCols)
+  }
+
   def asOf(
       spine: DataFrame,
       features: DataFrame,

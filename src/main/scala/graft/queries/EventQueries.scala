@@ -100,6 +100,19 @@ object EventQueries {
         .orderBy(col("event_id"))
     },
 
+    // Resample to a regular grid: each user's purchase-value series on a
+    // 2-day tick grid, last observation carried onto each tick (nulls
+    // before the first purchase) — fixed-rate input prep for sequence
+    // models. Oracle: DuckDB generate_series + ASOF LEFT JOIN.
+    "q71_resample_grid" -> { (s, d) =>
+      val purch = table(s, d, "events")
+        .filter(col("event_type") === lit("purchase"))
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"), col("value"))
+      graft.operators.AsOfJoin.resample(purch, Seq("user_id"), "t_us",
+          Seq("value"), step = 172800000000L) // 2 days in µs
+        .orderBy(col("user_id"), col("tick"))
+    },
+
     // Forward fill (LOCF): per user in time order, carry the last purchase
     // value forward across non-purchase events — the sparse-column
     // gap-filling step before training. Leading rows before any purchase
@@ -225,6 +238,17 @@ object EventQueries {
          event_type, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
+    "q71_resample_grid" ->
+      """WITH p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, value
+                    FROM events WHERE event_type = 'purchase'),
+         b AS (SELECT user_id, MIN(t_us) AS mn, MAX(t_us) AS mx FROM p GROUP BY user_id),
+         grid AS (SELECT user_id,
+                    unnest(generate_series((mn // 172800000000) * 172800000000,
+                                           mx, 172800000000)) AS tick FROM b)
+         SELECT g.user_id, g.tick, f.value AS asof_value, f.t_us AS asof_t_us
+         FROM grid g ASOF LEFT JOIN p f
+           ON g.user_id = f.user_id AND g.tick >= f.t_us
+         ORDER BY g.user_id, g.tick""",
     "q69_forward_fill" ->
       """SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type,
            last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)

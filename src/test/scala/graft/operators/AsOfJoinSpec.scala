@@ -95,6 +95,19 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(out.toSeq == Seq(9.0))
   }
 
+  test("resample: aligned ticks span floor(min/step)·step..max, LOCF per tick") {
+    val obs = Seq(("u", 25L, 1.0), ("u", 47L, 2.0), ("v", 10L, 9.0))
+      .toDF("k", "t", "v")
+    val out = AsOfJoin.resample(obs, Seq("k"), "t", Seq("v"), step = 10L)
+      .orderBy($"k", $"tick")
+      .select($"k", $"tick", $"asof_v").collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      ("u", 20L, None), // aligned tick before the first observation
+      ("u", 30L, Some(1.0)), ("u", 40L, Some(1.0)),
+      ("v", 10L, Some(9.0)))) // min == aligned tick == an observation
+  }
+
   test("result is invariant under input repartitioning") {
     def canon(df: DataFrame) = df.orderBy("id").collect().toSeq
     val base = AsOfJoin.asOf(spineDf, featDf, Seq("k"), "t", "ft", Seq("v"))
