@@ -42,7 +42,9 @@ object ScaleExperiment {
     val dir = args.headOption.getOrElse("/tmp/sf1x10")
     // optional second arg: only run cases whose name contains it
     val only = args.drop(1).headOption.getOrElse("")
-    def on(name: String): Boolean = name.contains(only)
+    // a filter can also carry suffix flags (e.g. "cooccur_capped",
+    // "asof_fast"): it still selects the case whose name it starts with
+    def on(name: String): Boolean = name.contains(only) || only.startsWith(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,8 +64,12 @@ object ScaleExperiment {
       val withHot = inter.unionByName(hot)
       timed("cooccur_fit_capped8_hotuser")(
         graft.rank.Cooccur.itemNeighbors(withHot, 50, maxBasket = 8))
-      timed("cooccur_fit_uncapped_hotuser")(
-        graft.rank.Cooccur.itemNeighbors(withHot, 50))
+      // filter "cooccur_capped" runs ONLY the bounded form — at 100× the
+      // uncapped fit is a multi-billion-pair shuffle (the job the cap
+      // exists to make impossible), not a benchmark
+      if (!only.contains("capped"))
+        timed("cooccur_fit_uncapped_hotuser")(
+          graft.rank.Cooccur.itemNeighbors(withHot, 50))
     }
 
     // 2. within-label near-dup: plain vs blocked (2000 rows/label)
@@ -150,11 +156,15 @@ object ScaleExperiment {
         .select(col("user_id"), unix_micros(col("ts")).as("t_us"), col("value"))
       timed("asof_window")(
         AsOfJoin.asOf(spine, feat, Seq("user_id"), "ts_us", "t_us", Seq("value")))
-      timed("asof_rangejoin_naive")(
-        spine.as("s").join(feat.as("f"),
-            col("s.user_id") === col("f.user_id") && col("f.t_us") <= col("s.ts_us"), "left")
-          .groupBy(col("s.event_id"), col("s.user_id"), col("s.ts_us"))
-          .agg(max_by(struct(col("f.value"), col("f.t_us")), col("f.t_us")).as("m")))
+      // "asof_fast" runs only the window forms — at 100× the dense naive
+      // range join is a tens-of-billions-pair product (the plan shape the
+      // operator exists to avoid), not a benchmark
+      if (!only.contains("fast"))
+        timed("asof_rangejoin_naive")(
+          spine.as("s").join(feat.as("f"),
+              col("s.user_id") === col("f.user_id") && col("f.t_us") <= col("s.ts_us"), "left")
+            .groupBy(col("s.event_id"), col("s.user_id"), col("s.ts_us"))
+            .agg(max_by(struct(col("f.value"), col("f.t_us")), col("f.t_us")).as("m")))
       // dense regime: collapse the copies onto the original user ids, so
       // per-user streams are 10× longer — the naive form's per-user
       // spine×feature product explodes, the window form stays linear
@@ -162,11 +172,12 @@ object ScaleExperiment {
       val featD = feat.withColumn("user_id", col("user_id") % 150)
       timed("asof_window_dense")(
         AsOfJoin.asOf(spineD, featD, Seq("user_id"), "ts_us", "t_us", Seq("value")))
-      timed("asof_rangejoin_naive_dense")(
-        spineD.as("s").join(featD.as("f"),
-            col("s.user_id") === col("f.user_id") && col("f.t_us") <= col("s.ts_us"), "left")
-          .groupBy(col("s.event_id"), col("s.user_id"), col("s.ts_us"))
-          .agg(max_by(struct(col("f.value"), col("f.t_us")), col("f.t_us")).as("m")))
+      if (!only.contains("fast"))
+        timed("asof_rangejoin_naive_dense")(
+          spineD.as("s").join(featD.as("f"),
+              col("s.user_id") === col("f.user_id") && col("f.t_us") <= col("s.ts_us"), "left")
+            .groupBy(col("s.event_id"), col("s.user_id"), col("s.ts_us"))
+            .agg(max_by(struct(col("f.value"), col("f.t_us")), col("f.t_us")).as("m")))
       // topKPerGroupSalted sanity at 10x: plain vs salted on the event key
       val evk = ev.select(col("event_type"), col("event_id"), col("value"))
       val ord = Seq(col("value").desc, col("event_id").asc)
@@ -213,10 +224,12 @@ object ScaleExperiment {
       counted("interval_binned_keyed")(
         Relational.intervalJoin(points, intervals, "t", "lo", "hi",
           binSize = 3600000L, keys = Seq("user_id")))
-      counted("interval_naive_keyed")(
-        points.as("p").join(intervals.as("i"),
-          col("p.user_id") === col("i.user_id") &&
-            col("p.t") >= col("i.lo") && col("p.t") <= col("i.hi")))
+      // "interval_fast" skips the naive form (quadratic per-key product)
+      if (!only.contains("fast"))
+        counted("interval_naive_keyed")(
+          points.as("p").join(intervals.as("i"),
+            col("p.user_id") === col("i.user_id") &&
+              col("p.t") >= col("i.lo") && col("p.t") <= col("i.hi")))
     }
 
     // 10. sketch profiling vs exact over the replicated interactions:
