@@ -190,7 +190,7 @@ object ScaleExperiment {
     // 100k star components (shallow — converges in ~2 rounds) vs one
     // 100k-node path (diameter 100k — hash-min alone would need 100k
     // rounds; the maxIter guard must fail loudly, not loop forever).
-    if (on("cc")) {
+    if (on("components")) {
       import graft.dedup.ConnectedComponents
       // disjoint stars need center ids OUTSIDE the leaf id space — with
       // centers = id/10 the centers are themselves leaves of other stars
