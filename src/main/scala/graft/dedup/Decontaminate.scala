@@ -1,0 +1,64 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag/drop training documents that share word
+  * n-grams with an evaluation/benchmark set, so held-out test data never
+  * leaks into a training corpus. Extension scope (no reference counterpart;
+  * the reference's nearest analog is its time-based train/test split,
+  * my_merlin_flow.py:196-199 — leakage control by timestamp rather than by
+  * content overlap).
+  *
+  * Scale notes (100 TB corpus vs MB..GB benchmark): the benchmark gram
+  * vocabulary is distinct-collapsed and BROADCAST, so the corpus side is one
+  * explode + one map-side hash join + one partial-aggregated shuffle of
+  * (doc, counts) pairs — the raw text/grams of the corpus never shuffle.
+  * Pass `broadcastBench = false` only when the benchmark itself is huge
+  * (then it becomes a plain shuffle join on the gram).
+  */
+object Decontaminate {
+
+  /** Distinct n-grams of the benchmark set: the probe vocabulary.
+    * `grams` is an array column (e.g. TextOps.wordShingles over a
+    * materialized token column — see the TextOps PERF CONTRACT). */
+  def benchmarkGrams(bench: DataFrame, grams: Column): DataFrame =
+    bench.select(explode(grams).as("g")).distinct()
+
+  /** Per-document contamination report against a benchmark gram vocabulary:
+    * `n_grams` distinct grams in the doc, `n_hits` of them occurring in the
+    * benchmark, `contamination` = n_hits / n_grams (0.0 for gram-less docs —
+    * a doc shorter than the shingle width cannot be contaminated).
+    * Single pass: one explode, one left join to the (broadcast) vocabulary,
+    * one count/count aggregation; docs with no grams are restored by a final
+    * left join on the id.
+    */
+  def contamination(corpus: DataFrame, idCol: String, grams: Column,
+      benchGrams: DataFrame, broadcastBench: Boolean = true): DataFrame = {
+    val vocab0 = benchGrams.select(col("g"), lit(1).as("__hit"))
+    val vocab = if (broadcastBench) broadcast(vocab0) else vocab0
+    val stats = corpus
+      .select(col(idCol), explode(array_distinct(grams)).as("g"))
+      .join(vocab, Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
+    corpus.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_hits").cast("double") / col("n_grams"), lit(0.0))
+          .as("contamination"))
+  }
+
+  /** Drop documents whose contamination exceeds `maxFrac` (default 0.0 =
+    * drop on ANY shared gram, the strict decontamination policy). Gram-less
+    * docs are always kept. Cost: the contamination pass + one anti join. */
+  def dropContaminated(corpus: DataFrame, idCol: String, grams: Column,
+      benchGrams: DataFrame, maxFrac: Double = 0.0): DataFrame = {
+    val bad = contamination(corpus, idCol, grams, benchGrams)
+      .filter(col("contamination") > maxFrac)
+      .select(col(idCol))
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+}

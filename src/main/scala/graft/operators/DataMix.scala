@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data mixture construction: deterministically down-sample a
+  * corpus so each group (source, language, domain...) contributes a target
+  * share of the output — the "data mix" step of a pre-training pipeline
+  * (e.g. 50% web / 30% code / 20% books). Extension scope; the reference's
+  * nearest analog is its global Bernoulli `SAMPLE(1)` pull
+  * (my_merlin_flow.py:151-152), which has no per-group control.
+  *
+  * Determinism contract (same as Relational.hashSample): rows are ranked
+  * inside each group by md5(key) — reproducible across runs, partitionings,
+  * and engines, so the selected set is stable and oracle-checkable.
+  *
+  * Scale notes: caps live in a DataFrame keyed by group (broadcast-joined;
+  * never a driver-side map over unbounded group cardinality). The rank is a
+  * per-group window — partitioned, spillable; for a skewed hot group
+  * compose with the two-phase pattern of Relational.topKPerGroupSalted.
+  */
+object DataMix {
+
+  /** Keep at most `cap(group)` rows per group, deterministically: rows are
+    * ranked by md5(key) inside each group and ranks above the group's cap
+    * are dropped. Groups absent from `caps` are dropped entirely (an explicit
+    * mix lists everything it wants). `caps` must have columns (groupCol,
+    * `cap`). */
+  def capPerGroup(df: DataFrame, groupCol: String, key: Column, caps: DataFrame): DataFrame = {
+    val rank = row_number().over(
+      Window.partitionBy(col(groupCol)).orderBy(md5(key.cast("string")), key))
+    // join BEFORE ranking so dropped groups are never sorted
+    df.join(broadcast(caps), Seq(groupCol))
+      .withColumn("__rank", rank)
+      .filter(col("__rank") <= col("cap"))
+      .drop("__rank", "cap")
+  }
+
+  /** Down-sample to a target mix: `proportions` maps group value → share of
+    * `totalRows`; each group's cap is floor(share · totalRows), clamped to
+    * what the group actually has. Returns the sampled rows (callers wanting
+    * exactly totalRows should over-ask and trim; under-supplied groups
+    * simply contribute everything they have — the standard mixture
+    * behavior when a source runs dry). */
+  def sampleToMix(df: DataFrame, groupCol: String, key: Column,
+      proportions: Map[String, Double], totalRows: Long): DataFrame = {
+    require(proportions.values.forall(p => p >= 0 && p <= 1),
+      s"proportions must be in [0,1]: $proportions")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val want = proportions.toSeq.toDF(groupCol, "__p")
+      .select(col(groupCol), floor(col("__p") * totalRows).cast("long").as("__want"))
+    val have = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__have"))
+    val caps = have.join(want, Seq(groupCol))
+      .select(col(groupCol), least(col("__want"), col("__have")).as("cap"))
+    capPerGroup(df, groupCol, key, caps)
+  }
+}

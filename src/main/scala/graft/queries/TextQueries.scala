@@ -1,8 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.dedup.TextDedup
-import graft.functions.{LangId, TextOps}
+import graft.dedup.{Decontaminate, TextDedup}
+import graft.functions.{LangId, Repetition, TextOps}
 import QueryHelpers._
 
 /** Text-analysis + dedup extension coverage over `documents` (BASELINE.json
@@ -145,6 +145,62 @@ object TextQueries {
         .filter(col("jaccard") >= 0.5).select(col("a"), col("b"))
       graft.dedup.ConnectedComponents.run(pairs)
         .orderBy(col("node"))
+    },
+
+    // Benchmark decontamination: src0's docs act as the held-out benchmark;
+    // every other doc is scored by its distinct-3-gram overlap with that
+    // vocabulary (broadcast on the corpus side — the 100 TB shape).
+    "q72_decontaminate" -> { (s, d) =>
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("__toks"))
+      val grams = TextOps.wordShingles(col("__toks"), 3)
+      val bench = Decontaminate.benchmarkGrams(
+        docs.filter(col("source") === "src0"), grams)
+      Decontaminate.contamination(
+          docs.filter(col("source") =!= "src0"), "doc_id", grams, bench)
+        .orderBy(col("doc_id"))
+    },
+
+    // Training-shard packing by char budget: exact two-level distributed
+    // prefix sum (never a single-partition global window), shard_id =
+    // exclusive-prefix DIV budget.
+    "q73_shard_pack" -> { (s, d) =>
+      val docs = table(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      graft.operators.ShardPack.assignShards(docs, "doc_id", col("n_chars"), budget = 5000L)
+        .select(col("doc_id"), col("n_chars"), col("shard_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Gopher-style repetition signal: per-doc top-bigram coverage fraction
+    // (boilerplate/spam filter); deterministic struct-max argmax.
+    "q74_repetition" -> { (s, d) =>
+      Repetition.topNgramStats(tokenized(s, d), "doc_id", col("__toks"), 2)
+        .orderBy(col("doc_id"))
+    },
+
+    // Data-mixture construction: deterministic hash-ranked down-sample to a
+    // per-language share of 200 rows (binary-exact proportions so both
+    // engines floor identical products; zh over-asks and clamps to supply).
+    "q75_data_mix" -> { (s, d) =>
+      graft.operators.DataMix.sampleToMix(
+          table(s, d, "documents").select(col("doc_id"), col("lang")),
+          "lang", col("doc_id"),
+          Map("en" -> 0.25, "de" -> 0.125, "zh" -> 0.75), totalRows = 200L)
+        .orderBy(col("doc_id"))
+    },
+
+    // Bloom-prefiltered blocklist anti join: src0's n_chars values act as
+    // the blocklist; the corpus pays the exact anti join only on the
+    // maybe-matching slice. Results are exact (oracle = plain NOT EXISTS).
+    "q76_bloom_blocklist" -> { (s, d) =>
+      val docs = table(s, d, "documents")
+      graft.operators.BloomPrefilter.antiJoin(
+          docs.filter(col("source") =!= "src0").select(col("doc_id"), col("n_chars")),
+          col("n_chars"),
+          docs.filter(col("source") === "src0").select(col("n_chars")),
+          col("n_chars"), expectedItems = 100L)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
     })
 
   /** Base 32-bit shingle hash (first 8 md5 hex chars; hex4Sql from
@@ -261,7 +317,55 @@ object TextQueries {
                    UNION
                    SELECT reach.node, sym.y FROM reach JOIN sym ON reach.r = sym.x)
          SELECT node, LEAST(node, MIN(r)) AS comp FROM reach
-         GROUP BY node ORDER BY node""")
+         GROUP BY node ORDER BY node""",
+    "q72_decontaminate" ->
+      """WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, source, unnest(list_transform(range(len(w)-2), i -> array_to_string(w[i+1:i+3], ' '))) s
+                FROM t WHERE len(w) >= 3),
+         bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+         stats AS (SELECT c.doc_id, COUNT(*) n_grams, COUNT(b.s) n_hits
+                   FROM sh c LEFT JOIN bench b USING (s)
+                   WHERE c.source <> 'src0' GROUP BY 1)
+         SELECT d.doc_id, COALESCE(s.n_grams, 0) AS n_grams,
+           COALESCE(s.n_hits, 0) AS n_hits,
+           COALESCE(CAST(s.n_hits AS DOUBLE) / s.n_grams, 0.0) AS contamination
+         FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+         WHERE d.source <> 'src0' ORDER BY d.doc_id""",
+    "q73_shard_pack" ->
+      """SELECT doc_id, n_chars,
+         CAST((SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_chars) // 5000 AS INT) AS shard_id
+         FROM documents ORDER BY doc_id""",
+    "q74_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+         g AS (SELECT doc_id, unnest(list_transform(range(len(w)-1), i -> array_to_string(w[i+1:i+2], ' '))) s
+               FROM t WHERE len(w) >= 2),
+         c AS (SELECT doc_id, s, COUNT(*) c FROM g GROUP BY 1, 2),
+         top AS (SELECT doc_id, c, s,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, s DESC) rn
+                 FROM c)
+         SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+           COALESCE(top.c, 0) AS top_gram_count, top.s AS top_gram,
+           COALESCE(CAST(top.c * 2 AS DOUBLE) / len(t.w), 0.0) AS top_gram_frac
+         FROM t LEFT JOIN (SELECT * FROM top WHERE rn = 1) top USING (doc_id)
+         ORDER BY t.doc_id""",
+    "q75_data_mix" ->
+      """WITH want AS (SELECT * FROM (VALUES ('en', 0.25), ('de', 0.125), ('zh', 0.75)) w(lang, p)),
+         have AS (SELECT lang, COUNT(*) n FROM documents GROUP BY 1),
+         caps AS (SELECT h.lang, LEAST(CAST(FLOOR(w.p * 200) AS BIGINT), h.n) cap
+                  FROM have h JOIN want w ON h.lang = w.lang),
+         ranked AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rn
+           FROM documents)
+         SELECT r.doc_id, r.lang FROM ranked r JOIN caps c ON r.lang = c.lang
+         WHERE r.rn <= c.cap ORDER BY r.doc_id""",
+    "q76_bloom_blocklist" ->
+      """SELECT d.doc_id FROM documents d
+         WHERE d.source <> 'src0'
+           AND NOT EXISTS (SELECT 1 FROM documents b
+                           WHERE b.source = 'src0' AND b.n_chars = d.n_chars)
+         ORDER BY d.doc_id""")
 
   /** Shared LSH oracle chain (shingles → sizes → minhash sigs → bands →
     * candidate pairs → pairwise common counts) — mirrors TextDedup's

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class DataMixSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = tbl("documents").select(col("doc_id"), col("lang"), col("source"))
+
+  test("capPerGroup keeps at most cap rows per group; uncapped groups drop") {
+    val caps = Seq(("en", 3L), ("de", 2L)).toDF("lang", "cap")
+    val out = DataMix.capPerGroup(docs, "lang", col("doc_id"), caps)
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang.keySet == Set("en", "de"))
+    assert(byLang("en") == 3L && byLang("de") == 2L)
+  }
+
+  test("selection is deterministic and partitioning-invariant") {
+    val caps = Seq(("en", 5L)).toDF("lang", "cap")
+    val a = DataMix.capPerGroup(docs, "lang", col("doc_id"), caps)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = DataMix.capPerGroup(docs.repartition(17), "lang", col("doc_id"), caps)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.size == 5)
+  }
+
+  test("sampleToMix clamps to group supply and floors shares") {
+    val total = docs.count()
+    val nEn = docs.filter($"lang" === "en").count()
+    // ask for 10× the corpus in 'en' → clamped to everything 'en' has
+    val out = DataMix.sampleToMix(docs, "lang", col("doc_id"),
+      Map("en" -> 1.0, "de" -> 0.25), totalRows = total * 10)
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("en") == nEn)
+    assert(byLang("de") == math.min((total * 10 / 4),
+      docs.filter($"lang" === "de").count()))
+  }
+
+  test("sampleToMix rejects out-of-range proportions") {
+    intercept[IllegalArgumentException] {
+      DataMix.sampleToMix(docs, "lang", col("doc_id"), Map("en" -> 1.5), 10L)
+    }
+  }
+
+  test("sampled rows are a subset of the input") {
+    val out = DataMix.sampleToMix(docs, "lang", col("doc_id"),
+      Map("en" -> 0.25), totalRows = 40L)
+    assert(out.join(docs, Seq("doc_id"), "left_anti").count() == 0)
+  }
+}

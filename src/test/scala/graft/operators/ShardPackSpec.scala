@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class ShardPackSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = tbl("documents").select(col("doc_id"), col("n_chars"))
+
+  test("cumsum is bit-identical to the single-partition window form") {
+    val ref = docs.withColumn("cum",
+      sum(col("n_chars").cast("long")).over(
+        Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("doc_id").select("doc_id", "cum").as[(Long, Long)].collect().toSeq
+    for (buckets <- Seq(1, 7, 256)) {
+      val got = ShardPack.cumsum(docs, "doc_id", col("n_chars"), "cum", buckets)
+        .orderBy("doc_id").select("doc_id", "cum").as[(Long, Long)].collect().toSeq
+      assert(got == ref, s"buckets=$buckets diverged from the reference window")
+    }
+  }
+
+  test("cumsum is invariant to input partitioning") {
+    val ref = ShardPack.cumsum(docs, "doc_id", col("n_chars"), "cum")
+      .orderBy("doc_id").select("cum").as[Long].collect().toSeq
+    val got = ShardPack.cumsum(docs.repartition(13), "doc_id", col("n_chars"), "cum")
+      .orderBy("doc_id").select("cum").as[Long].collect().toSeq
+    assert(got == ref)
+  }
+
+  test("the per-bucket window is partitioned; only the offset window is global") {
+    val plan = ShardPack.cumsum(docs, "doc_id", col("n_chars"), "cum")
+      .queryExecution.optimizedPlan.toString
+    // the row-level window must carry the bucket partition spec
+    assert(plan.contains("windowspecdefinition(__g"),
+      s"expected the heavy window partitioned by __g:\n$plan")
+  }
+
+  test("assignShards packs to budget: no shard exceeds budget + one row") {
+    val budget = 5000L
+    val shards = ShardPack.assignShards(docs, "doc_id", col("n_chars"), budget)
+      .groupBy("shard_id")
+      .agg(sum(col("n_chars").cast("long")).as("w"), max(col("n_chars")).as("mx"))
+      .collect()
+    assert(shards.nonEmpty)
+    shards.foreach { r =>
+      assert(r.getLong(1) < budget + r.getLong(2),
+        s"shard ${r.getInt(0)} weight ${r.getLong(1)} exceeds budget+maxRow")
+    }
+    // shard ids are contiguous from 0
+    val ids = shards.map(_.getInt(0)).sorted
+    assert(ids.head == 0 && ids.last == ids.length - 1)
+  }
+
+  test("rows are never split and order is respected across shard boundaries") {
+    val assigned = ShardPack.assignShards(docs, "doc_id", col("n_chars"), 5000L)
+      .orderBy("doc_id").select("shard_id").as[Int].collect().toSeq
+    // shard ids are non-decreasing in key order
+    assert(assigned.zip(assigned.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("empty input yields an empty result, not a crash") {
+    val empty = docs.filter(lit(false))
+    assert(ShardPack.cumsum(empty, "doc_id", col("n_chars"), "cum").count() == 0)
+  }
+}
