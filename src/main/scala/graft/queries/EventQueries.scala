@@ -197,6 +197,20 @@ object EventQueries {
         .sessionizeBatch(table(s, d, "events"), "user_id",
           unix_millis(col("ts")), gapMs = 1800000L)
         .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // Pivot (wide per-day event-type counts) with an explicit value list —
+    // the deterministic form: no value-discovery pass, stable output schema.
+    // Empty cells coalesce to 0 to match conditional-aggregation semantics.
+    "q78_pivot" -> { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = table(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+        .groupBy(col("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      wide.select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy(col("day"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -323,5 +337,13 @@ object EventQueries {
          SELECT user_id, session_id, MIN(tms) AS session_start_ms,
            MAX(tms) AS session_end_ms, COUNT(*) AS n_events
          FROM s GROUP BY user_id, session_id
-         ORDER BY user_id, session_id""")
+         ORDER BY user_id, session_id""",
+    "q78_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+         COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+         COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+         COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+         COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+         FROM events GROUP BY 1 ORDER BY day""")
 }

@@ -297,6 +297,18 @@ object StarQueries {
           get_json_object(col("raw_data"), "$.n_name").as("n_name"),
           get_json_object(col("raw_data"), "$.n_regionkey").cast("int").as("n_regionkey"))
         .orderBy(col("n_nationkey"))
+    },
+
+    // ROLLUP subtotals + grand total with a grouping_id disambiguator
+    // (SURVEY §2.4 notes grouping sets as a Spark-free capability; this
+    // exposes it on the oracle surface). Nulls-first ordering matches both
+    // engines via explicit NULLS FIRST on the oracle side.
+    "q77_rollup" -> { (s, d) =>
+      table(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
     })
 
   /** ONE SQL text, two engines (q26): must stay inside the dialect
@@ -490,5 +502,11 @@ object StarQueries {
          CAST(month(o_orderdate) AS INT) AS o_month
          FROM orders ORDER BY o_orderkey""",
     "q17_envelope_roundtrip" ->
-      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q77_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
 }
