@@ -304,6 +304,74 @@ object ScaleExperiment {
           unix_millis(col("ts").cast("timestamp")), gapMs = 7L * 24 * 3600 * 1000))
     }
 
+    // 13. decontamination over the replicated corpus (50k docs at 10×):
+    // the report must stay linear — one explode + one broadcast probe +
+    // one per-doc aggregation. The adversarial shape (a benchmark gram in
+    // EVERY corpus doc) is structurally bounded here: hits are counted per
+    // doc, never paired, so a universal gram costs one counter per doc.
+    if (on("decontam")) {
+      import graft.functions.TextOps
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("__toks"))
+      val grams = TextOps.wordShingles(col("__toks"), 3)
+      val bench = graft.dedup.Decontaminate.benchmarkGrams(
+        docs.filter(col("source") === "src0"), grams)
+      counted("decontam_report")(
+        graft.dedup.Decontaminate.contamination(
+          docs.filter(col("source") =!= "src0"), "doc_id", grams, bench))
+      counted("decontam_drop")(
+        graft.dedup.Decontaminate.dropContaminated(
+          docs.filter(col("source") =!= "src0"), "doc_id", grams, bench,
+          maxFrac = 0.05))
+    }
+
+    // 14. shard packing: the two-level prefix sum vs the naive global
+    // window on a 20M-row synthetic (the regime the operator exists for —
+    // the naive form funnels everything through ONE task).
+    if (on("shardpack")) {
+      import graft.operators.ShardPack
+      val rows = spark.range(20000000L).select(col("id"),
+        (pmod(xxhash64(col("id")), lit(900L)) + 100L).as("w"))
+      timed("shardpack_2level_20m")(
+        ShardPack.assignShards(rows, "id", col("w"), budget = 1000000L))
+      if (!only.contains("fast"))
+        timed("shardpack_globalwindow_20m")(
+          rows.withColumn("cum",
+            sum(col("w")).over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("id"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                org.apache.spark.sql.expressions.Window.currentRow)))
+            .withColumn("shard_id", expr("CAST((cum - w) DIV 1000000 AS INT)")))
+    }
+
+    // 15. bloom-prefiltered anti join vs the plain shuffle anti join, in
+    // the no-broadcast regime (a blocklist too large for Spark to broadcast
+    // as rows is exactly when the 1-2 bytes/key bloom still fits): 20M-row
+    // fact side, 200k-key blocklist, ~1% match rate.
+    if (on("bloom")) {
+      import graft.operators.BloomPrefilter
+      val big = spark.range(20000000L)
+        .select(col("id"), concat(lit("k"), pmod(xxhash64(col("id")), lit(20000000L))).as("k"))
+      val small = spark.range(200000L)
+        .select(concat(lit("k"), col("id")).as("bk"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      timed("bloom_anti_20m_200k")(
+        BloomPrefilter.antiJoin(big, col("k"), small, col("bk"), 200000L))
+      timed("plain_anti_20m_200k")(
+        big.join(small, col("k") === col("bk"), "left_anti"))
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+
+    // 16. mixture sampling over the replicated corpus: one broadcast caps
+    // join + one partitioned rank window.
+    if (on("mix")) {
+      counted("mix_50k_docs")(
+        graft.operators.DataMix.sampleToMix(
+          Tables.load(spark, dir, "documents").select(col("doc_id"), col("lang")),
+          "lang", col("doc_id"),
+          Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.25), totalRows = 20000L))
+    }
+
     spark.stop()
   }
 }

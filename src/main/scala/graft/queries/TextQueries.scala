@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.dedup.{Decontaminate, TextDedup}
-import graft.functions.{LangId, Repetition, TextOps}
+import graft.functions.{Chunking, LangId, Repetition, TextOps}
 import QueryHelpers._
 
 /** Text-analysis + dedup extension coverage over `documents` (BASELINE.json
@@ -201,6 +201,13 @@ object TextQueries {
           col("n_chars"), expectedItems = 100L)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
+    },
+
+    // Context-window chunking: 32-token windows, 8-token overlap —
+    // sequence+posexplode dataflow, linear in corpus tokens.
+    "q79_chunk" -> { (s, d) =>
+      Chunking.chunkTokens(tokenized(s, d), "doc_id", col("__toks"), 32, 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))
     })
 
   /** Base 32-bit shingle hash (first 8 md5 hex chars; hex4Sql from
@@ -365,7 +372,14 @@ object TextQueries {
          WHERE d.source <> 'src0'
            AND NOT EXISTS (SELECT 1 FROM documents b
                            WHERE b.source = 'src0' AND b.n_chars = d.n_chars)
-         ORDER BY d.doc_id""")
+         ORDER BY d.doc_id""",
+    "q79_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+         st AS (SELECT doc_id, w, unnest(range(0, greatest(len(w) - 8, 1), 24)) i FROM t)
+         SELECT doc_id, CAST(i // 24 AS INT) AS chunk_idx,
+           array_to_string(w[i+1:i+32], ' ') AS chunk_text,
+           CAST(len(w[i+1:i+32]) AS INT) AS chunk_tokens
+         FROM st ORDER BY doc_id, chunk_idx""")
 
   /** Shared LSH oracle chain (shingles → sizes → minhash sigs → bands →
     * candidate pairs → pairwise common counts) — mirrors TextDedup's
