@@ -34,30 +34,35 @@ object Decontaminate {
     * left join on the id.
     */
   def contamination(corpus: DataFrame, idCol: String, grams: Column,
-      benchGrams: DataFrame, broadcastBench: Boolean = true): DataFrame = {
-    val vocab0 = benchGrams.select(col("g"), lit(1).as("__hit"))
-    val vocab = if (broadcastBench) broadcast(vocab0) else vocab0
-    val stats = corpus
-      .select(col(idCol), explode(array_distinct(grams)).as("g"))
-      .join(vocab, Seq("g"), "left")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
+      benchGrams: DataFrame, broadcastBench: Boolean = true): DataFrame =
     corpus.select(col(idCol))
-      .join(stats, Seq(idCol), "left")
+      .join(stats(corpus, idCol, grams, benchGrams, broadcastBench), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         coalesce(col("n_hits").cast("double") / col("n_grams"), lit(0.0))
           .as("contamination"))
+
+  private def stats(corpus: DataFrame, idCol: String, grams: Column,
+      benchGrams: DataFrame, broadcastBench: Boolean): DataFrame = {
+    val vocab0 = benchGrams.select(col("g"), lit(1).as("__hit"))
+    val vocab = if (broadcastBench) broadcast(vocab0) else vocab0
+    corpus
+      .select(col(idCol), explode(array_distinct(grams)).as("g"))
+      .join(vocab, Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
   }
 
   /** Drop documents whose contamination exceeds `maxFrac` (default 0.0 =
     * drop on ANY shared gram, the strict decontamination policy). Gram-less
-    * docs are always kept. Cost: the contamination pass + one anti join. */
+    * docs are always kept (they are absent from the aggregated stats, so
+    * they never join the drop set — no corpus-wide restore join needed
+    * here, unlike the full report). Cost: one gram pass + one anti join. */
   def dropContaminated(corpus: DataFrame, idCol: String, grams: Column,
       benchGrams: DataFrame, maxFrac: Double = 0.0): DataFrame = {
-    val bad = contamination(corpus, idCol, grams, benchGrams)
-      .filter(col("contamination") > maxFrac)
+    val bad = stats(corpus, idCol, grams, benchGrams, broadcastBench = true)
+      .filter(col("n_hits").cast("double") / col("n_grams") > maxFrac)
       .select(col(idCol))
     corpus.join(bad, Seq(idCol), "left_anti")
   }

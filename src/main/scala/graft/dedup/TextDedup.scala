@@ -222,4 +222,53 @@ object TextDedup {
   /** Hamming distance between two simhashPortable bit strings. */
   def hammingBits(a: Column, b: Column): Column =
     size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y), x => x))
+
+  // ---------------------------------------------------------------------
+  // Incremental dedup: new batch vs a persisted signature index
+  // ---------------------------------------------------------------------
+
+  /** Estimated Jaccard from two minhash signature row-sides: the fraction
+    * of the k permutations that agree (the standard MinHash estimator,
+    * E[agreement] = J). Used where the counterpart's shingle sets are no
+    * longer around — e.g. dedup against a persisted index that stores only
+    * signatures (k longs/doc, not the corpus text). */
+  def sigAgreement(prefixA: String, prefixB: String, numHashes: Int): Column =
+    (0 until numHashes)
+      .map(i => when(col(s"$prefixA.sig_$i") === col(s"$prefixB.sig_$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / numHashes
+
+  /** The signature index IS the artifact: one row per already-ingested doc,
+    * (id, sig_0..sig_{k-1}) — linear in corpus size, constant per doc, and
+    * appendable batch over batch. Bands are derived from sigs at query
+    * time, so no second table to keep in sync. */
+  def saveSignatureIndex(df: DataFrame, idCol: String, shingles: Column,
+      numHashes: Int, path: String): Unit =
+    minhashSignatures(df.filter(size(shingles) > 0), idCol, shingles, numHashes)
+      .write.mode("overwrite").parquet(path)
+
+  /** Incremental near-dup check of a NEW batch against the persisted index
+    * (the streaming-ingest shape: the existing corpus is signatures on
+    * disk, never rescanned as text). LSH-bucket candidates (one shuffle on
+    * (band, hash)) are verified by signature agreement; returns new-batch
+    * rows whose best agreement against the index stays below `threshold`.
+    * Both sides must use the same numHashes the index was built with.
+    */
+  def dedupAgainstIndex(newDocs: DataFrame, idCol: String, shingles: Column,
+      indexSigs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 2,
+      threshold: Double = 0.7): DataFrame = {
+    val newSigs = minhashSignatures(
+      newDocs.filter(size(shingles) > 0), idCol, shingles, numHashes)
+    val nb = lshBands(newSigs, idCol, numHashes, rowsPerBand)
+      .withColumnRenamed(idCol, "__new_id")
+    val ob = lshBands(indexSigs, idCol, numHashes, rowsPerBand)
+      .withColumnRenamed(idCol, "__old_id")
+    val cand = nb.join(ob, Seq("band", "band_hash"))
+      .select(col("__new_id"), col("__old_id")).distinct()
+    val dupIds = cand
+      .join(newSigs.as("n"), col("__new_id") === col(s"n.$idCol"))
+      .join(indexSigs.as("o"), col("__old_id") === col(s"o.$idCol"))
+      .filter(sigAgreement("n", "o", numHashes) >= threshold)
+      .select(col("__new_id").as(idCol)).distinct()
+    newDocs.join(dupIds, Seq(idCol), "left_anti")
+  }
 }

@@ -208,6 +208,23 @@ object TextQueries {
     "q79_chunk" -> { (s, d) =>
       Chunking.chunkTokens(tokenized(s, d), "doc_id", col("__toks"), 32, 8)
         .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // Incremental dedup of a new batch (odd ids) against the existing
+    // corpus's signature index (even ids): LSH candidates verified by
+    // minhash-signature agreement — the index stores k longs per doc, the
+    // old corpus text is never rescanned. Threshold 0.5 = 8/16 agreeing
+    // permutations.
+    "q80_incremental_dedup" -> { (s, d) =>
+      val docs = tokenized(s, d, shingleN)
+      val shingles = TextOps.wordShingles(col("__toks"), shingleN)
+      val indexSigs = TextDedup.minhashSignatures(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", shingles, 16)
+      TextDedup.dedupAgainstIndex(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", shingles,
+          indexSigs, numHashes = 16, rowsPerBand = 2, threshold = 0.5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
     })
 
   /** Base 32-bit shingle hash (first 8 md5 hex chars; hex4Sql from
@@ -379,7 +396,19 @@ object TextQueries {
          SELECT doc_id, CAST(i // 24 AS INT) AS chunk_idx,
            array_to_string(w[i+1:i+32], ' ') AS chunk_text,
            CAST(len(w[i+1:i+32]) AS INT) AS chunk_tokens
-         FROM st ORDER BY doc_id, chunk_idx""")
+         FROM st ORDER BY doc_id, chunk_idx""",
+    "q80_incremental_dedup" ->
+      s"""WITH $lshChainSql,
+         cand2 AS (SELECT DISTINCT n.doc_id new_id, o.doc_id old_id
+                   FROM bands n JOIN bands o ON n.band = o.band AND n.h = o.h
+                   WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0),
+         agree AS (SELECT c.new_id,
+             (${(0 until 16).map(i => s"CASE WHEN ns.s$i = os.s$i THEN 1 ELSE 0 END").mkString(" + ")}) / 16.0 a
+           FROM cand2 c JOIN sig ns ON ns.doc_id = c.new_id
+                        JOIN sig os ON os.doc_id = c.old_id)
+         SELECT doc_id FROM t WHERE len(w) >= 8 AND doc_id % 2 = 1
+           AND doc_id NOT IN (SELECT new_id FROM agree WHERE a >= 0.5)
+         ORDER BY doc_id""")
 
   /** Shared LSH oracle chain (shingles → sizes → minhash sigs → bands →
     * candidate pairs → pairwise common counts) — mirrors TextDedup's
