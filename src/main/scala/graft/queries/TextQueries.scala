@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.dedup.{Decontaminate, TextDedup}
-import graft.functions.{Chunking, LangId, Repetition, TextOps}
+import graft.functions.{Bm25, Chunking, LangId, Repetition, TextOps}
 import QueryHelpers._
 
 /** Text-analysis + dedup extension coverage over `documents` (BASELINE.json
@@ -225,6 +225,19 @@ object TextQueries {
           indexSigs, numHashes = 16, rowsPerBand = 2, threshold = 0.5)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
+    },
+
+    // BM25 keyword relevance: the oracle checks every rational piece
+    // (tf, dl, idf_arg, tf_factor — pure IEEE +,-,*,/ which both engines
+    // round identically; constants CAST AS DOUBLE so DuckDB never routes
+    // through decimal arithmetic). The final ln(idf_arg)·tf_factor stays
+    // OUT of the hash: libm logs differ in the last ulp across engines
+    // (measured 74/1168 rows) — the log application and the summed top-k
+    // are exact-checked in Bm25Spec instead.
+    "q81_bm25" -> { (s, d) =>
+      Bm25.termComponents(tokenized(s, d), "doc_id", col("__toks"),
+          Seq("stream", "table", "query"))
+        .orderBy(col("doc_id"), col("term"))
     })
 
   /** Base 32-bit shingle hash (first 8 md5 hex chars; hex4Sql from
@@ -408,7 +421,24 @@ object TextQueries {
                         JOIN sig os ON os.doc_id = c.old_id)
          SELECT doc_id FROM t WHERE len(w) >= 8 AND doc_id % 2 = 1
            AND doc_id NOT IN (SELECT new_id FROM agree WHERE a >= 0.5)
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+    "q81_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+         d AS (SELECT doc_id, CAST(len(w) AS DOUBLE) dl, w FROM t),
+         stats AS (SELECT CAST(COUNT(*) AS DOUBLE) n,
+             CAST(SUM(CAST(CAST(len(w) AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) sdl FROM t),
+         tf AS (SELECT doc_id, dl, tok AS term, CAST(COUNT(*) AS DOUBLE) tf
+                FROM (SELECT doc_id, dl, unnest(w) tok FROM d) u
+                WHERE tok IN ('stream', 'table', 'query') GROUP BY 1, 2, 3),
+         dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) dft FROM tf GROUP BY 1)
+         SELECT f.doc_id, f.term, CAST(f.tf AS BIGINT) AS tf, CAST(f.dl AS BIGINT) AS dl,
+           (s.n - d2.dft + CAST(0.5 AS DOUBLE)) / (d2.dft + CAST(0.5 AS DOUBLE))
+             + CAST(1.0 AS DOUBLE) AS idf_arg,
+           f.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+             / (f.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                + CAST(0.75 AS DOUBLE) * (f.dl / (s.sdl / s.n)))) AS tf_factor
+         FROM tf f JOIN dft d2 ON f.term = d2.term, stats s
+         ORDER BY f.doc_id, f.term""")
 
   /** Shared LSH oracle chain (shingles → sizes → minhash sigs → bands →
     * candidate pairs → pairwise common counts) — mirrors TextDedup's
