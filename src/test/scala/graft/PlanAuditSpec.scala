@@ -135,4 +135,49 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(exchanges == 1, s"asOf must shuffle once on the key, saw $exchanges:\n$p")
     assert(!p.contains("Join"), s"asOf must not plan any join:\n$p")
   }
+
+  test("chunking is a pure generate pipeline: zero exchanges") {
+    import graft.functions.{Chunking, TextOps}
+    val docs = tbl("documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+    val p = plan(Chunking.chunkTokens(docs, "doc_id", col("__toks"), 32, 8))
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+  }
+
+  test("BM25: df and corpus stats join broadcast, never sort-merge") {
+    import graft.functions.{Bm25, TextOps}
+    val docs = tbl("documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+    val p = plan(Bm25.termComponents(docs, "doc_id", col("__toks"),
+      Seq("table", "query")))
+    assert(p.contains("BroadcastHashJoin"), s"df-table join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in BM25 justifies a sort-merge join:\n$p")
+  }
+
+  test("data mix: caps broadcast and the rank window is group-partitioned") {
+    val docs = tbl("documents").select(col("doc_id"), col("lang"))
+    val df = graft.operators.DataMix.sampleToMix(docs, "lang", col("doc_id"),
+      Map("en" -> 0.25, "de" -> 0.25), totalRows = 40L)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"caps join must broadcast:\n$p")
+    assert(df.queryExecution.optimizedPlan.toString
+        .contains("windowspecdefinition(lang"),
+      "the rank window must be partitioned by the group column")
+  }
+
+  test("incremental dedup: candidates join on (band, hash), no nested loop") {
+    import graft.functions.TextOps
+    import graft.dedup.TextDedup
+    val docs = tbl("documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+      .filter(size(col("__toks")) >= 8)
+    val sh = TextOps.wordShingles(col("__toks"), 8)
+    val idx = TextDedup.minhashSignatures(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", sh, 16)
+    val p = plan(TextDedup.dedupAgainstIndex(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", sh, idx, 16, 2, 0.5))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"candidate generation degenerated into a cross join:\n$p")
+  }
 }
