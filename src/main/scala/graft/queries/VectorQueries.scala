@@ -115,6 +115,22 @@ object VectorQueries {
           bits = srpBits, k = 5, tables = srpTables)
         .select(col("query_id"), col("rk"), col("neighbor_id"))
         .orderBy(col("query_id"), col("rk"))
+    },
+
+    // Product-quantization encode + asymmetric-distance scoring against a
+    // plan-constant codebook and query (same oracle philosophy as q47:
+    // with books/query/lut deterministic constants in both engines, the
+    // per-subspace argmin and the fixed-order lookup sum are exact-double
+    // computations any SQL engine reproduces; the k-means codebook FIT is
+    // spec-checked in PqSpec).
+    "q82_pq_adc" -> { (s, d) =>
+      val enc = graft.sim.Pq.encode(table(s, d, "embeddings"),
+        "vec_id", "embedding", pqBooks)
+      enc.select((col("vec_id") +:
+          (0 until pqM).map(i => col("code").getItem(i).as(s"c$i"))) :+
+          graft.sim.Pq.adcScore(col("code"),
+            graft.sim.Pq.lutFor(pqQuery, pqBooks)).as("adc"): _*)
+        .orderBy(col("vec_id"))
     })
 
   private val srpBits = 4
@@ -129,6 +145,13 @@ object VectorQueries {
     * oracle's literals. */
   private lazy val ivfCentroids: Array[Array[Float]] =
     graft.sim.Ivf.syntheticCentroids(ivfNlist, dim)
+
+  private val pqM = 4
+  private val pqK = 8
+  private lazy val pqBooks: Array[Array[Array[Float]]] =
+    graft.sim.Pq.syntheticCodebooks(pqM, pqK, dim / pqM)
+  private lazy val pqQuery: Array[Float] =
+    Array.tabulate(dim)(j => (((j * 11) % 23) - 11) / 11.0f)
 
   /** Shared q46/q48 oracle CTEs: per-row normalized vector, SRP bucket from
     * the same hyperplane constants as the Spark plan (srpSigns is tabulated
@@ -260,5 +283,36 @@ object VectorQueries {
               CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) rk
             FROM scored)
           SELECT query_id, rk, neighbor_id FROM ranked WHERE rk <= 5 ORDER BY query_id, rk"""
+    },
+    "q82_pq_adc" -> {
+      // codebook rows + per-(sub,cid) lut values as literals: Float→Double
+      // widening is exact and Double.toString round-trips, so both engines
+      // see identical constants (the q47 technique)
+      val luts = graft.sim.Pq.lutFor(pqQuery, pqBooks)
+      // lv MUST be CAST AS DOUBLE: a bare decimal literal in VALUES types
+      // the column DECIMAL and DuckDB would sum the lookups in decimal
+      // arithmetic (measured: last-2-digit drift on every row)
+      val cbVals = (for (s <- 0 until pqM; c <- 0 until pqK) yield
+        s"($s, $c, ${pqBooks(s)(c).map(_.toDouble.toString).mkString("[", ", ", "]")}, " +
+          s"CAST('${luts(s)(c)}' AS DOUBLE))")
+        .mkString(",\n              ")
+      val subDim = dim / pqM
+      val codeJoins = (0 until pqM).map(s =>
+        s"JOIN code s$s ON s$s.vec_id = v.vec_id AND s$s.sub = $s").mkString("\n            ")
+      s"""WITH cb(sub, cid, cv, lv) AS (VALUES
+              $cbVals),
+          sl AS (SELECT vec_id, cb.sub, cb.cid, cb.lv,
+              CAST(list_sum(list_transform(cb.cv, x -> x * x)) AS DOUBLE)
+                - 2 * ${dot(s"embedding[(cb.sub*$subDim+1):(cb.sub*$subDim+$subDim)]", "cb.cv")} AS dd
+            FROM embeddings CROSS JOIN cb),
+          ranked AS (SELECT vec_id, sub, cid, lv,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dd, cid) rn FROM sl),
+          code AS (SELECT vec_id, sub, cid, lv FROM ranked WHERE rn = 1)
+          SELECT v.vec_id,
+            ${(0 until pqM).map(s => s"CAST(s$s.cid AS INT) AS c$s").mkString(", ")},
+            ${(0 until pqM).map(s => s"s$s.lv").mkString(" + ")} AS adc
+          FROM embeddings v
+            $codeJoins
+          ORDER BY v.vec_id"""
     })
 }
