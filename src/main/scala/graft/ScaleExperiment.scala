@@ -372,6 +372,31 @@ object ScaleExperiment {
           Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.25), totalRows = 20000L))
     }
 
+    // 17. product quantization at 10× (200k vectors): fit (one job per
+    // Lloyd step for ALL subspaces), zero-shuffle encode, full-corpus ADC
+    // scan, and IVF-routed ADC (nprobe/nlist of the codes scanned).
+    if (on("pq")) {
+      import graft.sim.{Ivf, IvfPq, Pq}
+      val emb = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val query = emb.select(col("embedding")).head().getSeq[Float](0).toArray
+      val t0 = System.nanoTime()
+      val model = IvfPq.Model(
+        Ivf.fitCentroids(emb, "vec_id", "embedding", 64, iters = 2),
+        Pq.fitCodebooks(emb, "vec_id", "embedding", m = 16, k = 64, iters = 2))
+      println(f"pq_fit_nlist64_m16_k64           ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+      val idxPath = "/tmp/graft_pq_idx"
+      val t1 = System.nanoTime()
+      IvfPq.index(emb, "vec_id", "embedding", model)
+        .write.mode("overwrite").parquet(idxPath)
+      println(f"pq_index_write                   ${(System.nanoTime() - t1) / 1e9}%8.1f s")
+      val idx = spark.read.parquet(idxPath)
+      timed("pq_adc_scan_full")(
+        Pq.adcTopK(idx, "vec_id", query, model.books, 10))
+      timed("pq_adc_ivf_probe8of64")(
+        IvfPq.topK(idx, "vec_id", query, model, 10, nprobe = 8))
+    }
+
     spark.stop()
   }
 }

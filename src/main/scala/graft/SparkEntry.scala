@@ -79,5 +79,18 @@ object SparkEntry {
         .select(col("vec_id"), element_at(col("probes"), 1).as("cid"),
           explode(col("probes")).as("probe"))
         .groupBy(col("probe")).agg(count(lit(1)).as("n"), countDistinct(col("cid")).as("cells"))
+    },
+    // PQ encode + full-corpus ADC kernel at production code width (m=16,
+    // k=256 → 16 B/vec): zero-shuffle encode, literal-LUT scoring, top-10.
+    // Correctness of the PQ path is oracle-checked at q82 and spec-checked
+    // in PqSpec/IvfPqSpec; this entry tracks the kernel's throughput.
+    "q83_pq_kernel" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val emb = graft.Tables.load(s, d, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val books = graft.sim.Pq.syntheticCodebooks(16, 256, dim / 16)
+      val query = Array.tabulate(dim)(j => (((j * 11) % 23) - 11) / 11.0f)
+      val enc = graft.sim.Pq.encode(emb, "vec_id", "embedding", books)
+      graft.sim.Pq.adcTopK(enc, "vec_id", query, books, 10)
     })
 }

@@ -1,0 +1,89 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import graft.sql.GraftFunctions
+
+/** IVF×PQ: the production ANN index shape (FAISS's IVFADC layout) — a
+  * coarse quantizer routes queries to `nprobe` of `nlist` cells, and
+  * within cells vectors exist only as m-byte PQ codes scored by ADC.
+  * At 100 TB this is the difference between scanning compressed codes of
+  * a few cells and touching the full-width corpus: storage ~dim·4/m×
+  * smaller, candidate set ~nprobe/nlist of the corpus.
+  *
+  * The index is ONE DataFrame artifact: (id, cid, code) — plain parquet,
+  * partitionable by cid so a probe prunes whole files; both quantizers
+  * are bounded driver-side matrices (Ivf.saveCentroids-style persistence
+  * applies to each).
+  *
+  * Residual encoding (PQ over v − centroid(cell)) is the textbook
+  * refinement; here codes are over the raw vectors so the SAME codebook
+  * serves every cell — one less artifact to keep in sync, and recall at
+  * fixture scale is driven by (m, k), asserted in IvfPqSpec.
+  */
+object IvfPq {
+
+  case class Model(centroids: Array[Array[Float]],
+      books: Array[Array[Array[Float]]])
+
+  /** Fit both quantizers (coarse cells + PQ codebooks) on the corpus. */
+  def fit(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, m: Int, k: Int, iters: Int = 3): Model =
+    Model(
+      Ivf.fitCentroids(df, idCol, vecCol, nlist, iters),
+      Pq.fitCodebooks(df, idCol, vecCol, m, k, iters))
+
+  /** Build the index table: (id, cid, code). Pure projection — both
+    * assignments are codegen'd matrix loops, zero shuffle; write it
+    * `.partitionBy("cid")` and probes prune at the file level. */
+  def index(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+        Ivf.nearestCell(col(vecCol), model.centroids).as("cid"),
+        Pq.codeColumn(col(vecCol), model.books).as("code"))
+  }
+
+  /** Top-k for one query: probe its `nprobe` nearest cells, ADC-score only
+    * those cells' codes, optional exact rerank against the original
+    * vectors (pass `rerankWith` = the full-width corpus). */
+  def topK(indexDf: DataFrame, idCol: String, query: Array[Float],
+      model: Model, k: Int, nprobe: Int = 2,
+      rerankWith: Option[(DataFrame, String)] = None, overfetch: Int = 4): DataFrame = {
+    val probed = probeFilter(indexDf, query, model, nprobe)
+    rerankWith match {
+      case None =>
+        Pq.adcTopK(probed, idCol, query, model.books, k)
+      case Some((full, vecCol)) =>
+        GraftFunctions.register(full.sparkSession)
+        val longlist = Pq.adcTopK(probed, idCol, query, model.books, k * overfetch)
+          .select(col(idCol))
+        full.join(longlist, Seq(idCol), "left_semi")
+          .select(col(idCol),
+            GraftFunctions.dotF32(col(vecCol), typedLit(query.toSeq)).as("score"))
+          .orderBy(col("score").desc, col(idCol))
+          .limit(k)
+    }
+  }
+
+  /** The probe: keep only index rows in the query's nprobe nearest cells —
+    * a literal IN filter, pushable to a cid-partitioned layout. */
+  private def probeFilter(indexDf: DataFrame, query: Array[Float],
+      model: Model, nprobe: Int): DataFrame = {
+    val cells = nearestCells(query, model.centroids, nprobe)
+    indexDf.filter(col("cid").isin(cells: _*))
+  }
+
+  /** Driver-side probe-cell selection for a single query vector (same
+    * distance + tie rule as IvfProbeF32: ||c||²−2·q·c, ties → lower cid). */
+  def nearestCells(query: Array[Float], centroids: Array[Array[Float]],
+      nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      var n2 = 0.0; var d = 0.0; var j = 0
+      while (j < c.length) {
+        n2 += c(j).toDouble * c(j).toDouble
+        d += query(j).toDouble * c(j).toDouble
+        j += 1
+      }
+      (n2 - 2.0 * d, i)
+    }.sortBy(identity).take(nprobe).map(_._2).toSeq
+}

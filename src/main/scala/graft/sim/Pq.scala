@@ -66,19 +66,22 @@ object Pq {
     }
   }
 
-  /** Encode vectors to m codes: (id, code array<int>), code(s) = argmin
-    * distance to books(s) (ties → lower cid, the IvfProbeF32 contract).
-    * Pure projection — zero shuffle. */
+  /** The m-code array expression for a vector column: code(s) = argmin
+    * distance to books(s) (ties → lower cid, the IvfProbeF32 contract). */
+  def codeColumn(vec: Column, books: Array[Array[Array[Float]]]): Column = {
+    val subDim = books(0)(0).length
+    array(books.indices.map { s =>
+      GraftFunctions.ivfProbeF32(
+        slice(vec, s * subDim + 1, subDim), books(s), 1).getItem(0)
+    }: _*)
+  }
+
+  /** Encode vectors to m codes: (id, code array<int>). Pure projection —
+    * zero shuffle. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
       books: Array[Array[Array[Float]]]): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val m = books.length
-    val subDim = books(0)(0).length
-    val codes = (0 until m).map { s =>
-      GraftFunctions.ivfProbeF32(
-        slice(col(vecCol), s * subDim + 1, subDim), books(s), 1).getItem(0)
-    }
-    df.select(col(idCol), array(codes: _*).as("code"))
+    df.select(col(idCol), codeColumn(col(vecCol), books).as("code"))
   }
 
   /** Per-query ADC lookup table: lut(sub)(cid) = dot(querySub, centroid)

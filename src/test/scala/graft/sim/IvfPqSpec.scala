@@ -1,0 +1,71 @@
+package graft.sim
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class IvfPqSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def emb = tbl("embeddings").select($"vec_id", $"embedding")
+  private lazy val model = IvfPq.fit(emb, "vec_id", "embedding",
+    nlist = 8, m = 16, k = 32, iters = 2)
+  private lazy val idx = IvfPq.index(emb, "vec_id", "embedding", model).cache()
+
+  test("index build is a pure projection: zero exchanges") {
+    val p = IvfPq.index(emb, "vec_id", "embedding", model)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"index build must not shuffle:\n$p")
+  }
+
+  test("probing prunes the corpus to the probed cells only") {
+    val (_, qv) = emb.as[(Long, Seq[Float])].head()
+    val cells = IvfPq.nearestCells(qv.toArray, model.centroids, 2)
+    assert(cells.length == 2 && cells.distinct.length == 2)
+    val probedRows = idx.filter($"cid".isin(cells: _*)).count()
+    assert(probedRows < idx.count(), "probe must restrict the candidate set")
+  }
+
+  test("driver-side probe ranking matches the IvfProbeF32 expression") {
+    val qs = emb.limit(10).as[(Long, Seq[Float])].collect()
+    qs.foreach { case (id, qv) =>
+      val driver = IvfPq.nearestCells(qv.toArray, model.centroids, 3)
+      val expr = emb.filter($"vec_id" === id)
+        .select(Ivf.probeCells($"embedding", model.centroids, 3).as("p"))
+        .head().getSeq[Int](0).toSeq
+      assert(driver == expr, s"probe mismatch for vec $id: $driver vs $expr")
+    }
+  }
+
+  test("probing every cell IS the full ADC scan; fewer probes trade recall for work") {
+    val all = emb.as[(Long, Seq[Float])].collect()
+    val queries = all.sortBy(_._1).take(5)
+    val (fullEq, routed, reranked) = queries.map { case (qid, qv) =>
+      val exact = all.filter(_._1 != qid)
+        .map { case (id, v) =>
+          (id, v.indices.foldLeft(0.0)((a, i) => a + v(i).toDouble * qv(i).toDouble)) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+      def recall(ids: Set[Long]) = exact.intersect(ids).size / 10.0
+      val fullAdc = Pq.adcTopK(idx.filter($"vec_id" =!= qid), "vec_id",
+        qv.toArray, model.books, 10).select("vec_id").as[Long].collect().toSet
+      // nprobe = nlist: routing must reproduce the full scan EXACTLY
+      val allProbed = IvfPq.topK(idx.filter($"vec_id" =!= qid), "vec_id",
+        qv.toArray, model, 10, nprobe = 8).select("vec_id").as[Long].collect().toSet
+      val ivfAdc = IvfPq.topK(idx.filter($"vec_id" =!= qid), "vec_id",
+        qv.toArray, model, 10, nprobe = 4).select("vec_id").as[Long].collect().toSet
+      val rr = IvfPq.topK(idx.filter($"vec_id" =!= qid), "vec_id",
+        qv.toArray, model, 10, nprobe = 4,
+        rerankWith = Some((emb.filter($"vec_id" =!= qid), "embedding")))
+        .select("vec_id").as[Long].collect().toSet
+      (allProbed == fullAdc, recall(ivfAdc), recall(rr))
+    }.unzip3
+    def mean(xs: Seq[Double]) = xs.sum / xs.length
+    assert(fullEq.forall(identity),
+      "nprobe=nlist must be IDENTICAL to the un-routed ADC scan")
+    // nprobe=4/8 scans ~half the codes; measured mean recall 0.36 vs 0.60
+    // un-routed on this fixture — the probe/recall trade is real, assert a
+    // floor rather than pretending it's free
+    assert(mean(routed) >= 0.25, s"routed recall collapsed: ${mean(routed)}")
+    assert(mean(reranked) >= mean(routed),
+      s"exact rerank must not lose recall: ${mean(reranked)} < ${mean(routed)}")
+  }
+}
