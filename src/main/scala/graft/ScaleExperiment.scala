@@ -25,13 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object ScaleExperiment {
 
-  private def timed(name: String)(df: DataFrame): Unit = {
+  // by-name so eager driver work inside an operator (e.g. ShardPack's
+  // min/max bounds job) is charged to the measurement, not hidden before t0
+  private def timed(name: String)(df: => DataFrame): Unit = {
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
     println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
   }
 
-  private def counted(name: String)(df: DataFrame): Long = {
+  private def counted(name: String)(df: => DataFrame): Long = {
     val t0 = System.nanoTime()
     val n = df.count()
     println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%8.1f s  rows=$n")

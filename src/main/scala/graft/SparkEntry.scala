@@ -89,7 +89,7 @@ object SparkEntry {
       val emb = graft.Tables.load(s, d, "embeddings")
       val dim = emb.select(size(col("embedding"))).head().getInt(0)
       val books = graft.sim.Pq.syntheticCodebooks(16, 256, dim / 16)
-      val query = Array.tabulate(dim)(j => (((j * 11) % 23) - 11) / 11.0f)
+      val query = graft.sim.Pq.syntheticQuery(dim)
       val enc = graft.sim.Pq.encode(emb, "vec_id", "embedding", books)
       graft.sim.Pq.adcTopK(enc, "vec_id", query, books, 10)
     })

@@ -60,8 +60,9 @@ object Decontaminate {
     * they never join the drop set — no corpus-wide restore join needed
     * here, unlike the full report). Cost: one gram pass + one anti join. */
   def dropContaminated(corpus: DataFrame, idCol: String, grams: Column,
-      benchGrams: DataFrame, maxFrac: Double = 0.0): DataFrame = {
-    val bad = stats(corpus, idCol, grams, benchGrams, broadcastBench = true)
+      benchGrams: DataFrame, maxFrac: Double = 0.0,
+      broadcastBench: Boolean = true): DataFrame = {
+    val bad = stats(corpus, idCol, grams, benchGrams, broadcastBench)
       .filter(col("n_hits").cast("double") / col("n_grams") > maxFrac)
       .select(col(idCol))
     corpus.join(bad, Seq(idCol), "left_anti")

@@ -28,6 +28,20 @@ import org.apache.spark.sql.functions._
   */
 object BloomPrefilter {
 
+  /** The routing key is compared AS A STRING (the bloom sketch hashes
+    * strings); string-casting is only equality-preserving when both sides
+    * already have the same type, so mixed-type keys (which a plain join
+    * would coerce numerically: INT 1 = DOUBLE 1.0) are rejected loudly
+    * instead of silently missing matches ('1' != '1.0'). */
+  private def requireSameKeyType(big: DataFrame, bigKey: Column,
+      small: DataFrame, smallKey: Column): Unit = {
+    val bt = big.select(bigKey).schema.head.dataType
+    val st = small.select(smallKey).schema.head.dataType
+    require(bt == st,
+      s"bloom prefilter keys must have identical types (got $bt vs $st); " +
+        "cast both sides explicitly first")
+  }
+
   private def mightContain(small: DataFrame, smallKey: Column,
       expectedItems: Long, fpp: Double) = {
     val bf = small.select(smallKey.cast("string").as("k")).na.drop("any")
@@ -40,6 +54,7 @@ object BloomPrefilter {
     * (null big keys never match, so they are kept). */
   def antiJoin(big: DataFrame, bigKey: Column, small: DataFrame, smallKey: Column,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    requireSameKeyType(big, bigKey, small, smallKey)
     val maybe = mightContain(small, smallKey, expectedItems, fpp)
     val keyed = big.withColumn("__k", bigKey.cast("string"))
     val definiteKeep = keyed.filter(!maybe(col("__k")))
@@ -52,6 +67,7 @@ object BloomPrefilter {
     * definite-no slice is dropped before any exchange. */
   def semiJoin(big: DataFrame, bigKey: Column, small: DataFrame, smallKey: Column,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    requireSameKeyType(big, bigKey, small, smallKey)
     val maybe = mightContain(small, smallKey, expectedItems, fpp)
     big.withColumn("__k", bigKey.cast("string"))
       .filter(maybe(col("__k")))

@@ -38,22 +38,20 @@ object DataMix {
   }
 
   /** Down-sample to a target mix: `proportions` maps group value → share of
-    * `totalRows`; each group's cap is floor(share · totalRows), clamped to
-    * what the group actually has. Returns the sampled rows (callers wanting
-    * exactly totalRows should over-ask and trim; under-supplied groups
-    * simply contribute everything they have — the standard mixture
-    * behavior when a source runs dry). */
+    * `totalRows`; each group's cap is floor(share · totalRows). Groups with
+    * fewer rows than their cap simply contribute everything they have (the
+    * rank filter can never exceed a group's size, so no separate count pass
+    * over the corpus is needed — the standard mixture behavior when a
+    * source runs dry). Callers wanting exactly totalRows should over-ask
+    * and trim. */
   def sampleToMix(df: DataFrame, groupCol: String, key: Column,
       proportions: Map[String, Double], totalRows: Long): DataFrame = {
     require(proportions.values.forall(p => p >= 0 && p <= 1),
       s"proportions must be in [0,1]: $proportions")
     val spark = df.sparkSession
     import spark.implicits._
-    val want = proportions.toSeq.toDF(groupCol, "__p")
-      .select(col(groupCol), floor(col("__p") * totalRows).cast("long").as("__want"))
-    val have = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__have"))
-    val caps = have.join(want, Seq(groupCol))
-      .select(col(groupCol), least(col("__want"), col("__have")).as("cap"))
+    val caps = proportions.toSeq.toDF(groupCol, "__p")
+      .select(col(groupCol), floor(col("__p") * totalRows).cast("long").as("cap"))
     capPerGroup(df, groupCol, key, caps)
   }
 }

@@ -32,6 +32,11 @@ object ShardPack {
     * sum ill-defined); weights are cast to long. */
   def cumsum(df: DataFrame, orderCol: String, weight: Column, out: String,
       buckets: Int = 256): DataFrame = {
+    // loud type check — a non-numeric key would cast its min/max to null
+    // and silently take the empty-input path below
+    require(df.schema(orderCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"orderCol '$orderCol' must be numeric, got ${df.schema(orderCol).dataType}")
     val bounds = df.agg(min(col(orderCol)).cast("double"),
       max(col(orderCol)).cast("double")).head()
     if (bounds.isNullAt(0)) return df.withColumn(out, lit(null).cast("long"))

@@ -150,8 +150,7 @@ object VectorQueries {
   private val pqK = 8
   private lazy val pqBooks: Array[Array[Array[Float]]] =
     graft.sim.Pq.syntheticCodebooks(pqM, pqK, dim / pqM)
-  private lazy val pqQuery: Array[Float] =
-    Array.tabulate(dim)(j => (((j * 11) % 23) - 11) / 11.0f)
+  private lazy val pqQuery: Array[Float] = graft.sim.Pq.syntheticQuery(dim)
 
   /** Shared q46/q48 oracle CTEs: per-row normalized vector, SRP bucket from
     * the same hyperplane constants as the Spark plan (srpSigns is tabulated

@@ -36,30 +36,15 @@ object NegativeSampling {
     * half-open, hi of the last item = W. `pop` must be unique per item_id
     * with a positive BIGINT weight column `w`.
     *
-    * Distributed exact prefix sum: range-repartition by item_id (sampling
-    * boundaries are seed-fixed, so the pid assignment is deterministic),
-    * cumsum within each partition in parallel, then shift each partition by
-    * the total of its predecessors — the offset window runs on a
-    * numPartitions-sized frame, which is bounded by cluster size, not data.
+    * The prefix sum is the SHARED two-level primitive
+    * (operators.ShardPack.cumsum: range-bucketed per-bucket windows + a
+    * buckets-sized offset table) — exact integer sums in item_id order, so
+    * the CDF values are partitioning-invariant and engine-reproducible.
     */
-  def itemCdf(pop: DataFrame): DataFrame = {
-    val parts = pop
-      .repartitionByRange(col("item_id"))
-      .sortWithinPartitions("item_id")
-      .withColumn("__pid", spark_partition_id())
-    val local = parts.withColumn("__lcum",
-      sum(col("w")).over(Window.partitionBy(col("__pid")).orderBy(col("item_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val offsets = local.groupBy(col("__pid")).agg(max(col("__lcum")).as("__ptot"))
-      .withColumn("__off", coalesce(
-        sum(col("__ptot")).over(Window.orderBy(col("__pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid"), col("__off"))
-    local.join(broadcast(offsets), Seq("__pid"))
+  def itemCdf(pop: DataFrame): DataFrame =
+    graft.operators.ShardPack.cumsum(pop, "item_id", col("w"), "__cum")
       .select(col("item_id"), col("w"),
-        (col("__lcum") - col("w") + col("__off")).as("lo"),
-        (col("__lcum") + col("__off")).as("hi"))
-  }
+        (col("__cum") - col("w")).as("lo"), col("__cum").as("hi"))
 
   /** Up to `k` sampled negatives per user present in `positives`
     * (user_id, item_id; duplicates fine — they raise the item's weight).

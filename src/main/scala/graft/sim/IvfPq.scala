@@ -54,14 +54,7 @@ object IvfPq {
       case None =>
         Pq.adcTopK(probed, idCol, query, model.books, k)
       case Some((full, vecCol)) =>
-        GraftFunctions.register(full.sparkSession)
-        val longlist = Pq.adcTopK(probed, idCol, query, model.books, k * overfetch)
-          .select(col(idCol))
-        full.join(longlist, Seq(idCol), "left_semi")
-          .select(col(idCol),
-            GraftFunctions.dotF32(col(vecCol), typedLit(query.toSeq)).as("score"))
-          .orderBy(col("score").desc, col(idCol))
-          .limit(k)
+        Pq.adcTopKRerank(full, idCol, vecCol, probed, query, model.books, k, overfetch)
     }
   }
 

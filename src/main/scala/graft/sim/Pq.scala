@@ -133,4 +133,9 @@ object Pq {
   def syntheticCodebooks(m: Int, k: Int, subDim: Int): Array[Array[Array[Float]]] =
     Array.tabulate(m)(s => Array.tabulate(k)(c =>
       Array.tabulate(subDim)(j => (((s * 13 + c * 31 + j * 7) % 89) - 44) / 44.0f)))
+
+  /** Deterministic synthetic query vector — ONE definition shared by the
+    * q82 oracle and the q83 kernel bench so they can't drift apart. */
+  def syntheticQuery(dim: Int): Array[Float] =
+    Array.tabulate(dim)(j => (((j * 11) % 23) - 11) / 11.0f)
 }

@@ -23,15 +23,20 @@ import graft.dedup.TextDedup
   */
 object DocIngest {
 
-  /** Start the ingest stream. `shingles(tokCol)` builds the shingle column
-    * from the materialized token column (TextOps PERF CONTRACT); `sink`
-    * receives each batch's surviving rows. */
+  /** Start the ingest stream; `sink` receives each batch's surviving rows.
+    * Pass `checkpointDir` for a restartable production stream — without it
+    * Spark uses a temp checkpoint and a restarted query replays the source
+    * from offset zero (every old doc re-pays its LSH pass just to be
+    * re-suppressed against its own signatures). */
   def start(stream: DataFrame, idCol: String, textCol: String,
       indexPath: String, shingleN: Int = 8, numHashes: Int = 16,
-      rowsPerBand: Int = 2, threshold: Double = 0.7)
+      rowsPerBand: Int = 2, threshold: Double = 0.7,
+      checkpointDir: Option[String] = None)
       (sink: DataFrame => Unit): StreamingQuery = {
-    stream.writeStream
+    val writer = stream.writeStream
       .outputMode("append")
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         val spark = batch.sparkSession
         val toked = batch.select(col(idCol), col(textCol),

@@ -119,8 +119,8 @@ class PlanAuditSpec extends SparkSpecBase {
     val p = plan(graft.rank.NegativeSampling.sampleNegatives(pos, k = 5, seed = 42L))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"bucketed CDF lookup degenerated into a range/cross join:\n$p")
-    assert(!p.contains("Window [sum") || p.contains("__pid"),
-      s"the CDF prefix sum must stay partition-local (no global un-keyed window over items):\n$p")
+    assert(!p.contains("Window [sum") || p.contains("__g"),
+      s"the CDF prefix sum must stay bucket-partitioned (no global un-keyed window over items):\n$p")
   }
 
   test("asOf: spine and features cross one shared key exchange") {
