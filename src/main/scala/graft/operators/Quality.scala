@@ -23,6 +23,23 @@ object Quality {
   final case class Check(name: String, passes: Column)
 
   def notNull(c: String): Check = Check(s"not_null_$c", col(c).isNotNull)
+
+  /** Quantile-threshold pruning: keep rows whose `metric` lies inside the
+    * [loQ, hiQ] exact percentiles of the corpus (the score-based corpus
+    * trim a cleaning pipeline runs after quality scoring — drop the
+    * shortest/longest, most/least repetitive tail). Thresholds come from
+    * ONE exact-percentile aggregate (2 values, broadcast back as a 1-row
+    * cross join — no driver round trip in the lineage); for sketch-scale
+    * corpora swap in ApproxStats' GK quantiles at the same seam. */
+  def trimOutliers(df: DataFrame, metric: Column, loQ: Double, hiQ: Double): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, s"need 0 <= loQ < hiQ <= 1: $loQ, $hiQ")
+    val bounds = df.agg(
+      percentile(metric, lit(loQ)).as("__lo"),
+      percentile(metric, lit(hiQ)).as("__hi"))
+    df.crossJoin(broadcast(bounds))
+      .filter(metric >= col("__lo") && metric <= col("__hi"))
+      .drop("__lo", "__hi")
+  }
   def accepted(c: String, values: Seq[String]): Check =
     Check(s"accepted_$c", col(c).isin(values: _*))
   def inRange(c: String, lo: Double, hi: Double): Check =

@@ -199,6 +199,21 @@ object EventQueries {
         .orderBy(col("user_id"), col("session_id"))
     },
 
+    // Ranking/offset window battery (SURVEY §2.5 noted lag/lead/ntile as
+    // free Spark capabilities — exposed on the oracle surface):
+    // inter-event gap, next event id, per-user activity quartile.
+    "q85_lag_lead" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, d, "events").select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      ev.select(col("user_id"), col("event_id"), col("ts_us"),
+          (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"),
+          lead(col("event_id"), 1).over(w).as("next_event"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    },
+
     // Pivot (wide per-day event-type counts) with an explicit value list —
     // the deterministic form: no value-discovery pass, stable output schema.
     // Empty cells coalesce to 0 to match conditional-aggregation semantics.
@@ -338,6 +353,15 @@ object EventQueries {
            MAX(tms) AS session_end_ms, COUNT(*) AS n_events
          FROM s GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+    "q85_lag_lead" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) ts_us FROM events)
+         SELECT user_id, event_id, ts_us,
+           ts_us - LAG(ts_us, 1) OVER w AS gap_us,
+           LEAD(event_id, 1) OVER w AS next_event,
+           CAST(NTILE(4) OVER w AS INT) AS quartile
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         ORDER BY user_id, ts_us, event_id""",
     "q78_pivot" ->
       """SELECT CAST(ts AS DATE) AS day,
          COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,

@@ -238,6 +238,28 @@ object TextQueries {
       Bm25.termComponents(tokenized(s, d), "doc_id", col("__toks"),
           Seq("stream", "table", "query"))
         .orderBy(col("doc_id"), col("term"))
+    },
+
+    // Quantile-threshold corpus pruning: keep docs inside the exact
+    // p10..p90 of n_chars (one percentile aggregate, broadcast back — the
+    // score-based trim after quality scoring).
+    "q84_quantile_trim" -> { (s, d) =>
+      graft.operators.Quality.trimOutliers(
+          table(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          col("n_chars"), 0.1, 0.9)
+        .orderBy(col("doc_id"))
+    },
+
+    // Set operations (SURVEY §2.7 noted INTERSECT/EXCEPT as free Spark
+    // capabilities — exposed on the oracle surface): sources that publish
+    // in both en and de, and en-only sources.
+    "q86_set_ops" -> { (s, d) =>
+      val docs = table(s, d, "documents")
+      val en = docs.filter(col("lang") === "en").select(col("source"))
+      val de = docs.filter(col("lang") === "de").select(col("source"))
+      en.intersect(de).withColumn("op", lit("both"))
+        .unionByName(en.except(de).withColumn("op", lit("en_only")))
+        .orderBy(col("op"), col("source"))
     })
 
   /** Base 32-bit shingle hash (first 8 md5 hex chars; hex4Sql from
@@ -438,7 +460,19 @@ object TextQueries {
              / (f.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
                 + CAST(0.75 AS DOUBLE) * (f.dl / (s.sdl / s.n)))) AS tf_factor
          FROM tf f JOIN dft d2 ON f.term = d2.term, stats s
-         ORDER BY f.doc_id, f.term""")
+         ORDER BY f.doc_id, f.term""",
+    "q84_quantile_trim" ->
+      """WITH b AS (SELECT quantile_cont(n_chars, 0.1) lo, quantile_cont(n_chars, 0.9) hi
+                    FROM documents)
+         SELECT doc_id, n_chars FROM documents, b
+         WHERE n_chars >= lo AND n_chars <= hi ORDER BY doc_id""",
+    "q86_set_ops" ->
+      """WITH en AS (SELECT source FROM documents WHERE lang = 'en'),
+         de AS (SELECT source FROM documents WHERE lang = 'de')
+         SELECT source, 'both' AS op FROM (SELECT source FROM en INTERSECT SELECT source FROM de)
+         UNION ALL
+         SELECT source, 'en_only' AS op FROM (SELECT source FROM en EXCEPT SELECT source FROM de)
+         ORDER BY op, source""")
 
   /** Shared LSH oracle chain (shingles → sizes → minhash sigs → bands →
     * candidate pairs → pairwise common counts) — mirrors TextDedup's

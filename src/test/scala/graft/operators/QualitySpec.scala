@@ -55,4 +55,15 @@ class QualitySpec extends SparkSpecBase {
     assert(a.filter($"failures" === "").isEmpty,
       "every key appears twice — all rows must fail uniqueness")
   }
+
+  test("trimOutliers keeps exactly the inside-quantile band") {
+    val rows = spark.range(1, 101).select($"id".as("v")) // 1..100
+    val kept = Quality.trimOutliers(rows, $"v", 0.1, 0.9)
+      .as[Long].collect().sorted.toSeq
+    // exact percentiles of 1..100: p10 = 10.9, p90 = 90.1
+    assert(kept == (11L to 90L))
+    intercept[IllegalArgumentException] {
+      Quality.trimOutliers(rows, $"v", 0.9, 0.1)
+    }
+  }
 }
