@@ -374,6 +374,28 @@ object ScaleExperiment {
           Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.25), totalRows = 20000L))
     }
 
+    // 18. incremental dedup of a new batch against the signature index at
+    // scale: even ids are "already ingested" (index = their signatures),
+    // odd ids arrive as the new batch. Cost must stay one LSH pipeline for
+    // the batch + one (band,hash) shuffle against the index.
+    if (on("incdedup")) {
+      import graft.dedup.TextDedup
+      import graft.functions.TextOps
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+        .filter(size(col("__toks")) >= 8)
+      val sh = TextOps.wordShingles(col("__toks"), 8)
+      val idxPath = "/tmp/graft_sig_idx_scale"
+      val t0 = System.nanoTime()
+      TextDedup.saveSignatureIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", sh, 16, idxPath)
+      println(f"incdedup_index_build             ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+      val idx = spark.read.parquet(idxPath)
+      counted("incdedup_new_batch")(
+        TextDedup.dedupAgainstIndex(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", sh, idx, 16, 2, 0.5))
+    }
+
     // 17. product quantization at 10× (200k vectors): fit (one job per
     // Lloyd step for ALL subspaces), zero-shuffle encode, full-corpus ADC
     // scan, and IVF-routed ADC (nprobe/nlist of the codes scanned).

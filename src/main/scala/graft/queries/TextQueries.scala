@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.dedup.{Decontaminate, TextDedup}
-import graft.functions.{Bm25, Chunking, LangId, Repetition, TextOps}
+import graft.functions.{Bm25, Chunking, LangId, NgramLm, Repetition, TextOps}
 import QueryHelpers._
 
 /** Text-analysis + dedup extension coverage over `documents` (BASELINE.json
@@ -250,6 +250,21 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Bigram-LM quality scoring (CCNet-style): model fitted on src0 as the
+    // trusted reference, every other doc scored against it. The oracle
+    // hash-checks the exact integer evidence (bigram/OOV counts, count
+    // sums — the full fit+join dataflow); the ln-based ll_mean is
+    // libm-specific (see q81) and is exact-checked in NgramLmSpec.
+    "q87_lm_score" -> { (s, d) =>
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("__toks"))
+      val m = NgramLm.fit(docs.filter(col("source") === "src0"), col("__toks"))
+      NgramLm.scoreDocs(docs.filter(col("source") =!= "src0"), "doc_id",
+          col("__toks"), m)
+        .drop("ll_mean")
+        .orderBy(col("doc_id"))
+    },
+
     // Set operations (SURVEY §2.7 noted INTERSECT/EXCEPT as free Spark
     // capabilities — exposed on the oracle surface): sources that publish
     // in both en and de, and en-only sources.
@@ -466,6 +481,25 @@ object TextQueries {
                     FROM documents)
          SELECT doc_id, n_chars FROM documents, b
          WHERE n_chars >= lo AND n_chars <= hi ORDER BY doc_id""",
+    "q87_lm_score" ->
+      """WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') w FROM documents),
+         pairs AS (SELECT doc_id, source,
+             unnest(list_transform(range(len(w)-1), i -> w[i+1])) w1,
+             unnest(list_transform(range(len(w)-1), i -> w[i+2])) w2
+           FROM t WHERE len(w) >= 2),
+         refbi AS (SELECT w1, w2, COUNT(*) c12 FROM pairs WHERE source = 'src0' GROUP BY 1, 2),
+         refuni AS (SELECT w1, COUNT(*) c1 FROM (SELECT unnest(w) w1 FROM t WHERE source = 'src0') GROUP BY 1),
+         stats AS (SELECT c.doc_id, COUNT(*) n_bigrams,
+             COUNT(CASE WHEN b.c12 IS NULL THEN 1 END) n_oov,
+             SUM(COALESCE(b.c12, 0)) sum_c12, SUM(COALESCE(u.c1, 0)) sum_c1
+           FROM pairs c LEFT JOIN refbi b ON c.w1 = b.w1 AND c.w2 = b.w2
+                        LEFT JOIN refuni u ON c.w1 = u.w1
+           WHERE c.source <> 'src0' GROUP BY 1)
+         SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+           COALESCE(s.n_oov, 0) AS n_oov,
+           COALESCE(s.sum_c12, 0) AS sum_c12, COALESCE(s.sum_c1, 0) AS sum_c1
+         FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+         WHERE d.source <> 'src0' ORDER BY d.doc_id""",
     "q86_set_ops" ->
       """WITH en AS (SELECT source FROM documents WHERE lang = 'en'),
          de AS (SELECT source FROM documents WHERE lang = 'de')

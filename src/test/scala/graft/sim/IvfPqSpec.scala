@@ -17,6 +17,24 @@ class IvfPqSpec extends SparkSpecBase {
     assert(!p.contains("Exchange"), s"index build must not shuffle:\n$p")
   }
 
+  test("a cid-partitioned index layout prunes unprobed cells at the file level") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    IvfPq.index(emb, "vec_id", "embedding", model)
+      .write.partitionBy("cid").mode("overwrite").parquet(dir)
+    val (_, qv) = emb.as[(Long, Seq[Float])].head()
+    val cells = IvfPq.nearestCells(qv.toArray, model.centroids, 2)
+    val probed = spark.read.parquet(dir).filter($"cid".isin(cells: _*))
+    probed.collect()
+    val scan = probed.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    // partition pruning is visible both in the plan and in the scan metrics
+    assert(scan.toString.contains("PartitionFilters"),
+      s"probe filter did not reach partition pruning:\n$scan")
+    assert(scan.selectedPartitions.partitionCount == cells.length,
+      s"expected ${cells.length} partitions read, got ${scan.selectedPartitions.partitionCount}")
+  }
+
   test("probing prunes the corpus to the probed cells only") {
     val (_, qv) = emb.as[(Long, Seq[Float])].head()
     val cells = IvfPq.nearestCells(qv.toArray, model.centroids, 2)
