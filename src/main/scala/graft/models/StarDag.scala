@@ -70,6 +70,9 @@ object StarDag {
   def staging(envelopes: DataFrame, schema: StructType): DataFrame =
     Relational.fromEnvelope(
       Relational.latestBatch(envelopes, "etl_id", "etl_timestamp"), schema)
+  // (A/B-measured at sf0.1: fromEnvelopeVariant decodes q25's bronze in the
+  // same wall time as from_json — flat tiny payloads are parse-bound either
+  // way — and produces identical output, so the portable form stays.)
 
   /** articles_metadata.sql: left join images, qualified-star projection
     * (P4: `i_s.S3_URL, cd.*`). */
