@@ -374,7 +374,7 @@ object ScaleExperiment {
           Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.25), totalRows = 20000L))
     }
 
-    // 18. incremental dedup of a new batch against the signature index at
+    // 17. incremental dedup of a new batch against the signature index at
     // scale: even ids are "already ingested" (index = their signatures),
     // odd ids arrive as the new batch. Cost must stay one LSH pipeline for
     // the batch + one (band,hash) shuffle against the index.
@@ -396,7 +396,7 @@ object ScaleExperiment {
           "doc_id", sh, idx, 16, 2, 0.5))
     }
 
-    // 17. product quantization at 10× (200k vectors): fit (one job per
+    // 18. product quantization at 10× (200k vectors): fit (one job per
     // Lloyd step for ALL subspaces), zero-shuffle encode, full-corpus ADC
     // scan, and IVF-routed ADC (nprobe/nlist of the codes scanned).
     if (on("pq")) {

@@ -34,14 +34,21 @@ object NgramLm {
         StructField("w1", StringType), StructField("w2", StringType))))))
 
   /** Fit bigram + unigram counts and vocabulary size on a reference
-    * corpus. */
+    * corpus. Both count tables are cached (they are model artifacts,
+    * vocabulary-sized — tiny next to the corpus): the vocab count below
+    * materializes `uni` once instead of re-aggregating the reference, and
+    * scoring reuses both instead of re-running the fit aggregations. Call
+    * `model.unigrams.unpersist()` / `model.bigrams.unpersist()` when done,
+    * or persist to parquet for the durable form. */
   def fit(ref: DataFrame, toks: Column): Model = {
     val bound = ref.select(toks.as("__toks"))
     val bi = bound.select(explode(bigramPairs(col("__toks"))).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("c12"))
+      .cache()
     val uni = bound.select(explode(col("__toks")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .cache()
     Model(bi, uni, uni.count())
   }
 
@@ -52,6 +59,10 @@ object NgramLm {
     * no bigrams report 0 counts and null ll_mean. */
   def scoreDocs(docs: DataFrame, idCol: String, toks: Column, model: Model,
       alpha: Double = 1.0, broadcastModel: Boolean = true): DataFrame = {
+    // alpha = 0 would make an OOV bigram's logp = ln(0) = -Inf, which the
+    // decimal cast nulls out — the doc would get a plausible-looking score
+    // computed only over its SEEN bigrams instead of -Inf
+    require(alpha > 0, s"alpha must be positive: $alpha")
     val bi0 = model.bigrams
     val uni0 = model.unigrams
     val (bi, uni) =

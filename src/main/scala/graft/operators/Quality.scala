@@ -23,6 +23,10 @@ object Quality {
   final case class Check(name: String, passes: Column)
 
   def notNull(c: String): Check = Check(s"not_null_$c", col(c).isNotNull)
+  def accepted(c: String, values: Seq[String]): Check =
+    Check(s"accepted_$c", col(c).isin(values: _*))
+  def inRange(c: String, lo: Double, hi: Double): Check =
+    Check(s"range_$c", col(c).between(lo, hi))
 
   /** Quantile-threshold pruning: keep rows whose `metric` lies inside the
     * [loQ, hiQ] exact percentiles of the corpus (the score-based corpus
@@ -40,10 +44,6 @@ object Quality {
       .filter(metric >= col("__lo") && metric <= col("__hi"))
       .drop("__lo", "__hi")
   }
-  def accepted(c: String, values: Seq[String]): Check =
-    Check(s"accepted_$c", col(c).isin(values: _*))
-  def inRange(c: String, lo: Double, hi: Double): Check =
-    Check(s"range_$c", col(c).between(lo, hi))
 
   /** Annotate every row with `failures`: a deterministic comma-joined list
     * of failed check names (empty string = clean row). `uniqueKeys` adds a

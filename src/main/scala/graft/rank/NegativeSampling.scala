@@ -1,7 +1,6 @@
 package graft.rank
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Popularity-weighted negative sampling — the training-data operator that
@@ -33,8 +32,10 @@ import org.apache.spark.sql.functions._
 object NegativeSampling {
 
   /** Exact integer CDF over items: (item_id, w, lo, hi) with [lo, hi)
-    * half-open, hi of the last item = W. `pop` must be unique per item_id
-    * with a positive BIGINT weight column `w`.
+    * half-open, hi of the last item = W. `pop` must be unique per NUMERIC
+    * item_id with a positive BIGINT weight column `w` (string/natural keys
+    * go through CategorifyEstimator first — same contract as ALS ids); note
+    * the bounds job makes construction eager, not lazy.
     *
     * The prefix sum is the SHARED two-level primitive
     * (operators.ShardPack.cumsum: range-bucketed per-bucket windows + a
