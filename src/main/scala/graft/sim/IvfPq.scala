@@ -16,10 +16,13 @@ import graft.sql.GraftFunctions
   * are bounded driver-side matrices (Ivf.saveCentroids-style persistence
   * applies to each).
   *
-  * Residual encoding (PQ over v − centroid(cell)) is the textbook
-  * refinement; here codes are over the raw vectors so the SAME codebook
-  * serves every cell — one less artifact to keep in sync, and recall at
-  * fixture scale is driven by (m, k), asserted in IvfPqSpec.
+  * Two encodings ship: raw-vector codes (`fit`/`index`/`topK` — one
+  * codebook serves every cell, one less artifact to reason about) and the
+  * textbook residual form (`fitResidual`/`indexResidual`/`topKResidual` —
+  * PQ over v − centroid(cell), lower-variance input so the same (m, k)
+  * bits quantize finer; scoring adds the per-cell dot(q, c) constant back).
+  * IvfPqSpec asserts the residual form's recall dominates raw codes on the
+  * fixture.
   */
 object IvfPq {
 
@@ -64,6 +67,62 @@ object IvfPq {
       model: Model, nprobe: Int): DataFrame = {
     val cells = nearestCells(query, model.centroids, nprobe)
     indexDf.filter(col("cid").isin(cells: _*))
+  }
+
+  // -------------------------------------------------------------------
+  // Residual encoding (the textbook IVFADC refinement): PQ codes are fit
+  // over v − centroid(cell), which has far less variance than v itself,
+  // so the same (m, k) bits quantize finer. Scoring uses
+  //   dot(q, v) = dot(q, c) + dot(q, v − c)
+  // — a per-cell constant (driver-computed from the bounded centroid
+  // matrix) plus the ADC estimate over the residual codes.
+  // -------------------------------------------------------------------
+
+  /** The residual column: vec − centroids(cid), with the centroid matrix
+    * as ONE literal array-of-arrays (no per-cell plan branching). */
+  private def residualColumn(vec: org.apache.spark.sql.Column,
+      cid: org.apache.spark.sql.Column,
+      centroids: Array[Array[Float]]): org.apache.spark.sql.Column = {
+    val matrix = typedLit(centroids.map(_.toSeq).toSeq)
+    zip_with(vec, element_at(matrix, cid + 1), (a, b) => a - b)
+  }
+
+  /** Fit the residual-encoded model: coarse cells first, then PQ codebooks
+    * over the residuals (one extra projection in the fit lineage). */
+  def fitResidual(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, m: Int, k: Int, iters: Int = 3): Model = {
+    GraftFunctions.register(df.sparkSession)
+    val centroids = Ivf.fitCentroids(df, idCol, vecCol, nlist, iters)
+    val res = df.select(col(idCol),
+      residualColumn(col(vecCol),
+        Ivf.nearestCell(col(vecCol), centroids), centroids).as("__res"))
+    Model(centroids, Pq.fitCodebooks(res, idCol, "__res", m, k, iters))
+  }
+
+  /** Residual index table: (id, cid, code) where code quantizes v − c.
+    * Still a pure projection — zero shuffle. */
+  def indexResidual(df: DataFrame, idCol: String, vecCol: String,
+      model: Model): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val cid = Ivf.nearestCell(col(vecCol), model.centroids)
+    df.select(col(idCol), cid.as("cid"),
+        Pq.codeColumn(residualColumn(col(vecCol), cid, model.centroids),
+          model.books).as("code"))
+  }
+
+  /** Top-k over a residual index: per-row score = dot(q, centroid(cid)) —
+    * looked up from a literal per-cell array — plus the residual ADC. */
+  def topKResidual(indexDf: DataFrame, idCol: String, query: Array[Float],
+      model: Model, k: Int, nprobe: Int = 2): DataFrame = {
+    val cellDots = typedLit(model.centroids.map { c =>
+      c.indices.foldLeft(0.0)((a, i) => a + query(i).toDouble * c(i).toDouble)
+    }.toSeq)
+    probeFilter(indexDf, query, model, nprobe)
+      .select(col(idCol),
+        (element_at(cellDots, col("cid") + 1) +
+          Pq.adcScore(col("code"), Pq.lutFor(query, model.books))).as("adc"))
+      .orderBy(col("adc").desc, col(idCol))
+      .limit(k)
   }
 
   /** Driver-side probe-cell selection for a single query vector (same

@@ -86,4 +86,29 @@ class IvfPqSpec extends SparkSpecBase {
     assert(mean(reranked) >= mean(routed),
       s"exact rerank must not lose recall: ${mean(reranked)} < ${mean(routed)}")
   }
+
+  test("residual encoding recalls at least as well as raw codes at equal bits") {
+    val resModel = IvfPq.fitResidual(emb, "vec_id", "embedding",
+      nlist = 8, m = 16, k = 32, iters = 2)
+    val resIdx = IvfPq.indexResidual(emb, "vec_id", "embedding", resModel).cache()
+    val all = emb.as[(Long, Seq[Float])].collect()
+    val queries = all.sortBy(_._1).take(5)
+    val (raw, res) = queries.map { case (qid, qv) =>
+      val exact = all.filter(_._1 != qid)
+        .map { case (id, v) =>
+          (id, v.indices.foldLeft(0.0)((a, i) => a + v(i).toDouble * qv(i).toDouble)) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+      def recall(ids: Set[Long]) = exact.intersect(ids).size / 10.0
+      val rawIds = IvfPq.topK(idx.filter($"vec_id" =!= qid), "vec_id",
+        qv.toArray, model, 10, nprobe = 4).select("vec_id").as[Long].collect().toSet
+      val resIds = IvfPq.topKResidual(resIdx.filter($"vec_id" =!= qid), "vec_id",
+        qv.toArray, resModel, 10, nprobe = 4).select("vec_id").as[Long].collect().toSet
+      (recall(rawIds), recall(resIds))
+    }.unzip
+    resIdx.unpersist()
+    def mean(xs: Seq[Double]) = xs.sum / xs.length
+    assert(mean(res) >= mean(raw),
+      s"residual codes must not recall worse: ${mean(res)} < ${mean(raw)} " +
+        s"(raw ${raw.toSeq}, residual ${res.toSeq})")
+  }
 }
