@@ -137,4 +137,78 @@ class PropertySpec extends SparkSpecBase {
       got == expect
     }, cases = 20)
   }
+
+  test("ShardPack.cumsum equals the in-memory prefix sum for any buckets (dataflow)") {
+    val rowGen = Gen.listOfN(15, Gen.zip(Gen.choose(-1000L, 1000L), Gen.choose(1L, 500L)))
+    val bucketGen = Gen.oneOf(1, 2, 7, 64)
+    check(Prop.forAll(rowGen, bucketGen) { case (rows0, buckets) =>
+      val rows = rows0.distinctBy(_._1) // unique order keys
+      rows.isEmpty || {
+        val got = graft.operators.ShardPack
+          .cumsum(rows.toDF("id", "w"), "id", $"w", "cum", buckets)
+          .orderBy($"id").select($"cum").as[Long].collect().toSeq
+        val expect = rows.sortBy(_._1).map(_._2).scanLeft(0L)(_ + _).tail
+        got == expect
+      }
+    }, cases = 15)
+  }
+
+  test("Chunking covers every token exactly and never emits an overlap-only tail (dataflow)") {
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      size <- Gen.choose(2, 16)
+      overlap <- Gen.choose(0, size - 1)
+    } yield (n, size, overlap)
+    check(Prop.forAll(gen) { case (n, size, overlap) =>
+      val toks = (1 to n).map(i => s"w$i")
+      val df = Seq((1L, toks)).toDF("id", "t")
+      val chunks = graft.functions.Chunking
+        .chunkTokens(df, "id", $"t", size, overlap)
+        .orderBy($"chunk_idx")
+        .select($"chunk_text").as[String].collect().toSeq
+        .map(s => if (s.isEmpty) Seq.empty[String] else s.split(" ").toSeq)
+      val step = size - overlap
+      val starts = 1 to math.max(n - overlap, 1) by step
+      chunks.length == starts.length &&
+        chunks.flatten.toSet == toks.toSet &&
+        chunks.zip(starts).forall { case (c, st) =>
+          c == toks.slice(st - 1, st - 1 + size) }
+    }, cases = 25)
+  }
+
+  test("DataMix.capPerGroup keeps exactly min(cap, group size) per group (dataflow)") {
+    val rowGen = Gen.listOfN(20, Gen.zip(Gen.choose(1L, 500L), Gen.oneOf("x", "y", "z")))
+    val capGen = Gen.listOfN(3, Gen.choose(0L, 10L))
+    check(Prop.forAll(rowGen, capGen) { case (rows0, caps0) =>
+      val rows = rows0.distinctBy(_._1)
+      val caps = Seq("x", "y", "z").zip(caps0)
+      val got = graft.operators.DataMix
+        .capPerGroup(rows.toDF("id", "g"), "g", $"id", caps.toDF("g", "cap"))
+        .groupBy($"g").count().as[(String, Long)].collect().toMap
+      caps.forall { case (g, cap) =>
+        val have = rows.count(_._2 == g).toLong
+        got.getOrElse(g, 0L) == math.min(cap, have)
+      }
+    }, cases = 15)
+  }
+
+  test("Decontaminate report: contamination in [0,1], one row per corpus doc (dataflow)") {
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val textGen = Gen.listOfN(6, word).map(_.mkString(" "))
+    val gen = Gen.zip(Gen.listOfN(6, textGen), Gen.listOfN(3, textGen))
+    check(Prop.forAll(gen) { case (corpusTexts, benchTexts) =>
+      val corpus = corpusTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+        .select($"id", graft.functions.TextOps.tokens($"text").as("__toks"))
+      val bench = benchTexts.zipWithIndex.map { case (t, i) => (100L + i, t) }
+        .toDF("id", "text")
+        .select($"id", graft.functions.TextOps.tokens($"text").as("__toks"))
+      val grams = graft.functions.TextOps.wordShingles($"__toks", 3)
+      val rep = graft.dedup.Decontaminate.contamination(corpus, "id", grams,
+          graft.dedup.Decontaminate.benchmarkGrams(bench, grams))
+        .select($"id", $"contamination").as[(Long, Double)].collect()
+      rep.length == corpusTexts.length &&
+        rep.forall { case (_, c) => c >= 0.0 && c <= 1.0 }
+    }, cases = 10)
+  }
 }
