@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   *
   * Error bounds are asserted against the exact forms in ApproxStatsSpec;
   * the 10× exact-vs-sketch cost gap is measured in ScaleExperiment
-  * (`sketch` case, SCALE.md). Not oracle-checked by design: sketch
-  * implementations differ across engines, so cross-engine equality is the
-  * wrong contract — bounded error vs exact is the right one.
+  * (`sketch` case, SCALE.md). The HLL/GK forms are not oracle-checked by
+  * design: sketch implementations differ across engines, so cross-engine
+  * equality is the wrong contract — bounded error vs exact is the right
+  * one. The exception is [[heavyHitters]], whose sketch only ROUTES (the
+  * output is exact), so it carries a DuckDB oracle (q88).
   */
 object ApproxStats {
 
@@ -45,4 +47,49 @@ object ApproxStats {
     df.agg(
       approx_count_distinct(col(cols.head), rsd).as(s"approx_distinct_${cols.head}"),
       cols.tail.map(c => approx_count_distinct(col(c), rsd).as(s"approx_distinct_$c")): _*)
+
+  /** EXACT heavy hitters without shuffling every distinct key: all keys
+    * whose frequency exceeds N/(capacity+1), with their exact counts.
+    *
+    * Pass 1 is a Misra–Gries summary per partition, tree-merged on the
+    * driver (bounded: `capacity` counters per summary) — MG guarantees the
+    * merged candidate set is a SUPERSET of every key with freq >
+    * N/(capacity+1), and merging summaries preserves that (Agarwal et al.,
+    * "Mergeable Summaries", PODS'12). Pass 2 exact-counts ONLY the ≤
+    * capacity candidates (broadcast semi-join) and applies the threshold
+    * with integer arithmetic (cnt·(capacity+1) > N). Superset + exact
+    * verify ⇒ the OUTPUT is exact — the sketch only routes, like
+    * BloomPrefilter. Contrast: groupBy(key).count over 100 TB shuffles
+    * billions of distinct keys to answer a question about dozens.
+    */
+  def heavyHitters(df: DataFrame, key: Column, capacity: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(key.cast("string").as("k")).na.drop("any").as[String]
+    def mgAdd(m: Map[String, Long], k: String): Map[String, Long] =
+      if (m.contains(k)) m.updated(k, m(k) + 1L)
+      else if (m.size < capacity) m.updated(k, 1L)
+      else m.map { case (kk, c) => kk -> (c - 1L) }.filter(_._2 > 0L)
+    def mgMerge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = (a.keySet ++ b.keySet).map(k =>
+        k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+      if (sum.size <= capacity) sum
+      else {
+        // evict by decrementing everything by the (size-capacity)-th
+        // largest excess — the standard mergeable-summaries reduction
+        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
+        sum.map { case (k, c) => k -> (c - cut) }.filter(_._2 > 0L)
+      }
+    }
+    val candidates = keys.rdd.treeAggregate(Map.empty[String, Long])(mgAdd, mgMerge)
+      .keys.toSeq
+    val candDf = broadcast(candidates.toDF("k"))
+    df.select(key.cast("string").as("k"))
+      .join(candDf, Seq("k"), "left_semi")
+      .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(df.select(count(key.cast("string")).as("__n"))))
+      .filter(col("cnt") * (capacity + 1) > col("__n"))
+      .select(col("k").as("key"), col("cnt"))
+  }
 }

@@ -265,6 +265,16 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Exact heavy hitters over the token stream (Misra-Gries candidates,
+    // tree-merged, then exact verify of <= capacity keys): tokens with
+    // frequency > N/51. The sketch only routes — output is exact, so it
+    // hash-checks against a plain HAVING in DuckDB.
+    "q88_heavy_hitters" -> { (s, d) =>
+      val toks = tokenized(s, d).select(explode(col("__toks")).as("tok"))
+      graft.functions.ApproxStats.heavyHitters(toks, col("tok"), capacity = 50)
+        .orderBy(col("key"))
+    },
+
     // Set operations (SURVEY §2.7 noted INTERSECT/EXCEPT as free Spark
     // capabilities — exposed on the oracle surface): sources that publish
     // in both en and de, and en-only sources.
@@ -500,6 +510,11 @@ object TextQueries {
            COALESCE(s.sum_c12, 0) AS sum_c12, COALESCE(s.sum_c1, 0) AS sum_c1
          FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
          WHERE d.source <> 'src0' ORDER BY d.doc_id""",
+    "q88_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) k FROM documents),
+         n AS (SELECT COUNT(*) nn FROM tok)
+         SELECT k AS key, COUNT(*) AS cnt FROM tok, n
+         GROUP BY k, n.nn HAVING COUNT(*) * 51 > n.nn ORDER BY key""",
     "q86_set_ops" ->
       """WITH en AS (SELECT source FROM documents WHERE lang = 'en'),
          de AS (SELECT source FROM documents WHERE lang = 'de')

@@ -49,4 +49,46 @@ class ApproxStatsSpec extends SparkSpecBase {
     assert(math.abs(row.getLong(2) - n) / n < 0.20)
     assert(row.getLong(1) == 5L, "5 event types: tiny cardinalities are exact in HLL++")
   }
+
+  test("heavyHitters finds a viral key under adversarial skew with tiny capacity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one key holds 40% of 100k rows; the rest spread over 10k keys — the
+    // per-partition summaries must evict constantly yet keep the hot key
+    val df = spark.range(100000L).select(
+      when($"id" % 10 < 4, lit("viral"))
+        .otherwise(concat(lit("k"), pmod(xxhash64($"id"), lit(10000L)).cast("string")))
+        .as("k"))
+    val got = ApproxStats.heavyHitters(df, $"k", capacity = 8)
+      .as[(String, Long)].collect().toMap
+    assert(got.keySet == Set("viral"), s"expected only the viral key, got $got")
+    assert(got("viral") == 40000L, "counts are exact, not sketch estimates")
+  }
+
+  test("heavyHitters equals the exact HAVING query on random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    for (cap <- Seq(1, 3, 10); seed <- Seq(7L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.fill(500)(s"w${rnd.nextInt(rnd.nextInt(30) + 1)}")
+      val df = rows.toDF("k").repartition(7)
+      val got = ApproxStats.heavyHitters(df, $"k", cap)
+        .as[(String, Long)].collect().toMap
+      val counts = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expect = counts.filter { case (_, c) => c * (cap + 1) > rows.size }
+      assert(got == expect, s"cap=$cap seed=$seed: $got != $expect")
+    }
+  }
+
+  test("heavyHitters ignores null keys and rejects non-positive capacity") {
+    import spark.implicits._
+    val df = Seq(Some("a"), Some("a"), None, Some("b")).toDF("k")
+    val got = ApproxStats.heavyHitters(df, $"k", capacity = 1)
+      .as[(String, Long)].collect().toMap
+    // N counts non-null keys only (3); "a"·2 > 3 ⇒ hitter
+    assert(got == Map("a" -> 2L))
+    intercept[IllegalArgumentException] {
+      ApproxStats.heavyHitters(df, $"k", 0)
+    }
+  }
 }
