@@ -374,6 +374,24 @@ object ScaleExperiment {
           Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.25), totalRows = 20000L))
     }
 
+    // 19. exact heavy hitters vs the full-key shuffle on 20M rows / 10M
+    // distinct keys (3 hot keys at 10% each): the MG route never shuffles
+    // the distinct-key space, the exact form shuffles all 10M keys.
+    if (on("hitters")) {
+      import graft.functions.ApproxStats
+      val df = spark.range(20000000L).select(
+        when(col("id") % 10 < 3, concat(lit("hot"), (col("id") % 3).cast("string")))
+          .otherwise(concat(lit("k"), pmod(xxhash64(col("id")), lit(10000000L)).cast("string")))
+          .as("k"))
+      counted("hitters_mg_cap32")(
+        ApproxStats.heavyHitters(df, col("k"), capacity = 32))
+      counted("hitters_exact_groupby")(
+        df.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(df.agg(count(col("k")).as("__n"))))
+          .filter(col("cnt") * 33 > col("__n"))
+          .select(col("k"), col("cnt")))
+    }
+
     // 17. incremental dedup of a new batch against the signature index at
     // scale: even ids are "already ingested" (index = their signatures),
     // odd ids arrive as the new batch. Cost must stay one LSH pipeline for

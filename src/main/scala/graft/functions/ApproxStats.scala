@@ -67,23 +67,9 @@ object ApproxStats {
     val spark = df.sparkSession
     import spark.implicits._
     val keys = df.select(key.cast("string").as("k")).na.drop("any").as[String]
-    def mgAdd(m: Map[String, Long], k: String): Map[String, Long] =
-      if (m.contains(k)) m.updated(k, m(k) + 1L)
-      else if (m.size < capacity) m.updated(k, 1L)
-      else m.map { case (kk, c) => kk -> (c - 1L) }.filter(_._2 > 0L)
-    def mgMerge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-      val sum = (a.keySet ++ b.keySet).map(k =>
-        k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
-      if (sum.size <= capacity) sum
-      else {
-        // evict by decrementing everything by the (size-capacity)-th
-        // largest excess — the standard mergeable-summaries reduction
-        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
-        sum.map { case (k, c) => k -> (c - cut) }.filter(_._2 > 0L)
-      }
-    }
-    val candidates = keys.rdd.treeAggregate(Map.empty[String, Long])(mgAdd, mgMerge)
-      .keys.toSeq
+    val candidates = keys.rdd
+      .treeAggregate(new MgSummary(capacity))(_.add(_), _.merge(_))
+      .keys
     val candDf = broadcast(candidates.toDF("k"))
     df.select(key.cast("string").as("k"))
       .join(candDf, Seq("k"), "left_semi")
@@ -91,5 +77,50 @@ object ApproxStats {
       .crossJoin(broadcast(df.select(count(key.cast("string")).as("__n"))))
       .filter(col("cnt") * (capacity + 1) > col("__n"))
       .select(col("k").as("key"), col("cnt"))
+  }
+
+  /** Mutable Misra–Gries summary with the global-offset trick: "decrement
+    * every counter" is one `base += 1` (effective count = stored − base),
+    * so adds are amortized O(1) instead of O(capacity) per overflow —
+    * entries at or below base are purged lazily when space is needed. */
+  private[functions] final class MgSummary(capacity: Int) extends Serializable {
+    private val m = scala.collection.mutable.HashMap.empty[String, Long]
+    private var base = 0L
+
+    def add(k: String): this.type = {
+      m.get(k) match {
+        case Some(c) => m.update(k, c + 1L)
+        case None =>
+          if (m.size >= capacity) m.filterInPlace((_, c) => c > base)
+          if (m.size < capacity) m.update(k, base + 1L)
+          else base += 1L // full of live entries: decrement-all instead
+      }
+      this
+    }
+
+    /** Effective (stored − base) counts of live entries. */
+    def counts: Map[String, Long] =
+      m.iterator.collect { case (k, c) if c > base => k -> (c - base) }.toMap
+
+    def keys: Seq[String] = counts.keys.toSeq
+
+    /** Mergeable-summaries reduction (Agarwal et al., PODS'12): sum the
+      * effective counts, then subtract the (capacity+1)-th largest so at
+      * most `capacity` survive — preserves the N/(capacity+1) superset
+      * guarantee across partitions. */
+    def merge(o: MgSummary): MgSummary = {
+      val sum = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((k, c) <- counts) sum.update(k, c)
+      for ((k, c) <- o.counts) sum.update(k, sum.getOrElse(k, 0L) + c)
+      val out = new MgSummary(capacity)
+      val kept =
+        if (sum.size <= capacity) sum.iterator
+        else {
+          val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
+          sum.iterator.map { case (k, c) => k -> (c - cut) }.filter(_._2 > 0L)
+        }
+      kept.foreach { case (k, c) => out.m.update(k, c) }
+      out
+    }
   }
 }
