@@ -374,7 +374,7 @@ object ScaleExperiment {
           Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.25), totalRows = 20000L))
     }
 
-    // 19. exact heavy hitters vs the full-key shuffle on 20M rows / 10M
+    // 17. exact heavy hitters vs the full-key shuffle on 20M rows / 10M
     // distinct keys (3 hot keys at 10% each): the MG route never shuffles
     // the distinct-key space, the exact form shuffles all 10M keys.
     if (on("hitters")) {
@@ -392,7 +392,7 @@ object ScaleExperiment {
           .select(col("k"), col("cnt")))
     }
 
-    // 17. incremental dedup of a new batch against the signature index at
+    // 18. incremental dedup of a new batch against the signature index at
     // scale: even ids are "already ingested" (index = their signatures),
     // odd ids arrive as the new batch. Cost must stay one LSH pipeline for
     // the batch + one (band,hash) shuffle against the index.
@@ -414,7 +414,7 @@ object ScaleExperiment {
           "doc_id", sh, idx, 16, 2, 0.5))
     }
 
-    // 18. product quantization at 10× (200k vectors): fit (one job per
+    // 19. product quantization at 10× (200k vectors): fit (one job per
     // Lloyd step for ALL subspaces), zero-shuffle encode, full-corpus ADC
     // scan, and IVF-routed ADC (nprobe/nlist of the codes scanned).
     if (on("pq")) {

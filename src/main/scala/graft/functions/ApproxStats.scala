@@ -67,22 +67,27 @@ object ApproxStats {
     val spark = df.sparkSession
     import spark.implicits._
     val keys = df.select(key.cast("string").as("k")).na.drop("any").as[String]
-    val candidates = keys.rdd
-      .treeAggregate(new MgSummary(capacity))(_.add(_), _.merge(_))
-      .keys
-    val candDf = broadcast(candidates.toDF("k"))
+    // ONE pass yields both the candidate summary and N — the verify pass
+    // below is the only other scan, and both see the same snapshot
+    val (summary, n) = keys.rdd.treeAggregate((new MgSummary(capacity), 0L))(
+      { case ((s, c), k) => (s.add(k), c + 1L) },
+      { case ((s1, c1), (s2, c2)) => (s1.merge(s2), c1 + c2) })
+    val candDf = broadcast(summary.keys.toDF("k"))
     df.select(key.cast("string").as("k"))
       .join(candDf, Seq("k"), "left_semi")
       .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(df.select(count(key.cast("string")).as("__n"))))
-      .filter(col("cnt") * (capacity + 1) > col("__n"))
+      .filter(col("cnt") * (capacity + 1) > lit(n))
       .select(col("k").as("key"), col("cnt"))
   }
 
-  /** Mutable Misra–Gries summary with the global-offset trick: "decrement
-    * every counter" is one `base += 1` (effective count = stored − base),
-    * so adds are amortized O(1) instead of O(capacity) per overflow —
-    * entries at or below base are purged lazily when space is needed. */
+  /** Mutable Misra–Gries summary, amortized O(1) per add: misses insert
+    * freely until the map holds 2·capacity entries, then ONE batch shrink
+    * (the same (capacity+1)-th-largest cut as [[merge]] — a run of
+    * all-decrements applied at once via the `base` offset) evicts at
+    * least `capacity` entries, paying O(capacity) per `capacity`
+    * insertions. The N/(capacity+1) superset guarantee is the
+    * mergeable-summaries bound: each unit of cut reduces ≥ capacity+1
+    * live counters, so total cut ≤ N/(capacity+1). */
   private[functions] final class MgSummary(capacity: Int) extends Serializable {
     private val m = scala.collection.mutable.HashMap.empty[String, Long]
     private var base = 0L
@@ -91,11 +96,19 @@ object ApproxStats {
       m.get(k) match {
         case Some(c) => m.update(k, c + 1L)
         case None =>
-          if (m.size >= capacity) m.filterInPlace((_, c) => c > base)
-          if (m.size < capacity) m.update(k, base + 1L)
-          else base += 1L // full of live entries: decrement-all instead
+          m.update(k, base + 1L)
+          if (m.size >= 2 * capacity) shrink()
       }
       this
+    }
+
+    /** Cut all effective counts by the (capacity+1)-th largest and drop
+      * the non-positive — leaves ≤ capacity live entries. */
+    private def shrink(): Unit = {
+      val effs = m.valuesIterator.map(_ - base).toArray
+      java.util.Arrays.sort(effs)
+      base += effs(effs.length - (capacity + 1))
+      m.filterInPlace((_, c) => c > base)
     }
 
     /** Effective (stored − base) counts of live entries. */

@@ -100,29 +100,47 @@ object IvfPq {
   }
 
   /** Residual index table: (id, cid, code) where code quantizes v − c.
-    * Still a pure projection — zero shuffle. */
+    * Still a pure projection — zero shuffle. Staged selects materialize
+    * the cell id and the residual as columns (TextOps PERF CONTRACT):
+    * inlining them would re-run the nlist×dim probe loop inside every one
+    * of the m code slices. */
   def indexResidual(df: DataFrame, idCol: String, vecCol: String,
       model: Model): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val cid = Ivf.nearestCell(col(vecCol), model.centroids)
-    df.select(col(idCol), cid.as("cid"),
-        Pq.codeColumn(residualColumn(col(vecCol), cid, model.centroids),
-          model.books).as("code"))
+    df.select(col(idCol), col(vecCol),
+        Ivf.nearestCell(col(vecCol), model.centroids).as("cid"))
+      .select(col(idCol), col("cid"),
+        residualColumn(col(vecCol), col("cid"), model.centroids).as("__res"))
+      .select(col(idCol), col("cid"),
+        Pq.codeColumn(col("__res"), model.books).as("code"))
   }
 
   /** Top-k over a residual index: per-row score = dot(q, centroid(cid)) —
-    * looked up from a literal per-cell array — plus the residual ADC. */
+    * looked up from a literal per-cell array — plus the residual ADC.
+    * `rerankWith` composes with exact rerank like [[topK]]: the residual
+    * scores pick the overfetch·k longlist, full-width dot decides. */
   def topKResidual(indexDf: DataFrame, idCol: String, query: Array[Float],
-      model: Model, k: Int, nprobe: Int = 2): DataFrame = {
+      model: Model, k: Int, nprobe: Int = 2,
+      rerankWith: Option[(DataFrame, String)] = None, overfetch: Int = 4): DataFrame = {
     val cellDots = typedLit(model.centroids.map { c =>
       c.indices.foldLeft(0.0)((a, i) => a + query(i).toDouble * c(i).toDouble)
     }.toSeq)
-    probeFilter(indexDf, query, model, nprobe)
+    def adcRanked(n: Int) = probeFilter(indexDf, query, model, nprobe)
       .select(col(idCol),
         (element_at(cellDots, col("cid") + 1) +
           Pq.adcScore(col("code"), Pq.lutFor(query, model.books))).as("adc"))
       .orderBy(col("adc").desc, col(idCol))
-      .limit(k)
+      .limit(n)
+    rerankWith match {
+      case None => adcRanked(k)
+      case Some((full, vecCol)) =>
+        GraftFunctions.register(full.sparkSession)
+        full.join(adcRanked(k * overfetch).select(col(idCol)), Seq(idCol), "left_semi")
+          .select(col(idCol),
+            GraftFunctions.dotF32(col(vecCol), typedLit(query.toSeq)).as("score"))
+          .orderBy(col("score").desc, col(idCol))
+          .limit(k)
+    }
   }
 
   /** Driver-side probe-cell selection for a single query vector (same
