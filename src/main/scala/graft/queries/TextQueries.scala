@@ -507,7 +507,7 @@ object TextQueries {
            WHERE c.source <> 'src0' GROUP BY 1)
          SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
            COALESCE(s.n_oov, 0) AS n_oov,
-           COALESCE(s.sum_c12, 0) AS sum_c12, COALESCE(s.sum_c1, 0) AS sum_c1
+           CAST(COALESCE(s.sum_c12, 0) AS BIGINT) AS sum_c12, CAST(COALESCE(s.sum_c1, 0) AS BIGINT) AS sum_c1
          FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
          WHERE d.source <> 'src0' ORDER BY d.doc_id""",
     "q88_heavy_hitters" ->

@@ -7,6 +7,35 @@ mismatches are caught before the round ends. Usage:
 import sys, json, glob, math
 import duckdb
 
+# Arrow types that stringify identically under the driver's hash
+# canonicalization; anything else (decimal128 vs int64, float64 vs int64,
+# timestamp precision) hashes differently even when the values are equal.
+_TYPE_EQUIV = {
+    "int8": "int", "int16": "int", "int32": "int", "int64": "int",
+    "string": "string", "large_string": "string",
+}
+
+def _type_key(arrow_type):
+    s = str(arrow_type)
+    return _TYPE_EQUIV.get(s, s)
+
+def lint_types(con, name, out_dir, oracle_sql):
+    """Compare Arrow result schemas (spark parquet dump vs DuckDB oracle).
+    The value comparison below misses type-only drift (duckdb fetchall
+    returns Python ints for HUGEINT), but the driver hashes at the Arrow
+    layer where decimal128(38,0) != int64 — q87 round-3/4 regression."""
+    g_schema = con.execute(
+        f"SELECT * FROM '{out_dir}/{name}/*.parquet' LIMIT 0").arrow().schema
+    e_schema = con.execute(
+        f"SELECT * FROM ({oracle_sql}) LIMIT 0").arrow().schema
+    g_types = {f.name: _type_key(f.type) for f in g_schema}
+    e_types = {f.name: _type_key(f.type) for f in e_schema}
+    bad = []
+    for col in sorted(set(g_types) & set(e_types)):
+        if g_types[col] != e_types[col]:
+            bad.append(f"{col}: spark={g_types[col]} oracle={e_types[col]}")
+    return bad
+
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
 
@@ -46,6 +75,14 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {e}"); n_bad += 1; continue
         if sorted(g_cols) != sorted(e_cols):
             print(f"FAIL {name}: cols spark={sorted(g_cols)} oracle={sorted(e_cols)}")
+            n_bad += 1; continue
+        try:
+            type_diffs = lint_types(con, name, out_dir, oracle[name])
+        except Exception as e:
+            type_diffs = [f"type-lint error: {e}"]
+        if type_diffs:
+            print(f"FAIL {name}: schema types differ (driver hash will mismatch): "
+                  + "; ".join(type_diffs))
             n_bad += 1; continue
         gc, g = canon(g_rows, g_cols)
         ec, e = canon(e_rows, e_cols)
