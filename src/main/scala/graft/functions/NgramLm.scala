@@ -21,7 +21,10 @@ import org.apache.spark.sql.types.{ArrayType, DecimalType, StringType, StructTyp
   */
 object NgramLm {
 
-  case class Model(bigrams: DataFrame, unigrams: DataFrame, vocab: Long)
+  case class Model(bigrams: DataFrame, unigrams: DataFrame, vocab: Long) {
+    /** Release the fit-time caches (no-op for uncached/loaded models). */
+    def unpersist(): Unit = { bigrams.unpersist(); unigrams.unpersist(); () }
+  }
 
   /** Adjacent-token pair array: struct(w1, w2) per position; empty for
     * docs shorter than 2 tokens. `toks` must be a materialized column
@@ -34,22 +37,39 @@ object NgramLm {
         StructField("w1", StringType), StructField("w2", StringType))))))
 
   /** Fit bigram + unigram counts and vocabulary size on a reference
-    * corpus. Both count tables are cached (they are model artifacts,
-    * vocabulary-sized — tiny next to the corpus): the vocab count below
-    * materializes `uni` once instead of re-aggregating the reference, and
-    * scoring reuses both instead of re-running the fit aggregations. Call
-    * `model.unigrams.unpersist()` / `model.bigrams.unpersist()` when done,
-    * or persist to parquet for the durable form. */
-  def fit(ref: DataFrame, toks: Column): Model = {
+    * corpus. With `cache = true` (the default for a model scored more than
+    * once) both count tables are cached — they are model artifacts,
+    * vocabulary-sized, tiny next to the corpus — and the caller owns
+    * releasing them via `model.unpersist()`. Pass `cache = false` on
+    * fit-score-once paths that never get a post-materialization hook (the
+    * q87 oracle query, bench reps): the only recomputation is the unigram
+    * aggregate (vocab count + scoring join), and nothing accumulates in
+    * the block-manager across a 3-rep × 90-query bench run. [[save]] /
+    * [[load]] is the durable form. */
+  def fit(ref: DataFrame, toks: Column, cache: Boolean = true): Model = {
     val bound = ref.select(toks.as("__toks"))
-    val bi = bound.select(explode(bigramPairs(col("__toks"))).as("p"))
+    val bi0 = bound.select(explode(bigramPairs(col("__toks"))).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("c12"))
-      .cache()
-    val uni = bound.select(explode(col("__toks")).as("w1"))
+    val uni0 = bound.select(explode(col("__toks")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      .cache()
+    val (bi, uni) = if (cache) (bi0.cache(), uni0.cache()) else (bi0, uni0)
     Model(bi, uni, uni.count())
+  }
+
+  /** Persist the fitted model as two parquet count tables — the durable
+    * serving form, same artifact philosophy as Categorify dictionaries:
+    * a restart [[load]]s instead of re-aggregating the reference corpus. */
+  def save(model: Model, path: String): Unit = {
+    model.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    model.unigrams.write.mode("overwrite").parquet(s"$path/unigrams")
+  }
+
+  /** Inverse of [[save]]: an uncached model backed by the parquet tables
+    * (scoring joins read them directly; nothing to unpersist). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val uni = spark.read.parquet(s"$path/unigrams")
+    Model(spark.read.parquet(s"$path/bigrams"), uni, uni.count())
   }
 
   /** Per-document add-α bigram log-likelihood against the model:

@@ -309,6 +309,30 @@ object StarQueries {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"),
           grouping_id().cast("int").as("gid"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // CUBE: all 2^n grouping combinations in ONE pass (rollup q77 covers
+    // only the n+1 prefixes). Same single-shuffle Expand-based plan shape.
+    "q89_cube" -> { (s, d) =>
+      table(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // Explicit GROUPING SETS (the general form rollup/cube sugar over):
+    // hand-picked sets — per (flag, status), per flag, grand total — with
+    // grouping_id disambiguating which set each row came from.
+    "q90_grouping_sets" -> { (s, d) =>
+      table(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
     })
 
   /** ONE SQL text, two engines (q26): must stay inside the dialect
@@ -508,5 +532,18 @@ object StarQueries {
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q89_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q90_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
 }

@@ -258,7 +258,10 @@ object TextQueries {
     "q87_lm_score" -> { (s, d) =>
       val docs = table(s, d, "documents")
         .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("__toks"))
-      val m = NgramLm.fit(docs.filter(col("source") === "src0"), col("__toks"))
+      // cache=false: this query fn has no post-materialization hook to
+      // unpersist, and bench reps would otherwise accumulate cached tables
+      val m = NgramLm.fit(docs.filter(col("source") === "src0"), col("__toks"),
+        cache = false)
       NgramLm.scoreDocs(docs.filter(col("source") =!= "src0"), "doc_id",
           col("__toks"), m)
         .drop("ll_mean")

@@ -13,8 +13,9 @@ import graft.sql.GraftFunctions
   *
   * The index is ONE DataFrame artifact: (id, cid, code) — plain parquet,
   * partitionable by cid so a probe prunes whole files; both quantizers
-  * are bounded driver-side matrices (Ivf.saveCentroids-style persistence
-  * applies to each).
+  * are bounded driver-side matrices, persisted together by [[save]] /
+  * [[load]] (centroids + codebooks as two small parquet datasets under
+  * one path) so a serving restart reloads instead of refitting.
   *
   * Two encodings ship: raw-vector codes (`fit`/`index`/`topK` — one
   * codebook serves every cell, one less artifact to reason about) and the
@@ -28,6 +29,23 @@ object IvfPq {
 
   case class Model(centroids: Array[Array[Float]],
       books: Array[Array[Array[Float]]])
+
+  /** Persist the full model (coarse centroids + PQ codebooks) under one
+    * path as two bounded parquet datasets. Works for raw and residual
+    * models alike — the artifact doesn't care what the codebooks were fit
+    * over, only [[indexResidual]]/[[topKResidual]] vs [[index]]/[[topK]]
+    * do. */
+  def save(spark: org.apache.spark.sql.SparkSession,
+      model: Model, path: String): Unit = {
+    Ivf.saveCentroids(spark, model.centroids, s"$path/centroids")
+    Pq.saveCodebooks(spark, model.books, s"$path/codebooks")
+  }
+
+  /** Inverse of [[save]]: reload a fitted model with no refit. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model =
+    Model(
+      Ivf.loadCentroids(spark, s"$path/centroids"),
+      Pq.loadCodebooks(spark, s"$path/codebooks"))
 
   /** Fit both quantizers (coarse cells + PQ codebooks) on the corpus. */
   def fit(df: DataFrame, idCol: String, vecCol: String,

@@ -128,6 +128,35 @@ object Pq {
       .limit(k)
   }
 
+  /** Persist fitted codebooks as parquet (sub, cid, vec) — the PQ model
+    * artifact, same philosophy as Ivf.saveCentroids and Categorify
+    * dictionaries: a plain dataset, joinable and inspectable anywhere.
+    * Bounded at m·k rows by construction, so a serving restart reloads
+    * instead of refitting (reference analog: per-run model save/reload,
+    * /root/reference/src/my_merlin_flow.py:327-331). */
+  def saveCodebooks(spark: org.apache.spark.sql.SparkSession,
+      books: Array[Array[Array[Float]]], path: String): Unit = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
+    }.toSeq
+      .toDF("sub", "cid", "vec").repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Inverse of [[saveCodebooks]]: books(sub)(cid) = subDim floats, in
+    * (sub, cid) order. Rejects a ragged artifact rather than mis-indexing. */
+  def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Array[Float]]] = {
+    val rows = spark.read.parquet(path).orderBy(col("sub"), col("cid"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val books = rows.groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (_, cells) => cells.sortBy(_._2).map(_._3) }
+    require(books.nonEmpty && books.forall(_.length == books(0).length),
+      s"ragged codebook artifact at $path")
+    books
+  }
+
   /** Deterministic synthetic codebooks (the fit-free form for oracles and
     * kernel benches — same philosophy as Ivf.syntheticCentroids). */
   def syntheticCodebooks(m: Int, k: Int, subDim: Int): Array[Array[Array[Float]]] =

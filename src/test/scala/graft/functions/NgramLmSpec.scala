@@ -67,4 +67,31 @@ class NgramLmSpec extends SparkSpecBase {
       .head()
     assert(out.getLong(1) == 0L && out.isNullAt(5))
   }
+
+  test("uncached fit scores identically and leaves no cached tables behind") {
+    val docs = withToks(Seq((10L, "a b c"), (11L, "c a")))
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val m = NgramLm.fit(withToks(Seq((1L, "a b c"), (2L, "a b"))), col("t"),
+      cache = false)
+    val got = NgramLm.scoreDocs(docs, "id", col("t"), m)
+      .orderBy("id").collect().toSeq
+    val want = NgramLm.scoreDocs(docs, "id", col("t"), model)
+      .orderBy("id").collect().toSeq
+    assert(got == want)
+    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore,
+      "cache=false fit must not register persistent RDDs")
+  }
+
+  test("model save/load round-trips and scores identically with no refit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ngramlm").toString
+    NgramLm.save(model, dir)
+    val reloaded = NgramLm.load(spark, dir)
+    assert(reloaded.vocab == model.vocab)
+    val docs = withToks(Seq((10L, "a b c"), (11L, "b c a")))
+    val got = NgramLm.scoreDocs(docs, "id", col("t"), reloaded)
+      .orderBy("id").collect().toSeq
+    val want = NgramLm.scoreDocs(docs, "id", col("t"), model)
+      .orderBy("id").collect().toSeq
+    assert(got == want)
+  }
 }

@@ -86,4 +86,24 @@ class MultimodalSpec extends SparkSpecBase {
     val v = emb.select($"embedding").as[Seq[Float]].head()
     assert(v.length == 8 && v == Multimodal.stubEncoder(8)(Seq(img)).head.toSeq)
   }
+
+  test("heavyStubEncoder: fixed FLOP budget, batch-split-invariant, memory-bounded seam") {
+    import org.apache.spark.sql.functions._
+    // 200 docs × 2 KiB payloads, a 1M-FMA "model" — heavy enough that a
+    // non-batched or driver-collected seam would show, small enough for CI
+    val docs = spark.range(200).select($"id".as("asset_id"),
+      // binary payload derived per-row on the executors (no driver arrays)
+      repeat(md5($"id".cast("string")), 64).cast("binary").as("asset"))
+    val enc = Multimodal.heavyStubEncoder(dim = 16, flops = 1000000L)
+    def run(batchSize: Int) =
+      Multimodal.batchEmbed(docs, "asset_id", "asset", batchSize)(enc)
+        .orderBy($"asset_id").as[(Long, Seq[Float])].collect().toSeq
+    val a = run(7)    // ragged batches incl. remainder
+    val b = run(64)   // big batches
+    assert(a.length == 200 && a == b,
+      "embeddings must not depend on the batch split")
+    // the per-batch working set is batchSize payloads, not the partition:
+    // a 1-row batch size must also work (degenerate-memory case)
+    assert(run(1) == a)
+  }
 }

@@ -87,6 +87,24 @@ class IvfPqSpec extends SparkSpecBase {
       s"exact rerank must not lose recall: ${mean(reranked)} < ${mean(routed)}")
   }
 
+  test("model save/load round-trips and serves identical top-k with no refit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_model").toString
+    IvfPq.save(spark, model, dir)
+    val reloaded = IvfPq.load(spark, dir)
+    assert(reloaded.centroids.map(_.toSeq).toSeq ==
+      model.centroids.map(_.toSeq).toSeq, "centroids drifted through parquet")
+    assert(reloaded.books.map(_.map(_.toSeq).toSeq).toSeq ==
+      model.books.map(_.map(_.toSeq).toSeq).toSeq, "codebooks drifted through parquet")
+    // the serving path end-to-end from the artifact alone: reload, re-index,
+    // probe — identical rows to the in-memory model (q82-equivalent check)
+    val (qid, qv) = emb.as[(Long, Seq[Float])].head()
+    val idxReloaded = IvfPq.index(emb, "vec_id", "embedding", reloaded)
+    def served(i: org.apache.spark.sql.DataFrame, m: IvfPq.Model) =
+      IvfPq.topK(i.filter($"vec_id" =!= qid), "vec_id", qv.toArray, m, 10, nprobe = 4)
+        .as[(Long, Double)].collect().toSeq
+    assert(served(idxReloaded, reloaded) == served(idx, model))
+  }
+
   test("residual encoding recalls at least as well as raw codes at equal bits") {
     val resModel = IvfPq.fitResidual(emb, "vec_id", "embedding",
       nlist = 8, m = 16, k = 32, iters = 2)

@@ -80,4 +80,21 @@ class PqSpec extends SparkSpecBase {
       Pq.fitCodebooks(emb, "vec_id", "embedding", m = 7, k = 4, iters = 1)
     }
   }
+
+  test("codebooks round-trip through parquet bit-exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_books").toString
+    Pq.saveCodebooks(spark, books, dir)
+    val reloaded = Pq.loadCodebooks(spark, dir)
+    assert(reloaded.length == m && reloaded.forall(_.length == k))
+    assert(reloaded.map(_.map(_.toSeq).toSeq).toSeq ==
+      books.map(_.map(_.toSeq).toSeq).toSeq,
+      "reloaded codebooks differ from fitted ones")
+    // encoding with the reloaded books is identical — a restart serves
+    // the same codes with no refit
+    val a = Pq.encode(emb, "vec_id", "embedding", books)
+      .orderBy($"vec_id").as[(Long, Seq[Int])].collect().toSeq
+    val b = Pq.encode(emb, "vec_id", "embedding", reloaded)
+      .orderBy($"vec_id").as[(Long, Seq[Int])].collect().toSeq
+    assert(a == b)
+  }
 }
