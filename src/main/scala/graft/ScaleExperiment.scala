@@ -439,6 +439,58 @@ object ScaleExperiment {
         IvfPq.topK(idx, "vec_id", query, model, 10, nprobe = 8))
     }
 
+    // 17. batchEmbed seam under a fixed-FLOP "model": the measurement the
+    // heavy stub exists for — per-doc cost dominates, so throughput must be
+    // flat in batchSize (batching only bounds the working set) and linear
+    // in corpus size. A real ONNX runtime slots into the same seam.
+    if (on("batchembed")) {
+      // repartition first: a heavy per-row model makes the input's file
+      // split count the parallelism ceiling (5000 docs arrive as ONE
+      // parquet split — unpartitioned, 31 of 32 cores would idle)
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .repartition(cpus.toInt)
+      for (bs <- Seq(1, 32, 256))
+        timed(s"batchembed_1MFLOP_bs$bs")(
+          graft.multimodal.Multimodal.batchEmbed(docs, "doc_id", "payload", bs)(
+            graft.multimodal.Multimodal.heavyStubEncoder(dim = 64, flops = 1000000L)))
+    }
+
+    // 18. streaming IVFPQ append vs batch rebuild: per-batch cost must be
+    // linear in the batch and independent of how large the index already
+    // is (the rebuild alternative re-encodes history every refresh).
+    if (on("vectoringest")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.sim.IvfPq
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val emb = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val model = IvfPq.fit(emb, "vec_id", "embedding", nlist = 64, m = 16, k = 64, iters = 2)
+      val modelPath = "/tmp/graft_vi_model"
+      IvfPq.save(spark, model, modelPath)
+      val rows = emb.as[(Long, Seq[Float])].collect()
+      val idxPath = "/tmp/graft_vi_idx"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxPath))
+      val in = MemoryStream[(Long, Seq[Float])]
+      val q = graft.streaming.VectorIngest.start(
+        in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        modelPath, idxPath)
+      // grow the index batch by batch; each append's cost should stay flat
+      rows.grouped(math.max(1, rows.length / 5)).zipWithIndex.foreach {
+        case (batch, i) =>
+          val t0 = System.nanoTime()
+          in.addData(batch.toIndexedSeq)
+          q.processAllAvailable()
+          println(f"vectoringest_append_b$i%d          ${(System.nanoTime() - t0) / 1e9}%8.1f s  rows=${batch.length}")
+      }
+      q.stop()
+      val t1 = System.nanoTime()
+      IvfPq.index(emb, "vec_id", "embedding", model)
+        .write.partitionBy("cid").mode("overwrite").parquet("/tmp/graft_vi_rebuild")
+      println(f"vectoringest_full_rebuild        ${(System.nanoTime() - t1) / 1e9}%8.1f s  rows=${rows.length}")
+    }
+
     spark.stop()
   }
 }
