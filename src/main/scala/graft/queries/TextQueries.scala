@@ -288,6 +288,24 @@ object TextQueries {
       en.intersect(de).withColumn("op", lit("both"))
         .unionByName(en.except(de).withColumn("op", lit("en_only")))
         .orderBy(col("op"), col("source"))
+    },
+
+    // Real BPE tokenizer (Sennrich 2016), fit on src0 and applied to every
+    // other doc. The oracle hash-checks LOSSLESSNESS of the full
+    // fit+encode+detokenize path (detok must equal the whitespace-
+    // normalized text — any dropped/altered character fails); token counts
+    // ride along for the rows check, and merge-structure correctness is
+    // spec-land (BpeSpec's hand-computed merges). n_tokens is excluded
+    // from the oracle projection because BPE itself is not
+    // SQL-expressible.
+    "q91_bpe_detok" -> { (s, d) =>
+      val docs = table(s, d, "documents").select(col("doc_id"), col("source"), col("text"))
+      val m = graft.functions.Bpe.fit(
+        docs.filter(col("source") === "src0"), col("text"), numMerges = 200)
+      val rest = docs.filter(col("source") =!= "src0")
+      graft.functions.Bpe.encode(rest, "doc_id", "text", m)
+        .select(col("doc_id"), graft.functions.Bpe.detokenize(col("tokens")).as("detok"))
+        .orderBy(col("doc_id"))
     })
 
   /** Base 32-bit shingle hash (first 8 md5 hex chars; hex4Sql from
@@ -524,7 +542,10 @@ object TextQueries {
          SELECT source, 'both' AS op FROM (SELECT source FROM en INTERSECT SELECT source FROM de)
          UNION ALL
          SELECT source, 'en_only' AS op FROM (SELECT source FROM en EXCEPT SELECT source FROM de)
-         ORDER BY op, source""")
+         ORDER BY op, source""",
+    "q91_bpe_detok" ->
+      """SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS detok
+         FROM documents WHERE source <> 'src0' ORDER BY doc_id""")
 
   /** Shared LSH oracle chain (shingles → sizes → minhash sigs → bands →
     * candidate pairs → pairwise common counts) — mirrors TextDedup's
