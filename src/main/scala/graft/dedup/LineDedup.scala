@@ -1,0 +1,56 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level exact line/paragraph deduplication (the Dolma "dedupe by
+  * paragraph" stage): a line survives only at its FIRST occurrence in the
+  * corpus — ordered by (doc, position) — and every later copy, including
+  * repeats inside the same document, is dropped; documents are then
+  * reassembled from their surviving lines. This removes boilerplate
+  * (headers, navigation, license blocks) that whole-document dedup can
+  * never catch. Extension scope — no reference counterpart.
+  *
+  * Scale design: first-occurrence selection is `groupBy(line).agg(min(
+  * struct(doc, pos)))` — a partial-aggregated (map-side combined) shuffle,
+  * so a boilerplate line appearing in EVERY document (the adversarial
+  * regime for the window-function formulation: one executor would sort the
+  * whole corpus's copies) reduces to one row per partition before the
+  * exchange. The aggregate's output IS the kept set — no join back against
+  * the exploded corpus. Reassembly is one more shuffle on doc id. Total:
+  * two shuffles, both skew-safe, linear in corpus lines.
+  */
+object LineDedup {
+
+  /** Drop corpus-wide duplicate lines from exploded (idCol, posCol,
+    * lineCol) rows; returns (idCol, lineCol, posCol) — the surviving
+    * lines only. */
+  def firstOccurrences(lines: DataFrame, idCol: String, posCol: String,
+      lineCol: String): DataFrame =
+    lines
+      .groupBy(col(lineCol))
+      .agg(min(struct(col(idCol), col(posCol))).as("__first"))
+      .select(col(s"__first.$idCol").as(idCol),
+        col(s"__first.$posCol").as(posCol), col(lineCol))
+
+  /** Full pipeline: dedup lines, then rebuild each document's text from
+    * its surviving lines in original order (joined by `sep`). Every input
+    * document survives — one whose every line was seen earlier comes back
+    * as the empty string (filter downstream if unwanted). Output:
+    * (idCol, clean string, n_kept int). */
+  def dropDuplicateLines(lines: DataFrame, idCol: String, posCol: String,
+      lineCol: String, sep: String = "\n"): DataFrame = {
+    val kept = firstOccurrences(lines, idCol, posCol, lineCol)
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col(posCol), col(lineCol)))).as("__ls"))
+      .select(col(idCol),
+        concat_ws(sep, transform(col("__ls"), s => s.getField(lineCol))).as("clean"),
+        size(col("__ls")).as("n_kept"))
+    lines.select(col(idCol)).distinct()
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean"), lit("")).as("clean"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"))
+  }
+}

@@ -306,6 +306,45 @@ object TextQueries {
       graft.functions.Bpe.encode(rest, "doc_id", "text", m)
         .select(col("doc_id"), graft.functions.Bpe.detokenize(col("tokens")).as("detok"))
         .orderBy(col("doc_id"))
+    },
+
+    // PII scrub (CCNet/Dolma stage). The fixture corpus carries no PII, so
+    // the query INJECTS deterministic PII per doc — email always, phone
+    // when id%3!=0, ip when id%2=0 — with the identical string built
+    // independently in the oracle SQL; detection counts and the redacted
+    // text then hash-check the regex semantics across engines byte for
+    // byte (the patterns stay in the Java-regex ∩ RE2 subset for exactly
+    // this reason).
+    "q92_pii_redact" -> { (s, d) =>
+      import graft.functions.Pii
+      val id = col("doc_id")
+      val injected = table(s, d, "documents").select(id,
+        concat(col("text"),
+          lit(" reach user"), id.cast("string"), lit("@example.com"),
+          when(pmod(id, lit(3)) =!= 0,
+            concat(lit(" or 555-10"), pmod(id, lit(10)).cast("string"), lit("-"),
+              lpad(pmod(id * 7, lit(10000)).cast("string"), 4, "0"))).otherwise(lit("")),
+          when(pmod(id, lit(2)) === 0,
+            concat(lit(" ip 10.0."), pmod(id, lit(256)).cast("string"), lit("."),
+              pmod(id * 3, lit(256)).cast("string"))).otherwise(lit(""))).as("t"))
+      injected.select(id +: Pii.counts(col("t")) :+
+          Pii.redact(col("t")).as("redacted"): _*)
+        .orderBy(id)
+    },
+
+    // Corpus-level exact line dedup (Dolma's paragraph dedup): 8-token
+    // chunks stand in for lines (the fixture has no newlines); a chunk
+    // survives only at its first (doc_id, pos) occurrence corpus-wide,
+    // then docs are rebuilt from survivors. First-occurrence selection is
+    // a partial-aggregated groupBy(line) min(struct) — skew-safe against
+    // boilerplate lines present in every doc.
+    "q93_line_dedup" -> { (s, d) =>
+      val chunks = graft.functions.Chunking.chunkTokens(
+          tokenized(s, d), "doc_id", col("__toks"), 8, 0)
+        .select(col("doc_id"), col("chunk_idx").as("pos"),
+          col("chunk_text").as("line"))
+      graft.dedup.LineDedup.dropDuplicateLines(chunks, "doc_id", "pos", "line")
+        .orderBy(col("doc_id"))
     })
 
   /** Base 32-bit shingle hash (first 8 md5 hex chars; hex4Sql from
@@ -545,7 +584,44 @@ object TextQueries {
          ORDER BY op, source""",
     "q91_bpe_detok" ->
       """SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS detok
-         FROM documents WHERE source <> 'src0' ORDER BY doc_id""")
+         FROM documents WHERE source <> 'src0' ORDER BY doc_id""",
+    "q92_pii_redact" ->
+      """WITH inj AS (SELECT doc_id,
+           text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+             || CASE WHEN doc_id % 3 <> 0
+                  THEN ' or 555-10' || CAST(doc_id % 10 AS VARCHAR) || '-'
+                       || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END
+             || CASE WHEN doc_id % 2 = 0
+                  THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                       || CAST(doc_id * 3 % 256 AS VARCHAR)
+                  ELSE '' END AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
+           CAST(len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT) AS n_phone,
+           CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '[PII]', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PII]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[PII]', 'g') AS redacted
+         FROM inj ORDER BY doc_id""",
+    "q93_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+         st AS (SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 8)) i FROM t),
+         lines AS (SELECT doc_id, CAST(i // 8 AS INT) pos,
+             array_to_string(w[i+1:i+8], ' ') line FROM st),
+         kept AS (SELECT line, MIN({'doc_id': doc_id, 'pos': pos}) f FROM lines GROUP BY line),
+         surv AS (SELECT f.doc_id doc_id, f.pos pos, line FROM kept),
+         rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) clean,
+             CAST(COUNT(*) AS INT) n_kept
+           FROM surv GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(r.clean, '') AS clean,
+           COALESCE(r.n_kept, 0) AS n_kept
+         FROM (SELECT DISTINCT doc_id FROM lines) d
+         LEFT JOIN rebuilt r USING (doc_id) ORDER BY d.doc_id""")
 
   /** Shared LSH oracle chain (shingles → sizes → minhash sigs → bands →
     * candidate pairs → pairwise common counts) — mirrors TextDedup's

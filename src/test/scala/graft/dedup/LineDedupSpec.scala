@@ -1,0 +1,49 @@
+package graft.dedup
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class LineDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def lines(rows: (Long, Int, String)*) =
+    rows.toSeq.toDF("id", "pos", "line")
+
+  test("a line survives only at its first (doc, pos) occurrence corpus-wide") {
+    val in = lines(
+      (1L, 0, "header"), (1L, 1, "alpha"), (1L, 2, "header"), // within-doc repeat
+      (2L, 0, "header"), (2L, 1, "beta"),                     // cross-doc repeat
+      (3L, 0, "gamma"))
+    val out = LineDedup.dropDuplicateLines(in, "id", "pos", "line")
+      .orderBy($"id").as[(Long, String, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, "header\nalpha", 2), // second 'header' dropped even within doc 1
+      (2L, "beta", 1),
+      (3L, "gamma", 1)))
+  }
+
+  test("a doc whose every line was seen earlier survives as empty") {
+    val in = lines((1L, 0, "x"), (1L, 1, "y"), (5L, 0, "y"), (5L, 1, "x"))
+    val out = LineDedup.dropDuplicateLines(in, "id", "pos", "line")
+      .orderBy($"id").as[(Long, String, Int)].collect().toSeq
+    assert(out == Seq((1L, "x\ny", 2), (5L, "", 0)))
+  }
+
+  test("first-occurrence selection is a partial aggregate, never a window sort") {
+    val in = lines((1L, 0, "a"), (2L, 0, "a"), (3L, 0, "b"))
+    val plan = LineDedup.firstOccurrences(in, "id", "pos", "line")
+      .queryExecution.executedPlan.toString
+    // the skew-safe shape: a PARTIAL min(struct) before the exchange (the
+    // hot line collapses to one row per map partition), never a Window sort
+    // over all copies of a line on one executor
+    assert(plan.contains("partial_min"), s"expected map-side partial min:\n$plan")
+    assert(!plan.contains("Window"), s"window formulation is the skew trap:\n$plan")
+  }
+
+  test("reassembly order follows position, not shuffle arrival") {
+    val in = lines((1L, 2, "c"), (1L, 0, "a"), (1L, 1, "b"))
+    val out = LineDedup.dropDuplicateLines(in.repartition(4), "id", "pos", "line")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(out == Seq((1L, "a\nb\nc", 3)))
+  }
+}
