@@ -439,6 +439,55 @@ object ScaleExperiment {
         IvfPq.topK(idx, "vec_id", query, model, 10, nprobe = 8))
     }
 
+    // 19. line dedup under the adversarial boilerplate regime: one line
+    // shared by EVERY doc. The shipped groupBy+min(struct) collapses the
+    // hot line map-side; the window formulation sorts every copy on one
+    // executor — both measured so the trap is a number, not a claim.
+    if (on("linededup")) {
+      import org.apache.spark.sql.expressions.Window
+      val nDocs = 200000
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        explode(array((0 until 20).map(lit(_)): _*)).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          when(col("pos") === 0, lit("boilerplate header line"))
+            .otherwise(concat(lit("line"), col("doc_id") * 20 + col("pos")))
+            .as("line"))
+      counted("linededup_groupby_hotline")(
+        graft.dedup.LineDedup.firstOccurrences(docs, "doc_id", "pos", "line"))
+      counted("linededup_window_hotline")(
+        docs.withColumn("rn", row_number().over(
+            Window.partitionBy(col("line")).orderBy(col("doc_id"), col("pos"))))
+          .filter(col("rn") === 1).drop("rn"))
+      // boilerplate-HEAVY regime: half of each doc's lines come from a
+      // 10-template pool (nav/header/license blocks) — the duplication
+      // profile paragraph dedup exists for
+      val heavy = spark.range(nDocs).select(col("id").as("doc_id"),
+        explode(array((0 until 20).map(lit(_)): _*)).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          when(pmod(col("pos"), lit(2)) === 0,
+            concat(lit("template"), pmod(col("pos"), lit(10))))
+            .otherwise(concat(lit("line"), col("doc_id") * 20 + col("pos")))
+            .as("line"))
+      counted("linededup_groupby_heavydup")(
+        graft.dedup.LineDedup.firstOccurrences(heavy, "doc_id", "pos", "line"))
+      counted("linededup_window_heavydup")(
+        heavy.withColumn("rn", row_number().over(
+            Window.partitionBy(col("line")).orderBy(col("doc_id"), col("pos"))))
+          .filter(col("rn") === 1).drop("rn"))
+    }
+
+    // 20. BPE tokenizer: fit (one corpus shuffle + driver merge training)
+    // and distributed encode throughput on the real corpus.
+    if (on("bpe")) {
+      import graft.functions.Bpe
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text")).repartition(cpus.toInt)
+      val t0 = System.nanoTime()
+      val model = Bpe.fit(docs, col("text"), numMerges = 1000)
+      println(f"bpe_fit_1000merges               ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+      timed("bpe_encode")(Bpe.encode(docs, "doc_id", "text", model))
+    }
+
     // 17. batchEmbed seam under a fixed-FLOP "model": the measurement the
     // heavy stub exists for — per-doc cost dominates, so throughput must be
     // flat in batchSize (batching only bounds the working set) and linear

@@ -92,6 +92,37 @@ class BpeSpec extends SparkSpecBase {
     assert(m1.merges.distinct.length == m1.merges.length, "duplicate merges")
   }
 
+  test("tokenize-and-pack: BPE token counts drive shard packing end to end") {
+    // the last pre-training mile: real tokenizer counts -> token-budget
+    // shards (not char or whitespace proxies)
+    val docs = tbl("documents").select($"doc_id", $"text")
+    val m = Bpe.fit(docs, col("text"), numMerges = 100)
+    val counted = Bpe.encode(docs, "doc_id", "text", m)
+      .select($"doc_id", size($"tokens").as("n_tokens"))
+    val budget = 500L
+    val packed = graft.operators.ShardPack.assignShards(
+      counted, "doc_id", col("n_tokens"), budget)
+    val shards = packed.groupBy($"shard_id")
+      .agg(sum($"n_tokens").as("tok"), min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+      .orderBy($"shard_id")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(shards.nonEmpty && shards.map(_._1) == shards.indices.map(identity),
+      s"shard ids must be dense from 0: ${shards.map(_._1)}")
+    // a non-last shard's span runs from its first row's start (within
+    // maxRow past the k*budget boundary, carried overflow) to the first
+    // start at or past the next boundary: budget-maxRow < tok < budget+maxRow
+    val maxRow = packed.agg(max($"n_tokens")).as[Int].head()
+    shards.dropRight(1).foreach { case (sid, tok, _, _) =>
+      assert(tok > budget - maxRow && tok < budget + maxRow,
+        s"shard $sid packed $tok tokens against budget $budget (maxRow $maxRow)")
+    }
+    // packing respects doc order: shard ranges don't interleave
+    shards.sliding(2).foreach {
+      case Seq((_, _, _, hi1), (_, _, lo2, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+  }
+
   test("more merges never increase the token count of any document") {
     val docs = tbl("documents").select($"doc_id", $"text").limit(50)
     val small = Bpe.fit(docs, col("text"), numMerges = 20)
