@@ -476,6 +476,22 @@ object ScaleExperiment {
           .filter(col("rn") === 1).drop("rn"))
     }
 
+    // 21. exact substring (span) dedup under the adversarial regime: a
+    // boilerplate 8-token sentence in EVERY doc. The hot gram's min
+    // collapses map-side; the marking join ships its occurrences to one
+    // reducer but does O(1) work per row (AQE can split it) — measured so
+    // the claim is a number. Corpus: 200k docs × 40 tokens.
+    if (on("spandedup")) {
+      val nDocs = 200000
+      val boiler = (0 until 8).map(i => lit(s"b$i"))
+      val uniq = (8 until 40).map(i =>
+        concat(lit(s"w${i}_"), col("doc_id")))
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        array(boiler ++ uniq: _*).as("toks"))
+      counted("spandedup_hotgram")(
+        graft.dedup.SpanDedup.removeDuplicateSpans(docs, "doc_id", col("toks"), 8))
+    }
+
     // 20. BPE tokenizer: fit (one corpus shuffle + driver merge training)
     // and distributed encode throughput on the real corpus.
     if (on("bpe")) {

@@ -24,33 +24,26 @@ object LineDedup {
 
   /** Positions are packed with doc ids into one long for the min — keep
     * them under 2^21 (2M lines per document; the guard raises otherwise). */
-  val MaxPos: Long = 1L << 21
+  val MaxPos: Long = Packing.MaxPos
 
   /** Drop corpus-wide duplicate lines from exploded (idCol, posCol,
     * lineCol) rows; returns (idCol, lineCol, posCol) — the surviving
     * lines only.
     *
-    * The min is over `id·2^21 + pos` packed into ONE long rather than
-    * min(struct(id, pos)): a struct min compiles to a SortAggregate (sorts
-    * every map partition, then again after the exchange — measured 2×
-    * slower than even the window formulation at 4M lines), while the
-    * packed-long min stays a HashAggregate with map-side combine, which is
-    * both the fast shape and the skew-safe one. Packing is order-preserving
-    * because pos < 2^21 (guarded) and non-negative. */
+    * The min is over `id·2^21 + pos` packed into ONE long ([[Packing]])
+    * rather than min(struct(id, pos)): a struct min compiles to a
+    * SortAggregate (sorts every map partition, then again after the
+    * exchange — measured 2× slower than even the window formulation at 4M
+    * lines), while the packed-long min stays a HashAggregate with map-side
+    * combine, which is both the fast shape and the skew-safe one. */
   def firstOccurrences(lines: DataFrame, idCol: String, posCol: String,
-      lineCol: String): DataFrame = {
-    val packed = when(col(posCol) >= 0 && col(posCol) < MaxPos && col(idCol) >= 0,
-        shiftleft(col(idCol).cast("long"), 21) + col(posCol))
-      .otherwise(raise_error(format_string(
-        s"LineDedup: need 0 <= $posCol < 2^21 and $idCol >= 0, got %s/%s",
-        col(idCol), col(posCol))).cast("long"))
+      lineCol: String): DataFrame =
     lines
       .groupBy(col(lineCol))
-      .agg(min(packed).as("__k"))
-      .select(shiftright(col("__k"), 21).as(idCol),
-        col("__k").bitwiseAND(lit(MaxPos - 1)).cast("int").as(posCol),
+      .agg(min(Packing.pack(col(idCol), col(posCol))).as("__k"))
+      .select(Packing.unpackId(col("__k")).as(idCol),
+        Packing.unpackPos(col("__k")).as(posCol),
         col(lineCol))
-  }
 
   /** Full pipeline: dedup lines, then rebuild each document's text from
     * its surviving lines in original order (joined by `sep`). Every input

@@ -345,6 +345,16 @@ object TextQueries {
           col("chunk_text").as("line"))
       graft.dedup.LineDedup.dropDuplicateLines(chunks, "doc_id", "pos", "line")
         .orderBy(col("doc_id"))
+    },
+
+    // Exact duplicated-substring removal (Lee et al. 2021): any 8-token
+    // gram seen earlier in the corpus — at ANY alignment, mid-document —
+    // marks its span; covered tokens are dropped and docs rebuilt. The
+    // complement of q93: line dedup only catches chunk-aligned reuse.
+    "q94_span_dedup" -> { (s, d) =>
+      graft.dedup.SpanDedup.removeDuplicateSpans(
+          tokenized(s, d), "doc_id", col("__toks"), 8)
+        .orderBy(col("doc_id"))
     })
 
   /** Base 32-bit shingle hash (first 8 md5 hex chars; hex4Sql from
@@ -621,7 +631,27 @@ object TextQueries {
          SELECT d.doc_id, COALESCE(r.clean, '') AS clean,
            COALESCE(r.n_kept, 0) AS n_kept
          FROM (SELECT DISTINCT doc_id FROM lines) d
-         LEFT JOIN rebuilt r USING (doc_id) ORDER BY d.doc_id""")
+         LEFT JOIN rebuilt r USING (doc_id) ORDER BY d.doc_id""",
+    "q94_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+         gs AS (SELECT doc_id, w, unnest(range(greatest(len(w)-7, 0))) i FROM t),
+         g AS (SELECT doc_id, CAST(i AS INT) pos,
+             array_to_string(w[i+1:i+8], ' ') gram FROM gs),
+         f AS (SELECT gram, MIN(doc_id * 2097152 + pos) fp FROM g GROUP BY gram),
+         marked AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (gram)
+                    WHERE g.doc_id * 2097152 + g.pos > f.fp),
+         cm AS (SELECT doc_id, unnest(range(pos, pos + 8)) p FROM marked),
+         cov AS (SELECT DISTINCT doc_id, CAST(p AS INT) pos FROM cm),
+         ts AS (SELECT doc_id, w, unnest(range(len(w))) i FROM t),
+         tok AS (SELECT doc_id, CAST(i AS INT) pos, w[CAST(i AS INT) + 1] tok FROM ts),
+         kept AS (SELECT k.doc_id, k.pos, k.tok FROM tok k
+                  LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.pos = c.pos
+                  WHERE c.doc_id IS NULL),
+         rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) clean,
+             CAST(COUNT(*) AS INT) n_kept FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, COALESCE(r.clean, '') AS clean,
+           COALESCE(r.n_kept, 0) AS n_kept
+         FROM t LEFT JOIN rebuilt r USING (doc_id) ORDER BY t.doc_id""")
 
   /** Shared LSH oracle chain (shingles → sizes → minhash sigs → bands →
     * candidate pairs → pairwise common counts) — mirrors TextDedup's
