@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gopher-style document quality rules (Rae et al. 2021, appendix A —
+  * the standard pre-training corpus filter battery, also the skeleton of
+  * C4/Dolma/RefinedWeb filtering): word-count bounds, mean-word-length
+  * bounds, symbol-to-word ratio, alphabetic-word ratio, bullet/ellipsis
+  * line ratios, and a minimum stopword presence. Extension scope — no
+  * reference counterpart.
+  *
+  * Every ratio rule is evaluated by INTEGER cross-multiplication
+  * (e.g. mean length in [3,10] ⇔ 3·n ≤ totalLen ≤ 10·n), so `keep` is
+  * bit-reproducible in any SQL engine — no float thresholds anywhere.
+  *
+  * Scale design: one pure-codegen projection per document — no shuffle,
+  * no UDF, no aggregation, and `filterDocs` is a plain Filter that pushes
+  * down to the scan like any other predicate. The per-document metrics
+  * are emitted alongside `keep` so downstream reweighting/debugging reads
+  * them without recomputation.
+  */
+object GopherQuality {
+
+  /** Gopher's "must contain ≥2 of" stopword list (Rae et al. §A1.1). */
+  val Stopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The eight metric expressions over a text column, in output order.
+    * All integer-typed. */
+  private def metricExprs(text: Column): Seq[(String, Column)] = {
+    val toks = TextOps.tokens(text)
+    val lowerToks = transform(toks, x => lower(x))
+    val lines = split(text, "\n")
+    Seq(
+      "n_words" -> size(toks),
+      "total_len" -> TextOps.totalTokenLength(toks),
+      "n_alpha" -> size(filter(toks, x => x.rlike("[A-Za-z]"))),
+      "n_sym" -> (regexp_count(text, lit("#")) +
+        regexp_count(text, lit("\\.\\.\\."))).cast("int"),
+      "n_lines" -> size(lines),
+      "n_bullet" -> size(filter(lines, l => ltrim(l).rlike("^[-*•]"))),
+      "n_ellipsis" -> size(filter(lines, l => rtrim(l).rlike("\\.\\.\\.$"))),
+      "n_stop" -> size(filter(
+        array(Stopwords.map(lit(_)): _*),
+        s => array_contains(lowerToks, s))))
+  }
+
+  private def keepFrom(m: Map[String, Column], minWords: Int, maxWords: Int,
+      minStopwords: Int): Column =
+    m("n_words") >= minWords && m("n_words") <= maxWords &&
+      m("total_len") >= lit(3) * m("n_words") &&
+      m("total_len") <= lit(10) * m("n_words") &&
+      lit(10) * m("n_sym") < m("n_words") &&
+      lit(5) * m("n_alpha") >= lit(4) * m("n_words") &&
+      lit(10) * m("n_bullet") < lit(9) * m("n_lines") &&
+      lit(10) * m("n_ellipsis") < lit(3) * m("n_lines") &&
+      m("n_stop") >= minStopwords
+
+  /** Per-document metrics + `keep` under the Gopher defaults:
+    * 50 ≤ words ≤ 100000, 3 ≤ mean word length ≤ 10, symbol/word < 0.1
+    * ('#' and '...'), alphabetic words ≥ 0.8, bullet lines < 0.9,
+    * ellipsis-ending lines < 0.3, ≥ `minStopwords` distinct stopwords. */
+  def metrics(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minStopwords: Int = 2): DataFrame = {
+    val exprs = metricExprs(col(textCol))
+    docs.select(col(idCol) +: exprs.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("keep",
+        keepFrom(exprs.map { case (n, _) => n -> col(n) }.toMap,
+          minWords, maxWords, minStopwords))
+  }
+
+  /** The full keep predicate as ONE Column over the raw text — usable
+    * directly in `.filter` so the rule battery rides predicate pushdown. */
+  def keepExpr(text: Column, minWords: Int = 50, maxWords: Int = 100000,
+      minStopwords: Int = 2): Column =
+    keepFrom(metricExprs(text).toMap, minWords, maxWords, minStopwords)
+
+  /** The filter itself: documents passing every rule, original columns
+    * untouched. A plain per-row Filter — no join, no shuffle. */
+  def filterDocs(docs: DataFrame, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minStopwords: Int = 2): DataFrame =
+    docs.filter(keepExpr(col(textCol), minWords, maxWords, minStopwords))
+}

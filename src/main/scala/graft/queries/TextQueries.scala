@@ -355,6 +355,15 @@ object TextQueries {
       graft.dedup.SpanDedup.removeDuplicateSpans(
           tokenized(s, d), "doc_id", col("__toks"), 8)
         .orderBy(col("doc_id"))
+    },
+
+    // Gopher quality-rule battery (Rae et al. 2021 App. A): per-doc
+    // metrics + keep, every ratio rule as integer cross-multiplication —
+    // the standard pre-training filter, bit-exact in any engine.
+    "q95_gopher_rules" -> { (s, d) =>
+      graft.functions.GopherQuality.metrics(
+          table(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
 
   /** Base 32-bit shingle hash (first 8 md5 hex chars; hex4Sql from
@@ -651,7 +660,27 @@ object TextQueries {
              CAST(COUNT(*) AS INT) n_kept FROM kept GROUP BY doc_id)
          SELECT t.doc_id, COALESCE(r.clean, '') AS clean,
            COALESCE(r.n_kept, 0) AS n_kept
-         FROM t LEFT JOIN rebuilt r USING (doc_id) ORDER BY t.doc_id""")
+         FROM t LEFT JOIN rebuilt r USING (doc_id) ORDER BY t.doc_id""",
+    "q95_gopher_rules" ->
+      """WITH m AS (SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INT) n_words,
+           CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), x -> len(x))) AS INT) total_len,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> regexp_matches(x, '[A-Za-z]'))) AS INT) n_alpha,
+           CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS INT) n_sym,
+           CAST(len(string_split(text, chr(10))) AS INT) n_lines,
+           CAST(len(list_filter(string_split(text, chr(10)), l -> regexp_matches(ltrim(l), '^[-*•]'))) AS INT) n_bullet,
+           CAST(len(list_filter(string_split(text, chr(10)), l -> regexp_matches(rtrim(l), '\.\.\.$'))) AS INT) n_ellipsis,
+           CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+             s -> list_contains(list_transform(string_split_regex(trim(text), '\s+'), x -> lower(x)), s))) AS INT) n_stop
+           FROM documents)
+         SELECT doc_id, n_words, total_len, n_alpha, n_sym, n_lines,
+           n_bullet, n_ellipsis, n_stop,
+           (n_words >= 50 AND n_words <= 100000
+            AND total_len >= 3 * n_words AND total_len <= 10 * n_words
+            AND 10 * n_sym < n_words AND 5 * n_alpha >= 4 * n_words
+            AND 10 * n_bullet < 9 * n_lines AND 10 * n_ellipsis < 3 * n_lines
+            AND n_stop >= 2) AS keep
+         FROM m ORDER BY doc_id""")
 
   /** Shared LSH oracle chain (shingles → sizes → minhash sigs → bands →
     * candidate pairs → pairwise common counts) — mirrors TextDedup's

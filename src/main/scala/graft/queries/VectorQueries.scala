@@ -92,6 +92,21 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     },
 
+    // Semantic dedup (SemDeDup): quantizer cell assignment (plan-constant
+    // centroids, the q47 technique) → within-cell cosine pruning with
+    // hot-cell SRP splitting → keep the smallest id of each near-dup
+    // group. The composition IS the paper's pipeline; every stage is
+    // engine-reproducible, so it's fully oracle-checked end to end.
+    "q96_semantic_dedup" -> { (s, d) =>
+      graft.sim.SemDedup.dropSemanticDuplicates(
+          table(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", ivfCentroids, threshold = 0.4,
+          maxCell = blockedMaxBlock, dim = dim,
+          maxSplitBits = blockedSplitBits)
+        .select(col("vec_id"), col("cell"))
+        .orderBy(col("vec_id"))
+    },
+
     // IVF ANN top-5 against a plan-constant quantizer — the FULL pipeline
     // (cell assignment via IvfProbeF32, nprobe probing, exact cosine
     // rerank) oracle-checked: with the centroid matrix a deterministic
@@ -262,6 +277,46 @@ object VectorQueries {
           SELECT e.vec_id, e.label FROM embeddings e
           WHERE e.vec_id NOT IN (SELECT b FROM dups)
           ORDER BY e.vec_id""",
+    "q96_semantic_dedup" -> {
+      // q47's plan-constant centroid assignment + the q46/q48 blocked-sub
+      // ladder, with the assigned cell as the block key
+      val cvals = ivfCentroids.zipWithIndex.map { case (cv, i) =>
+        s"($i, ${cv.map(_.toDouble.toString).mkString("[", ", ", "]")})"
+      }.mkString(",\n              ")
+      val bucketSql = (0 until blockedSplitBits).map { p =>
+        s"(CASE WHEN ${dot("embedding", srpSignLists(p))} >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      val ladder = (0 until blockedSplitBits).map { s =>
+        s"WHEN bn <= ${blockedMaxBlock.toLong << s} THEN ${1L << s}"
+      }.mkString(" ")
+      s"""WITH c(cid, cv) AS (VALUES
+              $cvals),
+          n AS (SELECT vec_id, embedding,
+              list_transform(embedding,
+                x -> CAST(CAST(x AS DOUBLE) / sqrt(${dot("embedding", "embedding")}) AS REAL)) ne
+            FROM embeddings),
+          dist AS (SELECT n.vec_id, c.cid,
+              CAST(list_sum(list_transform(c.cv, x -> x * x)) AS DOUBLE)
+                - 2 * ${dot("n.embedding", "c.cv")} AS dd
+            FROM n CROSS JOIN c),
+          assigned AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cid) rn
+              FROM dist) WHERE rn = 1),
+          a AS (SELECT n.vec_id, n.ne, g.cid,
+              $bucketSql AS bucket,
+              COUNT(*) OVER (PARTITION BY g.cid) AS bn
+            FROM n JOIN assigned g USING (vec_id)),
+          s AS (SELECT vec_id, ne, cid,
+              bucket % (CASE $ladder ELSE ${1L << blockedSplitBits} END) AS sub
+            FROM a),
+          dups AS (SELECT DISTINCT y.vec_id AS b
+            FROM s x JOIN s y ON x.cid = y.cid AND x.sub = y.sub AND x.vec_id < y.vec_id
+            WHERE ${dot("x.ne", "y.ne")} >= 0.4)
+          SELECT s.vec_id, CAST(s.cid AS INT) AS cell FROM s
+          WHERE s.vec_id NOT IN (SELECT b FROM dups)
+          ORDER BY s.vec_id"""
+    },
     "q43_knn_lsh" -> {
       def bucketSql(t: Int): String = (0 until srpBits).map { b =>
         s"(CASE WHEN ${dot("embedding", srpSignLists(t * srpBits + b))} >= 0 THEN ${1L << b} ELSE 0 END)"
