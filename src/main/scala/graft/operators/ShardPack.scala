@@ -27,11 +27,15 @@ import org.apache.spark.sql.functions._
   */
 object ShardPack {
 
-  /** Adds `out` = inclusive running sum of `weight` in `orderCol` order.
-    * `orderCol` must be a unique numeric key (ties would make "the" prefix
-    * sum ill-defined); weights are cast to long. */
+  /** Adds `out` = inclusive running sum of `weight` in (`orderCol`,
+    * `tieBreak`*) order. The combined key must be unique (an undetermined
+    * order would make "the" prefix sum ill-defined); `orderCol` itself must
+    * be numeric. Tied `orderCol` values share a bucket (bucketing is by
+    * VALUE), so tie-break columns only ever order rows within one
+    * partitioned window — the two-level decomposition stays exact.
+    * Weights are cast to long. */
   def cumsum(df: DataFrame, orderCol: String, weight: Column, out: String,
-      buckets: Int = 256): DataFrame = {
+      buckets: Int = 256, tieBreak: Seq[Column] = Nil): DataFrame = {
     // loud type check — a non-numeric key would cast its min/max to null
     // and silently take the empty-input path below
     require(df.schema(orderCol).dataType
@@ -48,7 +52,7 @@ object ShardPack {
       lit(buckets - 1))
     val w = df.withColumn("__w", weight.cast("long")).withColumn("__g", bucketId)
     val inBucket = sum(col("__w"))
-      .over(Window.partitionBy(col("__g")).orderBy(col(orderCol))
+      .over(Window.partitionBy(col("__g")).orderBy(col(orderCol) +: tieBreak: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     // exclusive prefix of per-bucket totals: `buckets` rows, so the global
     // window here is bounded by construction (not by the data)
@@ -70,11 +74,11 @@ object ShardPack {
     * never split). shard_id = exclusive-prefix-sum / budget, so it is exact,
     * deterministic, and reproducible by any engine's window cumsum. */
   def assignShards(df: DataFrame, orderCol: String, weight: Column,
-      budget: Long, buckets: Int = 256): DataFrame = {
+      budget: Long, buckets: Int = 256, tieBreak: Seq[Column] = Nil): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     // `div` = exact integer division (long `/` would go through double and
     // lose exactness past 2^53)
-    cumsum(df, orderCol, weight, "__cum", buckets)
+    cumsum(df, orderCol, weight, "__cum", buckets, tieBreak)
       .withColumn("__excl", col("__cum") - weight.cast("long"))
       .withColumn("shard_id", expr(s"CAST(__excl DIV ${budget}L AS INT)"))
       .drop("__cum", "__excl")

@@ -357,6 +357,20 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Seeded deterministic corpus shuffle → token-budget shard packing:
+    // the training-order assembly step (break source locality, then pack).
+    // The md5 permutation and the two-level exact prefix sum are both
+    // engine-reproducible, so shard contents are bit-stable.
+    "q97_shuffled_shards" -> { (s, d) =>
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens"))
+      graft.operators.CorpusShuffle.shuffledShards(
+          docs, "doc_id", col("n_tokens"), "s5", 500L)
+        .select(col("doc_id"), col("shuffle_key"), col("n_tokens"),
+          col("shard_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // Gopher quality-rule battery (Rae et al. 2021 App. A): per-doc
     // metrics + keep, every ratio rule as integer cross-multiplication —
     // the standard pre-training filter, bit-exact in any engine.
@@ -661,6 +675,17 @@ object TextQueries {
          SELECT t.doc_id, COALESCE(r.clean, '') AS clean,
            COALESCE(r.n_kept, 0) AS n_kept
          FROM t LEFT JOIN rebuilt r USING (doc_id) ORDER BY t.doc_id""",
+    "q97_shuffled_shards" ->
+      s"""WITH t AS (SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) n_tokens,
+           md5('s5|' || CAST(doc_id AS VARCHAR)) m FROM documents),
+         k AS (SELECT doc_id, n_tokens, ${hex48Sql("m")} k FROM t),
+         c AS (SELECT doc_id, n_tokens, k,
+             SUM(n_tokens) OVER (ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum FROM k)
+         SELECT doc_id, k AS shuffle_key, n_tokens,
+           CAST((cum - n_tokens) // 500 AS INT) AS shard_id
+         FROM c ORDER BY doc_id""",
     "q95_gopher_rules" ->
       """WITH m AS (SELECT doc_id,
            CAST(len(string_split_regex(trim(text), '\s+')) AS INT) n_words,
