@@ -357,6 +357,21 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // JSONL source/sink round-trip (the LLM-corpus interchange format):
+    // write the documents table as line-delimited JSON, read it back with
+    // an explicit schema, and prove the round-trip lossless against the
+    // parquet original — text escaping, unicode, and bigints included.
+    "q98_jsonl_roundtrip" -> { (s, d) =>
+      val docs = table(s, d, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      graft.sources.Jsonl.write(docs, s"$tmp/documents", shards = 4)
+      graft.sources.Jsonl.read(s, s"$tmp/documents", docs.schema)
+        .drop("_corrupt_record")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // Seeded deterministic corpus shuffle → token-budget shard packing:
     // the training-order assembly step (break source locality, then pack).
     // The md5 permutation and the two-level exact prefix sum are both
@@ -675,6 +690,9 @@ object TextQueries {
          SELECT t.doc_id, COALESCE(r.clean, '') AS clean,
            COALESCE(r.n_kept, 0) AS n_kept
          FROM t LEFT JOIN rebuilt r USING (doc_id) ORDER BY t.doc_id""",
+    "q98_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id""",
     "q97_shuffled_shards" ->
       s"""WITH t AS (SELECT doc_id,
            CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) n_tokens,
