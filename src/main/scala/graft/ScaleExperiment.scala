@@ -492,6 +492,19 @@ object ScaleExperiment {
         graft.dedup.SpanDedup.removeDuplicateSpans(docs, "doc_id", col("toks"), 8))
     }
 
+    // 22. semantic dedup on the real embeddings at the default quantizer:
+    // zero-shuffle cell assignment + within-cell SRP-split cosine pruning.
+    // maxCell=16 on ~5000/16-cell rows forces the split ladder on every
+    // cell — the adversarial path is the one measured.
+    if (on("semdedup")) {
+      val emb = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val cents = graft.sim.Ivf.syntheticCentroids(16, 64)
+      counted("semdedup_split_cells")(
+        graft.sim.SemDedup.dropSemanticDuplicates(emb, "vec_id", "embedding",
+          cents, threshold = 0.4, maxCell = 16, dim = 64))
+    }
+
     // 20. BPE tokenizer: fit (one corpus shuffle + driver merge training)
     // and distributed encode throughput on the real corpus.
     if (on("bpe")) {

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import graft.functions.{GopherQuality, Pii}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** The composed streaming corpus-ingest pipeline: Gopher quality gate →
+  * PII redaction → incremental near-dup suppression. All three stages are
+  * plain Column expressions / foreachBatch dataflow, so the composition
+  * needs NO new operator — these tests pin that it actually composes, and
+  * that the streamed result equals the batch composition. */
+class CorpusIngestSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // ≥50 words, mean length in [3,10], contains stopwords → passes Gopher
+  private val good =
+    (Seq("the", "and") ++ (1 to 58).map(i => s"word$i")).mkString(" ")
+  private val tooShort = "the and tiny"
+  private val withPii = good + " contact someone@example.com now"
+
+  test("quality gate and PII scrub compose upstream of streaming dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val indexPath =
+      java.nio.file.Files.createTempDirectory("graft_corpus").toString + "/index"
+    val seen = mutable.ArrayBuffer[(Long, String)]()
+    val in = MemoryStream[(Long, String)]
+    val cleaned = in.toDF().toDF("doc_id", "text")
+      .filter(GopherQuality.keepExpr(col("text")))
+      .withColumn("text", Pii.redact(col("text")))
+    val q = DocIngest.start(cleaned, "doc_id", "text", indexPath,
+        shingleN = 4, threshold = 0.5) { kept =>
+      seen ++= kept.as[(Long, String)].collect()
+    }
+    in.addData((1L, good), (2L, tooShort), (3L, withPii))
+    q.processAllAvailable()
+    q.stop()
+    val byId = seen.sortBy(_._1)
+    // doc 2 failed the quality gate; doc 3 is a near-dup of doc 1 AFTER
+    // redaction-irrelevant filtering (same 58-word core) — only 1 survives
+    // if dedup catches it, and its PII must already be scrubbed either way
+    assert(byId.map(_._1).contains(1L) && !byId.map(_._1).contains(2L))
+    assert(byId.forall(!_._2.contains("someone@example.com")),
+      s"PII must be scrubbed before the sink: $byId")
+  }
+
+  test("streamed composition equals the batch composition") {
+    implicit val sqlCtx = spark.sqlContext
+    val indexPath =
+      java.nio.file.Files.createTempDirectory("graft_corpus").toString + "/index"
+    val rows = Seq((1L, good), (2L, tooShort), (3L, withPii),
+      (4L, (Seq("the", "of") ++ (1 to 55).map(i => s"other$i")).mkString(" ")))
+
+    // batch form: filter → redact → self-dedup
+    val batch = rows.toDF("doc_id", "text")
+      .filter(GopherQuality.keepExpr(col("text")))
+      .withColumn("text", Pii.redact(col("text")))
+    val toked = batch.select(col("doc_id"), col("text"),
+      graft.functions.TextOps.tokens(col("text")).as("__toks"))
+    val expected = graft.dedup.TextDedup.dropNearDuplicates(
+        toked, "doc_id",
+        graft.functions.TextOps.wordShingles(col("__toks"), 4),
+        numHashes = 16, rowsPerBand = 2, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+
+    val seen = mutable.ArrayBuffer[Long]()
+    val in = MemoryStream[(Long, String)]
+    val cleaned = in.toDF().toDF("doc_id", "text")
+      .filter(GopherQuality.keepExpr(col("text")))
+      .withColumn("text", Pii.redact(col("text")))
+    val q = DocIngest.start(cleaned, "doc_id", "text", indexPath,
+        shingleN = 4, threshold = 0.5) { kept =>
+      seen ++= kept.select("doc_id").as[Long].collect()
+    }
+    in.addData(rows: _*) // one batch: stream self-dedup == batch self-dedup
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.sorted.toSeq == expected)
+  }
+}
