@@ -211,4 +211,54 @@ class PropertySpec extends SparkSpecBase {
         rep.forall { case (_, c) => c >= 0.0 && c <= 1.0 }
     }, cases = 10)
   }
+
+  test("SpanDedup equals the in-memory reference on random low-vocab corpora (dataflow)") {
+    val k = 3
+    // tiny vocabulary + short docs force heavy cross- and within-doc gram
+    // collisions, overlapping spans, and sub-k docs
+    val docGen = Gen.choose(0, 9)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")))
+    check(Prop.forAll(Gen.listOfN(5, docGen)) { docs0 =>
+      val docs = docs0.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+      // reference: mark every non-first duplicated-gram occurrence, cut
+      val occ = for ((id, ts) <- docs; i <- 0 to ts.length - k)
+        yield (id, i, ts.slice(i, i + k).mkString(" "))
+      val first = occ.groupBy(_._3).map { case (g, os) =>
+        g -> os.map(o => (o._1, o._2)).min }
+      val covered = occ.filter { case (id, i, g) => (id, i) != first(g) }
+        .groupBy(_._1).map { case (id, ms) =>
+          id -> ms.flatMap(m => m._2 until m._2 + k).toSet }
+      val expect = docs.map { case (id, ts) =>
+        val cov = covered.getOrElse(id, Set.empty[Int])
+        val kept = ts.zipWithIndex.collect { case (t, i) if !cov(i) => t }
+        (id, kept.mkString(" "), kept.length)
+      }.sortBy(_._1)
+      val in = docs.toDF("id", "toks")
+      val got = graft.dedup.SpanDedup
+        .removeDuplicateSpans(in, "id", $"toks", k)
+        .orderBy($"id").as[(Long, String, Int)].collect().toSeq
+      got == expect
+    }, cases = 15)
+  }
+
+  test("CorpusShuffle shards are a permutation packed exactly like the reference (dataflow)") {
+    val rowGen = Gen.listOfN(12, Gen.choose(1L, 50L))
+    val budgetGen = Gen.oneOf(10L, 60L, 1000L)
+    check(Prop.forAll(rowGen, budgetGen) { case (ws, budget) =>
+      val rows = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      val got = graft.operators.CorpusShuffle
+        .shuffledShards(rows.toDF("id", "w"), "id", $"w", "seed", budget)
+        .select($"id", $"shuffle_key", $"shard_id")
+        .as[(Long, Long, Int)].collect().toSeq
+      // reference: sort by (key, id), exclusive-prefix-sum DIV budget
+      val byKey = got.map(t => t._1 -> t._2).toMap
+      val ordered = rows.sortBy { case (id, _) => (byKey(id), id) }
+      val shards = ordered.map(_._2).scanLeft(0L)(_ + _).init
+        .map(excl => (excl / budget).toInt)
+      val expect = ordered.map(_._1).zip(shards).toMap
+      rows.isEmpty ||
+        (got.map(_._1).sorted == rows.map(_._1) && // a permutation: all ids, once
+          got.map(t => t._1 -> t._3).toMap == expect)
+    }, cases = 15)
+  }
 }
