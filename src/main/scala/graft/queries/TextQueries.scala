@@ -318,16 +318,8 @@ object TextQueries {
     "q92_pii_redact" -> { (s, d) =>
       import graft.functions.Pii
       val id = col("doc_id")
-      val injected = table(s, d, "documents").select(id,
-        concat(col("text"),
-          lit(" reach user"), id.cast("string"), lit("@example.com"),
-          when(pmod(id, lit(3)) =!= 0,
-            concat(lit(" or 555-10"), pmod(id, lit(10)).cast("string"), lit("-"),
-              lpad(pmod(id * 7, lit(10000)).cast("string"), 4, "0"))).otherwise(lit("")),
-          when(pmod(id, lit(2)) === 0,
-            concat(lit(" ip 10.0."), pmod(id, lit(256)).cast("string"), lit("."),
-              pmod(id * 3, lit(256)).cast("string"))).otherwise(lit(""))).as("t"))
-      injected.select(id +: Pii.counts(col("t")) :+
+      injectPii(table(s, d, "documents"))
+        .select(id +: Pii.counts(col("t")) :+
           Pii.redact(col("t")).as("redacted"): _*)
         .orderBy(id)
     },
@@ -354,6 +346,24 @@ object TextQueries {
     "q94_span_dedup" -> { (s, d) =>
       graft.dedup.SpanDedup.removeDuplicateSpans(
           tokenized(s, d), "doc_id", col("__toks"), 8)
+        .orderBy(col("doc_id"))
+    },
+
+    // End-to-end corpus assembly — the composed last mile a pre-training
+    // pipeline actually runs: PII-injected raw docs → Gopher quality gate
+    // → PII redaction → token count → seeded shuffle → token-budget
+    // shards. Every stage is an already-oracle-checked operator; this
+    // checks the COMPOSITION end to end.
+    "q99_corpus_assembly" -> { (s, d) =>
+      import graft.functions.{GopherQuality, Pii}
+      val counted = injectPii(table(s, d, "documents"))
+        .filter(GopherQuality.keepExpr(col("t"), minStopwords = 1))
+        .select(col("doc_id"),
+          size(TextOps.tokens(Pii.redact(col("t")))).as("n_tokens"))
+      graft.operators.CorpusShuffle.shuffledShards(
+          counted, "doc_id", col("n_tokens"), "s5", 2000L)
+        .select(col("doc_id"), col("n_tokens"), col("shuffle_key"),
+          col("shard_id"))
         .orderBy(col("doc_id"))
     },
 
@@ -391,7 +401,7 @@ object TextQueries {
     // the standard pre-training filter, bit-exact in any engine.
     "q95_gopher_rules" -> { (s, d) =>
       graft.functions.GopherQuality.metrics(
-          table(s, d, "documents"), "doc_id", "text")
+          table(s, d, "documents"), "doc_id", "text", minStopwords = 1)
         .orderBy(col("doc_id"))
     })
 
@@ -405,6 +415,63 @@ object TextQueries {
     val (a, b) = TextDedup.minhashCoefficients(16)(i)
     s"MIN((H * $a + $b) % ${TextDedup.MinhashPrime}) AS $alias"
   }
+
+  /** Deterministic PII injection over documents (q92/q99 input fixture):
+    * every doc gains an email, 2/3 gain a phone, 1/2 gain an IP —
+    * id-derived, so the oracle replays it exactly. */
+  private def injectPii(docs: org.apache.spark.sql.DataFrame) = {
+    val id = col("doc_id")
+    docs.select(id,
+      concat(col("text"),
+        lit(" reach user"), id.cast("string"), lit("@example.com"),
+        when(pmod(id, lit(3)) =!= 0,
+          concat(lit(" or 555-10"), pmod(id, lit(10)).cast("string"), lit("-"),
+            lpad(pmod(id * 7, lit(10000)).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(pmod(id, lit(2)) === 0,
+          concat(lit(" ip 10.0."), pmod(id, lit(256)).cast("string"), lit("."),
+            pmod(id * 3, lit(256)).cast("string"))).otherwise(lit(""))).as("t"))
+  }
+
+  /** Shared oracle fragments for the PII / quality / assembly chain (one
+    * copy each, so the q92/q95/q99 mirrors can't drift). */
+  private val piiInjectSql =
+    """inj AS (SELECT doc_id,
+           text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+             || CASE WHEN doc_id % 3 <> 0
+                  THEN ' or 555-10' || CAST(doc_id % 10 AS VARCHAR) || '-'
+                       || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END
+             || CASE WHEN doc_id % 2 = 0
+                  THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                       || CAST(doc_id * 3 % 256 AS VARCHAR)
+                  ELSE '' END AS t
+           FROM documents)"""
+
+  private def piiRedactSql(t: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace($t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g'),
+             '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[PII]', 'g'),
+             '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PII]', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[PII]', 'g')"""
+
+  /** The 8 Gopher metric columns over text expression `t` (q95/q99). */
+  private def gopherMetricsSql(t: String): String =
+    s"""CAST(len(string_split_regex(trim($t), '\\s+')) AS INT) n_words,
+           CAST(list_sum(list_transform(string_split_regex(trim($t), '\\s+'), x -> len(x))) AS INT) total_len,
+           CAST(len(list_filter(string_split_regex(trim($t), '\\s+'), x -> regexp_matches(x, '[A-Za-z]'))) AS INT) n_alpha,
+           CAST(len(regexp_extract_all($t, '#')) + len(regexp_extract_all($t, '\\.\\.\\.')) AS INT) n_sym,
+           CAST(len(string_split($t, chr(10))) AS INT) n_lines,
+           CAST(len(list_filter(string_split($t, chr(10)), l -> regexp_matches(ltrim(l), '^[-*•]'))) AS INT) n_bullet,
+           CAST(len(list_filter(string_split($t, chr(10)), l -> regexp_matches(rtrim(l), '\\.\\.\\.$$'))) AS INT) n_ellipsis,
+           CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+             s -> list_contains(list_transform(string_split_regex(trim($t), '\\s+'), x -> lower(x)), s))) AS INT) n_stop"""
+
+  private def gopherKeepSql(minStop: Int): String =
+    s"""(n_words >= 50 AND n_words <= 100000
+            AND total_len >= 3 * n_words AND total_len <= 10 * n_words
+            AND 10 * n_sym < n_words AND 5 * n_alpha >= 4 * n_words
+            AND 10 * n_bullet < 9 * n_lines AND 10 * n_ellipsis < 3 * n_lines
+            AND n_stop >= $minStop)"""
 
   val oracles: Map[String, String] = Map(
     "q29_corpus_profile" ->
@@ -634,28 +701,29 @@ object TextQueries {
       """SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS detok
          FROM documents WHERE source <> 'src0' ORDER BY doc_id""",
     "q92_pii_redact" ->
-      """WITH inj AS (SELECT doc_id,
-           text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
-             || CASE WHEN doc_id % 3 <> 0
-                  THEN ' or 555-10' || CAST(doc_id % 10 AS VARCHAR) || '-'
-                       || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')
-                  ELSE '' END
-             || CASE WHEN doc_id % 2 = 0
-                  THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
-                       || CAST(doc_id * 3 % 256 AS VARCHAR)
-                  ELSE '' END AS t
-           FROM documents)
+      s"""WITH $piiInjectSql
          SELECT doc_id,
-           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
-           CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
-           CAST(len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT) AS n_phone,
-           CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
-           regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
-             '\b\d{3}-\d{2}-\d{4}\b', '[PII]', 'g'),
-             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PII]', 'g'),
-             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[PII]', 'g') AS redacted
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS INT) AS n_ssn,
+           CAST(len(regexp_extract_all(t, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS INT) AS n_phone,
+           CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ip,
+           ${piiRedactSql("t")} AS redacted
          FROM inj ORDER BY doc_id""",
+    "q99_corpus_assembly" ->
+      s"""WITH $piiInjectSql,
+         m AS (SELECT doc_id, t, ${gopherMetricsSql("t")} FROM inj),
+         keep AS (SELECT doc_id, t FROM m WHERE ${gopherKeepSql(1)}),
+         red AS (SELECT doc_id, ${piiRedactSql("t")} AS r FROM keep),
+         tok AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(r), '\\s+')) AS INT) n_tokens,
+             md5('s5|' || CAST(doc_id AS VARCHAR)) mm FROM red),
+         k AS (SELECT doc_id, n_tokens, ${hex48Sql("mm")} sk FROM tok),
+         c AS (SELECT doc_id, n_tokens, sk,
+             SUM(n_tokens) OVER (ORDER BY sk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum FROM k)
+         SELECT doc_id, n_tokens, sk AS shuffle_key,
+           CAST((cum - n_tokens) // 2000 AS INT) AS shard_id
+         FROM c ORDER BY doc_id""",
     "q93_line_dedup" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
          st AS (SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 8)) i FROM t),
@@ -705,24 +773,9 @@ object TextQueries {
            CAST((cum - n_tokens) // 500 AS INT) AS shard_id
          FROM c ORDER BY doc_id""",
     "q95_gopher_rules" ->
-      """WITH m AS (SELECT doc_id,
-           CAST(len(string_split_regex(trim(text), '\s+')) AS INT) n_words,
-           CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), x -> len(x))) AS INT) total_len,
-           CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> regexp_matches(x, '[A-Za-z]'))) AS INT) n_alpha,
-           CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS INT) n_sym,
-           CAST(len(string_split(text, chr(10))) AS INT) n_lines,
-           CAST(len(list_filter(string_split(text, chr(10)), l -> regexp_matches(ltrim(l), '^[-*•]'))) AS INT) n_bullet,
-           CAST(len(list_filter(string_split(text, chr(10)), l -> regexp_matches(rtrim(l), '\.\.\.$'))) AS INT) n_ellipsis,
-           CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
-             s -> list_contains(list_transform(string_split_regex(trim(text), '\s+'), x -> lower(x)), s))) AS INT) n_stop
-           FROM documents)
+      s"""WITH m AS (SELECT doc_id, ${gopherMetricsSql("text")} FROM documents)
          SELECT doc_id, n_words, total_len, n_alpha, n_sym, n_lines,
-           n_bullet, n_ellipsis, n_stop,
-           (n_words >= 50 AND n_words <= 100000
-            AND total_len >= 3 * n_words AND total_len <= 10 * n_words
-            AND 10 * n_sym < n_words AND 5 * n_alpha >= 4 * n_words
-            AND 10 * n_bullet < 9 * n_lines AND 10 * n_ellipsis < 3 * n_lines
-            AND n_stop >= 2) AS keep
+           n_bullet, n_ellipsis, n_stop, ${gopherKeepSql(1)} AS keep
          FROM m ORDER BY doc_id""")
 
   /** Shared LSH oracle chain (shingles → sizes → minhash sigs → bands →
