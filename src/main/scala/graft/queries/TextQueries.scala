@@ -349,6 +349,16 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Rolling-hash fingerprinting by winnowing (MOSS): char-8-gram md5
+    // hashes, window-of-4 minimum selection — any shared substring of
+    // length >= 11 between two docs shares a fingerprint, at ~2/5 of the
+    // gram-hash storage. Selection replayed bit-exactly by the oracle.
+    "q100_winnow_fingerprints" -> { (s, d) =>
+      graft.functions.Winnowing.fingerprints(
+          table(s, d, "documents"), "doc_id", "text", k = 8, w = 4)
+        .orderBy(col("doc_id"), col("pos"))
+    },
+
     // End-to-end corpus assembly — the composed last mile a pre-training
     // pipeline actually runs: PII-injected raw docs → Gopher quality gate
     // → PII redaction → token count → seeded shuffle → token-budget
@@ -709,6 +719,22 @@ object TextQueries {
            CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ip,
            ${piiRedactSql("t")} AS redacted
          FROM inj ORDER BY doc_id""",
+    "q100_winnow_fingerprints" ->
+      s"""WITH norm AS (SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') t FROM documents),
+         gs AS (SELECT doc_id, t, unnest(range(greatest(len(t) - 7, 0))) i FROM norm),
+         h AS (SELECT doc_id, CAST(i AS INT) pos,
+             md5(t[CAST(i + 1 AS INT):CAST(i + 8 AS INT)]) m FROM gs),
+         hb AS (SELECT doc_id, pos, CAST($baseHashSql AS BIGINT) H FROM h),
+         win AS (SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY doc_id) n,
+             MIN(H * 2097152 + pos) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) sel
+           FROM hb),
+         fp AS (SELECT DISTINCT doc_id, sel FROM win WHERE pos <= n - 4)
+         SELECT doc_id, CAST(sel % 2097152 AS INT) AS pos,
+           sel // 2097152 AS hash
+         FROM fp ORDER BY doc_id, pos""",
     "q99_corpus_assembly" ->
       s"""WITH $piiInjectSql,
          m AS (SELECT doc_id, t, ${gopherMetricsSql("t")} FROM inj),
