@@ -719,13 +719,19 @@ object TextQueries {
            CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ip,
            ${piiRedactSql("t")} AS redacted
          FROM inj ORDER BY doc_id""",
-    "q100_winnow_fingerprints" ->
+    "q100_winnow_fingerprints" -> {
+      // polynomial-hash mirror built from RollingHashF's OWN constants:
+      // h = Σ_j cp(i+j)·B^(7−j) mod M — every term < 2^52, BIGINT-exact
+      val M = graft.sql.RollingHashF.Mod
+      val B = graft.sql.RollingHashF.Base
+      val pows = Array.iterate(1L, 8)(p => p * B % M).reverse // B^7..B^0
+      val hashTerms = (0 until 8).map(j =>
+        s"CAST(unicode(t[CAST(i + ${j + 1} AS INT):CAST(i + ${j + 1} AS INT)]) AS BIGINT) * ${pows(j)}")
+        .mkString("(", " + ", s") % $M")
       s"""WITH norm AS (SELECT doc_id,
              regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') t FROM documents),
          gs AS (SELECT doc_id, t, unnest(range(greatest(len(t) - 7, 0))) i FROM norm),
-         h AS (SELECT doc_id, CAST(i AS INT) pos,
-             md5(t[CAST(i + 1 AS INT):CAST(i + 8 AS INT)]) m FROM gs),
-         hb AS (SELECT doc_id, pos, CAST($baseHashSql AS BIGINT) H FROM h),
+         hb AS (SELECT doc_id, CAST(i AS INT) pos, $hashTerms H FROM gs),
          win AS (SELECT doc_id, pos,
              COUNT(*) OVER (PARTITION BY doc_id) n,
              MIN(H * 2097152 + pos) OVER (PARTITION BY doc_id ORDER BY pos
@@ -734,7 +740,8 @@ object TextQueries {
          fp AS (SELECT DISTINCT doc_id, sel FROM win WHERE pos <= n - 4)
          SELECT doc_id, CAST(sel % 2097152 AS INT) AS pos,
            sel // 2097152 AS hash
-         FROM fp ORDER BY doc_id, pos""",
+         FROM fp ORDER BY doc_id, pos"""
+    },
     "q99_corpus_assembly" ->
       s"""WITH $piiInjectSql,
          m AS (SELECT doc_id, t, ${gopherMetricsSql("t")} FROM inj),

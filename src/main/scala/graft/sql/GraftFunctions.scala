@@ -15,6 +15,7 @@ object GraftFunctions {
   val DotName = "graft_dot_f32"
   val L2NormName = "graft_l2normalize_f32"
   val IvfProbeName = "graft_ivf_probe_f32"
+  val RollingHashName = "graft_rolling_hash"
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -23,6 +24,8 @@ object GraftFunctions {
       L2NormName, exprs => L2NormalizeF32(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       IvfProbeName, exprs => IvfProbeF32.fromExprs(exprs.head, exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      RollingHashName, exprs => RollingHashF(exprs.head, exprs(1)), "built-in")
   }
 
   /** Column-level call; requires `register` (or GraftExtensions) first. */
@@ -37,6 +40,12 @@ object GraftFunctions {
     call_function(IvfProbeName, vec,
       org.apache.spark.sql.functions.typedLit(centroids.map(_.toSeq).toSeq),
       org.apache.spark.sql.functions.lit(nprobe))
+
+  /** Column-level call; requires `register` (or GraftExtensions) first.
+    * Rabin–Karp hashes of every k-codepoint window, one O(L) pass. */
+  def rollingHash(text: Column, k: Int): Column =
+    call_function(RollingHashName, text,
+      org.apache.spark.sql.functions.lit(k))
 }
 
 /** spark.sql.extensions entry point. */
@@ -60,5 +69,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[IvfProbeF32].getName, GraftFunctions.IvfProbeName),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         IvfProbeF32.fromExprs(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.RollingHashName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[RollingHashF].getName, GraftFunctions.RollingHashName),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        RollingHashF(exprs.head, exprs(1))))
   }
 }

@@ -9,18 +9,18 @@ class WinnowingSpec extends SparkSpecBase {
   private val K = 8
   private val W = 4
 
-  // independent reference: same normalization, md5-prefix hash, and
-  // leftmost-minimal window selection, computed with plain Scala
-  private def h32(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.take(8), 16)
-  }
+  // independent reference: same normalization, DIRECT Horner-form
+  // polynomial hash (no rolling update — a different code path from the
+  // RollingHashF kernel), and leftmost-minimal window selection
+  private def hDirect(cps: Array[Int], i: Int): Long =
+    (0 until K).foldLeft(0L)((h, j) =>
+      (h * graft.sql.RollingHashF.Base + cps(i + j)) % graft.sql.RollingHashF.Mod)
 
   private def reference(text: String): Set[(Int, Long)] = {
     val t = text.trim.toLowerCase.replaceAll("\\s+", " ")
-    if (t.length < K) return Set.empty
-    val grams = (0 to t.length - K).map(i => h32(t.substring(i, i + K)))
+    val cps = t.codePoints().toArray
+    if (cps.length < K) return Set.empty
+    val grams = (0 to cps.length - K).map(i => hDirect(cps, i))
     if (grams.length < W) return Set.empty
     (0 to grams.length - W).map { s =>
       (s until s + W).map(p => (grams(p), p)).min
