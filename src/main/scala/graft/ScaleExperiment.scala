@@ -505,6 +505,15 @@ object ScaleExperiment {
           cents, threshold = 0.4, maxCell = 16, dim = 64))
     }
 
+    // 23. winnowing fingerprints on the real corpus: the O(L) rolling-hash
+    // pass + per-doc window min. Length-linear, no corpus-wide shuffle —
+    // the count is the ~2/(w+1) density check at scale.
+    if (on("winnow")) {
+      counted("winnow_fingerprints")(
+        graft.functions.Winnowing.fingerprints(
+          Tables.load(spark, dir, "documents"), "doc_id", "text", 8, 4))
+    }
+
     // 20. BPE tokenizer: fit (one corpus shuffle + driver merge training)
     // and distributed encode throughput on the real corpus.
     if (on("bpe")) {
