@@ -349,6 +349,18 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Fixed-length example packing (the GPT "concatenate and chunk"
+    // layout): the corpus token stream in doc_id order cut into exactly
+    // 512-token examples, documents split across boundaries — the span
+    // table (doc, example, offsets, len) a shard writer consumes.
+    "q101_example_pack" -> { (s, d) =>
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens"))
+      graft.operators.ExamplePack.packExamples(
+          docs, "doc_id", col("n_tokens"), 512L, "doc_id")
+        .orderBy(col("doc_id"), col("example_id"))
+    },
+
     // Rolling-hash fingerprinting by winnowing (MOSS): char-8-gram md5
     // hashes, window-of-4 minimum selection — any shared substring of
     // length >= 11 between two docs shares a fingerprint, at ~2/5 of the
@@ -719,6 +731,20 @@ object TextQueries {
            CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ip,
            ${piiRedactSql("t")} AS redacted
          FROM inj ORDER BY doc_id""",
+    "q101_example_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) n FROM documents),
+         c AS (SELECT doc_id, n,
+             CAST(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum FROM t),
+         e AS (SELECT doc_id, n, cum,
+             unnest(range((cum - n) // 512, (cum - 1) // 512 + 1)) eid
+           FROM c WHERE n > 0)
+         SELECT doc_id, CAST(eid AS INT) AS example_id,
+           CAST(greatest(eid * 512 - (cum - n), 0) AS INT) AS off_in_doc,
+           CAST(greatest((cum - n) - eid * 512, 0) AS INT) AS off_in_example,
+           CAST(least(eid * 512 + 512, cum) - greatest(eid * 512, cum - n) AS INT) AS len
+         FROM e ORDER BY doc_id, example_id""",
     "q100_winnow_fingerprints" -> {
       // polynomial-hash mirror built from RollingHashF's OWN constants:
       // h = Σ_j cp(i+j)·B^(7−j) mod M — every term < 2^52, BIGINT-exact
