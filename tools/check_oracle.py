@@ -62,9 +62,13 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    report = {}  # driver-shaped rows for tools/check_claims.py
     for name in sorted(oracle):
+        report[name] = {"rows_match": False, "schema_match": False,
+                        "hash_match": False, "err": None}
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
+            report[name]["err"] = "no spark output"
             print(f"FAIL {name}: no spark output"); n_bad += 1; continue
         try:
             got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
@@ -72,6 +76,7 @@ def main(sf_dir, out_dir):
             exp = con.execute(oracle[name])
             e_cols = [d[0] for d in exp.description]; e_rows = exp.fetchall()
         except Exception as e:
+            report[name]["err"] = str(e)
             print(f"FAIL {name}: {e}"); n_bad += 1; continue
         if sorted(g_cols) != sorted(e_cols):
             print(f"FAIL {name}: cols spark={sorted(g_cols)} oracle={sorted(e_cols)}")
@@ -93,7 +98,10 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {len(diffs)}/{len(g)} rows differ; first: spark={diffs[0][0]} oracle={diffs[0][1]}")
             n_bad += 1
         else:
+            report[name].update(rows_match=True, schema_match=True, hash_match=True)
             print(f"ok   {name} ({len(g)} rows)"); n_ok += 1
+    with open(f"{out_dir}/correctness_local.json", "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
     print(f"== {n_ok} ok, {n_bad} fail")
     return 1 if n_bad else 0
 
