@@ -349,6 +349,24 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Count-Min sketch: depth-4 × width-256 counters over the token
+    // stream (ONE shuffle with a constant key space — the key universe
+    // never shuffles), probed for the exact heavy hitters. est >= cnt
+    // always; both engines replay the counters bit-for-bit.
+    "q102_countmin" -> { (s, d) =>
+      import graft.functions.CountMin
+      val tok = table(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("k"))
+      val sk = CountMin.sketch(tok, col("k"), 4, 256)
+      val cnts = tok.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      val hh = cnts.crossJoin(broadcast(tok.agg(count(lit(1)).as("nn"))))
+        .filter(col("cnt") * 51 > col("nn")).select(col("k"), col("cnt"))
+      CountMin.estimate(sk, hh, "k", 4, 256)
+        .join(hh, Seq("k"))
+        .select(col("k").as("key"), col("est"), col("cnt"))
+        .orderBy(col("key"))
+    },
+
     // Fixed-length example packing (the GPT "concatenate and chunk"
     // layout): the corpus token stream in doc_id order cut into exactly
     // 512-token examples, documents split across boundaries — the span
@@ -731,6 +749,29 @@ object TextQueries {
            CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ip,
            ${piiRedactSql("t")} AS redacted
          FROM inj ORDER BY doc_id""",
+    "q102_countmin" -> {
+      val coef = TextDedup.minhashCoefficients(4)
+      val buckets = coef.map { case (a, b) =>
+        s"CAST(H * $a + $b AS BIGINT) % ${TextDedup.MinhashPrime} % 256"
+      }
+      s"""WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) k FROM documents),
+         cnts AS (SELECT k, COUNT(*) cnt FROM tok GROUP BY k),
+         hx AS (SELECT k, cnt, md5(k) m FROM cnts),
+         hb AS (SELECT k, cnt, $baseHashSql H FROM hx),
+         rows_ AS (SELECT k, cnt,
+             unnest([0, 1, 2, 3]) ri,
+             unnest([${buckets.mkString(", ")}]) bucket FROM hb),
+         sk AS (SELECT ri, bucket, SUM(cnt) cnt FROM rows_ GROUP BY 1, 2),
+         tot AS (SELECT SUM(cnt) nn FROM cnts),
+         hh AS (SELECT k, cnt FROM cnts, tot WHERE cnt * 51 > nn),
+         est AS (SELECT r.k, MIN(CAST(COALESCE(s.cnt, 0) AS BIGINT)) est
+           FROM (SELECT k, ri, bucket FROM rows_
+                 WHERE k IN (SELECT k FROM hh)) r
+           LEFT JOIN sk s ON r.ri = s.ri AND r.bucket = s.bucket
+           GROUP BY r.k)
+         SELECT h.k AS key, e.est AS est, CAST(h.cnt AS BIGINT) AS cnt
+         FROM hh h JOIN est e ON h.k = e.k ORDER BY key"""
+    },
     "q101_example_pack" ->
       s"""WITH t AS (SELECT doc_id,
              CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) n FROM documents),
