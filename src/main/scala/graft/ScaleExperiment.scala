@@ -465,7 +465,7 @@ object ScaleExperiment {
         explode(array((0 until 20).map(lit(_)): _*)).as("pos"))
         .select(col("doc_id"), col("pos"),
           when(pmod(col("pos"), lit(2)) === 0,
-            concat(lit("template"), pmod(col("pos"), lit(10))))
+            concat(lit("template"), pmod(shiftright(col("pos"), 1), lit(10))))
             .otherwise(concat(lit("line"), col("doc_id") * 20 + col("pos")))
             .as("line"))
       counted("linededup_groupby_heavydup")(

@@ -27,6 +27,14 @@ import graft.dedup.TextDedup
   */
 object CountMin {
 
+  /** A built sketch WITH its dimensions: estimates computed against a
+    * sketch must hash probe keys with the same (depth, width) the
+    * counters were built with — a mismatched pair silently violates the
+    * CMS est ≥ cnt guarantee — so the pair travels with the counters
+    * and probe/merge validate instead of trusting callers to repeat the
+    * parameters. */
+  final case class Sketch(counters: DataFrame, depth: Int, width: Int)
+
   private def baseHash(key: Column): Column =
     conv(substring(md5(key), 1, 8), 16, 10).cast("long")
 
@@ -35,38 +43,44 @@ object CountMin {
     ((h * a + b) % TextDedup.MinhashPrime % width).cast("int")
   }
 
-  /** Build the sketch: (row, bucket, cnt) — at most depth×width rows.
-    * Every input row contributes weight 1 to one bucket per sketch row. */
+  /** Build the sketch: counters (row, bucket, cnt) — at most depth×width
+    * rows. Every input row contributes weight 1 to one bucket per
+    * sketch row. */
   def sketch(df: DataFrame, key: Column, depth: Int = 4,
-      width: Int = 256): DataFrame = {
+      width: Int = 256): Sketch = {
     require(depth >= 1 && width >= 2, s"need depth >= 1, width >= 2")
-    df.select(baseHash(key).as("__h"))
+    Sketch(df.select(baseHash(key).as("__h"))
       .select(posexplode(array(
         (0 until depth).map(i => bucketFor(col("__h"), i, width)): _*))
         .as(Seq("row", "bucket")))
       .groupBy(col("row"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")), depth, width)
   }
 
-  /** Combine sketches built with the SAME (depth, width): union + re-sum.
-    * Associative and commutative — the streaming/sharded merge. */
-  def merge(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b).groupBy(col("row"), col("bucket"))
-      .agg(sum(col("cnt")).as("cnt"))
+  /** Combine sketches: union + re-sum. Associative and commutative —
+    * the streaming/sharded merge. Raises on mismatched dimensions. */
+  def merge(a: Sketch, b: Sketch): Sketch = {
+    require(a.depth == b.depth && a.width == b.width,
+      s"cannot merge sketches of different shape: " +
+        s"${a.depth}x${a.width} vs ${b.depth}x${b.width}")
+    Sketch(a.counters.unionByName(b.counters)
+      .groupBy(col("row"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt")), a.depth, a.width)
+  }
 
   /** Point-frequency estimates for `probes` (a DataFrame with `keyCol`):
     * min over the key's depth counters; a bucket the sketch never saw
-    * counts 0. The sketch side is broadcast — it is ≤ depth×width rows
-    * by construction — so probing any number of keys is one map-side
+    * counts 0. Probe hashing reuses the sketch's own (depth, width).
+    * The sketch side is broadcast — it is ≤ depth×width rows by
+    * construction — so probing any number of keys is one map-side
     * join, no shuffle of the probe stream. */
-  def estimate(sketchDf: DataFrame, probes: DataFrame, keyCol: String,
-      depth: Int = 4, width: Int = 256): DataFrame = {
+  def estimate(sk: Sketch, probes: DataFrame, keyCol: String): DataFrame = {
     val lookups = probes
       .select(col(keyCol), baseHash(col(keyCol)).as("__h"))
       .select(col(keyCol), posexplode(array(
-        (0 until depth).map(i => bucketFor(col("__h"), i, width)): _*))
+        (0 until sk.depth).map(i => bucketFor(col("__h"), i, sk.width)): _*))
         .as(Seq("row", "bucket")))
-    lookups.join(broadcast(sketchDf), Seq("row", "bucket"), "left")
+    lookups.join(broadcast(sk.counters), Seq("row", "bucket"), "left")
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }

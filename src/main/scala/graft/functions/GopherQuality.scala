@@ -51,16 +51,18 @@ object GopherQuality {
     m("n_words") >= minWords && m("n_words") <= maxWords &&
       m("total_len") >= lit(3) * m("n_words") &&
       m("total_len") <= lit(10) * m("n_words") &&
-      lit(10) * m("n_sym") < m("n_words") &&
+      lit(10) * m("n_sym") <= m("n_words") &&
       lit(5) * m("n_alpha") >= lit(4) * m("n_words") &&
-      lit(10) * m("n_bullet") < lit(9) * m("n_lines") &&
-      lit(10) * m("n_ellipsis") < lit(3) * m("n_lines") &&
+      lit(10) * m("n_bullet") <= lit(9) * m("n_lines") &&
+      lit(10) * m("n_ellipsis") <= lit(3) * m("n_lines") &&
       m("n_stop") >= minStopwords
 
   /** Per-document metrics + `keep` under the Gopher defaults:
-    * 50 ≤ words ≤ 100000, 3 ≤ mean word length ≤ 10, symbol/word < 0.1
-    * ('#' and '...'), alphabetic words ≥ 0.8, bullet lines < 0.9,
-    * ellipsis-ending lines < 0.3, ≥ `minStopwords` distinct stopwords. */
+    * 50 ≤ words ≤ 100000, 3 ≤ mean word length ≤ 10, symbol/word ≤ 0.1
+    * ('#' and '...'), alphabetic words ≥ 0.8, bullet lines ≤ 0.9,
+    * ellipsis-ending lines ≤ 0.3, ≥ `minStopwords` distinct stopwords.
+    * Ratio boundaries are INCLUSIVE (Rae et al. remove only documents
+    * strictly above a threshold, so exact-boundary documents are kept). */
   def metrics(docs: DataFrame, idCol: String, textCol: String,
       minWords: Int = 50, maxWords: Int = 100000,
       minStopwords: Int = 2): DataFrame = {

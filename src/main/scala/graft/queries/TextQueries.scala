@@ -361,7 +361,7 @@ object TextQueries {
       val cnts = tok.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
       val hh = cnts.crossJoin(broadcast(tok.agg(count(lit(1)).as("nn"))))
         .filter(col("cnt") * 51 > col("nn")).select(col("k"), col("cnt"))
-      CountMin.estimate(sk, hh, "k", 4, 256)
+      CountMin.estimate(sk, hh, "k")
         .join(hh, Seq("k"))
         .select(col("k").as("key"), col("est"), col("cnt"))
         .orderBy(col("key"))
@@ -509,8 +509,8 @@ object TextQueries {
   private def gopherKeepSql(minStop: Int): String =
     s"""(n_words >= 50 AND n_words <= 100000
             AND total_len >= 3 * n_words AND total_len <= 10 * n_words
-            AND 10 * n_sym < n_words AND 5 * n_alpha >= 4 * n_words
-            AND 10 * n_bullet < 9 * n_lines AND 10 * n_ellipsis < 3 * n_lines
+            AND 10 * n_sym <= n_words AND 5 * n_alpha >= 4 * n_words
+            AND 10 * n_bullet <= 9 * n_lines AND 10 * n_ellipsis <= 3 * n_lines
             AND n_stop >= $minStop)"""
 
   val oracles: Map[String, String] = Map(

@@ -1,7 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
@@ -55,35 +55,43 @@ object RollingHashF {
   }
 }
 
-case class RollingHashF(child: Expression, kExpr: Expression)
-    extends UnaryExpression {
+/** `kExpr` is a true child (BinaryExpression), so the analyzer resolves
+  * and transforms it like any operand; a non-literal k then fails cleanly
+  * in checkInputDataTypes instead of throwing from an unresolved eval. */
+case class RollingHashF(left: Expression, right: Expression)
+    extends BinaryExpression {
 
-  private lazy val k: Int = kExpr.eval() match {
-    case i: Int => i
-    case other => throw new IllegalArgumentException(
-      s"graft_rolling_hash k must be an int literal, got $other")
-  }
+  private def kExpr: Expression = right
+
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Int]
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (child.dataType, kExpr.foldable, kExpr.dataType) match {
-      case (StringType, true, IntegerType) if k >= 1 =>
-        TypeCheckResult.TypeCheckSuccess
+    (left.dataType, kExpr.foldable, kExpr.dataType) match {
+      case (StringType, true, IntegerType) =>
+        kExpr.eval() match {
+          case i: Int if i >= 1 => TypeCheckResult.TypeCheckSuccess
+          case other => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires k to be an int literal >= 1, got $other")
+        }
       case _ => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (string, int literal >= 1), got " +
-          s"(${child.dataType.simpleString}, ${kExpr.sql})")
+          s"(${left.dataType.simpleString}, ${kExpr.sql})")
     }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def prettyName: String = "graft_rolling_hash"
 
-  override protected def nullSafeEval(t: Any): Any =
+  /** k is plan-constant (literal-only, enforced above): evaluation reads
+    * the folded value, never the right operand per-row. */
+  override protected def nullSafeEval(t: Any, kv: Any): Any =
     RollingHashF.compute(t.asInstanceOf[UTF8String], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, t =>
+    nullSafeCodeGen(ctx, ev, (t, _) =>
       s"${ev.value} = graft.sql.RollingHashF.compute($t, $k);")
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

@@ -40,6 +40,24 @@ class LineDedupSpec extends SparkSpecBase {
     assert(!plan.contains("Window"), s"window formulation is the skew trap:\n$plan")
   }
 
+  test("out-of-range ids and positions raise instead of silently mis-packing") {
+    // a snowflake-style id >= 2^42 would shift past the sign bit and wrap
+    // negative, corrupting min-based first-occurrence selection
+    val bigId = lines((1L << 42, 0, "a"))
+      .select(Packing.pack($"id", $"pos"))
+    val e1 = intercept[Exception] { bigId.collect() }
+    assert(e1.getMessage.contains("Packing"), e1.getMessage)
+    val bigPos = lines((1L, 1 << 21, "a")).select(Packing.pack($"id", $"pos"))
+    val e2 = intercept[Exception] { bigPos.collect() }
+    assert(e2.getMessage.contains("Packing"), e2.getMessage)
+    // the largest legal (id, pos) round-trips exactly
+    val maxOk = lines(((1L << 42) - 1, (1 << 21) - 1, "a"))
+      .select(Packing.pack($"id", $"pos").as("p"))
+      .select(Packing.unpackId($"p"), Packing.unpackPos($"p"))
+      .as[(Long, Int)].head()
+    assert(maxOk == ((1L << 42) - 1, (1 << 21) - 1))
+  }
+
   test("reassembly order follows position, not shuffle arrival") {
     val in = lines((1L, 2, "c"), (1L, 0, "a"), (1L, 1, "b"))
     val out = LineDedup.dropDuplicateLines(in.repartition(4), "id", "pos", "line")

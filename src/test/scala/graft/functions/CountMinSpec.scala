@@ -23,7 +23,7 @@ class CountMinSpec extends SparkSpecBase {
     val tiny = (0 until 40).flatMap(n => Seq.fill(n + 1)(s"t$n")).toDF("k")
     val tsk = CountMin.sketch(tiny, $"k", depth = 4, width = 4096)
     val texact = tiny.groupBy($"k").agg(count(lit(1)).as("cnt"))
-    val tEst = CountMin.estimate(tsk, texact.select($"k"), "k", 4, 4096)
+    val tEst = CountMin.estimate(tsk, texact.select($"k"), "k")
       .join(texact, Seq("k")).as[(String, Long, Long)].collect()
     assert(tEst.forall { case (_, e, c) => e == c },
       s"40 keys in 4096 buckets should not collide: $tEst")
@@ -33,20 +33,27 @@ class CountMinSpec extends SparkSpecBase {
     val a = toks.filter(md5($"k").startsWith("0") || md5($"k") < "8")
     val b = toks.exceptAll(a)
     val merged = CountMin.merge(CountMin.sketch(a, $"k"), CountMin.sketch(b, $"k"))
-      .orderBy($"row", $"bucket").as[(Int, Int, Long)].collect().toSeq
+      .counters.orderBy($"row", $"bucket").as[(Int, Int, Long)].collect().toSeq
     val whole = CountMin.sketch(toks, $"k")
-      .orderBy($"row", $"bucket").as[(Int, Int, Long)].collect().toSeq
+      .counters.orderBy($"row", $"bucket").as[(Int, Int, Long)].collect().toSeq
     assert(merged == whole, "merge(shard sketches) must equal the whole-corpus sketch")
   }
 
+  test("mismatched sketch shapes raise instead of silently underestimating") {
+    val a = CountMin.sketch(toks, $"k", depth = 4, width = 256)
+    val b = CountMin.sketch(toks, $"k", depth = 4, width = 512)
+    val e = intercept[IllegalArgumentException] { CountMin.merge(a, b) }
+    assert(e.getMessage.contains("4x256") && e.getMessage.contains("4x512"))
+  }
+
   test("the sketch is bounded at depth x width rows regardless of corpus size") {
-    val sk = CountMin.sketch(toks, $"k", depth = 4, width = 64).collect()
+    val sk = CountMin.sketch(toks, $"k", depth = 4, width = 64).counters.collect()
     assert(sk.length <= 4 * 64, s"${sk.length} rows exceeds 4x64")
   }
 
   test("the build is one partial-aggregated shuffle; probing broadcasts the sketch") {
     val sk = CountMin.sketch(toks, $"k")
-    val buildPlan = sk.queryExecution.executedPlan.toString
+    val buildPlan = sk.counters.queryExecution.executedPlan.toString
     assert(buildPlan.contains("partial_count"),
       s"hot keys must collapse map-side:\n$buildPlan")
     val probePlan = CountMin.estimate(sk, Seq("the").toDF("k"), "k")

@@ -52,6 +52,18 @@ class RollingHashSpec extends SparkSpecBase {
     assert(h(0) != h(1), "different grams should differ (no degenerate hash)")
   }
 
+  test("a non-literal k fails analysis cleanly, not with an unresolved eval") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      Seq(("abcdefgh", 3)).toDF("t", "k")
+        .selectExpr("graft_rolling_hash(t, k)").collect()
+    }
+    // kExpr is a true child now: the analyzer reports a type-check
+    // failure naming the function, never an unresolved-expression throw
+    assert(e.getMessage.contains("graft_rolling_hash"), e.getMessage)
+    assert(!e.getMessage.contains("Unresolved"), e.getMessage)
+  }
+
   test("the kernel stays inside whole-stage codegen") {
     GraftFunctions.register(spark)
     // a real scan input — a literal local relation would constant-fold
