@@ -44,7 +44,7 @@ object Bench {
     catch { case e: Throwable =>
       errors("benchSetup") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
     }
-    val all = SparkEntry.queries ++ SparkEntry.benchOnly
+    val all = (SparkEntry.queries -- SparkEntry.benchSkip) ++ SparkEntry.benchOnly
     // (name, median, reps) — median over successful reps; a query whose every
     // rep fails reports the negated first-rep wall time like before.
     val results: Seq[(String, Double, Seq[Double])] =

@@ -145,6 +145,24 @@ object StarDag {
   def lowercaseColumns(df: DataFrame): DataFrame =
     df.toDF(df.columns.map(_.toLowerCase): _*)
 
+  /** Models 5-8 (metadata join → dedup → 3-way join → filter → pull) over
+    * ALREADY-STAGED inputs — shared by the in-memory `run` and the
+    * bronze-warehouse bench form (q25b), so the two measure the same plan
+    * downstream of staging. */
+  def runFromStaged(tx: DataFrame, art: DataFrame, cust: DataFrame,
+      img: DataFrame, trainEndUs: Long = 946684800000000L,
+      minInteractions: Long = 5L, verifyFk: Boolean = false): DataFrame = {
+    val meta = articlesMetadata(art, img)
+    val dedup = dedupTransactions(tx)
+    if (verifyFk) {
+      val bad = fkViolations(dedup, meta, cust).limit(5).collect()
+      require(bad.isEmpty,
+        s"freqSource=dedup requires FK integrity; violations: ${bad.mkString(", ")}")
+    }
+    val joined = joinedDataframe(dedup, meta, cust)
+    finalPull(filteredDataframe(joined, trainEndUs, minInteractions, freqSource = Some(dedup)))
+  }
+
   /** The whole DAG from in-memory envelopes (etl batch `etlId`).
     *
     * The frequency branch counts from the pre-join deduped transactions (one
@@ -161,15 +179,7 @@ object StarDag {
     val art = staging(env(articlesRaw(spark, dir), "articles"), articleSchema)
     val cust = staging(env(customersRaw(spark, dir), "customers"), customerSchema)
     val img = staging(env(imagesRaw(spark, dir), "images"), imageSchema)
-    val meta = articlesMetadata(art, img)
-    val dedup = dedupTransactions(tx)
-    if (verifyFk) {
-      val bad = fkViolations(dedup, meta, cust).limit(5).collect()
-      require(bad.isEmpty,
-        s"freqSource=dedup requires FK integrity; violations: ${bad.mkString(", ")}")
-    }
-    val joined = joinedDataframe(dedup, meta, cust)
-    finalPull(filteredDataframe(joined, trainEndUs, minInteractions, freqSource = Some(dedup)))
+    runFromStaged(tx, art, cust, img, trainEndUs, minInteractions, verifyFk)
   }
 
   /** The same 8-model DAG through the materialization registry (Dag):

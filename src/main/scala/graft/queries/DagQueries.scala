@@ -38,6 +38,77 @@ object DagQueries {
       StarDag.run(s, d)
     })
 
+  /** The four DAG sources and their declared schemas, in ingest order. */
+  private val rawSpecs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame, StructType)] =
+    Seq(
+      ("transactions", StarDag.transactionsRaw _, StarDag.txSchema),
+      ("articles", StarDag.articlesRaw _, StarDag.articleSchema),
+      ("customers", StarDag.customersRaw _, StarDag.customerSchema),
+      ("images", StarDag.imagesRaw _, StarDag.imageSchema))
+
+  /** Deterministic per-sfDir fixture root for the q25 bench split. */
+  private def benchRoot(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_bench_q25_${Integer.toHexString(d.hashCode)}"
+
+  private def committed(s: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Untimed bench fixture (idempotent, keyed on _SUCCESS markers like
+    * Dag.committed): the four raw tables staged as CSV — the shape the
+    * reference ingests — and ONE committed bronze warehouse for the
+    * DAG-over-bronze form to read. */
+  def benchSetup(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val root = benchRoot(d)
+    rawSpecs.foreach { case (name, raw, _) =>
+      if (!committed(s, s"$root/csv/$name"))
+        CsvEnvelopeLoader.writeCsv(raw(s, d), s"$root/csv/$name")
+    }
+    rawSpecs.foreach { case (name, _, schema) =>
+      // loadBatch APPENDS: re-loading the same etl batch would double the
+      // partition's rows, so the warehouse is written exactly once
+      if (!committed(s, s"$root/bronze/$name"))
+        CsvEnvelopeLoader.loadBatch(
+          CsvEnvelopeLoader.readCsv(s, s"$root/csv/$name", schema),
+          name, 1700000000L, "batch-1", s"$root/bronze")
+    }
+  }
+
+  /** Bench forms of the q25 pipeline, split at the materialization boundary
+    * a warehouse actually has (VERDICT r5 task 1): the in-memory e2e form
+    * re-encoded envelopes every rep, so its wall time breathed 1.9× with
+    * parse cost that a real deployment pays once per batch, not per query.
+    * Correctness of the composed DAG stays oracle-checked as q25_e2e_dag in
+    * Verify; these two carry its bench duty (SparkEntry.benchSkip).
+    */
+  val benchDefs: Map[String, QueryFn] = Map(
+    // Ingest leg, measured per rep against a FRESH warehouse: CSV parse
+    // (explicit schema) → envelope encode → parquet bronze partitioned by
+    // etl_id. This is the once-per-batch cost.
+    "q25a_csv_to_bronze" -> { (s, d) =>
+      val root = benchRoot(d)
+      val fresh = java.nio.file.Files.createTempDirectory("graft_q25a").toString
+      rawSpecs.foreach { case (name, _, schema) =>
+        CsvEnvelopeLoader.loadBatch(
+          CsvEnvelopeLoader.readCsv(s, s"$root/csv/$name", schema),
+          name, 1700000000L, "batch-1", fresh)
+      }
+      import s.implicits._
+      rawSpecs.map(_._1).toDF("model")
+    },
+    // Query leg: the 8-model DAG over the committed bronze warehouse —
+    // staging prunes to the latest etl_id partition, then the same
+    // runFromStaged composition q25 verifies.
+    "q25b_dag_over_bronze" -> { (s, d) =>
+      val root = benchRoot(d)
+      def stg(name: String, schema: StructType) =
+        StarDag.staging(CsvEnvelopeLoader.readBronze(s, s"$root/bronze", name), schema)
+      StarDag.runFromStaged(
+        stg("transactions", StarDag.txSchema), stg("articles", StarDag.articleSchema),
+        stg("customers", StarDag.customerSchema), stg("images", StarDag.imageSchema))
+    })
+
   val oracles: Map[String, String] = Map(
     "q18_csv_envelope_bronze" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
