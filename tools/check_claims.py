@@ -32,6 +32,15 @@ def main(artifact_path):
     bad = sorted(claimed - green)
     unknown = sorted(c for c in bad if c not in red)
     failed = sorted(c for c in bad if c in red)
+    # inverse direction: a query the driver verified green that SURVEY
+    # never mentions — new operators must not land undocumented.
+    # SURVEY cites both single queries (q32) and ranges (q31-q35).
+    mentioned = set()
+    for a, b in re.findall(r"\bq(\d+)-q(\d+)", survey):
+        mentioned.update(f"q{n:02d}" for n in range(int(a), int(b) + 1))
+    undocumented = sorted(q for q in green | red
+                          if q not in mentioned
+                          and not re.search(rf"\b{q}(?![0-9])", survey))
 
     if failed:
         print("OVERCLAIM: SURVEY.md says 'oracle qNN' but the artifact is RED:")
@@ -42,9 +51,14 @@ def main(artifact_path):
               "(renamed? never shipped?):")
         for q in unknown:
             print(f"  {q}")
-    if not bad:
+    if undocumented:
+        print("UNDOCUMENTED: the driver artifact has these rows but SURVEY.md "
+              "never mentions them (add a §8 row):")
+        for q in undocumented:
+            print(f"  {q}")
+    if not bad and not undocumented:
         print(f"ok: {len(claimed)} SURVEY oracle claims all green in "
-              f"{artifact_path} ({len(green)} green rows)")
+              f"{artifact_path} ({len(green)} green rows, all documented)")
         return 0
     return 1
 
