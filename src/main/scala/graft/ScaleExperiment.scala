@@ -482,14 +482,32 @@ object ScaleExperiment {
     // reducer but does O(1) work per row (AQE can split it) — measured so
     // the claim is a number. Corpus: 200k docs × 40 tokens.
     if (on("spandedup")) {
-      val nDocs = 200000
-      val boiler = (0 until 8).map(i => lit(s"b$i"))
-      val uniq = (8 until 40).map(i =>
-        concat(lit(s"w${i}_"), col("doc_id")))
-      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
-        array(boiler ++ uniq: _*).as("toks"))
-      counted("spandedup_hotgram")(
-        graft.dedup.SpanDedup.removeDuplicateSpans(docs, "doc_id", col("toks"), 8))
+      def hotGramDocs(nDocs: Int) = {
+        val boiler = (0 until 8).map(i => lit(s"b$i"))
+        val uniq = (8 until 40).map(i =>
+          concat(lit(s"w${i}_"), col("doc_id")))
+        spark.range(nDocs).select(col("id").as("doc_id"),
+          array(boiler ++ uniq: _*).as("toks"))
+      }
+      // base and 10x of the SAME adversarial fixture: the hot gram is in
+      // every doc at both sizes, so the wall-clock ratio is the linearity
+      // measurement (single-reducer skew would show up superlinear). The
+      // noop sink matters here: a count() would let Catalyst ELIMINATE
+      // the final left join (the rebuilt side has provably unique keys)
+      // and measure a fraction of the pipeline.
+      timed("spandedup_hotgram_1x")(
+        graft.dedup.SpanDedup.removeDuplicateSpans(
+          hotGramDocs(200000), "doc_id", col("toks"), 8))
+      timed("spandedup_hotgram_10x")(
+        graft.dedup.SpanDedup.removeDuplicateSpans(
+          hotGramDocs(2000000), "doc_id", col("toks"), 8))
+      // salted marking at 10x: the documented escape hatch for the regime
+      // where one gram's occurrences alone exceed an executor — result
+      // identical, hot key spread over 8 reducers, (gram, first) table
+      // replicated 8x
+      timed("spandedup_hotgram_10x_salted")(
+        graft.dedup.SpanDedup.removeDuplicateSpans(
+          hotGramDocs(2000000), "doc_id", col("toks"), 8, numSalts = 8))
     }
 
     // 22. semantic dedup on the real embeddings at the default quantizer:

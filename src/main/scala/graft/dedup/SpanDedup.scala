@@ -30,9 +30,19 @@ import graft.functions.TextOps
   *  - marking: grams ⋈ firsts on gram, keep occurrences with
   *    packed > first. A plain equi shuffle join: the aggregate side ships
   *    map-combined partials (tiny), the occurrence side ships the gram
-  *    stream once. A hot gram's occurrences land on one reducer, but the
-  *    per-row work there is a long comparison and AQE's skew-join split
-  *    applies — unlike a window formulation, nothing is sorted;
+  *    stream once, and the final aggregate FUSES into the join stage (one
+  *    shuffle serves both). A hot gram's occurrences land on one reducer;
+  *    the per-row work there is a single long comparison and nothing is
+  *    sorted per group, so the reducer is linear in the hot gram's
+  *    occurrence count (measured flat at 10× in ScaleExperiment's
+  *    every-doc-hot-gram regime). NOTE: AQE's skew-join split does NOT
+  *    apply to this shape — its pattern needs the join children to be
+  *    bare shuffle reads, and the fused aggregate is between — so for a
+  *    corpus where one gram's occurrences alone exceed an executor,
+  *    pass `numSalts > 1`: the marking join becomes
+  *    [[graft.operators.Relational.saltedJoin]], spreading each gram
+  *    over `numSalts` reducers at the cost of replicating the
+  *    (gram, first) table `numSalts`× (rows are two words each);
   *  - coverage: marked spans explode to ≤ k rows each — k× the
   *    duplicated-occurrence count only, not the corpus;
   *  - removal: left_anti join tokens against covered positions on
@@ -50,15 +60,20 @@ object SpanDedup {
       posexplode(TextOps.wordShingles(col("__toks"), k)).as(Seq("pos", "__g")))
 
   /** Start positions (idCol, pos) of every duplicated-gram occurrence that
-    * is NOT its gram's corpus-wide first — the spans slated for removal. */
+    * is NOT its gram's corpus-wide first — the spans slated for removal.
+    * `numSalts > 1` salts the marking join for hot-gram skew (see the
+    * scale-design note above); results are identical either way. */
   def duplicateSpanStarts(docs: DataFrame, idCol: String, toksCol: Column,
-      k: Int): DataFrame = {
+      k: Int, numSalts: Int = 1): DataFrame = {
     val base = docs.select(col(idCol), toksCol.as("__toks"))
     val grams = gramRows(base, idCol, k)
     val firsts = grams
       .groupBy(col("__g"))
       .agg(min(Packing.pack(col(idCol), col("pos"))).as("__f"))
-    grams.join(firsts, Seq("__g"))
+    val marked =
+      if (numSalts <= 1) grams.join(firsts, Seq("__g"))
+      else graft.operators.Relational.saltedJoin(grams, firsts, Seq("__g"), numSalts)
+    marked
       .filter(Packing.pack(col(idCol), col("pos")) > col("__f"))
       .select(col(idCol), col("pos"))
   }
@@ -68,9 +83,9 @@ object SpanDedup {
     * Every input document survives — one whose every token was covered
     * comes back as the empty string. Output: (idCol, clean, n_kept). */
   def removeDuplicateSpans(docs: DataFrame, idCol: String, toksCol: Column,
-      k: Int): DataFrame = {
+      k: Int, numSalts: Int = 1): DataFrame = {
     val base = docs.select(col(idCol), toksCol.as("__toks"))
-    val covered = duplicateSpanStarts(base, idCol, col("__toks"), k)
+    val covered = duplicateSpanStarts(base, idCol, col("__toks"), k, numSalts)
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
     val toks = base.select(col(idCol),

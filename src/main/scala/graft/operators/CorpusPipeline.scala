@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.TextDedup
+import graft.functions.{GopherQuality, Pii, TextOps}
+import graft.models.{Dag, DagModel}
+
+/** Declared-stage corpus pipeline — the LLM-corpus counterpart of the
+  * relational DAG registry (`models/Dag`, the dbt-style per-model
+  * materialization walk). A user composes the standard pre-training data
+  * path — quality gate → PII redaction → dedup tier → token count →
+  * seeded shuffle/shard → example pack — as NAMED stages instead of
+  * re-deriving the q99 wiring, and gets the registry's semantics for
+  * free: any stage can be `materialized` to parquet and reused across
+  * runs, refresh cascades downstream, and the default (nothing
+  * materialized) composes lazily so Catalyst sees the whole chain and
+  * prunes/pushes across stage boundaries.
+  *
+  * Scale notes: the registry adds NOTHING to the dataflow — each stage is
+  * exactly the operator it names (same plan as calling it directly, pinned
+  * by CorpusPipelineSpec's q99 parity test). Materialization boundaries
+  * trade cross-stage pushdown for rerunnability, the same trade as
+  * `StarDag.dag`; a 100 TB run materializes the expensive tiers (dedup)
+  * and leaves the projections lazy.
+  */
+object CorpusPipeline {
+
+  /** One named stage: a DataFrame transform over the previous stage's
+    * output. `Stage(name)(df => ...)` for session-free transforms;
+    * `Stage.withSession` when the transform needs the SparkSession. */
+  final case class Stage(name: String)(val f: (SparkSession, DataFrame) => DataFrame)
+
+  def stage(name: String)(f: DataFrame => DataFrame): Stage =
+    Stage(name)((_, df) => f(df))
+
+  // ---- the standard corpus stages, thin named wrappers over the
+  // ---- already-oracle-checked operators
+
+  /** Gopher rule battery as a pushdown-friendly filter (q95 operator). */
+  def qualityGate(textCol: String, minWords: Int = 50,
+      maxWords: Int = 100000, minStopwords: Int = 2): Stage =
+    stage("quality_gate")(_.filter(
+      GopherQuality.keepExpr(col(textCol), minWords, maxWords, minStopwords)))
+
+  /** In-place PII redaction of the text column (q92 operator). */
+  def piiRedact(textCol: String): Stage =
+    stage("pii_redact")(_.withColumn(textCol, Pii.redact(col(textCol))))
+
+  /** Exact-duplicate removal tier (q32 operator; min-id canonical). */
+  def exactDedup(idCol: String, textCol: String): Stage =
+    stage("exact_dedup")(TextDedup.dropExactDuplicates(_, idCol, textCol))
+
+  /** MinHash-LSH near-duplicate removal tier (q38 operator). */
+  def nearDedup(idCol: String, textCol: String, threshold: Double = 0.8,
+      numHashes: Int = 16, rowsPerBand: Int = 2): Stage =
+    stage("near_dedup")(df => TextDedup.dropNearDuplicates(df, idCol,
+      TextOps.wordShingles(TextOps.tokens(col(textCol)), 8),
+      numHashes, rowsPerBand, threshold))
+
+  /** Token counting — the weight column shuffle/pack stages consume. */
+  def tokenCount(textCol: String, out: String = "n_tokens"): Stage =
+    stage("token_count")(_.withColumn(out, size(TextOps.tokens(col(textCol)))))
+
+  /** Seeded deterministic shuffle + token-budget shard packing (q97). */
+  def shuffleShards(idCol: String, seed: String, budget: Long,
+      weightCol: String = "n_tokens"): Stage =
+    stage("shuffle_shards")(
+      CorpusShuffle.shuffledShards(_, idCol, col(weightCol), seed, budget))
+
+  /** Fixed-length example packing in seeded epoch order (q101/q103). */
+  def packExamples(idCol: String, seed: String, exampleLen: Long,
+      weightCol: String = "n_tokens"): Stage =
+    stage("pack_examples")(df => ExamplePack.packExamples(
+      df.withColumn("__k", CorpusShuffle.shuffleKey(seed, col(idCol))),
+      idCol, col(weightCol), exampleLen, "__k", tieBreak = Seq(col(idCol))))
+
+  /** Build the registry: a linear Dag `source → stages…` rooted at
+    * `warehouseDir`. `materialized` names the stages persisted as parquet
+    * and reused across runs (Dag's _SUCCESS-keyed reuse + cascading
+    * refresh); everything else composes lazily. */
+  def dag(source: SparkSession => DataFrame, stages: Seq[Stage],
+      warehouseDir: String, materialized: Set[String] = Set.empty): Dag = {
+    val names = stages.map(_.name)
+    require(names.distinct == names, s"duplicate stage names: $names")
+    require((materialized -- (names.toSet + "source")).isEmpty,
+      s"materialized names unknown: ${materialized -- names.toSet}")
+    val src = DagModel("source", Nil, materialized("source"))((s, _) => source(s))
+    val models = stages.zipWithIndex.map { case (st, i) =>
+      val dep = if (i == 0) "source" else names(i - 1)
+      DagModel(st.name, Seq(dep), materialized(st.name))((s, d) => st.f(s, d(dep)))
+    }
+    new Dag(src +: models, warehouseDir)
+  }
+
+  /** Resolve the final stage (the composed pipeline output). */
+  def run(spark: SparkSession, pipeline: Dag, lastStage: String,
+      refresh: Set[String] = Set.empty): DataFrame =
+    pipeline.resolve(spark, lastStage, refresh)
+}

@@ -394,14 +394,16 @@ object TextQueries {
     // → PII redaction → token count → seeded shuffle → token-budget
     // shards. Every stage is an already-oracle-checked operator; this
     // checks the COMPOSITION end to end.
+    // Composed through the declared-stage CorpusPipeline registry (the
+    // q99 wiring as named stages — same operators, same plan; parity with
+    // the hand-wired form pinned in CorpusPipelineSpec).
     "q99_corpus_assembly" -> { (s, d) =>
-      import graft.functions.{GopherQuality, Pii}
-      val counted = injectPii(table(s, d, "documents"))
-        .filter(GopherQuality.keepExpr(col("t"), minStopwords = 1))
-        .select(col("doc_id"),
-          size(TextOps.tokens(Pii.redact(col("t")))).as("n_tokens"))
-      graft.operators.CorpusShuffle.shuffledShards(
-          counted, "doc_id", col("n_tokens"), "s5", 2000L)
+      import graft.operators.CorpusPipeline._
+      val pipeline = dag(
+        ss => injectPii(table(ss, d, "documents")),
+        corpusAssemblyStages,
+        warehouseDir = s"${System.getProperty("java.io.tmpdir")}/graft_q99_unused")
+      run(s, pipeline, "shuffle_shards")
         .select(col("doc_id"), col("n_tokens"), col("shuffle_key"),
           col("shard_id"))
         .orderBy(col("doc_id"))
@@ -443,7 +445,77 @@ object TextQueries {
       graft.functions.GopherQuality.metrics(
           table(s, d, "documents"), "doc_id", "text", minStopwords = 1)
         .orderBy(col("doc_id"))
+    },
+
+    // Epoch-aware data order: CorpusShuffle(seed=epoch) composed with
+    // ExamplePack — each training epoch lays the SAME token stream out in
+    // a fresh seeded permutation and re-chunks it, so examples differ per
+    // epoch while the token multiset is conserved (property spec'd in
+    // EpochPackSpec; the composition is replayed here by the oracle).
+    "q103_epoch_pack" -> { (s, d) =>
+      import graft.operators.{CorpusShuffle, ExamplePack}
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens"))
+      Seq("epoch1", "epoch2").map { ep =>
+        ExamplePack.packExamples(
+            docs.withColumn("k", CorpusShuffle.shuffleKey(ep, col("doc_id"))),
+            "doc_id", col("n_tokens"), 512L, "k", tieBreak = Seq(col("doc_id")))
+          .withColumn("epoch", lit(ep))
+      }.reduce(_ unionByName _)
+        .select(col("epoch"), col("doc_id"), col("example_id"),
+          col("off_in_doc"), col("off_in_example"), col("len"))
+        .orderBy(col("epoch"), col("doc_id"), col("example_id"))
+    },
+
+    // Learned quality classifier serving path (CCNet-style third leg):
+    // the linear margin over the integer Gopher metrics with FIXED
+    // plan-constant weights (the q82 technique — training determinism is
+    // spec territory, serving arithmetic is oracle territory). Left-to-
+    // right association makes the double margin bit-identical in any
+    // IEEE engine; keep thresholds the margin, so no transcendental.
+    "q104_quality_classifier" -> { (s, d) =>
+      import graft.features.QualityClassifier
+      val feats = graft.functions.GopherQuality.metrics(
+        table(s, d, "documents"), "doc_id", "text").drop("keep")
+      QualityClassifier.score(feats, classifierFixedModel)
+        .select(col("doc_id"), col("z"), col("keep"))
+        .orderBy(col("doc_id"))
     })
+
+  /** The q99 assembly as declared stages (quality gate on the raw text →
+    * PII redact → token count → narrow projection → seeded shuffle/shard)
+    * — shared by the oracle query and CorpusPipelineSpec's parity test. */
+  val corpusAssemblyStages: Seq[graft.operators.CorpusPipeline.Stage] = {
+    import graft.operators.CorpusPipeline._
+    Seq(
+      qualityGate("t", minStopwords = 1),
+      piiRedact("t"),
+      tokenCount("t"),
+      stage("project")(_.select(col("doc_id"), col("n_tokens"))),
+      shuffleShards("doc_id", "s5", 2000L))
+  }
+
+  /** The q104 plan-constant classifier: one definition feeds BOTH the
+    * Spark query and the DuckDB mirror, so the weights cannot drift. */
+  private val classifierFixedWeights: Seq[(String, String)] = Seq(
+    "n_words" -> "0.01", "total_len" -> "-0.001", "n_alpha" -> "0.01",
+    "n_sym" -> "-0.5", "n_lines" -> "-0.05", "n_bullet" -> "-0.3",
+    "n_ellipsis" -> "-0.3", "n_stop" -> "0.5")
+  private val classifierFixedIntercept = "-2.0"
+
+  private lazy val classifierFixedModel =
+    graft.features.QualityClassifier.Model(
+      classifierFixedWeights.map(_._1),
+      classifierFixedWeights.map(_._2.toDouble).toArray,
+      classifierFixedIntercept.toDouble)
+
+  /** The same margin in DuckDB, same association order; string weights
+    * CAST from VARCHAR so DuckDB does not type them DECIMAL. */
+  private def classifierMarginSql: String =
+    classifierFixedWeights.foldLeft(
+      s"CAST('$classifierFixedIntercept' AS DOUBLE)") {
+      case (acc, (name, w)) => s"$acc + CAST('$w' AS DOUBLE) * $name"
+    }
 
   /** Base 32-bit shingle hash (first 8 md5 hex chars; hex4Sql from
     * QueryHelpers — ONE copy of the md5-digit parity contract) — mirrors
@@ -876,7 +948,30 @@ object TextQueries {
       s"""WITH m AS (SELECT doc_id, ${gopherMetricsSql("text")} FROM documents)
          SELECT doc_id, n_words, total_len, n_alpha, n_sym, n_lines,
            n_bullet, n_ellipsis, n_stop, ${gopherKeepSql(1)} AS keep
-         FROM m ORDER BY doc_id""")
+         FROM m ORDER BY doc_id""",
+    "q104_quality_classifier" ->
+      s"""WITH m AS (SELECT doc_id, ${gopherMetricsSql("text")} FROM documents),
+         z AS (SELECT doc_id, $classifierMarginSql AS z FROM m)
+         SELECT doc_id, z, z > 0 AS keep FROM z ORDER BY doc_id""",
+    "q103_epoch_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) n FROM documents),
+         h AS (SELECT e.epoch, t.doc_id, t.n,
+             md5(e.epoch || '|' || CAST(t.doc_id AS VARCHAR)) m
+           FROM t CROSS JOIN (VALUES ('epoch1'), ('epoch2')) e(epoch)),
+         k AS (SELECT epoch, doc_id, n, ${hex48Sql("m")} k FROM h),
+         c AS (SELECT epoch, doc_id, n,
+             CAST(SUM(n) OVER (PARTITION BY epoch ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum
+           FROM k),
+         e AS (SELECT epoch, doc_id, n, cum,
+             unnest(range((cum - n) // 512, (cum - 1) // 512 + 1)) eid
+           FROM c WHERE n > 0)
+         SELECT epoch, doc_id, CAST(eid AS INT) AS example_id,
+           CAST(greatest(eid * 512 - (cum - n), 0) AS INT) AS off_in_doc,
+           CAST(greatest((cum - n) - eid * 512, 0) AS INT) AS off_in_example,
+           CAST(least(eid * 512 + 512, cum) - greatest(eid * 512, cum - n) AS INT) AS len
+         FROM e ORDER BY epoch, doc_id, example_id""")
 
   /** Shared LSH oracle chain (shingles → sizes → minhash sigs → bands →
     * candidate pairs → pairwise common counts) — mirrors TextDedup's

@@ -92,4 +92,38 @@ class SpanDedupSpec extends SparkSpecBase {
         s"expected exactly 2 gram-keyed exchanges (partials + occurrences), got $gramShuffles:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("the marking join's fused aggregate blocks AQE skew split — salting is the skew path") {
+    // Measured fact (round 6): AQE's OptimizeSkewedJoin pattern needs the
+    // join children to be bare shuffle reads, and SpanDedup's final
+    // aggregate fuses into the join stage (the one-shuffle win), so even
+    // an every-doc hot gram is NEVER AQE-split here. Pin that the fused
+    // shape is what we ship (one gram-keyed exchange feeding both agg and
+    // join) so a regression to a second shuffle is loud, and that the
+    // documented escape hatch — numSalts — actually spreads the key.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val boiler = (0 until 8).map(i => lit(s"b$i"))
+      val hot = spark.range(2000).select($"id".as("doc_id"),
+        array(boiler :+ concat(lit("u_"), $"id"): _*).as("toks"))
+      val plain = SpanDedup.duplicateSpanStarts(hot, "doc_id", col("toks"), 8)
+      val salted = SpanDedup.duplicateSpanStarts(hot, "doc_id", col("toks"), 8,
+        numSalts = 4)
+      // identical results
+      assert(salted.orderBy($"doc_id", $"pos").collect().toSeq ==
+        plain.orderBy($"doc_id", $"pos").collect().toSeq)
+      // salted plan joins on (__g, __salt): the hot gram spreads over
+      // numSalts reducers instead of one
+      val saltedPlan = salted.queryExecution.executedPlan.toString
+      assert(saltedPlan.contains("__salt"),
+        s"salted marking must key the join on (__g, __salt):\n$saltedPlan")
+      // and the default form keeps the one-shuffle fused-aggregate shape
+      val plainPlan = plain.queryExecution.executedPlan.toString
+      val gramShuffles = "Exchange hashpartitioning\\(__g".r
+        .findAllIn(plainPlan).size
+      assert(gramShuffles == 2,
+        s"default marking must keep the fused one-exchange-per-side shape:\n$plainPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import graft.functions.{GopherQuality, Pii, TextOps}
+import org.apache.spark.sql.functions._
+
+class CorpusPipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def stages = Seq(
+    CorpusPipeline.qualityGate("text", minStopwords = 1),
+    CorpusPipeline.piiRedact("text"),
+    CorpusPipeline.tokenCount("text"),
+    CorpusPipeline.stage("project")(_.select($"doc_id", $"n_tokens")),
+    CorpusPipeline.shuffleShards("doc_id", "s5", 2000L))
+
+  private def handWired = {
+    val counted = tbl("documents")
+      .filter(GopherQuality.keepExpr(col("text"), minStopwords = 1))
+      .select($"doc_id",
+        size(TextOps.tokens(Pii.redact($"text"))).as("n_tokens"))
+    CorpusShuffle.shuffledShards(counted, "doc_id", $"n_tokens", "s5", 2000L)
+      .select($"doc_id", $"n_tokens", $"shuffle_key", $"shard_id")
+  }
+
+  private def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+    "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+
+  test("the declared-stage registry composes the same pipeline as hand-wiring") {
+    val p = CorpusPipeline.dag(s => graft.Tables.load(s, sfDir, "documents"),
+      stages, java.nio.file.Files.createTempDirectory("graft_cp").toString)
+    val viaRegistry = CorpusPipeline.run(spark, p, "shuffle_shards")
+      .select($"doc_id", $"n_tokens", $"shuffle_key", $"shard_id")
+    assert(viaRegistry.orderBy($"doc_id").collect().toSeq ==
+      handWired.orderBy($"doc_id").collect().toSeq)
+    // lazily composed: the registry adds no materialization boundary, so
+    // the shuffle count is the hand-wired plan's
+    assert(exchanges(viaRegistry) == exchanges(handWired),
+      "registry composition must not add exchanges")
+  }
+
+  test("a materialized stage persists once and later runs reuse the artifact") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cp_wh").toString
+    val p = CorpusPipeline.dag(s => graft.Tables.load(s, sfDir, "documents"),
+      stages, wh, materialized = Set("pii_redact"))
+    val first = CorpusPipeline.run(spark, p, "shuffle_shards")
+      .orderBy($"doc_id").collect().toSeq
+    val marker = new java.io.File(s"$wh/pii_redact.parquet/_SUCCESS")
+    assert(marker.exists, "materialized stage must write its artifact")
+    val stamp = marker.lastModified
+    val second = CorpusPipeline.run(spark, p, "shuffle_shards")
+      .orderBy($"doc_id").collect().toSeq
+    assert(second == first, "materialized and lazy runs must agree")
+    assert(marker.lastModified == stamp, "second run must reuse, not rebuild")
+    // and the downstream plan actually reads the parquet artifact
+    val plan = CorpusPipeline.run(spark, p, "shuffle_shards")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("pii_redact.parquet"),
+      s"downstream stages must read the materialized artifact:\n$plan")
+  }
+
+  test("refresh of an upstream stage cascades to downstream artifacts") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cp_rf").toString
+    val p = CorpusPipeline.dag(s => graft.Tables.load(s, sfDir, "documents"),
+      stages, wh, materialized = Set("pii_redact", "token_count"))
+    CorpusPipeline.run(spark, p, "shuffle_shards").count()
+    val down = new java.io.File(s"$wh/token_count.parquet/_SUCCESS")
+    val stamp = down.lastModified
+    Thread.sleep(1100) // _SUCCESS mtime granularity
+    CorpusPipeline.run(spark, p, "shuffle_shards", refresh = Set("pii_redact")).count()
+    assert(down.lastModified > stamp,
+      "refreshing pii_redact must rebuild the downstream token_count artifact")
+  }
+
+  test("duplicate or unknown stage names are rejected at construction") {
+    val dup = intercept[IllegalArgumentException] {
+      CorpusPipeline.dag(s => graft.Tables.load(s, sfDir, "documents"),
+        Seq(CorpusPipeline.tokenCount("text"), CorpusPipeline.tokenCount("text")),
+        "/tmp/unused")
+    }
+    assert(dup.getMessage.contains("duplicate"))
+    val unk = intercept[IllegalArgumentException] {
+      CorpusPipeline.dag(s => graft.Tables.load(s, sfDir, "documents"),
+        Seq(CorpusPipeline.tokenCount("text")), "/tmp/unused",
+        materialized = Set("nope"))
+    }
+    assert(unk.getMessage.contains("unknown"))
+  }
+
+  test("the dedup tiers are selectable stages over the same contract") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "unique text here now")).toDF("doc_id", "text")
+    val p = CorpusPipeline.dag(_ => docs,
+      Seq(CorpusPipeline.exactDedup("doc_id", "text")),
+      "/tmp/unused_dedup")
+    val kept = CorpusPipeline.run(spark, p, "exact_dedup")
+      .select($"doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(1L, 3L), "exact tier keeps min-id canonical + uniques")
+  }
+}
