@@ -73,8 +73,14 @@ object QualityClassifier {
     * same text reproduces it bit-for-bit (IEEE ops round identically when
     * the association order matches — the oracle contract). */
   def margin(model: Model): Column =
+    marginOver(model, model.featureNames.map(n => n -> col(n)).toMap)
+
+  /** The same margin over EXPLICIT feature expressions — lets a caller
+    * build a pure single-pass filter from per-row expressions (e.g. the
+    * Gopher metrics over raw text) instead of materialized columns. */
+  def marginOver(model: Model, features: Map[String, Column]): Column =
     model.featureNames.zip(model.weights).foldLeft(lit(model.intercept)) {
-      case (acc, (name, w)) => acc + lit(w) * col(name).cast("double")
+      case (acc, (name, w)) => acc + lit(w) * features(name).cast("double")
     }
 
   /** Score a feature frame: margin `z`, probability `p` = σ(z), and the

@@ -26,6 +26,15 @@ object GopherQuality {
   val Stopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** The eight metric names, in output order. */
+  val MetricNames: Seq[String] = Seq("n_words", "total_len", "n_alpha",
+    "n_sym", "n_lines", "n_bullet", "n_ellipsis", "n_stop")
+
+  /** Named metric expressions over a raw text column — public so composed
+    * operators (the classifier gate) can build pure single-pass filters
+    * from the same definitions the rule battery uses. */
+  def metricExprMap(text: Column): Map[String, Column] = metricExprs(text).toMap
+
   /** The eight metric expressions over a text column, in output order.
     * All integer-typed. */
   private def metricExprs(text: Column): Seq[(String, Column)] = {

@@ -48,6 +48,23 @@ object CorpusPipeline {
   def piiRedact(textCol: String): Stage =
     stage("pii_redact")(_.withColumn(textCol, Pii.redact(col(textCol))))
 
+  /** Learned-classifier gate (q104 operator) as a PURE FILTER: the margin
+    * is evaluated over the codegen Gopher metric expressions directly, so
+    * the stage stays a pushdown-friendly per-row Filter like qualityGate.
+    * The model must therefore use only the eight Gopher metrics —
+    * aggregation-needing features (top_gram_frac, ll_mean) have no
+    * single-pass expression form; score those via
+    * [[graft.features.QualityClassifier.featurize]] + `score` instead. */
+  def classifierGate(textCol: String,
+      model: graft.features.QualityClassifier.Model): Stage = {
+    val unsupported = model.featureNames.filterNot(GopherQuality.MetricNames.contains)
+    require(unsupported.isEmpty,
+      s"classifierGate supports Gopher-metric features only; got $unsupported")
+    stage("classifier_gate")(df => df.filter(
+      graft.features.QualityClassifier.marginOver(model,
+        GopherQuality.metricExprMap(col(textCol))) > 0))
+  }
+
   /** Exact-duplicate removal tier (q32 operator; min-id canonical). */
   def exactDedup(idCol: String, textCol: String): Stage =
     stage("exact_dedup")(TextDedup.dropExactDuplicates(_, idCol, textCol))
@@ -98,4 +115,17 @@ object CorpusPipeline {
   def run(spark: SparkSession, pipeline: Dag, lastStage: String,
       refresh: Set[String] = Set.empty): DataFrame =
     pipeline.resolve(spark, lastStage, refresh)
+
+  /** Per-stage row accounting — the Dolma-style corpus report (how many
+    * documents each gate dropped). One shared resolution walk, then one
+    * count per named stage. Lazy stages recompute their upstream chain
+    * per count, so audit a MATERIALIZED pipeline when the corpus is big —
+    * with the registry that is one `materialized` flag, and each count
+    * becomes a parquet metadata read. */
+  def audit(spark: SparkSession, pipeline: Dag,
+      stageNames: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val resolved = pipeline.runAll(spark)
+    stageNames.map(n => (n, resolved(n).count())).toDF("stage", "rows")
+  }
 }

@@ -467,6 +467,29 @@ object TextQueries {
         .orderBy(col("epoch"), col("doc_id"), col("example_id"))
     },
 
+    // The corpus assembly with the LEARNED gate swapped in for the rule
+    // battery: classifier gate (pure filter over the Gopher metric
+    // expressions, fixed plan-constant weights) → redact → count →
+    // shuffle → shard, all through the CorpusPipeline registry. Proves
+    // gates are interchangeable stages AND the margin filter composes
+    // end-to-end under the oracle.
+    "q105_classifier_assembly" -> { (s, d) =>
+      import graft.operators.CorpusPipeline._
+      val pipeline = dag(
+        ss => injectPii(table(ss, d, "documents")),
+        Seq(
+          classifierGate("t", classifierFixedModel),
+          piiRedact("t"),
+          tokenCount("t"),
+          stage("project")(_.select(col("doc_id"), col("n_tokens"))),
+          shuffleShards("doc_id", "c6", 2000L)),
+        warehouseDir = s"${System.getProperty("java.io.tmpdir")}/graft_q105_unused")
+      run(s, pipeline, "shuffle_shards")
+        .select(col("doc_id"), col("n_tokens"), col("shuffle_key"),
+          col("shard_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // Learned quality classifier serving path (CCNet-style third leg):
     // the linear margin over the integer Gopher metrics with FIXED
     // plan-constant weights (the q82 technique — training determinism is
@@ -501,7 +524,7 @@ object TextQueries {
     "n_words" -> "0.01", "total_len" -> "-0.001", "n_alpha" -> "0.01",
     "n_sym" -> "-0.5", "n_lines" -> "-0.05", "n_bullet" -> "-0.3",
     "n_ellipsis" -> "-0.3", "n_stop" -> "0.5")
-  private val classifierFixedIntercept = "-2.0"
+  private val classifierFixedIntercept = "-1.0"
 
   private lazy val classifierFixedModel =
     graft.features.QualityClassifier.Model(
@@ -953,6 +976,21 @@ object TextQueries {
       s"""WITH m AS (SELECT doc_id, ${gopherMetricsSql("text")} FROM documents),
          z AS (SELECT doc_id, $classifierMarginSql AS z FROM m)
          SELECT doc_id, z, z > 0 AS keep FROM z ORDER BY doc_id""",
+    "q105_classifier_assembly" ->
+      s"""WITH $piiInjectSql,
+         m AS (SELECT doc_id, t, ${gopherMetricsSql("t")} FROM inj),
+         keep AS (SELECT doc_id, t FROM m WHERE ($classifierMarginSql) > 0),
+         red AS (SELECT doc_id, ${piiRedactSql("t")} AS r FROM keep),
+         tok AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(r), '\\s+')) AS INT) n_tokens,
+             md5('c6|' || CAST(doc_id AS VARCHAR)) mm FROM red),
+         k AS (SELECT doc_id, n_tokens, ${hex48Sql("mm")} sk FROM tok),
+         c AS (SELECT doc_id, n_tokens, sk,
+             SUM(n_tokens) OVER (ORDER BY sk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum FROM k)
+         SELECT doc_id, n_tokens, sk AS shuffle_key,
+           CAST((cum - n_tokens) // 2000 AS INT) AS shard_id
+         FROM c ORDER BY doc_id""",
     "q103_epoch_pack" ->
       s"""WITH t AS (SELECT doc_id,
              CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) n FROM documents),

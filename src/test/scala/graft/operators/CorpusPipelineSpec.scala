@@ -87,6 +87,47 @@ class CorpusPipelineSpec extends SparkSpecBase {
     assert(unk.getMessage.contains("unknown"))
   }
 
+  test("the classifier gate is a pure per-row filter with no ml runtime") {
+    val m = graft.features.QualityClassifier.Model(
+      Seq("n_words", "n_sym"), Array(0.1, -0.5), -1.0)
+    val p = CorpusPipeline.dag(s => graft.Tables.load(s, sfDir, "documents"),
+      Seq(CorpusPipeline.classifierGate("text", m)), "/tmp/unused_cg")
+    val gated = CorpusPipeline.run(spark, p, "classifier_gate")
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("ScalaUDF"),
+      s"the gate must stay a codegen Filter:\n$plan")
+    // and it matches scoring the featurized frame with the same model
+    val feats = graft.features.QualityClassifier.featurize(
+      tbl("documents"), "doc_id", "text")
+    val expected = graft.features.QualityClassifier.score(feats, m)
+      .filter($"keep").select($"doc_id").as[Long].collect().toSet
+    val got = gated.select($"doc_id").as[Long].collect().toSet
+    assert(got == expected, "gate decisions must equal featurize+score keep")
+  }
+
+  test("non-Gopher features are rejected at gate construction") {
+    val m = graft.features.QualityClassifier.Model(
+      Seq("n_words", "top_gram_frac"), Array(0.1, -2.0), 0.0)
+    val e = intercept[IllegalArgumentException] {
+      CorpusPipeline.classifierGate("text", m)
+    }
+    assert(e.getMessage.contains("top_gram_frac"))
+  }
+
+  test("audit reports per-stage row accounting") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta eps")
+    ).toDF("doc_id", "text")
+    val p = CorpusPipeline.dag(_ => docs,
+      Seq(CorpusPipeline.exactDedup("doc_id", "text"),
+        CorpusPipeline.tokenCount("text")),
+      "/tmp/unused_audit")
+    val report = CorpusPipeline.audit(spark, p,
+      Seq("source", "exact_dedup", "token_count"))
+      .as[(String, Long)].collect().toSeq
+    assert(report == Seq(("source", 3L), ("exact_dedup", 2L), ("token_count", 2L)))
+  }
+
   test("the dedup tiers are selectable stages over the same contract") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
