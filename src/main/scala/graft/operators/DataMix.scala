@@ -54,4 +54,45 @@ object DataMix {
       .select(col(groupCol), floor(col("__p") * totalRows).cast("long").as("cap"))
     capPerGroup(df, groupCol, key, caps)
   }
+
+  /** Temperature-reweighted mixture shares (the standard multilingual /
+    * multi-source mixing rule — XLM-R's α-sampling, the Pile/Llama source
+    * weighting): share_g = n_g^α / Σ_h n_h^α over the observed group
+    * counts. α = 1 is proportional, α = 0 uniform; in between upsamples
+    * small sources. One group-cardinality-sized aggregate + a 1-row
+    * broadcast total — no driver round trip, no corpus second pass.
+    *
+    * Determinism: the group weight is QUANTIZED to an exact integer,
+    * floor(n^α · 2²⁶), so the total is an exact integer sum (association-
+    * free) and the share one double division of two exact longs —
+    * bit-identical in any engine, any partitioning. A float weight sum
+    * would associate by partition arrival; a DECIMAL cast of a double is
+    * engine-specific in its 18th digit — both measured traps. The <2⁻²⁶
+    * relative quantization is noise against mixing-share semantics.
+    * α = 0.5 rides IEEE `sqrt` (correctly rounded — reproducible in ANY
+    * engine); other α run through `pow` (libm-specific — spec territory,
+    * keep it off oracle surfaces). */
+  val WeightScale: Long = 1L << 26
+
+  def temperatureShares(df: DataFrame, groupCol: String, alpha: Double): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1]: $alpha")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val w = if (alpha == 0.5) sqrt(col("n")) else pow(col("n"), lit(alpha))
+    val weighted = counts.withColumn("__w",
+      floor(w * lit(WeightScale)).cast("long"))
+    val total = weighted.agg(sum(col("__w")).as("__t"))
+    weighted.crossJoin(broadcast(total))
+      .select(col(groupCol), col("n"), (col("__w") / col("__t")).as("share"))
+  }
+
+  /** Down-sample to the temperature mix: each group's cap is
+    * floor(share_g · totalRows) over [[temperatureShares]]; selection is
+    * the same deterministic md5 rank as [[sampleToMix]]. */
+  def sampleToTemperatureMix(df: DataFrame, groupCol: String, key: Column,
+      alpha: Double, totalRows: Long): DataFrame = {
+    val caps = temperatureShares(df, groupCol, alpha)
+      .select(col(groupCol),
+        floor(col("share") * totalRows).cast("long").as("cap"))
+    capPerGroup(df, groupCol, key, caps)
+  }
 }

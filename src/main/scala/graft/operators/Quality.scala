@@ -28,6 +28,32 @@ object Quality {
   def inRange(c: String, lo: Double, hi: Double): Check =
     Check(s"range_$c", col(c).between(lo, hi))
 
+  /** Percentile bucketing — the CCNet head/middle/tail device (Wenzek et
+    * al. 2020 split a corpus into perplexity tertiles and sample the mix
+    * from them) generalized to any score and bucket count: row → index of
+    * the quantile bucket its `metric` falls in (0 = lowest scores).
+    * Thresholds are ONE exact-percentile aggregate (nBuckets − 1 values)
+    * broadcast back as a 1-row cross join; bucket = Σᵢ 1[metric > tᵢ], so
+    * assignment is a pure comparison battery — no sort of the corpus, no
+    * ntile window (ntile would force a single global ordering). NULL
+    * metrics get a NULL bucket (percentile ignores them, so thresholds
+    * are unaffected). For sketch-scale corpora swap in ApproxStats' GK
+    * quantiles at the same seam. */
+  def percentileBuckets(df: DataFrame, metric: Column, nBuckets: Int,
+      out: String = "bucket"): DataFrame = {
+    require(nBuckets >= 2, s"need nBuckets >= 2: $nBuckets")
+    val ts = (1 until nBuckets)
+    val thresholds = df.agg(
+      percentile(metric, lit(1.0 / nBuckets)).as("__t1"),
+      ts.tail.map(i => percentile(metric, lit(i.toDouble / nBuckets)).as(s"__t$i")): _*)
+    df.crossJoin(broadcast(thresholds))
+      .withColumn(out,
+        when(metric.isNull, lit(null))
+          .otherwise(ts.map(i => when(metric > col(s"__t$i"), 1).otherwise(0))
+            .reduce(_ + _)))
+      .drop(ts.map(i => s"__t$i"): _*)
+  }
+
   /** Quantile-threshold pruning: keep rows whose `metric` lies inside the
     * [loQ, hiQ] exact percentiles of the corpus (the score-based corpus
     * trim a cleaning pipeline runs after quality scoring — drop the

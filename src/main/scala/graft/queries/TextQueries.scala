@@ -189,6 +189,38 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Temperature-reweighted mixture (XLM-R α-sampling / Pile-style
+    // source weighting) at α = 0.5: shares ∝ sqrt(n_g), weights quantized
+    // to exact integers so share arithmetic replays bit-for-bit; the
+    // selection is the same deterministic md5 rank as q75.
+    "q106_temperature_mix" -> { (s, d) =>
+      graft.operators.DataMix.sampleToTemperatureMix(
+          table(s, d, "documents").select(col("doc_id"), col("source")),
+          "source", col("doc_id"), alpha = 0.5, totalRows = 300L)
+        .orderBy(col("doc_id"))
+    },
+
+    // CCNet-style perplexity bucketing (head/middle/tail): bigram-LM OOV
+    // evidence from the src0 reference model, integer permille rate, and
+    // exact-percentile tertile thresholds — Quality.percentileBuckets
+    // assigns the bucket with a comparison battery, no corpus sort.
+    "q107_ccnet_buckets" -> { (s, d) =>
+      import graft.functions.{NgramLm, TextOps}
+      val docs = table(s, d, "documents")
+      val model = NgramLm.fit(docs.filter(col("source") === "src0"),
+        TextOps.tokens(col("text")), cache = false)
+      val scored = NgramLm.scoreDocs(docs.filter(col("source") =!= "src0"),
+          "doc_id", TextOps.tokens(col("text")), model)
+        .withColumn("oov_permille",
+          when(col("n_bigrams") > 0,
+            expr("(n_oov * 1000) div n_bigrams").cast("int")))
+      graft.operators.Quality.percentileBuckets(
+          scored, col("oov_permille"), 3)
+        .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+          col("oov_permille"), col("bucket").cast("int").as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+
     // Bloom-prefiltered blocklist anti join: src0's n_chars values act as
     // the blocklist; the corpus pays the exact anti join only on the
     // maybe-matching slice. Results are exact (oracle = plain NOT EXISTS).
@@ -754,6 +786,48 @@ object TextQueries {
            FROM documents)
          SELECT r.doc_id, r.lang FROM ranked r JOIN caps c ON r.lang = c.lang
          WHERE r.rn <= c.cap ORDER BY r.doc_id""",
+    "q106_temperature_mix" -> {
+      val scale = graft.operators.DataMix.WeightScale
+      s"""WITH have AS (SELECT source, COUNT(*) n FROM documents GROUP BY 1),
+         w AS (SELECT source, CAST(FLOOR(sqrt(n) * $scale) AS BIGINT) wi FROM have),
+         t AS (SELECT SUM(wi) tt FROM w),
+         caps AS (SELECT w.source,
+             CAST(FLOOR(w.wi / t.tt * 300) AS BIGINT) cap FROM w, t),
+         ranked AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rn
+           FROM documents)
+         SELECT r.doc_id, r.source FROM ranked r JOIN caps c ON r.source = c.source
+         WHERE r.rn <= c.cap ORDER BY r.doc_id"""
+    },
+    "q107_ccnet_buckets" -> {
+      val t1 = 1.0 / 3
+      val t2 = 2.0 / 3
+      s"""WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') w FROM documents),
+         pairs AS (SELECT doc_id, source,
+             unnest(list_transform(range(len(w)-1), i -> w[i+1])) w1,
+             unnest(list_transform(range(len(w)-1), i -> w[i+2])) w2
+           FROM t WHERE len(w) >= 2),
+         refbi AS (SELECT w1, w2, COUNT(*) c12 FROM pairs WHERE source = 'src0' GROUP BY 1, 2),
+         stats AS (SELECT c.doc_id, COUNT(*) n_bigrams,
+             COUNT(CASE WHEN b.c12 IS NULL THEN 1 END) n_oov
+           FROM pairs c LEFT JOIN refbi b ON c.w1 = b.w1 AND c.w2 = b.w2
+           WHERE c.source <> 'src0' GROUP BY 1),
+         rated AS (SELECT d.doc_id,
+             CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             CAST(COALESCE(s.n_oov, 0) AS BIGINT) AS n_oov,
+             CASE WHEN COALESCE(s.n_bigrams, 0) > 0
+               THEN CAST((s.n_oov * 1000) // s.n_bigrams AS INT) END AS oov_permille
+           FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+           WHERE d.source <> 'src0'),
+         th AS (SELECT quantile_cont(oov_permille, $t1) q1,
+                       quantile_cont(oov_permille, $t2) q2 FROM rated)
+         SELECT r.doc_id, r.n_bigrams, r.n_oov, r.oov_permille,
+           CASE WHEN r.oov_permille IS NULL THEN NULL
+             ELSE (CASE WHEN r.oov_permille > th.q1 THEN 1 ELSE 0 END
+                 + CASE WHEN r.oov_permille > th.q2 THEN 1 ELSE 0 END) END AS bucket
+         FROM rated r, th ORDER BY r.doc_id"""
+    },
     "q76_bloom_blocklist" ->
       """SELECT d.doc_id FROM documents d
          WHERE d.source <> 'src0'

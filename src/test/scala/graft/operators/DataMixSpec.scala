@@ -48,4 +48,41 @@ class DataMixSpec extends SparkSpecBase {
       Map("en" -> 0.25), totalRows = 40L)
     assert(out.join(docs, Seq("doc_id"), "left_anti").count() == 0)
   }
+
+  test("temperatureShares: alpha=0.5 upsamples small groups vs proportional") {
+    val skewed = (1 to 90).map(i => (i.toLong, "big")) ++
+      (91 to 100).map(i => (i.toLong, "small"))
+    val df = skewed.toDF("doc_id", "lang")
+    val shares = DataMix.temperatureShares(df, "lang", 0.5)
+      .select($"lang", $"share").as[(String, Double)].collect().toMap
+    // sqrt weighting: small share = 3/(3+sqrt(90)/..) > its 10% proportional
+    assert(shares("small") > 0.1 && shares("small") < 0.5)
+    assert(math.abs(shares.values.sum - 1.0) < 1e-9)
+    // alpha = 1 is (quantized-)proportional
+    val prop = DataMix.temperatureShares(df, "lang", 1.0)
+      .select($"lang", $"share").as[(String, Double)].collect().toMap
+    assert(math.abs(prop("small") - 0.1) < 1e-6)
+  }
+
+  test("temperatureShares is partitioning-invariant (exact integer total)") {
+    val df = docs
+    val a = DataMix.temperatureShares(df, "lang", 0.5)
+      .orderBy($"lang").collect().toSeq
+    val b = DataMix.temperatureShares(df.repartition(7), "lang", 0.5)
+      .orderBy($"lang").collect().toSeq
+    assert(a == b)
+  }
+
+  test("sampleToTemperatureMix caps each group at floor(share * total)") {
+    val out = DataMix.sampleToTemperatureMix(docs, "lang", col("doc_id"),
+      alpha = 0.5, totalRows = 40L)
+    val shares = DataMix.temperatureShares(docs, "lang", 0.5)
+      .select($"lang", $"share").as[(String, Double)].collect().toMap
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val have = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    byLang.foreach { case (lang, n) =>
+      val cap = math.floor(shares(lang) * 40).toLong
+      assert(n == math.min(cap, have(lang)), s"$lang: $n vs cap $cap")
+    }
+  }
 }

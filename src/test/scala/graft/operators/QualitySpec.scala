@@ -66,4 +66,29 @@ class QualitySpec extends SparkSpecBase {
       Quality.trimOutliers(rows, $"v", 0.9, 0.1)
     }
   }
+
+  test("percentileBuckets assigns balanced tertiles with no corpus sort") {
+    val rows = spark.range(1, 10).select($"id".as("v")) // 1..9
+    val out = Quality.percentileBuckets(rows, $"v", 3)
+    val got = out.select($"v", $"bucket").as[(Long, Int)].collect().toMap
+    // tertile thresholds of 1..9: q(1/3) = 3.6666…, q(2/3) = 6.3333…
+    assert((1L to 3L).forall(got(_) == 0))
+    assert((4L to 6L).forall(got(_) == 1))
+    assert((7L to 9L).forall(got(_) == 2))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Sort "),
+      s"bucketing must be a comparison battery, not a corpus sort:\n$plan")
+  }
+
+  test("percentileBuckets: null metrics get null buckets, thresholds unaffected") {
+    val rows = Seq(Some(1L), None, Some(2L), Some(3L)).toDF("v")
+    val out = Quality.percentileBuckets(rows, $"v", 2)
+      .select($"v", $"bucket").collect()
+    val nullRow = out.find(_.isNullAt(0)).get
+    assert(nullRow.isNullAt(1), "null metric must give null bucket")
+    // median of {1,2,3} = 2: 3 is above, 1 and 2 at/below
+    val byV = out.filterNot(_.isNullAt(0)).map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byV == Map(1L -> 0, 2L -> 0, 3L -> 1))
+    intercept[IllegalArgumentException] { Quality.percentileBuckets(rows, $"v", 1) }
+  }
 }
