@@ -495,6 +495,9 @@ object ScaleExperiment {
       // noop sink matters here: a count() would let Catalyst ELIMINATE
       // the final left join (the rebuilt side has provably unique keys)
       // and measure a fraction of the pipeline.
+      graft.dedup.SpanDedup.removeDuplicateSpans( // untimed JIT warmup
+          hotGramDocs(5000), "doc_id", col("toks"), 8)
+        .write.format("noop").mode("overwrite").save()
       timed("spandedup_hotgram_1x")(
         graft.dedup.SpanDedup.removeDuplicateSpans(
           hotGramDocs(200000), "doc_id", col("toks"), 8))
@@ -508,6 +511,26 @@ object ScaleExperiment {
       timed("spandedup_hotgram_10x_salted")(
         graft.dedup.SpanDedup.removeDuplicateSpans(
           hotGramDocs(2000000), "doc_id", col("toks"), 8, numSalts = 8))
+    }
+
+    // 24. epoch-aware shuffle+pack at 1x/10x: synthetic corpora of 500k /
+    // 5M docs (~170 avg tokens → 85M / 850M tokens) laid out in a seeded
+    // epoch order and cut into 4096-token examples. Cost shape per epoch:
+    // one md5 projection + ShardPack's two-level prefix sum + the
+    // overlap-sized explode — nothing global, so 10x data should be ~10x
+    // wall. Both epochs at 10x double-check the per-epoch independence.
+    if (on("epochpack")) {
+      import graft.operators.{CorpusShuffle, ExamplePack}
+      def corpus(nDocs: Long) = spark.range(nDocs).select(
+        col("id").as("doc_id"), (lit(20) + pmod(col("id"), lit(300))).as("n_tokens"))
+      def pack(docs: DataFrame, epoch: String) = ExamplePack.packExamples(
+        docs.withColumn("k", CorpusShuffle.shuffleKey(epoch, col("doc_id"))),
+        "doc_id", col("n_tokens"), 4096L, "k", tieBreak = Seq(col("doc_id")))
+      // untimed JIT/codegen warmup so the 1x number is not warmup-dominated
+      pack(corpus(10000L), "warm").write.format("noop").mode("overwrite").save()
+      timed("epochpack_1x")(pack(corpus(500000L), "epoch1"))
+      timed("epochpack_10x")(pack(corpus(5000000L), "epoch1"))
+      timed("epochpack_10x_epoch2")(pack(corpus(5000000L), "epoch2"))
     }
 
     // 22. semantic dedup on the real embeddings at the default quantizer:
