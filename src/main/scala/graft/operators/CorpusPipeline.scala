@@ -38,6 +38,11 @@ object CorpusPipeline {
   // ---- the standard corpus stages, thin named wrappers over the
   // ---- already-oracle-checked operators
 
+  /** HTML → text extraction (q108 operator) — the crawl-corpus entry
+    * stage; replaces `htmlCol` with clean text and adds `title`. */
+  def htmlExtract(htmlCol: String): Stage =
+    stage("html_extract")(graft.functions.HtmlExtract.extract(_, htmlCol))
+
   /** Gopher rule battery as a pushdown-friendly filter (q95 operator). */
   def qualityGate(textCol: String, minWords: Int = 50,
       maxWords: Int = 100000, minStopwords: Int = 2): Stage =

@@ -189,6 +189,18 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // HTML → text extraction (the stage a crawl corpus runs before any
+    // quality/dedup work): deterministic page-template injection around
+    // the fixture text, then the shared rule chain — comments/script/
+    // style out, block ends → newlines, tags out, entities decoded,
+    // whitespace normalized — replayed byte-for-byte by the oracle.
+    "q108_html_extract" -> { (s, d) =>
+      import graft.functions.HtmlExtract
+      HtmlExtract.extract(injectHtml(table(s, d, "documents")), "html")
+        .select(col("doc_id"), col("title"), col("html").as("text"))
+        .orderBy(col("doc_id"))
+    },
+
     // Temperature-reweighted mixture (XLM-R α-sampling / Pile-style
     // source weighting) at α = 0.5: shares ∝ sqrt(n_g), weights quantized
     // to exact integers so share arithmetic replays bit-for-bit; the
@@ -599,6 +611,47 @@ object TextQueries {
             pmod(id * 3, lit(256)).cast("string"))).otherwise(lit(""))).as("t"))
   }
 
+  /** Deterministic HTML page template around the fixture text (q108):
+    * title, style/script bodies, a comment, a nav div, entity samples on
+    * even ids — every element exercises one extraction rule. */
+  private def injectHtml(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), concat(
+      lit("<!DOCTYPE html><html><head><title>Doc "), col("doc_id").cast("string"),
+      lit(" &amp; friends</title><style>body { color: #000; }</style></head>"),
+      lit("<body><script>var x = 1 < 2;</script>"),
+      lit("<!-- nav follows --><div class=\"nav\">Home | About</div>"),
+      lit("<h1>Doc "), col("doc_id").cast("string"), lit("</h1><p>"),
+      col("text"), lit("</p>"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        lit("<p>&quot;quoted&quot; &lt;tag&gt; A&amp;B &#39;s&nbsp;end</p>"))
+        .otherwise(lit("")),
+      lit("<hr><p>Footer &amp; legal</p></body></html>")).as("html"))
+
+  /** The same template in DuckDB (q108) — one copy per element, shared
+    * entity fixture, so the mirrors can't drift. */
+  private val htmlInjectSql =
+    """inj AS (SELECT doc_id,
+         '<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || ' &amp; friends</title><style>body { color: #000; }</style></head>'
+         || '<body><script>var x = 1 < 2;</script>'
+         || '<!-- nav follows --><div class="nav">Home | About</div>'
+         || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p>'
+         || CASE WHEN doc_id % 2 = 0
+              THEN '<p>&quot;quoted&quot; &lt;tag&gt; A&amp;B &#39;s&nbsp;end</p>'
+              ELSE '' END
+         || '<hr><p>Footer &amp; legal</p></body></html>' AS html
+       FROM documents)"""
+
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The extraction chain generated from HtmlExtract.Steps — the operator
+    * and the oracle share one rule list. */
+  private def htmlTextSql(src: String): String =
+    "trim(" + graft.functions.HtmlExtract.Steps.foldLeft(src) {
+      case (t, (re, repl)) =>
+        s"regexp_replace($t, ${sqlStr(re)}, ${sqlStr(repl)}, 'g')"
+    } + ")"
+
   /** Shared oracle fragments for the PII / quality / assembly chain (one
     * copy each, so the q92/q95/q99 mirrors can't drift). */
   private val piiInjectSql =
@@ -786,6 +839,12 @@ object TextQueries {
            FROM documents)
          SELECT r.doc_id, r.lang FROM ranked r JOIN caps c ON r.lang = c.lang
          WHERE r.rn <= c.cap ORDER BY r.doc_id""",
+    "q108_html_extract" ->
+      s"""WITH $htmlInjectSql
+         SELECT doc_id,
+           regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
+           ${htmlTextSql("html")} AS text
+         FROM inj ORDER BY doc_id""",
     "q106_temperature_mix" -> {
       val scale = graft.operators.DataMix.WeightScale
       s"""WITH have AS (SELECT source, COUNT(*) n FROM documents GROUP BY 1),
