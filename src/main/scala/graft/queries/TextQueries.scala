@@ -189,6 +189,30 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The FULL crawl-to-shards chain: raw HTML pages → extraction →
+    // Gopher gate → PII redaction → token count → seeded shuffle →
+    // token-budget shards, composed through the CorpusPipeline registry.
+    // Every stage is an oracle-checked operator; this is the composition
+    // a pre-training pipeline actually runs from crawl to training order.
+    "q109_crawl_assembly" -> { (s, d) =>
+      import graft.operators.CorpusPipeline._
+      val pipeline = dag(
+        ss => injectHtml(table(ss, d, "documents")),
+        Seq(
+          htmlExtract("html"),
+          stage("drop_title")(_.drop("title")),
+          qualityGate("html", minStopwords = 1),
+          piiRedact("html"),
+          tokenCount("html"),
+          stage("project")(_.select(col("doc_id"), col("n_tokens"))),
+          shuffleShards("doc_id", "c7", 2000L)),
+        warehouseDir = s"${System.getProperty("java.io.tmpdir")}/graft_q109_unused")
+      run(s, pipeline, "shuffle_shards")
+        .select(col("doc_id"), col("n_tokens"), col("shuffle_key"),
+          col("shard_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // HTML → text extraction (the stage a crawl corpus runs before any
     // quality/dedup work): deterministic page-template injection around
     // the fixture text, then the shared rule chain — comments/script/
@@ -845,6 +869,22 @@ object TextQueries {
            regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
            ${htmlTextSql("html")} AS text
          FROM inj ORDER BY doc_id""",
+    "q109_crawl_assembly" ->
+      s"""WITH $htmlInjectSql,
+         ext AS (SELECT doc_id, ${htmlTextSql("html")} AS t FROM inj),
+         m AS (SELECT doc_id, t, ${gopherMetricsSql("t")} FROM ext),
+         keep AS (SELECT doc_id, t FROM m WHERE ${gopherKeepSql(1)}),
+         red AS (SELECT doc_id, ${piiRedactSql("t")} AS r FROM keep),
+         tok AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(r), '\\s+')) AS INT) n_tokens,
+             md5('c7|' || CAST(doc_id AS VARCHAR)) mm FROM red),
+         k AS (SELECT doc_id, n_tokens, ${hex48Sql("mm")} sk FROM tok),
+         c AS (SELECT doc_id, n_tokens, sk,
+             SUM(n_tokens) OVER (ORDER BY sk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum FROM k)
+         SELECT doc_id, n_tokens, sk AS shuffle_key,
+           CAST((cum - n_tokens) // 2000 AS INT) AS shard_id
+         FROM c ORDER BY doc_id""",
     "q106_temperature_mix" -> {
       val scale = graft.operators.DataMix.WeightScale
       s"""WITH have AS (SELECT source, COUNT(*) n FROM documents GROUP BY 1),
