@@ -194,8 +194,20 @@ object TextQueries {
     // token-budget shards, composed through the CorpusPipeline registry.
     // Every stage is an oracle-checked operator; this is the composition
     // a pre-training pipeline actually runs from crawl to training order.
+    //
+    // The extraction stage is MATERIALIZED (the registry's parquet
+    // boundary), not lazy: the Gopher metrics are higher-order functions
+    // (CodegenFallback — no codegen subexpression elimination), so a lazy
+    // composition re-derives the 16-step extraction chain inside every
+    // metric and again in each downstream stage (~37 plan copies,
+    // measured 10.9 s vs ~4 s with the boundary at sf0.1). Derived text
+    // feeding many downstream expressions is exactly what the
+    // materialization flag exists for at 100 TB; `refresh` keeps every
+    // invocation honest (never serves a stale artifact across code or
+    // fixture changes).
     "q109_crawl_assembly" -> { (s, d) =>
       import graft.operators.CorpusPipeline._
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_q109_${Integer.toHexString(d.hashCode)}"
       val pipeline = dag(
         ss => injectHtml(table(ss, d, "documents")),
         Seq(
@@ -206,8 +218,8 @@ object TextQueries {
           tokenCount("html"),
           stage("project")(_.select(col("doc_id"), col("n_tokens"))),
           shuffleShards("doc_id", "c7", 2000L)),
-        warehouseDir = s"${System.getProperty("java.io.tmpdir")}/graft_q109_unused")
-      run(s, pipeline, "shuffle_shards")
+        warehouseDir = wh, materialized = Set("html_extract"))
+      run(s, pipeline, "shuffle_shards", refresh = Set("html_extract"))
         .select(col("doc_id"), col("n_tokens"), col("shuffle_key"),
           col("shard_id"))
         .orderBy(col("doc_id"))
