@@ -45,6 +45,46 @@ class CorpusIngestSpec extends SparkSpecBase {
       s"PII must be scrubbed before the sink: $byId")
   }
 
+  test("row-local CorpusPipeline stages run unchanged on a stream (batch ≡ stream)") {
+    // the registry's row-local stages (extract / gates / redact / count)
+    // are pure projections+filters, so the SAME Stage functions apply to
+    // a readStream frame; only the order-dependent tail (shuffle/shard,
+    // example pack — cross-row prefix sums) is batch territory
+    import graft.operators.CorpusPipeline
+    implicit val sqlCtx = spark.sqlContext
+    val m = graft.features.QualityClassifier.Model(
+      Seq("n_words", "n_stop"), Array(0.05, 0.5), -2.0)
+    val stages = Seq(
+      CorpusPipeline.htmlExtract("text"),
+      CorpusPipeline.stage("drop_title")(_.drop("title")),
+      CorpusPipeline.classifierGate("text", m),
+      CorpusPipeline.piiRedact("text"),
+      CorpusPipeline.tokenCount("text"))
+    def applyStages(df: org.apache.spark.sql.DataFrame) =
+      stages.foldLeft(df)((d, st) => st.f(spark, d))
+    val pages = Seq(
+      (1L, s"<html><head><title>one</title></head><body><p>$good</p></body></html>"),
+      (2L, s"<body><p>$tooShort</p></body>"),          // fails the gate
+      (3L, s"<body><!-- c --><p>$withPii</p></body>")) // PII scrubbed
+    val expected = applyStages(pages.toDF("doc_id", "text"))
+      .select($"doc_id", $"text", $"n_tokens")
+      .as[(Long, String, Int)].collect().toSeq.sortBy(_._1)
+    val seen = mutable.ArrayBuffer[(Long, String, Int)]()
+    val in = MemoryStream[(Long, String)]
+    val q = applyStages(in.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen ++= b.select(col("doc_id"), col("text"), col("n_tokens"))
+          .as[(Long, String, Int)].collect(); ()
+      }.start()
+    in.addData(pages: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.sortBy(_._1).toSeq == expected)
+    assert(expected.map(_._1) == Seq(1L, 3L), "gate must drop doc 2 in both modes")
+    assert(expected.forall(!_._2.contains("@example.com")), "PII scrubbed in both modes")
+  }
+
   test("streamed composition equals the batch composition") {
     implicit val sqlCtx = spark.sqlContext
     val indexPath =
