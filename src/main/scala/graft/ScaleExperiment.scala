@@ -513,6 +513,23 @@ object ScaleExperiment {
           hotGramDocs(2000000), "doc_id", col("toks"), 8, numSalts = 8))
     }
 
+    // 25. HTML extraction at 1x/10x: the 16-step regexp chain over
+    // synthetic pages built from the real document texts (5k / 50k
+    // pages). Pure per-row projection — wall should track bytes.
+    if (on("htmlextract")) {
+      import graft.functions.HtmlExtract
+      val base = Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
+      def pages(copies: Int) = base
+        .crossJoin(spark.range(copies).select(col("id").as("copy")))
+        .select((col("doc_id") * copies + col("copy")).as("doc_id"),
+          concat(lit("<html><head><title>t</title><style>a{}</style></head><body><p>"),
+            col("text"), lit("</p><!-- c --><hr></body></html>")).as("html"))
+      HtmlExtract.extract(pages(1).limit(100), "html") // untimed warmup
+        .write.format("noop").mode("overwrite").save()
+      timed("htmlextract_1x")(HtmlExtract.extract(pages(1), "html"))
+      timed("htmlextract_10x")(HtmlExtract.extract(pages(10), "html"))
+    }
+
     // 24. epoch-aware shuffle+pack at 1x/10x: synthetic corpora of 500k /
     // 5M docs (~170 avg tokens → 85M / 850M tokens) laid out in a seeded
     // epoch order and cut into 4096-token examples. Cost shape per epoch:
