@@ -106,8 +106,9 @@ object CorpusPipeline {
       warehouseDir: String, materialized: Set[String] = Set.empty): Dag = {
     val names = stages.map(_.name)
     require(names.distinct == names, s"duplicate stage names: $names")
-    require((materialized -- (names.toSet + "source")).isEmpty,
-      s"materialized names unknown: ${materialized -- names.toSet}")
+    val known = names.toSet + "source"
+    require((materialized -- known).isEmpty,
+      s"materialized names unknown: ${materialized -- known}")
     val src = DagModel("source", Nil, materialized("source"))((s, _) => source(s))
     val models = stages.zipWithIndex.map { case (st, i) =>
       val dep = if (i == 0) "source" else names(i - 1)

@@ -80,9 +80,17 @@ object DataMix {
     val w = if (alpha == 0.5) sqrt(col("n")) else pow(col("n"), lit(alpha))
     val weighted = counts.withColumn("__w",
       floor(w * lit(WeightScale)).cast("long"))
-    val total = weighted.agg(sum(col("__w")).as("__t"))
+    // Sum the quantized weights through DECIMAL(38,0), not LONG: at α = 1
+    // the total is Σ n_g · 2²⁶ = corpusRows · 2²⁶, which wraps a non-ANSI
+    // long sum once the corpus passes ~2³⁷ ≈ 1.4e11 rows. DECIMAL(38,0)
+    // is exact to 10³⁸ (≈ 2¹²⁶ row-equivalents — no practical ceiling),
+    // and the two casts to double below are correctly rounded by IEEE
+    // rule in any engine, so cross-engine bit-parity of `share` survives.
+    val total = weighted.agg(
+      sum(col("__w").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("__t"))
     weighted.crossJoin(broadcast(total))
-      .select(col(groupCol), col("n"), (col("__w") / col("__t")).as("share"))
+      .select(col(groupCol), col("n"),
+        (col("__w").cast("double") / col("__t").cast("double")).as("share"))
   }
 
   /** Down-sample to the temperature mix: each group's cap is

@@ -46,9 +46,13 @@ object DagQueries {
       ("customers", StarDag.customersRaw _, StarDag.customerSchema),
       ("images", StarDag.imagesRaw _, StarDag.imageSchema))
 
-  /** Deterministic per-sfDir fixture root for the q25 bench split. */
+  /** Deterministic per-sfDir fixture root for the q25 bench split — keyed
+    * on the sanitized FULL sfDir (QueryHelpers.fixtureKey), not a 32-bit
+    * hashCode, so two data dirs can never collide onto one committed
+    * fixture. Still per-path shared state: bench/verify runs against the
+    * SAME sfDir must stay exclusive (the bench docs' standing rule). */
   private def benchRoot(d: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_bench_q25_${Integer.toHexString(d.hashCode)}"
+    s"${System.getProperty("java.io.tmpdir")}/graft_bench_q25_${QueryHelpers.fixtureKey(d)}"
 
   private def committed(s: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")

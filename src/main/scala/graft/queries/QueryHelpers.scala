@@ -38,6 +38,16 @@ object QueryHelpers {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  /** Collision-free tmp-fixture key for a data directory: the sanitized
+    * FULL path (not a 32-bit hashCode, which can collide across sfDirs and
+    * silently reuse another dir's committed fixture). Distinct sfDir
+    * strings always map to distinct keys. Fixtures keyed this way are
+    * still per-path shared state: concurrent drivers pointed at the SAME
+    * sfDir share the fixture, so bench/verify runs stay exclusive (the
+    * bench docs' standing requirement). */
+  def fixtureKey(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
   /** DuckDB SQL for the value of 4 hex digits of `hexExpr` starting at
     * 1-based offset `off` — the oracle-side mirror of Spark's
     * conv(substring(hex, off+1, 4), 16, 10). */

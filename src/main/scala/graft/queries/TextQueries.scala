@@ -207,7 +207,10 @@ object TextQueries {
     // fixture changes).
     "q109_crawl_assembly" -> { (s, d) =>
       import graft.operators.CorpusPipeline._
-      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_q109_${Integer.toHexString(d.hashCode)}"
+      // Collision-free per-sfDir warehouse (fixtureKey, not hashCode) —
+      // `refresh` below re-derives the materialized stage every run, so
+      // staleness is impossible; the key only guards cross-dir reuse.
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_q109_${QueryHelpers.fixtureKey(d)}"
       val pipeline = dag(
         ss => injectHtml(table(ss, d, "documents")),
         Seq(

@@ -59,6 +59,28 @@ class QualityClassifierSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  // round-6 advisory regression pin: docs with <2 tokens must SURVIVE
+  // featurize(lm=Some) with the neutral ll_mean = 0.0 — NgramLm.scoreDocs
+  // left-joins every doc back after the bigram explode (NgramLm.scala:106)
+  // and Repetition.topNgramStats does the same for the gram argmax, so no
+  // inner join in the chain can drop a bigram-less doc.
+  test("featurize(lm=Some) keeps docs with <2 tokens at neutral ll_mean 0.0") {
+    val docs = Seq(
+      (1L, "single"), // 1 token: no bigrams
+      (2L, ""), // trim→"" splits to one empty token: no bigrams
+      (3L, "the quick brown fox jumps the lazy dog the end"))
+      .toDF("doc_id", "text")
+    val lm = graft.functions.NgramLm.fit(
+      docs, graft.functions.TextOps.tokens($"text"), cache = false)
+    val feats = QualityClassifier.featurize(docs, "doc_id", "text", Some(lm))
+    assert(feats.count() == 3, "bigram-less docs must not be dropped")
+    val ll = feats.select($"doc_id", $"ll_mean").as[(Long, Double)]
+      .collect().toMap
+    assert(ll(1L) == 0.0 && ll(2L) == 0.0,
+      s"bigram-less docs must score the neutral 0.0, got $ll")
+    assert(ll(3L) != 0.0, "a real doc must carry a real LM mean")
+  }
+
   test("serving is a pure projection: no shuffle, no UDF, no ml runtime") {
     val m = QualityClassifier.Model(Seq("n_words", "n_sym"), Array(0.1, -0.5), -1.0)
     val plain = Seq((1L, 60, 0), (2L, 10, 9)).toDF("doc_id", "n_words", "n_sym")

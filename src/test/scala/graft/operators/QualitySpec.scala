@@ -91,4 +91,41 @@ class QualitySpec extends SparkSpecBase {
     assert(byV == Map(1L -> 0, 2L -> 0, 3L -> 1))
     intercept[IllegalArgumentException] { Quality.percentileBuckets(rows, $"v", 1) }
   }
+
+  // round-6 advisory regression pin for the q107 shape: a non-reference doc
+  // with <2 tokens must still come out of the composed chain (scoreDocs →
+  // oov_permille → percentileBuckets) as an n_bigrams = 0 / NULL-permille /
+  // NULL-bucket row — exactly what the DuckDB oracle's documents-LEFT-JOIN-
+  // stats `rated` CTE emits — and must leave the tertile thresholds (which
+  // both engines compute over non-NULL metrics only) untouched.
+  test("q107 chain keeps zero-bigram docs as NULL-bucket rows (oracle shape)") {
+    import graft.functions.{NgramLm, TextOps}
+    val docs = Seq(
+      (0L, "src0", "alpha beta gamma alpha beta delta epsilon zeta"),
+      (1L, "src1", "alpha beta gamma delta"), // all bigrams in-model-ish
+      (2L, "src1", "solo"), // ONE token: no bigrams
+      (3L, "src1", "zz yy xx ww vv"), // all-OOV bigrams
+      (4L, "src1", "alpha beta unknown1 unknown2"))
+      .toDF("doc_id", "source", "text")
+    val model = NgramLm.fit(docs.filter($"source" === "src0"),
+      TextOps.tokens($"text"), cache = false)
+    val scored = NgramLm.scoreDocs(docs.filter($"source" =!= "src0"),
+        "doc_id", TextOps.tokens($"text"), model)
+      .withColumn("oov_permille",
+        when($"n_bigrams" > 0,
+          expr("(n_oov * 1000) div n_bigrams").cast("int")))
+    val out = Quality.percentileBuckets(scored, $"oov_permille", 3)
+      .select($"doc_id", $"n_bigrams", $"oov_permille", $"bucket").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L),
+      "every non-src0 doc must survive, bigrams or not")
+    val solo = out(2L)
+    assert(solo.getLong(1) == 0L && solo.isNullAt(2) && solo.isNullAt(3),
+      s"zero-bigram doc must be (0, NULL, NULL), got $solo")
+    // thresholds over the three non-NULL permilles only — the NULL row must
+    // not shift them (Spark percentile and DuckDB quantile_cont both skip
+    // NULLs): buckets of the non-NULL rows are a proper 0/1/2 spread.
+    val buckets = Seq(1L, 3L, 4L).map(id => out(id).getInt(3)).sorted
+    assert(buckets == Seq(0, 1, 2), s"expected tertile spread, got $buckets")
+  }
 }
