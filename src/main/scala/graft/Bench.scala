@@ -13,18 +13,53 @@ import org.apache.spark.sql.SparkSession
   *
   * Reliability: each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and
   * the reported number is the median — a single local[32] process running
-  * ~90 queries back-to-back sees 2-5x per-query jitter from JIT/GC/page-cache
+  * ~110 queries back-to-back sees 2-5x per-query jitter from JIT/GC/page-cache
   * crowding (round-3/4 cross-round deltas on byte-identical code proved the
   * single-shot numbers untrustworthy). The complete result, including every
   * rep, is also written to target/bench_full.json so downstream tooling never
   * depends on a possibly-truncated stdout tail. Run exclusively: any
   * concurrent sbt/duckdb job on the box inflates timings 20-60%.
+  *
+  * Round-7 reproducibility additions (the r6 finding was that suite totals
+  * drifted 1.30x across rounds on untouched code, with no way to tell
+  * environment from regression from the artifact alone):
+  *  - a CONSTANT calibration workload (data-independent, fixed row count)
+  *    is timed at suite start / middle / end and reported under
+  *    `calibration` — a run whose calibration points disagree measured a
+  *    drifting box, and the drift factor is now in the artifact itself;
+  *  - the heavy queries (SparkEntry.benchIsolate) get System.gc() + a
+  *    settle pause before EVERY rep, so their medians stop absorbing the
+  *    previous query's heap/code-cache state (the q35 A/B showed suite
+  *    position alone moved an untouched query's median 2x);
+  *  - the fit-heavy entries (SparkEntry.benchVolatile — iterative model
+  *    training dominates their wall) are listed under `volatile` in the
+  *    artifact, and `core_total` sums everything else: the number to
+  *    compare across rounds. `value` stays the all-queries total for
+  *    continuity with earlier rounds.
   */
 object Bench {
+
+  /** Fixed calibration workload: 100M-row hash aggregate, data-independent
+    * and deterministic (same plan, same row count, every run, every box).
+    * Purely CPU + one small shuffle — exactly the resources whose
+    * availability drifts when the box is contended or the JVM is aging. */
+  private def calibration(spark: SparkSession, cpus: Int): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    // hash() is INT-valued, so its long SUM stays far from overflow at 1e8
+    // rows under ANSI mode (xxhash64's long sum overflows immediately).
+    spark.range(0L, 100000000L, 1L, cpus)
+      .select((col("id") % 1024).as("g"), hash(col("id")).as("h"))
+      .groupBy("g").agg(sum("h").as("s"))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val settleMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS", "400").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -45,28 +80,48 @@ object Bench {
       errors("benchSetup") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
     }
     val all = (SparkEntry.queries -- SparkEntry.benchSkip) ++ SparkEntry.benchOnly
-    // (name, median, reps) — median over successful reps; a query whose every
-    // rep fails reports the negated first-rep wall time like before.
-    val results: Seq[(String, Double, Seq[Double])] =
-      all.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val times = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          val ok =
-            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-            catch { case e: Throwable =>
-              if (!errors.contains(name))
-                errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-              false
-            }
-          val dt = (System.nanoTime() - t0) / 1e9
-          if (ok) dt else -dt
-        }
-        val good = times.filter(_ > 0).sorted
-        val median =
-          if (good.isEmpty) times.head
-          else good(good.size / 2)
-        (name, median, times)
+    val isolate = SparkEntry.benchIsolate
+    val ordered = all.toSeq.sortBy(_._1)
+
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (String, Double, Seq[Double]) = {
+      val times = (1 to reps).map { _ =>
+        if (isolate(name)) { System.gc(); Thread.sleep(settleMs) }
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            if (!errors.contains(name))
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (ok) dt else -dt
       }
+      val good = times.filter(_ > 0).sorted
+      val median =
+        if (good.isEmpty) times.head
+        else good(good.size / 2)
+      (name, median, times)
+    }
+
+    // Calibration: one untimed warmup, then the three timed points
+    // (suite start / after half the queries / suite end).
+    try calibration(spark, cpus.toInt) catch { case _: Throwable => () }
+    def calPoint(): Double =
+      try calibration(spark, cpus.toInt) catch { case _: Throwable => -1.0 }
+    val calStart = calPoint()
+    val (firstHalf, secondHalf) = ordered.splitAt(ordered.size / 2)
+    val res1 = firstHalf.map { case (n, f) => runOne(n, f) }
+    val calMid = calPoint()
+    val res2 = secondHalf.map { case (n, f) => runOne(n, f) }
+    val calEnd = calPoint()
+    val results = res1 ++ res2
+    val calDrift = {
+      val pts = Seq(calStart, calMid, calEnd).filter(_ > 0)
+      if (pts.isEmpty) -1.0 else pts.max / pts.min
+    }
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -75,13 +130,21 @@ object Bench {
     val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v > 0 => v }.sum
+    val coreTotal = results.collect {
+      case (k, v, _) if v > 0 && !SparkEntry.benchVolatile(k) => v
+    }.sum
+    val calJson =
+      s"""{"start":$calStart,"mid":$calMid,"end":$calEnd,"drift_x":$calDrift}"""
+    val volatileJson =
+      SparkEntry.benchVolatile.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","core_total":$coreTotal,"calibration":$calJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir","reps":$reps}"""
     val repsJson = results.map { case (k, _, ts) =>
       jstr(k) + ":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val isolateJson = isolate.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_times":$repsJson,"errors":$errJson,"sf":"$sfDir","reps":$reps,"cpus":$cpus}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","core_total":$coreTotal,"calibration":$calJson,"volatile":$volatileJson,"isolated":$isolateJson,"queries":$qs,"rep_times":$repsJson,"errors":$errJson,"sf":"$sfDir","reps":$reps,"cpus":$cpus}"""
     try {
       val out = java.nio.file.Paths.get("target", "bench_full.json")
       java.nio.file.Files.createDirectories(out.getParent)
