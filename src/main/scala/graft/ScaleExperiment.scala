@@ -474,6 +474,21 @@ object ScaleExperiment {
         heavy.withColumn("rn", row_number().over(
             Window.partitionBy(col("line")).orderBy(col("doc_id"), col("pos"))))
           .filter(col("rn") === 1).drop("rn"))
+      // 100x wall (filter "linededup100"): 20M docs → 400M line rows.
+      // groupBy form only — the window form's hot-line partition holds
+      // 20M rows on one task at this size, which is the documented
+      // anti-pattern, not a measurement.
+      if (only.endsWith("100")) {
+        val huge = spark.range(20 * nDocs).select(col("id").as("doc_id"),
+          explode(array((0 until 20).map(lit(_)): _*)).as("pos"))
+          .select(col("doc_id"), col("pos"),
+            when(pmod(col("pos"), lit(2)) === 0,
+              concat(lit("template"), pmod(shiftright(col("pos"), 1), lit(10))))
+              .otherwise(concat(lit("line"), col("doc_id") * 20 + col("pos")))
+              .as("line"))
+        counted("linededup_groupby_heavydup_100x")(
+          graft.dedup.LineDedup.firstOccurrences(huge, "doc_id", "pos", "line"))
+      }
     }
 
     // 21. exact substring (span) dedup under the adversarial regime: a
@@ -511,6 +526,37 @@ object ScaleExperiment {
       timed("spandedup_hotgram_10x_salted")(
         graft.dedup.SpanDedup.removeDuplicateSpans(
           hotGramDocs(2000000), "doc_id", col("toks"), 8, numSalts = 8))
+      // 100x walls (filter "spandedup100"): 20M docs, the hot gram in
+      // every one — 20M occurrences of ONE gram. Both forms measured:
+      // unsalted shows the single-reducer cliff as a number, salted is
+      // the documented escape hatch at the size that needs it.
+      if (only.endsWith("100")) {
+        timed("spandedup_hotgram_100x")(
+          graft.dedup.SpanDedup.removeDuplicateSpans(
+            hotGramDocs(20000000), "doc_id", col("toks"), 8))
+        timed("spandedup_hotgram_100x_salted")(
+          graft.dedup.SpanDedup.removeDuplicateSpans(
+            hotGramDocs(20000000), "doc_id", col("toks"), 8, numSalts = 8))
+      }
+    }
+
+    // 26. MinHash-LSH near-dup over the GIVEN fixture's real documents
+    // (the q38 pipeline: shingle → 16 minhashes → banded buckets →
+    // candidate Jaccard → anti join; nothing all-pairs). Run against
+    // sf0.1 / the 10x replica / the 100x replica for the scaling series —
+    // the replicas' per-copy text suffixes keep cross-copy rows from
+    // being artificial near-dups, so candidate volume scales like a real
+    // crawl's, not quadratically.
+    if (on("textlsh")) {
+      import graft.functions.TextOps
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+      val sh = TextOps.wordShingles(col("__toks"), 8)
+      graft.dedup.TextDedup.dropNearDuplicates( // untimed JIT warmup
+          docs.limit(500), "doc_id", sh, 16, 2, 0.5)
+        .write.format("noop").mode("overwrite").save()
+      counted("textlsh_neardup")(
+        graft.dedup.TextDedup.dropNearDuplicates(docs, "doc_id", sh, 16, 2, 0.5))
     }
 
     // 25. HTML extraction at 1x/10x: the 16-step regexp chain over
@@ -528,6 +574,10 @@ object ScaleExperiment {
         .write.format("noop").mode("overwrite").save()
       timed("htmlextract_1x")(HtmlExtract.extract(pages(1), "html"))
       timed("htmlextract_10x")(HtmlExtract.extract(pages(10), "html"))
+      // 100x wall (filter "htmlextract100"): 500k pages from the same
+      // real texts — projection-linearity at the next decade.
+      if (only.endsWith("100"))
+        timed("htmlextract_100x")(HtmlExtract.extract(pages(100), "html"))
     }
 
     // 24. epoch-aware shuffle+pack at 1x/10x: synthetic corpora of 500k /
@@ -548,6 +598,11 @@ object ScaleExperiment {
       timed("epochpack_1x")(pack(corpus(500000L), "epoch1"))
       timed("epochpack_10x")(pack(corpus(5000000L), "epoch1"))
       timed("epochpack_10x_epoch2")(pack(corpus(5000000L), "epoch2"))
+      // 100x wall (filter "epochpack100"): 50M docs ≈ 8.5B tokens laid
+      // out and cut — the two-level prefix sum's partition count is the
+      // only thing that grows.
+      if (only.endsWith("100"))
+        timed("epochpack_100x")(pack(corpus(50000000L), "epoch1"))
     }
 
     // 22. semantic dedup on the real embeddings at the default quantizer:

@@ -43,6 +43,26 @@ object CorpusPipeline {
   def htmlExtract(htmlCol: String): Stage =
     stage("html_extract")(graft.functions.HtmlExtract.extract(_, htmlCol))
 
+  /** HTML → text extraction with anchor-dense boilerplate lines dropped
+    * (q110/q111 operator — the jusText-lite link-density leg): structural
+    * lines whose visible characters are more than `maxAnchorPermille`‰
+    * inside <a> elements are removed before tag stripping. */
+  def htmlExtractDropBoilerplate(htmlCol: String,
+      maxAnchorPermille: Int = 500): Stage =
+    stage("html_extract")(df => df
+      .withColumn("title", graft.functions.HtmlExtract.title(col(htmlCol)))
+      .withColumn(htmlCol, graft.functions.HtmlExtract
+        .textDropBoilerplate(col(htmlCol), maxAnchorPermille)))
+
+  /** URL canonicalization + keep-first URL dedup (q112/q113 operator) —
+    * the crawl-entry dedup C4/RefinedWeb run BEFORE any content work;
+    * slots ahead of `html_extract` so duplicate fetches of one page never
+    * reach extraction. Adds `url_canon`; keeps the least-`tieBreak` row
+    * per canonical URL. */
+  def urlDedup(urlCol: String, tieBreak: String): Stage =
+    stage("url_dedup")(df =>
+      graft.functions.UrlCanon.dedupByUrl(df, urlCol, Seq(col(tieBreak))))
+
   /** Gopher rule battery as a pushdown-friendly filter (q95 operator). */
   def qualityGate(textCol: String, minWords: Int = 50,
       maxWords: Int = 100000, minStopwords: Int = 2): Stage =
@@ -69,6 +89,27 @@ object CorpusPipeline {
       graft.features.QualityClassifier.marginOver(model,
         GopherQuality.metricExprMap(col(textCol))) > 0))
   }
+
+  /** Two-pass learned-classifier gate (q114 operator) — the form that
+    * supports AGGREGATION features: [[graft.features.QualityClassifier.featurize]]
+    * computes per-doc feature aggregations a single-pass filter cannot
+    * express (top_gram_frac needs the per-doc gram argmax; ll_mean two
+    * broadcast joins + an agg), the codegen margin scores the feature
+    * frame, and a left-semi join keeps the passing docs. Two passes over
+    * `textCol` by construction — when the text is DERIVED (an upstream
+    * extraction), materialize that upstream stage (the q109 inlining
+    * lesson), or the derivation replays inside every feature
+    * aggregation. For Gopher-only models prefer [[classifierGate]]: one
+    * pass, pure Filter. */
+  def classifierScore(idCol: String, textCol: String,
+      model: graft.features.QualityClassifier.Model,
+      lm: Option[graft.functions.NgramLm.Model] = None): Stage =
+    stage("classifier_score") { df =>
+      val feats = graft.features.QualityClassifier.featurize(df, idCol, textCol, lm)
+      val kept = graft.features.QualityClassifier.score(feats, model)
+        .filter(col("keep")).select(col(idCol))
+      df.join(kept, Seq(idCol), "left_semi")
+    }
 
   /** Exact-duplicate removal tier (q32 operator; min-id canonical). */
   def exactDedup(idCol: String, textCol: String): Stage =

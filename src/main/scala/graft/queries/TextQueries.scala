@@ -240,6 +240,58 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Anchor-density boilerplate scoring (jusText-lite link density, the
+    // DOM-free leg): per structural line, the integer permille of visible
+    // characters living inside <a> elements — nav/footer lines score
+    // link-dense, body text link-sparse. One HOF pass over the line
+    // array, zero shuffles, digit-exact in the oracle.
+    "q110_anchor_density" -> { (s, d) =>
+      import graft.functions.HtmlExtract
+      injectLinkHtml(table(s, d, "documents"))
+        .select(col("doc_id"),
+          explode(HtmlExtract.lineAnchorStats(col("html"))).as("ls"))
+        .select(col("doc_id"), col("ls.line_idx").as("line_idx"),
+          col("ls.n_chars").as("n_chars"),
+          col("ls.anchor_permille").as("anchor_permille"))
+        .orderBy(col("doc_id"), col("line_idx"))
+    },
+
+    // Extraction with the boilerplate gate applied: lines above 500‰
+    // anchor density are dropped BEFORE tag stripping, then the standard
+    // chain finishes — the nav/footer vanish, the body (with its one
+    // inline link) survives. Byte-compared against the oracle's replay.
+    "q111_drop_boilerplate" -> { (s, d) =>
+      import graft.functions.HtmlExtract
+      injectLinkHtml(table(s, d, "documents"))
+        .select(col("doc_id"),
+          HtmlExtract.textDropBoilerplate(col("html"), 500).as("text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // URL canonicalization (C4/RefinedWeb crawl-entry normalization):
+    // lowercase scheme+host, default port off, fragment off, query params
+    // sorted, empty path → "/". Four cosmetic variants of each logical
+    // page (by doc_id mod 4) must collapse to two canonical URLs per
+    // group; the oracle replays every rule.
+    "q112_url_canon" -> { (s, d) =>
+      val u = injectUrls(table(s, d, "documents"))
+      u.select(col("doc_id"), col("url"),
+          graft.functions.UrlCanon.canonicalize(col("url")).as("url_canon"))
+        .orderBy(col("doc_id"))
+    },
+
+    // URL-level keep-first dedup over the canonical form — the stage a
+    // crawl runs BEFORE content extraction (dedup by URL, then by
+    // content). Winner per canonical URL = least doc_id; deterministic
+    // and partitioning-invariant.
+    "q113_url_dedup" -> { (s, d) =>
+      graft.functions.UrlCanon
+        .dedupByUrl(injectUrls(table(s, d, "documents")), "url",
+          Seq(col("doc_id")))
+        .select(col("doc_id"), col("url_canon"))
+        .orderBy(col("doc_id"))
+    },
+
     // Temperature-reweighted mixture (XLM-R α-sampling / Pile-style
     // source weighting) at α = 0.5: shares ∝ sqrt(n_g), weights quantized
     // to exact integers so share arithmetic replays bit-for-bit; the
@@ -573,6 +625,24 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Two-pass classifier assembly: the classifier_score registry stage
+    // with an AGGREGATION feature (top_gram_frac — per-doc gram argmax,
+    // inexpressible in classifierGate's single-pass filter) in the fixed
+    // model, then token count + projection. featurize → margin → left-semi
+    // keep; the oracle replays the feature aggregations, the left-to-right
+    // double margin, and the gate.
+    "q114_twopass_assembly" -> { (s, d) =>
+      import graft.operators.CorpusPipeline._
+      val pipeline = dag(
+        ss => table(ss, d, "documents").select(col("doc_id"), col("text")),
+        Seq(
+          classifierScore("doc_id", "text", twoPassFixedModel),
+          tokenCount("text"),
+          stage("project")(_.select(col("doc_id"), col("n_tokens")))),
+        warehouseDir = s"${System.getProperty("java.io.tmpdir")}/graft_q114_unused")
+      run(s, pipeline, "project").orderBy(col("doc_id"))
+    },
+
     // Learned quality classifier serving path (CCNet-style third leg):
     // the linear margin over the integer Gopher metrics with FIXED
     // plan-constant weights (the q82 technique — training determinism is
@@ -620,6 +690,25 @@ object TextQueries {
   private def classifierMarginSql: String =
     classifierFixedWeights.foldLeft(
       s"CAST('$classifierFixedIntercept' AS DOUBLE)") {
+      case (acc, (name, w)) => s"$acc + CAST('$w' AS DOUBLE) * $name"
+    }
+
+  /** The q114 two-pass fixed model: one aggregation feature
+    * (top_gram_frac) among the single-pass ones — the case classifierGate
+    * cannot serve. One definition feeds both engines. */
+  private val twoPassFixedWeights: Seq[(String, String)] = Seq(
+    "n_words" -> "0.005", "n_stop" -> "0.2", "top_gram_frac" -> "-15.0")
+  private val twoPassFixedIntercept = "-2.0"
+
+  private lazy val twoPassFixedModel =
+    graft.features.QualityClassifier.Model(
+      twoPassFixedWeights.map(_._1),
+      twoPassFixedWeights.map(_._2.toDouble).toArray,
+      twoPassFixedIntercept.toDouble)
+
+  private def twoPassMarginSql: String =
+    twoPassFixedWeights.foldLeft(
+      s"CAST('$twoPassFixedIntercept' AS DOUBLE)") {
       case (acc, (name, w)) => s"$acc + CAST('$w' AS DOUBLE) * $name"
     }
 
@@ -690,6 +779,125 @@ object TextQueries {
       case (t, (re, repl)) =>
         s"regexp_replace($t, ${sqlStr(re)}, ${sqlStr(repl)}, 'g')"
     } + ")"
+
+  /** The post-structural remainder of the chain (tags out, entities,
+    * whitespace) + trim — what q111 runs after the boilerplate gate. */
+  private def htmlFinishSql(src: String): String =
+    "trim(" + graft.functions.HtmlExtract.Steps
+      .drop(graft.functions.HtmlExtract.StructuralSteps.size).foldLeft(src) {
+        case (t, (re, repl)) =>
+          s"regexp_replace($t, ${sqlStr(re)}, ${sqlStr(repl)}, 'g')"
+      } + ")"
+
+  /** The structural prefix of the chain (tags kept, line structure
+    * established) — the shape anchor-density is measured on (q110/q111). */
+  private def htmlStructSql(src: String): String =
+    graft.functions.HtmlExtract.StructuralSteps.foldLeft(src) {
+      case (t, (re, repl)) =>
+        s"regexp_replace($t, ${sqlStr(re)}, ${sqlStr(repl)}, 'g')"
+    }
+
+  /** Visible characters of a line fragment (tags stripped, spaces
+    * collapsed, trimmed) — HtmlExtract.visible's oracle mirror. */
+  private def visibleSql(src: String): String =
+    s"""trim(regexp_replace(regexp_replace($src, '(?s)<[^>]+>', ' ', 'g'),
+       '[ \\t]+', ' ', 'g'))"""
+
+  /** Anchor-body visible characters of a line fragment. */
+  private def anchorVisSql(src: String): String =
+    visibleSql(s"""array_to_string(
+      regexp_extract_all($src, '(?is)<a[^>]*>(.*?)</a>', 1), ' ')""")
+
+  /** Deterministic URL-variant fixture (q112/q113): four cosmetic variants
+    * of the same logical page, cycling by doc_id mod 4 — variants 0/1 and
+    * 2/3 must each collapse to one canonical URL per doc_id-div-4 group. */
+  private def injectUrls(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val g = expr("doc_id div 4").cast("string")
+    docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("http://Example.com/page"), g))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("http://example.com:80/page"), g, lit("#frag")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit("HTTP://EXAMPLE.COM:80/page"), g, lit("?b=2&a=1")))
+        .otherwise(
+          concat(lit("http://example.com/page"), g, lit("?a=1&b=2#sec")))
+        .as("url"))
+  }
+
+  /** The same fixture + the full canonicalization replay in DuckDB
+    * (q112/q113) — every UrlCanon rule mirrored step for step (DuckDB
+    * backreferences are \\1 where Spark's are $1; list_sort is bytewise
+    * like array_sort on ASCII). Ends in CTE `fin (doc_id, url,
+    * url_canon)`. */
+  private val urlCanonSql =
+    """u AS (SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'http://Example.com/page' || CAST(doc_id // 4 AS VARCHAR)
+           WHEN 1 THEN 'http://example.com:80/page' || CAST(doc_id // 4 AS VARCHAR) || '#frag'
+           WHEN 2 THEN 'HTTP://EXAMPLE.COM:80/page' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1'
+           ELSE 'http://example.com/page' || CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2#sec'
+         END AS url FROM documents),
+       nf AS (SELECT doc_id, url,
+           regexp_replace(trim(url), '#.*$', '') AS nofrag FROM u),
+       pr AS (SELECT doc_id, url, nofrag,
+           regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1) AS auth,
+           regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', '') AS rest
+         FROM nf),
+       ac AS (SELECT doc_id, url, nofrag, rest,
+           regexp_replace(regexp_replace(lower(auth),
+             '^(http://[^/:]+):80$', '\1'), '^(https://[^/:]+):443$', '\1') AS authc,
+           auth FROM pr),
+       pq AS (SELECT doc_id, url, nofrag, auth, authc,
+           CASE WHEN strpos(rest, '?') > 0
+             THEN regexp_extract(rest, '^([^?]*)', 1) ELSE rest END AS path,
+           CASE WHEN strpos(rest, '?') > 0
+             THEN regexp_replace(rest, '^[^?]*\?', '') ELSE '' END AS query
+         FROM ac),
+       fin AS (SELECT doc_id, url,
+           CASE WHEN auth = '' THEN nofrag ELSE
+             authc || (CASE WHEN path = '' THEN '/' ELSE path END)
+             || (CASE WHEN query = '' THEN ''
+                 ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&') END)
+           END AS url_canon
+         FROM pq)"""
+
+  /** Deterministic link-rich page template (q110/q111): an anchor-dense
+    * nav line, the body text with one inline link, an anchor-only footer —
+    * the jusText-lite fixture where nav/footer must score link-dense and
+    * the body line link-sparse. */
+  private def injectLinkHtml(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), concat(
+      lit("<html><body><div class=\"nav\"><a href=\"/\">Home</a> | <a href=\"/about\">About us</a> | <a href=\"/contact\">Contact</a></div>"),
+      lit("<p>"), col("text"), lit(" see <a href=\"/more\">details</a></p>"),
+      lit("<div class=\"footer\"><a href=\"/tos\">Terms</a> <a href=\"/privacy\">Privacy</a></div></body></html>")).as("html"))
+
+  /** The same template in DuckDB — one copy per element, so the mirrors
+    * can't drift. */
+  private val linkHtmlInjectSql =
+    """inj AS (SELECT doc_id,
+         '<html><body><div class="nav"><a href="/">Home</a> | <a href="/about">About us</a> | <a href="/contact">Contact</a></div>'
+         || '<p>' || text || ' see <a href="/more">details</a></p>'
+         || '<div class="footer"><a href="/tos">Terms</a> <a href="/privacy">Privacy</a></div></body></html>' AS html
+       FROM documents)"""
+
+  /** Shared q110/q111 oracle prefix: structural lines with 0-based index. */
+  private val linkLinesSql =
+    s"""$linkHtmlInjectSql,
+       structured AS (SELECT doc_id, ${htmlStructSql("html")} AS s FROM inj),
+       ls AS (SELECT doc_id, string_split(s, chr(10)) AS a FROM structured),
+       lines AS (SELECT doc_id, CAST(unnest(range(len(a))) AS INT) AS line_idx, a
+                 FROM ls),
+       per AS (SELECT doc_id, line_idx, a[line_idx + 1] AS line FROM lines),
+       scored_lines AS (SELECT doc_id, line_idx, line,
+           length(${visibleSql("line")}) AS n_chars,
+           -- COALESCE: DuckDB's no-anchor case propagates NULL through
+           -- regexp_extract_all→array_to_string where Spark's array_join
+           -- of an empty array is '' (length 0)
+           CAST(FLOOR(COALESCE(length(${anchorVisSql("line")}), 0) * 1000
+                / GREATEST(length(${visibleSql("line")}), 1)) AS INT)
+             AS anchor_permille
+         FROM per)"""
 
   /** Shared oracle fragments for the PII / quality / assembly chain (one
     * copy each, so the q92/q95/q99 mirrors can't drift). */
@@ -884,6 +1092,45 @@ object TextQueries {
            regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
            ${htmlTextSql("html")} AS text
          FROM inj ORDER BY doc_id""",
+    "q110_anchor_density" ->
+      s"""WITH $linkLinesSql
+         SELECT doc_id, line_idx, CAST(n_chars AS INT) AS n_chars,
+           anchor_permille
+         FROM scored_lines ORDER BY doc_id, line_idx""",
+    "q111_drop_boilerplate" ->
+      s"""WITH $linkLinesSql,
+         kept AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_idx) AS s
+                  FROM scored_lines WHERE anchor_permille <= 500 GROUP BY doc_id),
+         all_docs AS (SELECT DISTINCT doc_id FROM inj)
+         SELECT d.doc_id, ${htmlFinishSql("COALESCE(k.s, '')")} AS text
+         FROM all_docs d LEFT JOIN kept k USING (doc_id) ORDER BY d.doc_id""",
+    "q112_url_canon" ->
+      s"""WITH $urlCanonSql
+         SELECT doc_id, url, url_canon FROM fin ORDER BY doc_id""",
+    "q114_twopass_assembly" ->
+      s"""WITH m AS (SELECT doc_id, ${gopherMetricsSql("text")} FROM documents),
+         t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+         g AS (SELECT doc_id, unnest(list_transform(range(len(w)-1), i -> array_to_string(w[i+1:i+2], ' '))) s
+               FROM t WHERE len(w) >= 2),
+         c AS (SELECT doc_id, s, COUNT(*) c FROM g GROUP BY 1, 2),
+         top AS (SELECT doc_id, c, s,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, s DESC) rn
+                 FROM c),
+         tg AS (SELECT t.doc_id,
+             COALESCE(CAST(top.c * 2 AS DOUBLE) / len(t.w), 0.0) AS top_gram_frac
+           FROM t LEFT JOIN (SELECT * FROM top WHERE rn = 1) top USING (doc_id)),
+         feats AS (SELECT m.doc_id, m.n_words, m.n_stop, tg.top_gram_frac
+                   FROM m JOIN tg USING (doc_id)),
+         keep AS (SELECT doc_id FROM feats WHERE ($twoPassMarginSql) > 0)
+         SELECT d.doc_id,
+           CAST(len(string_split_regex(trim(d.text), '\\s+')) AS INT) AS n_tokens
+         FROM documents d JOIN keep USING (doc_id) ORDER BY d.doc_id""",
+    "q113_url_dedup" ->
+      s"""WITH $urlCanonSql,
+         r AS (SELECT doc_id, url_canon,
+             row_number() OVER (PARTITION BY url_canon ORDER BY doc_id) rn
+           FROM fin)
+         SELECT doc_id, url_canon FROM r WHERE rn = 1 ORDER BY doc_id""",
     "q109_crawl_assembly" ->
       s"""WITH $htmlInjectSql,
          ext AS (SELECT doc_id, ${htmlTextSql("html")} AS t FROM inj),

@@ -63,7 +63,7 @@ object DocIngest {
       .start()
   }
 
-  private def indexSigsIfAny(spark: org.apache.spark.sql.SparkSession,
+  private[streaming] def indexSigsIfAny(spark: org.apache.spark.sql.SparkSession,
       path: String): Option[DataFrame] =
     try {
       val df = spark.read.parquet(path)
