@@ -56,6 +56,14 @@ object UrlCanon {
       .otherwise(concat(authCanon, pathCanon, queryCanon))
   }
 
+  /** The lowercase host of a URL (port and userinfo stripped, `www.`
+    * preserved — host identity, not site grouping): the key the
+    * per-domain pipeline stages (C4 blocklists, RefinedWeb per-domain
+    * caps) group on. Empty string for non-URLs. */
+  def host(url: Column): Column =
+    lower(regexp_extract(trim(url),
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1))
+
   /** Keep-first URL-level dedup: one row per canonical URL, the winner
     * chosen by the least `tieBreak` (deterministic, partitioning-
     * invariant). Rides Relational.keepFirstPerKey — one per-key window

@@ -63,6 +63,14 @@ object CorpusPipeline {
     stage("url_dedup")(df =>
       graft.functions.UrlCanon.dedupByUrl(df, urlCol, Seq(col(tieBreak))))
 
+  /** Per-domain document cap (q116 operator) — the RefinedWeb-style
+    * crawl-entry down-sample: at most `maxPerDomain` docs per URL host,
+    * selected by the deterministic md5 rank; slots after `url_dedup`,
+    * before extraction, so no single domain floods the corpus. */
+  def domainCap(urlCol: String, idCol: String, maxPerDomain: Long): Stage =
+    stage("domain_cap")(df => DataMix.capPerGroupConstant(
+      df, graft.functions.UrlCanon.host(col(urlCol)), col(idCol), maxPerDomain))
+
   /** Gopher rule battery as a pushdown-friendly filter (q95 operator). */
   def qualityGate(textCol: String, minWords: Int = 50,
       maxWords: Int = 100000, minStopwords: Int = 2): Stage =

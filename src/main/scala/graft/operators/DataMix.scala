@@ -37,6 +37,23 @@ object DataMix {
       .drop("__rank", "cap")
   }
 
+  /** Keep at most `cap` rows per group for a CONSTANT cap — the
+    * RefinedWeb/C4 per-domain cap: no caps table, no broadcast, one
+    * per-group window with the same deterministic md5 rank as
+    * [[capPerGroup]] (groups here are unbounded-cardinality URL hosts, so
+    * a caps-table broadcast would grow with the corpus — the constant
+    * folds into the filter instead). A single viral domain rides the
+    * window partitioned, spillable; compose with the
+    * topKPerGroupSalted two-phase pattern if one domain dominates the
+    * corpus. */
+  def capPerGroupConstant(df: DataFrame, group: Column, key: Column,
+      cap: Long): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    val rank = row_number().over(
+      Window.partitionBy(group).orderBy(md5(key.cast("string")), key))
+    df.withColumn("__rank", rank).filter(col("__rank") <= cap).drop("__rank")
+  }
+
   /** Down-sample to a target mix: `proportions` maps group value → share of
     * `totalRows`; each group's cap is floor(share · totalRows). Groups with
     * fewer rows than their cap simply contribute everything they have (the

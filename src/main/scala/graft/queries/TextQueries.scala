@@ -292,6 +292,30 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Per-domain corpus statistics: docs and chars per URL host — the
+    // aggregate a crawl pipeline reads before choosing domain caps and
+    // blocklists (C4's badlist sizing, RefinedWeb's head-domain audit).
+    "q115_domain_stats" -> { (s, d) =>
+      val u = injectDomainUrls(table(s, d, "documents"))
+      u.groupBy(graft.functions.UrlCanon.host(col("url")).as("domain"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("domain"))
+    },
+
+    // Per-domain document cap (RefinedWeb-style): at most 30 docs per
+    // host, chosen by the q75 deterministic md5 rank — no domain floods
+    // the corpus, and both engines pick the identical survivor set.
+    "q116_domain_cap" -> { (s, d) =>
+      import graft.operators.CorpusPipeline._
+      val pipeline = dag(
+        ss => injectDomainUrls(table(ss, d, "documents")),
+        Seq(domainCap("url", "doc_id", 30L),
+          stage("project")(_.select(col("doc_id"),
+            graft.functions.UrlCanon.host(col("url")).as("domain")))),
+        warehouseDir = s"${System.getProperty("java.io.tmpdir")}/graft_q116_unused")
+      run(s, pipeline, "project").orderBy(col("doc_id"))
+    },
+
     // Temperature-reweighted mixture (XLM-R α-sampling / Pile-style
     // source weighting) at α = 0.5: shares ∝ sqrt(n_g), weights quantized
     // to exact integers so share arithmetic replays bit-for-bit; the
@@ -808,6 +832,32 @@ object TextQueries {
     visibleSql(s"""array_to_string(
       regexp_extract_all($src, '(?is)<a[^>]*>(.*?)</a>', 1), ' ')""")
 
+  /** Deterministic multi-domain URL fixture (q115/q116): seven hosts
+    * cycling by doc_id mod 7, with userinfo/port noise on some ids so
+    * host() earns its regex. */
+  private def injectDomainUrls(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), col("n_chars"),
+      concat(lit("http://"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("crawler@")).otherwise(lit("")),
+        lit("Host"), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit(".example.com"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(":8080")).otherwise(lit("")),
+        lit("/page"), col("doc_id").cast("string")).as("url"))
+
+  /** The q115/q116 fixture + host extraction in DuckDB (host(): lowercase,
+    * userinfo and port stripped — \\1 backrefs, RE2 like Spark). */
+  private val domainUrlSql =
+    """du AS (SELECT doc_id, n_chars,
+         'http://' || (CASE WHEN doc_id % 3 = 0 THEN 'crawler@' ELSE '' END)
+         || 'Host' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+         || (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END)
+         || '/page' || CAST(doc_id AS VARCHAR) AS url
+       FROM documents),
+       dh AS (SELECT doc_id, n_chars,
+           lower(regexp_extract(trim(url),
+             '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1)) AS domain
+         FROM du)"""
+
   /** Deterministic URL-variant fixture (q112/q113): four cosmetic variants
     * of the same logical page, cycling by doc_id mod 4 — variants 0/1 and
     * 2/3 must each collapse to one canonical URL per doc_id-div-4 group. */
@@ -1131,6 +1181,18 @@ object TextQueries {
              row_number() OVER (PARTITION BY url_canon ORDER BY doc_id) rn
            FROM fin)
          SELECT doc_id, url_canon FROM r WHERE rn = 1 ORDER BY doc_id""",
+    "q115_domain_stats" ->
+      s"""WITH $domainUrlSql
+         SELECT domain, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM dh GROUP BY domain ORDER BY domain""",
+    "q116_domain_cap" ->
+      s"""WITH $domainUrlSql,
+         r AS (SELECT doc_id, domain,
+             row_number() OVER (PARTITION BY domain
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rn
+           FROM dh)
+         SELECT doc_id, domain FROM r WHERE rn <= 30 ORDER BY doc_id""",
     "q109_crawl_assembly" ->
       s"""WITH $htmlInjectSql,
          ext AS (SELECT doc_id, ${htmlTextSql("html")} AS t FROM inj),

@@ -66,6 +66,33 @@ class UrlCanonSpec extends SparkSpecBase {
       (3L, "http://a.com/y", "other")))
   }
 
+  test("host extracts the lowercase host, stripping userinfo and port") {
+    def h(u: String) = Seq(Tuple1(u)).toDF("u")
+      .select(UrlCanon.host($"u").as("h")).as[String].head()
+    assert(h("http://crawler@HOST3.Example.COM:8080/page1") == "host3.example.com")
+    assert(h("https://example.com/x?q=1") == "example.com")
+    assert(h("http://example.com") == "example.com")
+    assert(h("not a url") == "", "non-URLs map to the empty host")
+  }
+
+  test("domainCap keeps at most K docs per host, deterministically") {
+    import graft.operators.DataMix
+    val df = spark.range(70).select($"id".as("doc_id"),
+      concat(lit("http://h"), pmod($"id", lit(2)), lit(".com/p"), $"id").as("url"))
+    val out = DataMix.capPerGroupConstant(
+      df, UrlCanon.host($"url"), $"doc_id", 10)
+    val perHost = out
+      .groupBy(UrlCanon.host($"url").as("h")).count()
+      .as[(String, Long)].collect().toMap
+    assert(perHost == Map("h0.com" -> 10L, "h1.com" -> 10L))
+    val again = DataMix.capPerGroupConstant(
+      df.repartition(7), UrlCanon.host($"url"), $"doc_id", 10)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(again ==
+      out.select($"doc_id").as[Long].collect().sorted.toSeq,
+      "the survivor set must be partitioning-invariant")
+  }
+
   test("canonicalization is a pure projection: no shuffle, no UDF") {
     val plan = tbl("documents").select(UrlCanon.canonicalize($"text"))
       .queryExecution.executedPlan.toString
