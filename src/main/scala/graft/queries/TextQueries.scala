@@ -292,6 +292,25 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Unicode NFC normalization (the pre-tokenization cleanup CCNet/
+    // Dolma run before hashing — composed and decomposed "café" must
+    // dedup as one): the graft_unicode_norm codegen expression over the
+    // fixture text with injected decomposed/ligature noise; DuckDB's
+    // nfc_normalize replays UAX #15 byte for byte. `delta` counts the
+    // codepoints composition removed.
+    "q117_unicode_nfc" -> { (s, d) =>
+      graft.sql.GraftFunctions.register(s)
+      val noisy = table(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" cafe\u0301 \uFB01nal na\u0131\u0308ve")).as("t"))
+      noisy.select(col("doc_id"),
+          graft.sql.GraftFunctions.unicodeNorm(col("t"), "NFC").as("text"),
+          (length(col("t")) -
+            length(graft.sql.GraftFunctions.unicodeNorm(col("t"), "NFC")))
+            .cast("int").as("delta"))
+        .orderBy(col("doc_id"))
+    },
+
     // Per-domain corpus statistics: docs and chars per URL host — the
     // aggregate a crawl pipeline reads before choosing domain caps and
     // blocklists (C4's badlist sizing, RefinedWeb's head-domain audit).
@@ -1186,6 +1205,17 @@ object TextQueries {
          SELECT domain, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM dh GROUP BY domain ORDER BY domain""",
+    "q117_unicode_nfc" ->
+      // chr codes: 769 = U+0301 combining acute, 64257 = U+FB01 fi
+      // ligature (NFC preserves it — only NFKC folds compatibility
+      // forms), 305 = U+0131 dotless i, 776 = U+0308 combining diaeresis
+      """WITH t AS (SELECT doc_id,
+           text || ' cafe' || chr(769) || ' ' || chr(64257) || 'nal na'
+             || chr(305) || chr(776) || 've' AS t
+         FROM documents)
+         SELECT doc_id, nfc_normalize(t) AS text,
+           CAST(length(t) - length(nfc_normalize(t)) AS INT) AS delta
+         FROM t ORDER BY doc_id""",
     "q116_domain_cap" ->
       s"""WITH $domainUrlSql,
          r AS (SELECT doc_id, domain,

@@ -16,6 +16,7 @@ object GraftFunctions {
   val L2NormName = "graft_l2normalize_f32"
   val IvfProbeName = "graft_ivf_probe_f32"
   val RollingHashName = "graft_rolling_hash"
+  val UnicodeNormName = "graft_unicode_norm"
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -26,6 +27,8 @@ object GraftFunctions {
       IvfProbeName, exprs => IvfProbeF32.fromExprs(exprs.head, exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       RollingHashName, exprs => RollingHashF(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      UnicodeNormName, exprs => UnicodeNormF(exprs.head, exprs(1)), "built-in")
   }
 
   /** Column-level call; requires `register` (or GraftExtensions) first. */
@@ -46,6 +49,12 @@ object GraftFunctions {
   def rollingHash(text: Column, k: Int): Column =
     call_function(RollingHashName, text,
       org.apache.spark.sql.functions.lit(k))
+
+  /** Column-level call; requires `register` (or GraftExtensions) first.
+    * UAX #15 Unicode normalization (NFC/NFD/NFKC/NFKD), codegen-native. */
+  def unicodeNorm(text: Column, form: String = "NFC"): Column =
+    call_function(UnicodeNormName, text,
+      org.apache.spark.sql.functions.lit(form))
 }
 
 /** spark.sql.extensions entry point. */
@@ -75,5 +84,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[RollingHashF].getName, GraftFunctions.RollingHashName),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         RollingHashF(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.UnicodeNormName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[UnicodeNormF].getName, GraftFunctions.UnicodeNormName),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        UnicodeNormF(exprs.head, exprs(1))))
   }
 }
