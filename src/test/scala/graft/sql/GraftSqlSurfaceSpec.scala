@@ -41,11 +41,17 @@ class GraftSqlSurfaceSpec extends SparkSpecBase {
     assert(h.forall(x => x >= 0 && x < RollingHashF.Mod))
   }
 
-  test("all four names are catalog-visible after register()") {
+  test("graft_unicode_norm from raw SQL") {
+    val n = sql1("SELECT graft_unicode_norm('café', 'NFC') AS n").getString(0)
+    assert(n == "café")
+  }
+
+  test("all five names are catalog-visible after register()") {
     val s2 = spark.newSession()
     GraftFunctions.register(s2)
     Seq(GraftFunctions.DotName, GraftFunctions.L2NormName,
-      GraftFunctions.IvfProbeName, GraftFunctions.RollingHashName).foreach { n =>
+      GraftFunctions.IvfProbeName, GraftFunctions.RollingHashName,
+      GraftFunctions.UnicodeNormName).foreach { n =>
       assert(s2.catalog.functionExists(n), s"$n must be SQL-visible")
     }
   }
@@ -55,6 +61,6 @@ class GraftSqlSurfaceSpec extends SparkSpecBase {
     // injection into a live shared test session isn't possible, so assert
     // the injector itself runs cleanly over a fresh extensions object
     val ext = new org.apache.spark.sql.SparkSessionExtensions
-    new GraftExtensions()(ext) // must not throw: all four inject
+    new GraftExtensions()(ext) // must not throw: all five inject
   }
 }
