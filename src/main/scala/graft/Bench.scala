@@ -81,7 +81,14 @@ object Bench {
     }
     val all = (SparkEntry.queries -- SparkEntry.benchSkip) ++ SparkEntry.benchOnly
     val isolate = SparkEntry.benchIsolate
-    val ordered = all.toSeq.sortBy(_._1)
+    // Dev-iteration filter (comma-separated name prefixes), mirroring
+    // Verify's third arg; the driver never sets it — official runs are
+    // always the full suite.
+    val keep: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(p) => val ps = p.split(","); name => ps.exists(name.startsWith)
+      case None => _ => true
+    }
+    val ordered = all.toSeq.filter(kv => keep(kv._1)).sortBy(_._1)
 
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (String, Double, Seq[Double]) = {

@@ -35,27 +35,25 @@ object TextDedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** Modulus for the minhash permutation family (smallest prime > 2^32). */
-  val MinhashPrime = 4294967311L
+  /** Modulus for the minhash permutation family (smallest prime > 2^32);
+    * single source of truth lives with the fused kernel. */
+  val MinhashPrime: Long = graft.sql.MinhashSigF.MinhashPrime
 
   /** Deterministic permutation coefficients (a_i, b_i), a_i ∈ [1, 2^31),
     * b_i ∈ [0, 2^31): derived from md5 of the index, so they are plain
     * constants embeddable in both the Spark plan and an external oracle's
     * SQL. With H < 2^32, a·H + b < 2^63 — no BIGINT overflow in any
     * engine. */
-  def minhashCoefficients(k: Int): Array[(Long, Long)] = {
-    def h31(tag: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(tag.getBytes("UTF-8"))
-      BigInt(1, d.take(8)).toLong & 0x7fffffffL
-    }
-    Array.tabulate(k)(i => (h31(s"a:$i") | 1L, h31(s"b:$i")))
-  }
+  def minhashCoefficients(k: Int): Array[(Long, Long)] =
+    graft.sql.MinhashSigF.coefficients(k)
 
   /** MinHash signature columns sig_0..sig_{k-1}: ONE base hash per shingle
     * (first 8 md5 hex chars as a 32-bit integer) permuted k times with
-    * (a_i·H + b_i) mod p — k integer ops instead of k cryptographic hashes
-    * per shingle, and every step is reproducible in any SQL engine.
+    * (a_i·H + b_i) mod p — computed by the fused MinhashSigF codegen
+    * kernel in one pass over the shingle array (the previous HOF chain —
+    * one `array_min(transform(...))` per signature — was 17 interpreted
+    * CodegenFallback walks per row; values are bit-identical, pinned by
+    * MinhashSigFSpec).
     *
     * Callers MUST filter out documents with no shingles upstream (cheap:
     * `size(toks) >= n` on the bound token column) — rows with an empty
@@ -65,14 +63,11 @@ object TextDedup {
     * per row (measured 5×).
     */
   def minhashSignatures(df: DataFrame, idCol: String, shingles: Column, numHashes: Int): DataFrame = {
-    val coef = minhashCoefficients(numHashes)
-    val withBase = df.select(col(idCol),
-      transform(shingles, x =>
-        conv(substring(md5(x), 1, 8), 16, 10).cast("long")).as("__h"))
-    val sigs = coef.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("__h"), h => (h * a + b) % MinhashPrime)).as(s"sig_$i")
-    }
-    withBase.select((col(idCol) +: sigs): _*)
+    graft.sql.GraftFunctions.register(df.sparkSession)
+    val withSigs = df.select(col(idCol),
+      graft.sql.GraftFunctions.minhashSig(shingles, numHashes).as("__sigs"))
+    val sigs = (0 until numHashes).map(i => col("__sigs").getItem(i).as(s"sig_$i"))
+    withSigs.select((col(idCol) +: sigs): _*)
   }
 
   /** LSH banding: one row per (id, band, band_hash); equal band hashes are

@@ -17,6 +17,7 @@ object GraftFunctions {
   val IvfProbeName = "graft_ivf_probe_f32"
   val RollingHashName = "graft_rolling_hash"
   val UnicodeNormName = "graft_unicode_norm"
+  val MinhashSigName = "graft_minhash_sig"
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -29,6 +30,8 @@ object GraftFunctions {
       RollingHashName, exprs => RollingHashF(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       UnicodeNormName, exprs => UnicodeNormF(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      MinhashSigName, exprs => MinhashSigF.fromExprs(exprs.head, exprs(1)), "built-in")
   }
 
   /** Column-level call; requires `register` (or GraftExtensions) first. */
@@ -55,6 +58,12 @@ object GraftFunctions {
   def unicodeNorm(text: Column, form: String = "NFC"): Column =
     call_function(UnicodeNormName, text,
       org.apache.spark.sql.functions.lit(form))
+
+  /** Column-level call; requires `register` (or GraftExtensions) first.
+    * All k MinHash signature minima of a shingle array in one pass. */
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    call_function(MinhashSigName, shingles,
+      org.apache.spark.sql.functions.lit(numHashes))
 }
 
 /** spark.sql.extensions entry point. */
@@ -90,5 +99,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[UnicodeNormF].getName, GraftFunctions.UnicodeNormName),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         UnicodeNormF(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.MinhashSigName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinhashSigF].getName, GraftFunctions.MinhashSigName),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinhashSigF.fromExprs(exprs.head, exprs(1))))
   }
 }

@@ -46,12 +46,18 @@ class GraftSqlSurfaceSpec extends SparkSpecBase {
     assert(n == "café")
   }
 
-  test("all five names are catalog-visible after register()") {
+  test("graft_minhash_sig from raw SQL") {
+    val s = sql1("SELECT graft_minhash_sig(array('a b c', 'b c d'), 4) AS s")
+      .getSeq[Long](0)
+    assert(s.length == 4 && s.forall(_ >= 0))
+  }
+
+  test("all six names are catalog-visible after register()") {
     val s2 = spark.newSession()
     GraftFunctions.register(s2)
     Seq(GraftFunctions.DotName, GraftFunctions.L2NormName,
       GraftFunctions.IvfProbeName, GraftFunctions.RollingHashName,
-      GraftFunctions.UnicodeNormName).foreach { n =>
+      GraftFunctions.UnicodeNormName, GraftFunctions.MinhashSigName).foreach { n =>
       assert(s2.catalog.functionExists(n), s"$n must be SQL-visible")
     }
   }
@@ -61,6 +67,6 @@ class GraftSqlSurfaceSpec extends SparkSpecBase {
     // injection into a live shared test session isn't possible, so assert
     // the injector itself runs cleanly over a fresh extensions object
     val ext = new org.apache.spark.sql.SparkSessionExtensions
-    new GraftExtensions()(ext) // must not throw: all five inject
+    new GraftExtensions()(ext) // must not throw: all six inject
   }
 }
