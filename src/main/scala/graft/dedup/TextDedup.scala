@@ -21,19 +21,32 @@ import graft.functions.TextOps
   */
 object TextDedup {
 
-  /** Exact duplicate groups by canonical-text fingerprint: one row per
-    * distinct fingerprint with the canonical (min) id and group size. */
-  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
+  /** Exact duplicate groups by an arbitrary key expression: one row per
+    * distinct key with the canonical (min) id and group size. The key is
+    * the policy knob — `TextOps.fingerprint` for whitespace/case-exact
+    * dedup, `TextOps.ccnetFingerprint` for CCNet's hashing normalization
+    * (accents/digits folded too). One shuffle on the key either way. */
+  def exactDupGroupsBy(df: DataFrame, idCol: String, key: Column): DataFrame = {
+    graft.sql.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol), key.as("fp"))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+  }
 
-  /** Keep one canonical row per fingerprint (min id wins). */
-  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keep = exactDupGroups(df, idCol, textCol)
+  /** Exact duplicate groups by canonical-text fingerprint. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exactDupGroupsBy(df, idCol, TextOps.fingerprint(col(textCol)))
+
+  /** Keep one canonical row per key (min id wins). */
+  def dropExactDuplicatesBy(df: DataFrame, idCol: String, key: Column): DataFrame = {
+    val keep = exactDupGroupsBy(df, idCol, key)
       .select(col("canonical_id").as(idCol))
     df.join(keep, Seq(idCol), "left_semi")
   }
+
+  /** Keep one canonical row per fingerprint (min id wins). */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    dropExactDuplicatesBy(df, idCol, TextOps.fingerprint(col(textCol)))
 
   /** Modulus for the minhash permutation family (smallest prime > 2^32);
     * single source of truth lives with the fused kernel. */
@@ -155,20 +168,69 @@ object TextDedup {
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, shingles: Column,
       numHashes: Int = 16, rowsPerBand: Int = 2, threshold: Double = 0.7): DataFrame = {
-    // Enforce minhashSignatures' precondition HERE, on the pipeline's input:
-    // a doc with no shingles would get all-null sigs, and concat_ws in
-    // lshBands skips nulls — every such doc would hash to md5("") in every
-    // band, colliding all short docs into one bucket (O(m²) candidates with
-    // null jaccard). Shingle-less docs can't be near-duplicates under this
-    // measure, so they bypass the LSH pipeline and are always kept (the
-    // anti join below runs over the FULL df).
+    val dupIds = nearDupPairs(df, idCol, shingles, numHashes, rowsPerBand, threshold)
+      .select(col("b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  /** Verified near-duplicate pairs (a < b, jaccard ≥ threshold) — the
+    * full discovery chain (MinHash → LSH candidates → candidate-restricted
+    * Jaccard) shared by per-pair removal (dropNearDuplicates), the
+    * cluster-consistent policies (dropNearDuplicatesKeepBest), and the
+    * connected-components query.
+    *
+    * minhashSignatures' precondition is enforced HERE, on the pipeline's
+    * input: a doc with no shingles would get all-null sigs, and concat_ws
+    * in lshBands skips nulls — every such doc would hash to md5("") in
+    * every band, colliding all short docs into one bucket (O(m²)
+    * candidates with null jaccard). Shingle-less docs can't be
+    * near-duplicates under this measure, so they bypass the LSH pipeline
+    * entirely (callers keep them: removal anti joins / left joins over
+    * the FULL df). */
+  def nearDupPairs(df: DataFrame, idCol: String, shingles: Column,
+      numHashes: Int = 16, rowsPerBand: Int = 2, threshold: Double = 0.7): DataFrame = {
     val withShingles = df.filter(size(shingles) > 0)
     val sig = minhashSignatures(withShingles, idCol, shingles, numHashes)
     val cand = lshCandidatePairs(lshBands(sig, idCol, numHashes, rowsPerBand), idCol)
-    val dupIds = jaccardForPairs(cand, withShingles, idCol, shingles)
+    jaccardForPairs(cand, withShingles, idCol, shingles)
       .filter(col("jaccard") >= threshold)
-      .select(col("b").as(idCol)).distinct()
-    df.join(dupIds, Seq(idCol), "left_anti")
+      .select(col("a"), col("b"))
+  }
+
+  /** Duplicate-cluster representative selection (the FineWeb/Gopher keep
+    * policy): given component labels over the verified near-dup pair
+    * graph (`ConnectedComponents.run(nearDupPairs(...))` — (node, comp)
+    * rows for linked docs only), keep exactly ONE member per cluster —
+    * the highest-`quality` one, ties to the smallest id — and every
+    * unlinked doc. Contrast with dropNearDuplicates' per-pair
+    * keep-smallest policy, which (a) ignores quality and (b) can keep
+    * >1 member of a transitive chain when its links don't share buckets.
+    *
+    * Scale shape: one left join to the (tiny relative to corpus) label
+    * set, then ONE algebraic aggregate — `max(struct(quality, −id))` per
+    * cluster, map-side combinable — and a semi join back. No per-cluster
+    * window, no sort; singletons pass through the agg as 1-row groups.
+    * `quality` must be computable from `df`'s columns (chars, a Gopher
+    * metric, a classifier margin — any orderable column). */
+  def clusterKeepBest(df: DataFrame, idCol: String, labels: DataFrame,
+      quality: Column): DataFrame = {
+    val withComp = df.join(labels.withColumnRenamed("node", idCol), Seq(idCol), "left")
+    // comp labels are cluster-member min ids, so coalescing unlinked docs
+    // to their own id stays collision-free in the same key domain
+    val best = withComp
+      .groupBy(coalesce(col("comp"), col(idCol)).as("__cluster"))
+      .agg(max(struct(quality.as("q"), (-col(idCol)).as("negid"))).as("best"))
+      .select((-col("best.negid")).as(idCol))
+    df.join(best, Seq(idCol), "left_semi")
+  }
+
+  /** Cluster-consistent near-duplicate removal with a quality-priority
+    * keep: discovery chain → connected components → best-per-cluster. */
+  def dropNearDuplicatesKeepBest(df: DataFrame, idCol: String, shingles: Column,
+      quality: Column, numHashes: Int = 16, rowsPerBand: Int = 2,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = nearDupPairs(df, idCol, shingles, numHashes, rowsPerBand, threshold)
+    clusterKeepBest(df, idCol, ConnectedComponents.run(pairs), quality)
   }
 
   /** 64-bit SimHash over a token multiset: per-token xxhash64, each bit

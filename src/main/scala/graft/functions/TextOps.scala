@@ -32,6 +32,33 @@ object TextOps {
   /** Stable document fingerprint over the canonical form (exact-dedup key). */
   def fingerprint(text: Column): Column = md5(normalizeText(text))
 
+  /** CCNet-style hashing normalization (Wenzek et al. 2020 §3.2 — the
+    * form text is put in BEFORE hashing for paragraph/document dedup, so
+    * case, accents, digits, and spacing variants of the same content
+    * collapse to one key): lowercase → NFD → strip combining marks
+    * (accent removal) → every ASCII digit → '0' → collapse whitespace.
+    * All five steps are codegen'd (graft_unicode_norm + regexp chains —
+    * requires GraftFunctions.register on the session) and each is
+    * replayable in DuckDB (`strip_accents(lower(..))` ≡ mark-stripped
+    * NFD for Latin text; digits and whitespace are plain regexes), so
+    * the key itself can sit in an oracle-checked output. Normalization
+    * is for HASHING, not display — the kept document keeps its original
+    * text. CCNet's unicode-punctuation→ASCII replacement table is
+    * intentionally omitted (not expressible identically across engines;
+    * its dedup effect at corpus scale is marginal next to case/accent/
+    * digit folding). */
+  def ccnetNormalize(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          graft.sql.GraftFunctions.unicodeNorm(lower(trim(text)), "NFD"),
+          "\\p{Mn}", ""),
+        "[0-9]", "0"),
+      "\\s+", " ")
+
+  /** Exact-dedup key over the CCNet-normalized form. */
+  def ccnetFingerprint(text: Column): Column = md5(ccnetNormalize(text))
+
   /** BPE-ish token count: word runs + single non-word-non-space chars. */
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.TextDedup
@@ -123,12 +123,35 @@ object CorpusPipeline {
   def exactDedup(idCol: String, textCol: String): Stage =
     stage("exact_dedup")(TextDedup.dropExactDuplicates(_, idCol, textCol))
 
+  /** CCNet-normalized exact-duplicate removal tier (q118 operator):
+    * dedup keyed on the hashing-normalized fingerprint (lowercase, NFD
+    * accent strip, digits→0, whitespace collapse — Wenzek 2020 §3.2), so
+    * case/accent/digit/spacing variants of one document collapse; the
+    * kept document keeps its ORIGINAL text. Same one-shuffle shape as
+    * exact_dedup; distinct stage name so a pipeline can run both tiers. */
+  def exactDedupNormalized(idCol: String, textCol: String): Stage =
+    stage("exact_dedup_norm")(df => TextDedup.dropExactDuplicatesBy(
+      df, idCol, TextOps.ccnetFingerprint(col(textCol))))
+
   /** MinHash-LSH near-duplicate removal tier (q38 operator). */
   def nearDedup(idCol: String, textCol: String, threshold: Double = 0.8,
       numHashes: Int = 16, rowsPerBand: Int = 2): Stage =
     stage("near_dedup")(df => TextDedup.dropNearDuplicates(df, idCol,
       TextOps.wordShingles(TextOps.tokens(col(textCol)), 8),
       numHashes, rowsPerBand, threshold))
+
+  /** Cluster-consistent near-duplicate removal with a quality-priority
+    * keep (q119 operator — the FineWeb policy): connected components
+    * over the verified near-dup pair graph, then one member per cluster
+    * survives — the highest-`quality` (ties to smallest id). Costs the
+    * near_dedup chain plus the iterative components fixpoint; use when
+    * WHICH duplicate survives matters (keep the longest/cleanest copy),
+    * `nearDedup` when any survivor will do. */
+  def nearDedupKeepBest(idCol: String, textCol: String, quality: Column,
+      threshold: Double = 0.8, numHashes: Int = 16, rowsPerBand: Int = 2): Stage =
+    stage("near_dedup_cluster")(df => TextDedup.dropNearDuplicatesKeepBest(
+      df, idCol, TextOps.wordShingles(TextOps.tokens(col(textCol)), 8),
+      quality, numHashes, rowsPerBand, threshold))
 
   /** Token counting — the weight column shuffle/pack stages consume. */
   def tokenCount(textCol: String, out: String = "n_tokens"): Stage =

@@ -138,11 +138,7 @@ object TextQueries {
     "q64_connected_components" -> { (s, d) =>
       val docs = tokenized(s, d, shingleN)
       val shingles = TextOps.wordShingles(col("__toks"), shingleN)
-      val sig = TextDedup.minhashSignatures(docs, "doc_id", shingles, 16)
-      val cand = TextDedup.lshCandidatePairs(
-        TextDedup.lshBands(sig, "doc_id", 16, 2), "doc_id")
-      val pairs = TextDedup.jaccardForPairs(cand, docs, "doc_id", shingles)
-        .filter(col("jaccard") >= 0.5).select(col("a"), col("b"))
+      val pairs = TextDedup.nearDupPairs(docs, "doc_id", shingles, 16, 2, 0.5)
       graft.dedup.ConnectedComponents.run(pairs)
         .orderBy(col("node"))
     },
@@ -308,6 +304,44 @@ object TextQueries {
           (length(col("t")) -
             length(graft.sql.GraftFunctions.unicodeNorm(col("t"), "NFC")))
             .cast("int").as("delta"))
+        .orderBy(col("doc_id"))
+    },
+
+    // CCNet hashing-normalization dedup (Wenzek 2020 §3.2): exact dedup
+    // keyed on md5 of the NORMALIZED text (lowercase → NFD accent strip →
+    // digits→0 → whitespace collapse), so case/accent/digit/spacing
+    // variants of one document collapse to one key. The fixture injects a
+    // variant per doc_id<100 (uppercased, re-spaced, different digits,
+    // accent composed-vs-decomposed ACROSS ENGINES — Spark appends
+    // decomposed e+U+0301 where the oracle appends precomposed é), so a
+    // green row proves the two engines' normalization chains CONVERGE on
+    // the same bytes, not merely that both ran.
+    "q118_ccnet_dedup" -> { (s, d) =>
+      graft.sql.GraftFunctions.register(s)
+      val base = table(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" price 1984 cafe\u0301")).as("t"))
+      val variants = table(s, d, "documents").filter(col("doc_id") < 100)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("  "), upper(col("text")),
+            lit(" PRICE  2042 CAF\u00c9")).as("t"))
+      TextDedup.exactDupGroupsBy(base.unionByName(variants), "doc_id",
+          TextOps.ccnetFingerprint(col("t")))
+        .orderBy(col("fp"))
+    },
+
+    // Duplicate-cluster representative selection (the FineWeb keep
+    // policy): connected components over the verified near-dup pair
+    // graph, then keep the highest-quality member per cluster (n_chars,
+    // ties to the smallest id) plus every unlinked doc — the
+    // cluster-consistent, quality-aware upgrade of q38's per-pair
+    // keep-smallest. One algebraic max(struct) per cluster, no window.
+    "q119_cluster_keep_best" -> { (s, d) =>
+      val docs = tokenized(s, d, shingleN)
+      val shingles = TextOps.wordShingles(col("__toks"), shingleN)
+      val pairs = TextDedup.nearDupPairs(docs, "doc_id", shingles, 16, 2, 0.5)
+      TextDedup.clusterKeepBest(table(s, d, "documents"), "doc_id",
+          graft.dedup.ConnectedComponents.run(pairs), col("n_chars"))
+        .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
     },
 
@@ -1223,6 +1257,41 @@ object TextQueries {
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rn
            FROM dh)
          SELECT doc_id, domain FROM r WHERE rn <= 30 ORDER BY doc_id""",
+    "q118_ccnet_dedup" ->
+      // the accent fixture is intentionally composed (chr(233) é /
+      // chr(201) É) where the Spark side injects DECOMPOSED e+U+0301 —
+      // matching fps prove both engines' normalization chains converge
+      """WITH base AS (SELECT doc_id,
+             text || ' price 1984 caf' || chr(233) AS t FROM documents),
+         variants AS (SELECT doc_id + 1000000 AS doc_id,
+             '  ' || upper(text) || ' PRICE  2042 CAF' || chr(201) AS t
+           FROM documents WHERE doc_id < 100),
+         all_docs AS (SELECT * FROM base UNION ALL SELECT * FROM variants)
+         SELECT md5(regexp_replace(regexp_replace(
+             strip_accents(lower(trim(t))), '[0-9]', '0', 'g'),
+             '\s+', ' ', 'g')) AS fp,
+           MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
+         FROM all_docs GROUP BY 1 ORDER BY fp""",
+    "q119_cluster_keep_best" ->
+      s"""WITH RECURSIVE $lshChainSql,
+         scored AS (SELECT c.a a, c.b b,
+             CAST(cm.common AS DOUBLE) / (sa.n + sb.n - cm.common) j
+           FROM cand c JOIN common cm ON c.a = cm.a AND c.b = cm.b
+           JOIN sizes sa ON c.a = sa.doc_id JOIN sizes sb ON c.b = sb.doc_id),
+         pairs AS (SELECT a, b FROM scored WHERE j >= 0.5),
+         sym AS (SELECT a AS x, b AS y FROM pairs
+                 UNION ALL SELECT b, a FROM pairs),
+         reach AS (SELECT x AS node, y AS r FROM sym
+                   UNION
+                   SELECT reach.node, sym.y FROM reach JOIN sym ON reach.r = sym.x),
+         comp AS (SELECT node, LEAST(node, MIN(r)) AS comp FROM reach GROUP BY node),
+         labeled AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster, d.n_chars
+                     FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+         ranked AS (SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+               ORDER BY n_chars DESC, doc_id ASC) AS rn
+           FROM labeled)
+         SELECT doc_id, n_chars FROM ranked WHERE rn = 1 ORDER BY doc_id""",
     "q109_crawl_assembly" ->
       s"""WITH $htmlInjectSql,
          ext AS (SELECT doc_id, ${htmlTextSql("html")} AS t FROM inj),
