@@ -565,6 +565,31 @@ object ScaleExperiment {
         graft.dedup.TextDedup.dropNearDuplicates(docs, "doc_id", sh, 16, 2, 0.5))
     }
 
+    // 27. cluster-consistent keep-best vs per-pair near-dedup over the
+    // SAME replicated corpus: the marginal cost of cluster consistency is
+    // the components fixpoint (iterations track the dup-chain DIAMETER,
+    // not corpus size) plus one algebraic keep agg; the discovery chain
+    // is shared. Also the normalized exact-dedup tier (one shuffle, like
+    // exact dedup, plus the codegen normalization chain per row).
+    if (on("clusterkeep")) {
+      import graft.functions.TextOps
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          TextOps.tokens(col("text")).as("__toks"))
+      val sh = TextOps.wordShingles(col("__toks"), 8)
+      graft.dedup.TextDedup.dropNearDuplicatesKeepBest( // untimed warmup
+          docs.limit(500), "doc_id", sh, col("n_chars"), 16, 2, 0.5)
+        .write.format("noop").mode("overwrite").save()
+      counted("clusterkeep_perpair")(
+        graft.dedup.TextDedup.dropNearDuplicates(docs, "doc_id", sh, 16, 2, 0.5))
+      counted("clusterkeep_best")(
+        graft.dedup.TextDedup.dropNearDuplicatesKeepBest(
+          docs, "doc_id", sh, col("n_chars"), 16, 2, 0.5))
+      counted("clusterkeep_ccnet_exact")(
+        graft.dedup.TextDedup.dropExactDuplicatesBy(docs, "doc_id",
+          TextOps.ccnetFingerprint(col("text"))))
+    }
+
     // 25. HTML extraction at 1x/10x: the 16-step regexp chain over
     // synthetic pages built from the real document texts (5k / 50k
     // pages). Pure per-row projection — wall should track bytes.

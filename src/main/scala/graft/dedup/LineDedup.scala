@@ -45,14 +45,47 @@ object LineDedup {
         Packing.unpackPos(col("__k")).as(posCol),
         col(lineCol))
 
+  /** First occurrences under an arbitrary dedup KEY (the CCNet line-dedup
+    * form: key = `TextOps.ccnetFingerprint(line)`, so case/accent/digit/
+    * spacing variants of one boilerplate line count as copies while the
+    * SURVIVING occurrence keeps its original bytes). Same two-shuffle
+    * skew-safe shape as [[firstOccurrences]]; the surviving line text
+    * rides the aggregate as `min_by(line, packed)` — also a partial-
+    * aggregable HashAggregate, and the packed order key is unique per
+    * row so the pick is deterministic. Use [[firstOccurrences]] when the
+    * key IS the line: it skips the extra line-valued buffer. */
+  def firstOccurrencesBy(lines: DataFrame, idCol: String, posCol: String,
+      lineCol: String, key: Column): DataFrame = {
+    graft.sql.GraftFunctions.register(lines.sparkSession)
+    val packed = Packing.pack(col(idCol), col(posCol))
+    lines
+      .groupBy(key.as("__fp"))
+      .agg(min(packed).as("__k"), min_by(col(lineCol), packed).as(lineCol))
+      .select(Packing.unpackId(col("__k")).as(idCol),
+        Packing.unpackPos(col("__k")).as(posCol),
+        col(lineCol))
+  }
+
   /** Full pipeline: dedup lines, then rebuild each document's text from
     * its surviving lines in original order (joined by `sep`). Every input
     * document survives — one whose every line was seen earlier comes back
     * as the empty string (filter downstream if unwanted). Output:
     * (idCol, clean string, n_kept int). */
   def dropDuplicateLines(lines: DataFrame, idCol: String, posCol: String,
-      lineCol: String, sep: String = "\n"): DataFrame = {
-    val kept = firstOccurrences(lines, idCol, posCol, lineCol)
+      lineCol: String, sep: String = "\n"): DataFrame =
+    rebuild(firstOccurrences(lines, idCol, posCol, lineCol),
+      lines, idCol, posCol, lineCol, sep)
+
+  /** [[dropDuplicateLines]] under an arbitrary dedup key — the CCNet
+    * normalized-line form; kept documents are rebuilt from the ORIGINAL
+    * bytes of each key's first occurrence. */
+  def dropDuplicateLinesBy(lines: DataFrame, idCol: String, posCol: String,
+      lineCol: String, key: Column, sep: String = "\n"): DataFrame =
+    rebuild(firstOccurrencesBy(lines, idCol, posCol, lineCol, key),
+      lines, idCol, posCol, lineCol, sep)
+
+  private def rebuild(kept: DataFrame, lines: DataFrame, idCol: String,
+      posCol: String, lineCol: String, sep: String): DataFrame = {
     val rebuilt = kept
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col(posCol), col(lineCol)))).as("__ls"))

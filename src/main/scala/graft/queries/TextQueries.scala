@@ -551,6 +551,24 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // CCNet normalized line dedup (q93 under the q118 key): lines dedup
+    // by their HASH-NORMALIZED form, so case/digit/spacing variants of a
+    // boilerplate line count as copies — the fixture uppercases every
+    // odd-doc line, which raw line dedup (q93) treats as distinct — while
+    // each surviving first occurrence keeps its original bytes in the
+    // rebuilt document.
+    "q120_ccnet_line_dedup" -> { (s, d) =>
+      graft.sql.GraftFunctions.register(s)
+      val chunks = graft.functions.Chunking.chunkTokens(
+          tokenized(s, d), "doc_id", col("__toks"), 8, 0)
+        .select(col("doc_id"), col("chunk_idx").as("pos"),
+          when(col("doc_id") % 2 === 1, upper(col("chunk_text")))
+            .otherwise(col("chunk_text")).as("line"))
+      graft.dedup.LineDedup.dropDuplicateLinesBy(chunks, "doc_id", "pos",
+          "line", TextOps.ccnetFingerprint(col("line")))
+        .orderBy(col("doc_id"))
+    },
+
     // Exact duplicated-substring removal (Lee et al. 2021): any 8-token
     // gram seen earlier in the corpus — at ANY alignment, mid-document —
     // marks its span; covered tokens are dropped and docs rebuilt. The
@@ -1522,6 +1540,34 @@ object TextQueries {
              array_to_string(w[i+1:i+8], ' ') line FROM st),
          kept AS (SELECT line, MIN({'doc_id': doc_id, 'pos': pos}) f FROM lines GROUP BY line),
          surv AS (SELECT f.doc_id doc_id, f.pos pos, line FROM kept),
+         rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) clean,
+             CAST(COUNT(*) AS INT) n_kept
+           FROM surv GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(r.clean, '') AS clean,
+           COALESCE(r.n_kept, 0) AS n_kept
+         FROM (SELECT DISTINCT doc_id FROM lines) d
+         LEFT JOIN rebuilt r USING (doc_id) ORDER BY d.doc_id""",
+    "q120_ccnet_line_dedup" ->
+      // first occurrence per NORMALIZED key via a struct-min whose first
+      // field is the unique packed (doc,pos) long — the struct carries
+      // the original line bytes of exactly that occurrence
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+         st AS (SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 8)) i FROM t),
+         lines0 AS (SELECT doc_id, CAST(i // 8 AS INT) pos,
+             array_to_string(w[i+1:i+8], ' ') raw FROM st),
+         lines AS (SELECT doc_id, pos,
+             CASE WHEN doc_id % 2 = 1 THEN upper(raw) ELSE raw END line
+           FROM lines0),
+         keyed AS (SELECT doc_id, pos, line,
+             md5(regexp_replace(regexp_replace(
+               strip_accents(lower(trim(line))), '[0-9]', '0', 'g'),
+               '\s+', ' ', 'g')) fp
+           FROM lines),
+         kept AS (SELECT fp,
+             MIN({'k': doc_id * 2097152 + pos, 'line': line}) f
+           FROM keyed GROUP BY fp),
+         surv AS (SELECT CAST(f.k // 2097152 AS BIGINT) doc_id,
+             CAST(f.k % 2097152 AS INT) pos, f.line line FROM kept),
          rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) clean,
              CAST(COUNT(*) AS INT) n_kept
            FROM surv GROUP BY doc_id)

@@ -64,4 +64,38 @@ class LineDedupSpec extends SparkSpecBase {
       .as[(Long, String, Int)].collect().toSeq
     assert(out == Seq((1L, "a\nb\nc", 3)))
   }
+
+  test("normalized-key dedup collapses case/digit variants; survivor keeps original bytes") {
+    graft.sql.GraftFunctions.register(spark)
+    val in = lines(
+      (1L, 0, "Copyright 2019 Corp"), // first occurrence, mixed case
+      (1L, 1, "alpha"),
+      (2L, 0, "COPYRIGHT  2024 CORP"), // same line after normalization
+      (2L, 1, "beta"))
+    val out = LineDedup.dropDuplicateLinesBy(in, "id", "pos", "line",
+        graft.functions.TextOps.ccnetFingerprint($"line"))
+      .orderBy($"id").as[(Long, String, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, "Copyright 2019 Corp\nalpha", 2), // original bytes survive
+      (2L, "beta", 1)),                      // normalized copy dropped
+      s"got $out")
+    // raw dedup treats the variants as distinct — both docs keep 2 lines
+    val raw = LineDedup.dropDuplicateLines(in, "id", "pos", "line")
+      .orderBy($"id").as[(Long, String, Int)].collect().toSeq
+    assert(raw.map(_._3) == Seq(2, 2))
+  }
+
+  test("keyed dedup is deterministic under repartitioning (min_by on a unique order key)") {
+    graft.sql.GraftFunctions.register(spark)
+    val in = lines(
+      (3L, 5, "The Rule 9"), (2L, 0, "the rule 3"), (2L, 7, "THE RULE 1"))
+    val key = graft.functions.TextOps.ccnetFingerprint($"line")
+    val a = LineDedup.dropDuplicateLinesBy(in.repartition(7), "id", "pos", "line", key)
+      .orderBy($"id").as[(Long, String, Int)].collect().toSeq
+    val b = LineDedup.dropDuplicateLinesBy(in.coalesce(1), "id", "pos", "line", key)
+      .orderBy($"id").as[(Long, String, Int)].collect().toSeq
+    assert(a == b)
+    assert(a == Seq((2L, "the rule 3", 1), (3L, "", 0)),
+      "first occurrence = min (doc, pos): doc 2 pos 0 wins, original bytes kept")
+  }
 }
