@@ -68,12 +68,14 @@ object TextDedup {
     * CodegenFallback walks per row; values are bit-identical, pinned by
     * MinhashSigFSpec).
     *
-    * Callers MUST filter out documents with no shingles upstream (cheap:
-    * `size(toks) >= n` on the bound token column) — rows with an empty
-    * shingle array come back with all-null sigs. A trailing
-    * `filter(sig_0.isNotNull)` here would be pushed below the projects by
-    * Catalyst, substituting and re-evaluating the entire signature chain
-    * per row (measured 5×).
+    * Documents with no shingles come back with ALL sigs null (an
+    * all-or-nothing contract the downstream null guards rely on);
+    * lshBands drops such rows before banding, so no upstream filter is
+    * needed. Do NOT add a trailing `filter(sig_0.isNotNull)` here — it
+    * would be pushed below the projects by Catalyst, substituting and
+    * re-evaluating the entire signature chain per row (measured 5×; the
+    * same substitution trap made a `filter(size(shingles) > 0)` at the
+    * nearDupPairs entry 2.7× slower on q64).
     */
   def minhashSignatures(df: DataFrame, idCol: String, shingles: Column, numHashes: Int): DataFrame = {
     graft.sql.GraftFunctions.register(df.sparkSession)
@@ -85,14 +87,28 @@ object TextDedup {
 
   /** LSH banding: one row per (id, band, band_hash); equal band hashes are
     * duplicate candidates. rowsPerBand trades recall vs precision
-    * (P[candidate] = 1 - (1 - J^rows)^bands). */
+    * (P[candidate] = 1 - (1 - J^rows)^bands).
+    *
+    * Null-sig rows (shingle-less docs — the kernel nulls ALL k sigs
+    * together) emit NO bands: the band hash is null-guarded on sig_0, and
+    * the guard filter sits ABOVE the explode where predicate pushdown
+    * cannot substitute it into upstream projections. Without the guard,
+    * concat_ws would skip the null sigs and every shingle-less doc would
+    * hash to md5("") in every band — one bucket of m docs, O(m²)
+    * candidates. This is also why nearDupPairs needs no input pre-filter:
+    * a `filter(size(shingles) > 0)` there was measured 2.7× on q64
+    * (pushdown substitutes the WHOLE HOF shingle chain into the scan
+    * filter and re-evaluates it per row — the same trap documented on
+    * minhashSignatures). */
   def lshBands(sig: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val bands = (0 until numHashes / rowsPerBand).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"sig_$i"))
-      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("h"))
+      struct(lit(b).as("band"),
+        when(col("sig_0").isNotNull, md5(concat_ws("|", cols: _*))).as("h"))
     }
     sig.select(col(idCol), explode(array(bands: _*)).as("bh"))
       .select(col(idCol), col("bh.band").as("band"), col("bh.h").as("band_hash"))
+      .filter(col("band_hash").isNotNull)
   }
 
   /** Candidate near-duplicate pairs from LSH buckets (a < b, distinct). */
@@ -179,20 +195,23 @@ object TextDedup {
     * cluster-consistent policies (dropNearDuplicatesKeepBest), and the
     * connected-components query.
     *
-    * minhashSignatures' precondition is enforced HERE, on the pipeline's
-    * input: a doc with no shingles would get all-null sigs, and concat_ws
-    * in lshBands skips nulls — every such doc would hash to md5("") in
-    * every band, colliding all short docs into one bucket (O(m²)
-    * candidates with null jaccard). Shingle-less docs can't be
-    * near-duplicates under this measure, so they bypass the LSH pipeline
-    * entirely (callers keep them: removal anti joins / left joins over
-    * the FULL df). */
+    * Shingle-less docs can't be near-duplicates under this measure and
+    * never pair up: their all-null signatures emit no bands (lshBands'
+    * null guard), so they bypass the LSH pipeline without any input
+    * pre-filter, and the policy layers above keep them (removal anti
+    * joins / left joins over the FULL df). */
   def nearDupPairs(df: DataFrame, idCol: String, shingles: Column,
       numHashes: Int = 16, rowsPerBand: Int = 2, threshold: Double = 0.7): DataFrame = {
-    val withShingles = df.filter(size(shingles) > 0)
-    val sig = minhashSignatures(withShingles, idCol, shingles, numHashes)
+    // No input pre-filter: shingle-less docs get all-null sigs (cheap — the
+    // fused kernel sees an empty array) and lshBands' null guard drops them
+    // before banding, so they never become candidates and the policy layers
+    // above always keep them. An explicit filter(size(shingles) > 0) here
+    // was measured 2.7× slower on q64: predicate pushdown substitutes the
+    // full HOF shingle chain into the scan filter and re-evaluates it per
+    // row.
+    val sig = minhashSignatures(df, idCol, shingles, numHashes)
     val cand = lshCandidatePairs(lshBands(sig, idCol, numHashes, rowsPerBand), idCol)
-    jaccardForPairs(cand, withShingles, idCol, shingles)
+    jaccardForPairs(cand, df, idCol, shingles)
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"))
   }
