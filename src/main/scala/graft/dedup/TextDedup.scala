@@ -48,6 +48,24 @@ object TextDedup {
   def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
     dropExactDuplicatesBy(df, idCol, TextOps.fingerprint(col(textCol)))
 
+  /** Soft dedup (SoftDeDup, He et al. 2024): DOWN-WEIGHT duplicated
+    * content instead of dropping it — every row survives, annotated with
+    * its exact-duplicate cluster size and the loss weight 1/n_dups, so
+    * training keeps the information while removing the gradient
+    * over-count. Dataflow: one fp aggregation + one group-stat join back
+    * (the Relational.groupStatJoin shape — both sides shuffle on fp once,
+    * partial-aggregated; no broadcast needed and no driver state, so
+    * cluster-count cardinality can be corpus-sized). The weight is an
+    * exact IEEE rational of an integer — oracle-surface safe. */
+  def softDedupWeights(df: DataFrame, idCol: String, key: Column): DataFrame = {
+    graft.sql.GraftFunctions.register(df.sparkSession)
+    val keyed = df.select(col(idCol), key.as("fp"))
+    val n = keyed.groupBy(col("fp")).agg(count(lit(1)).as("n_dups"))
+    keyed.join(n, Seq("fp"))
+      .select(col(idCol), col("fp"), col("n_dups"),
+        (lit(1.0) / col("n_dups")).as("weight"))
+  }
+
   /** Modulus for the minhash permutation family (smallest prime > 2^32);
     * single source of truth lives with the fused kernel. */
   val MinhashPrime: Long = graft.sql.MinhashSigF.MinhashPrime

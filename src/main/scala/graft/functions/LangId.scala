@@ -85,4 +85,46 @@ object LangId {
     predictFromGrams(df.select(col(idCol), col(labelCol)), grams, idCol,
       profiles, outputCol)
   }
+
+  /** The script classes [[scriptProfile]] counts, in tie-break priority
+    * order: (output column, Java regex class, script name). Java spells
+    * Unicode scripts `\p{IsXxx}`; RE2-family engines spell them
+    * `\p{Xxx}` — same property, so an external oracle replays each count
+    * with the Is-stripped pattern. BMP-only classes (no astral scripts),
+    * so char-counting semantics agree across UTF-16/UTF-8 engines. */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "\\p{IsLatin}",
+    "cyrillic" -> "\\p{IsCyrillic}",
+    "greek" -> "\\p{IsGreek}",
+    "arabic" -> "\\p{IsArabic}",
+    "han" -> "\\p{IsHan}",
+    "hangul" -> "\\p{IsHangul}",
+    "devanagari" -> "\\p{IsDevanagari}")
+
+  /** Per-document Unicode-script census — the zero-model triage BEFORE
+    * n-gram language-ID (a Cyrillic doc never needs the Latin profiles;
+    * CJK has no n-gram profile at all): one `n_<script>` count per
+    * [[ScriptClasses]] entry plus `n_digit` and `main_script` (the
+    * highest-count script, ties to ScriptClasses order; 'none' when no
+    * scripted character occurs). Pure codegen regexp_count projection —
+    * zero shuffles, linear in bytes, trivially 100 TB-safe — and every
+    * output is an integer or a CASE over integer equalities, so the whole
+    * row sits on the oracle surface. */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = ScriptClasses.map { case (name, re) =>
+      name -> regexp_count(col(textCol), lit(re)).cast("long")
+    }
+    val withCounts = df.select(
+      (col(idCol) +: counts.map { case (n, c) => c.as(s"n_$n") }) :+
+        regexp_count(col(textCol), lit("[0-9]")).cast("long").as("n_digit"): _*)
+    val best = greatest(ScriptClasses.map { case (n, _) => col(s"n_$n") }: _*)
+    val main = ScriptClasses.foldRight(lit("none")) { case ((n, _), acc) =>
+      when(col("__best") > 0 && col(s"n_$n") === col("__best"), lit(n))
+        .otherwise(acc)
+    }
+    // fold-RIGHT so the first listed script wins ties (outermost when)
+    withCounts.withColumn("__best", best)
+      .withColumn("main_script", main)
+      .drop("__best")
+  }
 }

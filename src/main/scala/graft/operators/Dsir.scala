@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  * NeurIPS): pick raw-corpus documents whose hashed-n-gram distribution
+  * looks like a trusted target corpus, by importance weight
+  * w(x) = p_target(x) / p_raw(x) under two bag-of-hashed-n-grams models,
+  * then Gumbel-top-k resample. The public method behind "quality-matched"
+  * pre-training subsets; extension scope next to GopherQuality (rules),
+  * QualityClassifier (learned) and NgramLm/CCNet (perplexity) — DSIR is the
+  * fourth standard selector, the distribution-matching one.
+  *
+  * Spark-first dataflow: the "model" is a bucket-count DataFrame of bounded
+  * size (`buckets` rows, default 8192) — broadcastable by construction, the
+  * same artifact philosophy as Categorify dictionaries and NgramLm counts.
+  * Fit = one explode + partial-aggregated groupBy per corpus (map-side
+  * combine collapses to ≤`buckets` rows per task before the shuffle).
+  * Scoring = explode + two broadcast left joins + one per-doc aggregation;
+  * nothing is all-pairs and no driver state exists at any point, so the
+  * whole path survives a 1000-executor 100 TB corpus unchanged.
+  *
+  * Cross-engine determinism: the feature hash is the first 12 hex digits of
+  * md5 (QueryHelpers.hex48Sql replays it in ANSI SQL); the integer evidence
+  * columns (n_feats, n_oov_t, sum_ct, sum_cr) are exact and sit on the
+  * oracle surface; the per-doc log-weight is summed through an exact
+  * decimal cast (QueryHelpers.dsum contract) so it is partitioning-
+  * invariant, but ln itself is libm territory (last-ulp spread measured on
+  * the BM25 surface, SCALE.md) — logw stays off hash-checked surfaces and
+  * the SELECTION (integer doc_ids, boundary gaps many orders above ulp
+  * noise) is what q122 oracle-checks.
+  */
+object Dsir {
+
+  /** Hashed feature bucket of an n-gram string: 48-bit md5 prefix mod
+    * `buckets` — positive, engine-replayable (no Spark-private hash). */
+  def bucketOf(s: Column, buckets: Int): Column =
+    conv(substring(md5(s), 1, 12), 16, 10).cast("long") % buckets
+
+  /** Per-document hashed bag-of-n-grams feature array (unigrams + bigrams,
+    * the DSIR paper's feature space). `toks` must be a materialized column
+    * (TextOps PERF CONTRACT — HOF lambdas re-evaluate captured
+    * expressions). Bigrams join on a single space: tokens are whitespace-
+    * split, so "w1 w2" can never collide with a unigram. */
+  def featureBuckets(toks: Column, buckets: Int): Column = {
+    val unis = transform(toks, w => bucketOf(w, buckets))
+    val bis = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => bucketOf(
+          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)),
+          buckets)))
+      .otherwise(array().cast("array<bigint>"))
+    concat(unis, bis)
+  }
+
+  /** A fitted hashed-n-gram multinomial: bucket counts (≤ `buckets` rows)
+    * plus the total feature count. Smoothed probability of bucket b is
+    * (c_b + alpha) / (total + alpha·buckets). */
+  case class Model(counts: DataFrame, total: Long, buckets: Int)
+
+  /** Fit bucket counts over a corpus: one explode + one partial-aggregated
+    * groupBy (at most `buckets` distinct keys → map-side combine bounds the
+    * shuffle at tasks·buckets rows regardless of corpus size). */
+  def fit(corpus: DataFrame, toks: Column, buckets: Int = 8192): Model = {
+    val c = corpus.select(toks.as("__toks"))
+      .select(explode(featureBuckets(col("__toks"), buckets)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+    Model(c, c.agg(sum(col("c"))).head.getLong(0), buckets)
+  }
+
+  /** Persist / load the model as a parquet count table (durable serving
+    * form, same as NgramLm.save — a restart never re-aggregates the fit
+    * corpus). */
+  def save(model: Model, path: String): Unit =
+    model.counts.withColumn("total", lit(model.total))
+      .withColumn("buckets", lit(model.buckets))
+      .write.mode("overwrite").parquet(path)
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val df = spark.read.parquet(path)
+    val head = df.select(col("total"), col("buckets")).head
+    Model(df.select(col("bucket"), col("c")), head.getLong(0), head.getInt(1))
+  }
+
+  /** Per-document importance evidence against a target and a raw model:
+    * `n_feats` (hashed n-gram occurrences), `n_oov_t` (features unseen in
+    * the target corpus), `sum_ct`/`sum_cr` (exact integer count evidence —
+    * the oracle-checkable half, mirroring NgramLm.scoreDocs), and `logw` =
+    * Σ_i [ln p_t(b_i) − ln p_r(b_i)] decimal-summed (partitioning-
+    * invariant; association order mirrored in the oracle text). Docs with
+    * no tokens report 0 counts and null logw. Both models must share
+    * `buckets`. */
+  def scoreDocs(docs: DataFrame, idCol: String, toks: Column,
+      target: Model, raw: Model, alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    require(target.buckets == raw.buckets,
+      s"bucket spaces differ: ${target.buckets} vs ${raw.buckets}")
+    val t = broadcast(target.counts
+      .select(col("bucket"), col("c").as("ct")))
+    val r = broadcast(raw.counts
+      .select(col("bucket"), col("c").as("cr")))
+    val feats = docs.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol),
+        explode(featureBuckets(col("__toks"), target.buckets)).as("bucket"))
+    // per-feature log ratio; denominators are per-model constants, kept
+    // inside the per-feature term so the oracle replays one association
+    val logp =
+      log((coalesce(col("ct"), lit(0L)) + lit(alpha)) /
+        lit(target.total + alpha * target.buckets)) -
+      log((coalesce(col("cr"), lit(0L)) + lit(alpha)) /
+        lit(raw.total + alpha * raw.buckets))
+    val scored = feats
+      .join(t, Seq("bucket"), "left")
+      .join(r, Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        count(when(col("ct").isNull, 1)).as("n_oov_t"),
+        sum(coalesce(col("ct"), lit(0L))).as("sum_ct"),
+        sum(coalesce(col("cr"), lit(0L))).as("sum_cr"),
+        (sum(logp.cast(DecimalType(38, 18))).cast("double"))
+          .as("logw"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("n_oov_t"), lit(0L)).as("n_oov_t"),
+        coalesce(col("sum_ct"), lit(0L)).as("sum_ct"),
+        coalesce(col("sum_cr"), lit(0L)).as("sum_cr"),
+        col("logw"))
+  }
+
+  /** Deterministic Gumbel-top-k resampling over scored docs: keep the k
+    * docs with the largest logw + G_i, where G_i = −ln(−ln(u_i)) and u_i is
+    * the md5-derived uniform (h+0.5)/2⁴⁸ ∈ (0,1) of `seed|id` — the
+    * without-replacement sample ∝ softmax(logw) (Gumbel-max trick), fully
+    * reproducible across runs, partitionings, and engines (same md5-rank
+    * determinism contract as Relational.hashSample). Docs with null logw
+    * (no tokens) sort last and are never selected while scored docs
+    * remain. Global top-k = TakeOrdered (per-partition heaps + driver
+    * merge of k rows), never a full sort. */
+  def gumbelTopK(scored: DataFrame, idCol: String, k: Int,
+      seed: String = "dsir"): DataFrame = {
+    val h = conv(substring(
+      md5(concat(lit(seed + "|"), col(idCol).cast("string"))), 1, 12),
+      16, 10).cast("long").cast("double")
+    val u = (h + lit(0.5)) / lit(281474976710656.0) // 2^48
+    val gumbel = -log(-log(u))
+    scored.withColumn("__g", col("logw") + gumbel)
+      .orderBy(col("__g").desc_nulls_last, col(idCol))
+      .limit(k)
+      .drop("__g")
+  }
+}

@@ -329,6 +329,24 @@ object TextQueries {
         .orderBy(col("fp"))
     },
 
+    // Soft dedup (SoftDeDup, He et al. 2024): duplicates are down-weighted
+    // (weight = 1/cluster-size), not dropped — same CCNet-normalized
+    // fixture as q118, so doc_id<100 pairs carry weight 0.5 and singletons
+    // 1.0. The weight is an exact rational of the integer cluster size,
+    // so it rides the hash surface.
+    "q125_soft_dedup" -> { (s, d) =>
+      graft.sql.GraftFunctions.register(s)
+      val base = table(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" price 1984 café")).as("t"))
+      val variants = table(s, d, "documents").filter(col("doc_id") < 100)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("  "), upper(col("text")),
+            lit(" PRICE  2042 CAFÉ")).as("t"))
+      TextDedup.softDedupWeights(base.unionByName(variants), "doc_id",
+          TextOps.ccnetFingerprint(col("t")))
+        .orderBy(col("doc_id"))
+    },
+
     // Duplicate-cluster representative selection (the FineWeb keep
     // policy): connected components over the verified near-dup pair
     // graph, then keep the highest-quality member per cluster (n_chars,
@@ -751,6 +769,74 @@ object TextQueries {
       QualityClassifier.score(feats, classifierFixedModel)
         .select(col("doc_id"), col("z"), col("keep"))
         .orderBy(col("doc_id"))
+    },
+
+    // DSIR importance evidence (Xie 2023): hashed unigram+bigram buckets
+    // (48-bit md5 prefix mod 8192 — engine-replayable), target model fit
+    // on src0, raw model on everything else; the oracle checks the exact
+    // integer evidence per doc (feature count, target-OOV count, summed
+    // target/raw bucket counts) — the logw composition is ln/libm
+    // territory and stays off the hash surface (q87 precedent).
+    "q121_dsir_evidence" -> { (s, d) =>
+      import graft.operators.Dsir
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.tokens(col("text")).as("__toks"))
+      val tgt = Dsir.fit(docs.filter(col("source") === "src0"), col("__toks"))
+      val raw = Dsir.fit(docs.filter(col("source") =!= "src0"), col("__toks"))
+      Dsir.scoreDocs(docs.filter(col("source") =!= "src0"), "doc_id",
+          col("__toks"), tgt, raw)
+        .drop("logw")
+        .orderBy(col("doc_id"))
+    },
+
+    // DSIR selection: deterministic Gumbel-top-k over the importance
+    // weights (the without-replacement sample ∝ softmax(logw)). The
+    // OUTPUT is integer-only (doc ids + evidence); the oracle replays
+    // logw + the md5-derived Gumbel noise — selection boundaries sit
+    // many orders of magnitude above libm's last-ulp ln spread, so the
+    // chosen SET hash-matches even where logw's 16th digit wouldn't.
+    "q122_dsir_select" -> { (s, d) =>
+      import graft.operators.Dsir
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.tokens(col("text")).as("__toks"))
+      val tgt = Dsir.fit(docs.filter(col("source") === "src0"), col("__toks"))
+      val raw = Dsir.fit(docs.filter(col("source") =!= "src0"), col("__toks"))
+      val scored = Dsir.scoreDocs(docs.filter(col("source") =!= "src0"),
+        "doc_id", col("__toks"), tgt, raw)
+      Dsir.gumbelTopK(scored, "doc_id", 200)
+        .select(col("doc_id"), col("n_feats"), col("n_oov_t"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Unicode-script census (the zero-model triage before n-gram
+    // language-ID): per-doc counts for 7 script classes + digits + the
+    // argmax script, over text with one non-Latin phrase injected per
+    // doc_id%6 class. All-integer outputs; Java spells scripts \p{IsXxx}
+    // where RE2/DuckDB spells \p{Xxx} — same Unicode property, so the
+    // oracle replays every count.
+    "q126_script_profile" -> { (s, d) =>
+      val suffix = scriptNoise.zipWithIndex.tail.foldLeft(
+        when(col("doc_id") % 6 === 0, lit(scriptNoise.head))) {
+        case (acc, (txt, i)) => acc.when(col("doc_id") % 6 === i, lit(txt))
+      }
+      val noisy = table(s, d, "documents")
+        .select(col("doc_id"), concat(col("text"), suffix).as("t"))
+      LangId.scriptProfile(noisy, "doc_id", "t")
+        .orderBy(col("doc_id"))
+    },
+
+    // TF-IDF distinctive terms: top-3 per doc by tf·ln(N/df) — corpus
+    // inspection's "what is this document about". Integers + the term on
+    // the hash surface; the ln only orders (exact-tie docs tie in BOTH
+    // engines since tf/df/N are integers, and ties break on term).
+    "q124_top_terms" -> { (s, d) =>
+      graft.functions.TfIdf.topTermsPerDoc(tokenized(s, d), "doc_id",
+          col("__toks"), 3)
+        .select(col("doc_id"), col("rk").cast("int").as("rk"), col("term"),
+          col("tf"), col("df"))
+        .orderBy(col("doc_id"), col("rk"))
     })
 
   /** The q99 assembly as declared stages (quality gate on the raw text →
@@ -1061,7 +1147,120 @@ object TextQueries {
             AND 10 * n_bullet <= 9 * n_lines AND 10 * n_ellipsis <= 3 * n_lines
             AND n_stop >= $minStop)"""
 
+  /** One injected phrase per doc_id%6 class for the q126 script census —
+    * single source of truth for BOTH engines (Spark literals and the
+    * DuckDB SQL interpolate the same strings): Cyrillic, Greek, Han,
+    * Hangul, Devanagari (incl. combining virama/vowel signs — script
+    * property covers them), Arabic. BMP-only. */
+  private val scriptNoise: Seq[String] = Seq(
+    " Привет", // Cyrillic "Privet"
+    " γειά", // Greek "geia"
+    " 你好", // Han "ni hao"
+    " 안녕", // Hangul "annyeong"
+    " नमस्ते", // Devanagari "namaste"
+    " مرحبا") // Arabic "marhaba"
+
+  /** DuckDB replay of Dsir.featureBuckets + both model fits: CTEs `feats`
+    * (doc_id, source, bucket — unigrams + space-joined bigrams, 48-bit md5
+    * prefix mod 8192), `tgt` (src0 bucket counts) and `rawm` (non-src0
+    * bucket counts). */
+  private val dsirFeatsSql: String = {
+    val bucket = s"(${hex48Sql("md5(g)")} % 8192)"
+    s"""t AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') w FROM documents),
+         grams AS (SELECT doc_id, source, unnest(w) g FROM t
+           UNION ALL
+           SELECT doc_id, source,
+               unnest(list_transform(range(len(w)-1), i -> w[i+1] || ' ' || w[i+2])) g
+             FROM t WHERE len(w) >= 2),
+         feats AS (SELECT doc_id, source, $bucket AS bucket FROM grams),
+         tgt AS (SELECT bucket, COUNT(*) ct FROM feats WHERE source = 'src0' GROUP BY 1),
+         rawm AS (SELECT bucket, COUNT(*) cr FROM feats WHERE source <> 'src0' GROUP BY 1)"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q121_dsir_evidence" ->
+      s"""WITH $dsirFeatsSql,
+         ev AS (SELECT f.doc_id, COUNT(*) n_feats,
+             COUNT(CASE WHEN tg.ct IS NULL THEN 1 END) n_oov_t,
+             SUM(COALESCE(tg.ct, 0)) sum_ct, SUM(COALESCE(rw.cr, 0)) sum_cr
+           FROM feats f LEFT JOIN tgt tg ON f.bucket = tg.bucket
+                        LEFT JOIN rawm rw ON f.bucket = rw.bucket
+           WHERE f.source <> 'src0' GROUP BY 1)
+         SELECT d.doc_id, COALESCE(e.n_feats, 0) AS n_feats,
+           COALESCE(e.n_oov_t, 0) AS n_oov_t,
+           CAST(COALESCE(e.sum_ct, 0) AS BIGINT) AS sum_ct,
+           CAST(COALESCE(e.sum_cr, 0) AS BIGINT) AS sum_cr
+         FROM documents d LEFT JOIN ev e ON d.doc_id = e.doc_id
+         WHERE d.source <> 'src0' ORDER BY d.doc_id""",
+    "q122_dsir_select" ->
+      s"""WITH $dsirFeatsSql,
+         tt AS (SELECT CAST(COUNT(*) + 8192 AS DOUBLE) n FROM feats WHERE source = 'src0'),
+         tr AS (SELECT CAST(COUNT(*) + 8192 AS DOUBLE) n FROM feats WHERE source <> 'src0'),
+         ev AS (SELECT f.doc_id, COUNT(*) n_feats,
+             COUNT(CASE WHEN tg.ct IS NULL THEN 1 END) n_oov_t,
+             CAST(SUM(CAST(
+                 ln((COALESCE(tg.ct, 0) + 1.0) / tt.n)
+                 - ln((COALESCE(rw.cr, 0) + 1.0) / tr.n)
+               AS DECIMAL(38,18))) AS DOUBLE) logw
+           FROM feats f LEFT JOIN tgt tg ON f.bucket = tg.bucket
+                        LEFT JOIN rawm rw ON f.bucket = rw.bucket,
+                tt, tr
+           WHERE f.source <> 'src0' GROUP BY f.doc_id),
+         sel AS (SELECT doc_id, n_feats, n_oov_t FROM ev
+           ORDER BY logw + (-ln(-ln(
+             (${hex48Sql("md5('dsir|' || CAST(doc_id AS VARCHAR))")} + 0.5)
+               / 281474976710656.0))) DESC, doc_id
+           LIMIT 200)
+         SELECT doc_id, n_feats, n_oov_t FROM sel ORDER BY doc_id""",
+    "q126_script_profile" -> {
+      import graft.functions.LangId.ScriptClasses
+      val suffixCase = scriptNoise.zipWithIndex
+        .map { case (txt, i) => s"WHEN $i THEN '$txt'" }
+        .mkString("CASE CAST(doc_id % 6 AS INT) ", " ", " END")
+      val countCols = ScriptClasses.map { case (n, re) =>
+        s"CAST(len(regexp_extract_all(t, '${re.replace("{Is", "{")}')) AS BIGINT) AS n_$n"
+      }.mkString(",\n             ")
+      val bestExpr = ScriptClasses.map { case (n, _) => s"n_$n" }
+        .mkString("greatest(", ", ", ")")
+      val mainCase = ScriptClasses.map { case (n, _) =>
+        s"WHEN best > 0 AND n_$n = best THEN '$n'"
+      }.mkString("CASE ", " ", " ELSE 'none' END")
+      s"""WITH noisy AS (SELECT doc_id, text || $suffixCase AS t FROM documents),
+         c AS (SELECT doc_id,
+             $countCols,
+             CAST(len(regexp_extract_all(t, '[0-9]')) AS BIGINT) AS n_digit
+           FROM noisy),
+         g AS (SELECT *, $bestExpr AS best FROM c)
+         SELECT doc_id, ${ScriptClasses.map(c => "n_" + c._1).mkString(", ")},
+           n_digit, $mainCase AS main_script
+         FROM g ORDER BY doc_id"""
+    },
+    "q125_soft_dedup" ->
+      """WITH base AS (SELECT doc_id,
+             text || ' price 1984 caf' || chr(233) AS t FROM documents),
+         variants AS (SELECT doc_id + 1000000 AS doc_id,
+             '  ' || upper(text) || ' PRICE  2042 CAF' || chr(201) AS t
+           FROM documents WHERE doc_id < 100),
+         all_docs AS (SELECT * FROM base UNION ALL SELECT * FROM variants),
+         keyed AS (SELECT doc_id, md5(regexp_replace(regexp_replace(
+             strip_accents(lower(trim(t))), '[0-9]', '0', 'g'),
+             '\s+', ' ', 'g')) AS fp FROM all_docs),
+         n AS (SELECT fp, COUNT(*) n_dups FROM keyed GROUP BY 1)
+         SELECT k.doc_id, k.fp, n.n_dups,
+           CAST(1.0 AS DOUBLE) / n.n_dups AS weight
+         FROM keyed k JOIN n ON k.fp = n.fp ORDER BY k.doc_id""",
+    "q124_top_terms" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+         tf AS (SELECT doc_id, tok AS term, COUNT(*) tf
+                FROM (SELECT doc_id, unnest(w) tok FROM t) GROUP BY 1, 2),
+         df AS (SELECT term, COUNT(*) df FROM tf GROUP BY 1),
+         n AS (SELECT CAST(COUNT(*) AS DOUBLE) n FROM t),
+         ranked AS (SELECT f.doc_id, f.term, f.tf, d2.df,
+             CAST(ROW_NUMBER() OVER (PARTITION BY f.doc_id
+               ORDER BY f.tf * ln(n.n / d2.df) DESC, f.term) AS INT) rk
+           FROM tf f JOIN df d2 ON f.term = d2.term, n)
+         SELECT doc_id, rk, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+         FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""",
     "q29_corpus_profile" ->
       """SELECT source, lang, COUNT(*) AS n_docs,
          MIN(n_chars) AS min_chars,

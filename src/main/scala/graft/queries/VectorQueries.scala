@@ -37,6 +37,32 @@ object VectorQueries {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Hybrid retrieval via Reciprocal Rank Fusion (Cormack & Clarke 2009):
+    // the BM25 keyword top-50 and the embedding-cosine top-50 (query =
+    // doc 7's embedding; vec_id aligns with doc_id in the fixture) fused
+    // by Σ 1/(60+rank) — exact rationals of integer ranks composed in a
+    // fixed order, so the fused score ITSELF sits on the hash surface (no
+    // transcendental in the fusion; ln/cos only order the input lists,
+    // where q122's boundary-gap argument applies).
+    "q123_hybrid_rrf" -> { (s, d) =>
+      import graft.functions.{Bm25, TextOps}
+      import graft.rank.Rrf
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+      val bmTop = Bm25.topK(docs, "doc_id", col("__toks"),
+        Seq("stream", "table", "query"), 50)
+      val bm = Rrf.rankBy(bmTop, Seq(col("score").desc, col("doc_id")))
+      val emb = table(s, d, "embeddings")
+      val knTop = Knn.bruteForceTopK(emb.filter(col("vec_id") === 7),
+          emb, "vec_id", "embedding", 50)
+        .withColumnRenamed("neighbor_id", "doc_id")
+        .withColumnRenamed("rk", "rank")
+      Rrf.fuseTopK(Seq(bm, knTop), "doc_id", "rank", 20)
+        .select(col("doc_id"), col("rank_0").as("bm25_rank"),
+          col("rank_1").as("knn_rank"), col("rrf"))
+        .orderBy(col("doc_id"))
+    },
+
     // Embedding-cosine near-duplicate pairs within a label block
     // (blocking keeps the pair space linear-ish; threshold from data range).
     // Vectors are L2-normalized once per row, so the pair score is a single
@@ -209,6 +235,44 @@ object VectorQueries {
       s"""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
           sqrt(${dot("embedding", "embedding")}) AS l2
           FROM embeddings ORDER BY vec_id""",
+    "q123_hybrid_rrf" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+         d AS (SELECT doc_id, CAST(len(w) AS DOUBLE) dl, w FROM t),
+         stats AS (SELECT CAST(COUNT(*) AS DOUBLE) n,
+             CAST(SUM(CAST(CAST(len(w) AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) sdl FROM t),
+         tf AS (SELECT doc_id, dl, tok AS term, CAST(COUNT(*) AS DOUBLE) tf
+                FROM (SELECT doc_id, dl, unnest(w) tok FROM d) u
+                WHERE tok IN ('stream', 'table', 'query') GROUP BY 1, 2, 3),
+         dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) dft FROM tf GROUP BY 1),
+         per AS (SELECT f.doc_id, f.term,
+             ln((s.n - d2.dft + CAST(0.5 AS DOUBLE)) / (d2.dft + CAST(0.5 AS DOUBLE))
+                + CAST(1.0 AS DOUBLE))
+             * (f.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                / (f.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                   + CAST(0.75 AS DOUBLE) * (f.dl / (s.sdl / s.n))))) sc
+           FROM tf f JOIN dft d2 ON f.term = d2.term, stats s),
+         tot AS (SELECT doc_id,
+             ((CAST(0.0 AS DOUBLE)
+               + COALESCE(MAX(CASE WHEN term = 'query' THEN sc END), CAST(0.0 AS DOUBLE)))
+               + COALESCE(MAX(CASE WHEN term = 'stream' THEN sc END), CAST(0.0 AS DOUBLE)))
+               + COALESCE(MAX(CASE WHEN term = 'table' THEN sc END), CAST(0.0 AS DOUBLE)) AS score
+           FROM per GROUP BY doc_id),
+         bm AS (SELECT doc_id, r0 FROM (
+             SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) r0 FROM tot)
+           WHERE r0 <= 50),
+         qv AS (SELECT embedding v FROM embeddings WHERE vec_id = 7),
+         kn AS (SELECT doc_id, r1 FROM (
+             SELECT vec_id doc_id, ROW_NUMBER() OVER (ORDER BY
+                 ${dot("qv.v", "embedding")} / (sqrt(${dot("qv.v", "qv.v")}) * sqrt(${dot("embedding", "embedding")})) DESC,
+                 vec_id) r1
+               FROM embeddings, qv WHERE vec_id <> 7)
+           WHERE r1 <= 50),
+         fused AS (SELECT COALESCE(b.doc_id, k.doc_id) doc_id, b.r0, k.r1,
+             (COALESCE(CAST(1.0 AS DOUBLE) / (60 + b.r0), CAST(0.0 AS DOUBLE))
+              + COALESCE(CAST(1.0 AS DOUBLE) / (60 + k.r1), CAST(0.0 AS DOUBLE))) rrf
+           FROM bm b FULL OUTER JOIN kn k ON b.doc_id = k.doc_id),
+         sel AS (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 20)
+         SELECT doc_id, r0 AS bm25_rank, r1 AS knn_rank, rrf FROM sel ORDER BY doc_id""",
     "q41_knn_exact" ->
       s"""WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 32),
           scored AS (

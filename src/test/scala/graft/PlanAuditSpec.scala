@@ -180,4 +180,22 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"candidate generation degenerated into a cross join:\n$p")
   }
+
+  test("tf-idf top terms per doc rides WindowGroupLimit, not a full per-doc sort") {
+    import graft.functions.{TextOps, TfIdf}
+    val docs = tbl("documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+    val p = plan(TfIdf.topTermsPerDoc(docs, "doc_id", col("__toks"), 3))
+    assert(p.contains("WindowGroupLimit"), s"missing WindowGroupLimit:\n$p")
+  }
+
+  test("DSIR: both model joins broadcast (bounded bucket space)") {
+    import graft.operators.Dsir
+    val docs = tbl("documents")
+      .select(col("doc_id"), col("source"), split(trim(col("text")), "\\s+").as("__toks"))
+    val m = Dsir.fit(docs, col("__toks"), 1024)
+    val p = plan(Dsir.scoreDocs(docs, "doc_id", col("__toks"), m, m))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"model joins must broadcast:\n$p")
+  }
 }

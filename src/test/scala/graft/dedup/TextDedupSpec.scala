@@ -124,4 +124,23 @@ class TextDedupSpec extends SparkSpecBase {
       .select("simhash").as[String].collect()
     assert(s(0) == s(1) && s(0).length == 64)
   }
+
+  test("softDedupWeights: every row survives, weighted 1/cluster-size") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "same text"),
+      (4L, "unique one")).toDF("doc_id", "text")
+    val w = TextDedup.softDedupWeights(df, "doc_id", TextOps.fingerprint(col("text")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(w.size === 4, "soft dedup must keep every row")
+    assert(w(1L) === ((3L, 1.0 / 3)))
+    assert(w(2L) === ((3L, 1.0 / 3)))
+    assert(w(4L) === ((1L, 1.0)))
+  }
+
+  test("softDedupWeights: total weight equals the distinct-content count") {
+    val df = tbl("documents").limit(80)
+    val w = TextDedup.softDedupWeights(df, "doc_id", TextOps.fingerprint(col("text")))
+    val distinctFp = w.select("fp").distinct().count()
+    val total = w.agg(sum(col("weight"))).head.getDouble(0)
+    assert(math.abs(total - distinctFp) < 1e-9)
+  }
 }

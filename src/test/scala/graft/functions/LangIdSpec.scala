@@ -60,4 +60,36 @@ class LangIdSpec extends SparkSpecBase {
     val out = LangId.predict(strange, "doc_id", "text", profiles)
     assert(out.select("predicted_lang").as[String].head() == "und")
   }
+
+  test("scriptProfile counts per-script chars and picks the argmax script") {
+    val docs = Seq(
+      (1L, "hello world"),            // pure Latin
+      (2L, "Привет мир"),             // Cyrillic
+      (3L, "abc 你好你好你好"),         // Han outnumbers Latin
+      (4L, "42 17 99"),               // digits only -> none
+      (5L, "नमस्ते")                    // Devanagari incl. combining signs
+    ).toDF("doc_id", "text")
+    val p = LangId.scriptProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def m(id: Long) = p(id).getString(p(id).length - 1)
+    assert(m(1L) === "latin")
+    assert(m(2L) === "cyrillic")
+    assert(m(3L) === "han")
+    assert(m(4L) === "none")
+    assert(m(5L) === "devanagari")
+    val r2 = p(2L)
+    assert(r2.getLong(r2.fieldIndex("n_cyrillic")) === 9L) // Привет + мир
+    assert(r2.getLong(r2.fieldIndex("n_latin")) === 0L)
+    val r5 = p(5L)
+    assert(r5.getLong(r5.fieldIndex("n_devanagari")) === 6L)
+    val r4 = p(4L)
+    assert(r4.getLong(r4.fieldIndex("n_digit")) === 6L)
+  }
+
+  test("scriptProfile ties break on ScriptClasses order") {
+    // one Latin + one Cyrillic char: tie -> latin (listed first)
+    val docs = Seq((1L, "aб")).toDF("doc_id", "text")
+    val r = LangId.scriptProfile(docs, "doc_id", "text").head
+    assert(r.getString(r.fieldIndex("main_script")) === "latin")
+  }
 }
