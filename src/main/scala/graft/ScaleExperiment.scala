@@ -722,6 +722,30 @@ object ScaleExperiment {
       println(f"vectoringest_full_rebuild        ${(System.nanoTime() - t1) / 1e9}%8.1f s  rows=${rows.length}")
     }
 
+    // 26. DSIR over the (replicated) documents fixture: fit both
+    // bucket-count models, score every non-target doc, Gumbel-select 1%.
+    // Cost shape: fit = one explode+bounded-agg pass per model; scoring =
+    // one explode + two broadcast joins + per-doc agg; selection =
+    // TakeOrdered. Nothing is corpus-global, so 10x data should be ~10x
+    // wall on full cores.
+    if (on("dsir")) {
+      import graft.operators.Dsir
+      import graft.functions.TextOps
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.tokens(col("text")).as("__toks"))
+      val nonTarget = docs.filter(col("source") =!= "src0")
+      val t0 = System.nanoTime()
+      val tgt = Dsir.fit(docs.filter(col("source") === "src0"), col("__toks"))
+      val raw = Dsir.fit(nonTarget, col("__toks"))
+      println(f"dsir_fit_both_models             ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+      val k = (nonTarget.count() / 100).toInt.max(1)
+      timed("dsir_score_select")(
+        Dsir.gumbelTopK(Dsir.scoreDocs(nonTarget, "doc_id", col("__toks"),
+          tgt, raw), "doc_id", k))
+      tgt.unpersist(); raw.unpersist()
+    }
+
     spark.stop()
   }
 }

@@ -58,15 +58,29 @@ object Dsir {
   /** A fitted hashed-n-gram multinomial: bucket counts (≤ `buckets` rows)
     * plus the total feature count. Smoothed probability of bucket b is
     * (c_b + alpha) / (total + alpha·buckets). */
-  case class Model(counts: DataFrame, total: Long, buckets: Int)
+  case class Model(counts: DataFrame, total: Long, buckets: Int) {
+    /** Release the fit-time cache (no-op for uncached/loaded models). */
+    def unpersist(): Unit = { counts.unpersist(); () }
+  }
 
   /** Fit bucket counts over a corpus: one explode + one partial-aggregated
     * groupBy (at most `buckets` distinct keys → map-side combine bounds the
-    * shuffle at tasks·buckets rows regardless of corpus size). */
-  def fit(corpus: DataFrame, toks: Column, buckets: Int = 8192): Model = {
-    val c = corpus.select(toks.as("__toks"))
+    * shuffle at tasks·buckets rows regardless of corpus size). With
+    * `cache = true` (the default for a model scored more than once) the
+    * count table is cached — it is a model artifact, ≤ `buckets` rows, tiny
+    * next to the corpus — so the total here and every later scoring join
+    * reuse ONE corpus pass; the caller owns `model.unpersist()`. Pass
+    * `cache = false` on fit-score-once paths with no post-materialization
+    * hook (the q121/q122 oracle queries, bench reps — the NgramLm.fit
+    * precedent): the only recomputation is one extra corpus aggregation,
+    * and nothing accumulates in the block-manager across a 3-rep ×
+    * 120-query bench run. [[save]]/[[load]] is the durable form. */
+  def fit(corpus: DataFrame, toks: Column, buckets: Int = 8192,
+      cache: Boolean = true): Model = {
+    val c0 = corpus.select(toks.as("__toks"))
       .select(explode(featureBuckets(col("__toks"), buckets)).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+    val c = if (cache) c0.cache() else c0
     Model(c, c.agg(sum(col("c"))).head.getLong(0), buckets)
   }
 

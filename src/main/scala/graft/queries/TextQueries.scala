@@ -782,8 +782,13 @@ object TextQueries {
       val docs = table(s, d, "documents")
         .select(col("doc_id"), col("source"),
           TextOps.tokens(col("text")).as("__toks"))
-      val tgt = Dsir.fit(docs.filter(col("source") === "src0"), col("__toks"))
-      val raw = Dsir.fit(docs.filter(col("source") =!= "src0"), col("__toks"))
+      // cache=false: query fns have no post-materialization unpersist hook
+      // (NgramLm.fit precedent) — bench reps must not accumulate cached
+      // model tables in the block-manager
+      val tgt = Dsir.fit(docs.filter(col("source") === "src0"), col("__toks"),
+        cache = false)
+      val raw = Dsir.fit(docs.filter(col("source") =!= "src0"), col("__toks"),
+        cache = false)
       Dsir.scoreDocs(docs.filter(col("source") =!= "src0"), "doc_id",
           col("__toks"), tgt, raw)
         .drop("logw")
@@ -801,8 +806,13 @@ object TextQueries {
       val docs = table(s, d, "documents")
         .select(col("doc_id"), col("source"),
           TextOps.tokens(col("text")).as("__toks"))
-      val tgt = Dsir.fit(docs.filter(col("source") === "src0"), col("__toks"))
-      val raw = Dsir.fit(docs.filter(col("source") =!= "src0"), col("__toks"))
+      // cache=false: query fns have no post-materialization unpersist hook
+      // (NgramLm.fit precedent) — bench reps must not accumulate cached
+      // model tables in the block-manager
+      val tgt = Dsir.fit(docs.filter(col("source") === "src0"), col("__toks"),
+        cache = false)
+      val raw = Dsir.fit(docs.filter(col("source") =!= "src0"), col("__toks"),
+        cache = false)
       val scored = Dsir.scoreDocs(docs.filter(col("source") =!= "src0"),
         "doc_id", col("__toks"), tgt, raw)
       Dsir.gumbelTopK(scored, "doc_id", 200)
