@@ -722,6 +722,18 @@ object ScaleExperiment {
       println(f"vectoringest_full_rebuild        ${(System.nanoTime() - t1) / 1e9}%8.1f s  rows=${rows.length}")
     }
 
+    // 27. language-ID fit+predict (the q36 shape) — the char-n-gram
+    // extraction is the graft_char_ngrams kernel; this case is the
+    // before/after seat for that swap and its scale ladder.
+    if (on("langid")) {
+      import graft.functions.LangId
+      val docs = Tables.load(spark, dir, "documents")
+      LangId.fitPredict(docs.limit(200), "doc_id", "text", "lang")
+        .write.format("noop").mode("overwrite").save() // untimed warmup
+      timed("langid_fitpredict")(
+        LangId.fitPredict(docs, "doc_id", "text", "lang"))
+    }
+
     // 26. DSIR over the (replicated) documents fixture: fit both
     // bucket-count models, score every non-target doc, Gumbel-select 1%.
     // Cost shape: fit = one explode+bounded-agg pass per model; scoring =

@@ -23,11 +23,18 @@ import graft.operators.Relational
 object LangId {
 
   /** (keyCol, ngram) rows: canonical text is materialized as a column BEFORE
-    * the n-gram lambda so the normalization regex runs once per document,
-    * not once per character position (see TextOps PERF CONTRACT). */
-  private def ngramRows(df: DataFrame, keyCol: Column, textCol: String, n: Int) =
+    * the n-gram kernel so the normalization regex runs once per document.
+    * Gram extraction is the graft_char_ngrams codegen kernel (one O(L)
+    * byte walk), not the TextOps.charNgrams HOF chain — the chain is
+    * CodegenFallback AND its per-position `substr` rescans the string
+    * from byte 0: O(L²) per doc on the q36 hot path (value parity with
+    * the chain pinned by CharNgramsFSpec). */
+  private def ngramRows(df: DataFrame, keyCol: Column, textCol: String, n: Int) = {
+    graft.sql.GraftFunctions.register(df.sparkSession)
     df.select(keyCol.as("__k"), TextOps.normalizeText(col(textCol)).as("__t"))
-      .select(col("__k"), explode(TextOps.charNgrams(col("__t"), n)).as("ngram"))
+      .select(col("__k"),
+        explode(graft.sql.GraftFunctions.charNgrams(col("__t"), n)).as("ngram"))
+  }
 
   /** Fit: DataFrame[lang, ngram] — the top-`profileSize` n-grams per
     * language by frequency (count desc, ngram asc — deterministic). */
@@ -68,11 +75,12 @@ object LangId {
   def fitPredict(df: DataFrame, idCol: String, textCol: String, labelCol: String,
       n: Int = 3, profileSize: Int = 300,
       outputCol: String = "predicted_lang"): DataFrame = {
+    graft.sql.GraftFunctions.register(df.sparkSession)
     val docGrams = df
       .select(col(idCol), col(labelCol),
         TextOps.normalizeText(col(textCol)).as("__t"))
       .select(col(idCol), col(labelCol),
-        explode(TextOps.charNgrams(col("__t"), n)).as("ngram"))
+        explode(graft.sql.GraftFunctions.charNgrams(col("__t"), n)).as("ngram"))
       .groupBy(col(idCol), col(labelCol), col("ngram"))
       .agg(count(lit(1)).as("cnt"))
     val langCounts = docGrams

@@ -119,6 +119,35 @@ object CorpusPipeline {
       df.join(kept, Seq(idCol), "left_semi")
     }
 
+  /** DSIR selection stage (q121/q122 operator): keep the `k` docs whose
+    * hashed-n-gram distribution best matches the TARGET model (a fitted
+    * artifact — parquet via Dsir.save/load, the Categorify philosophy),
+    * Gumbel-top-k ∝ softmax(logw). The RAW model is fit on the incoming
+    * frame itself (the DSIR contract: importance is target-vs-THIS-corpus),
+    * one extra bounded-agg pass; uncached (fit-score-once, the NgramLm
+    * precedent). Slots after the cheap gates so the fit pass runs on the
+    * surviving slice. */
+  def dsirSelect(idCol: String, textCol: String, target: Dsir.Model,
+      k: Int, seed: String = "dsir"): Stage =
+    stage("dsir_select") { df =>
+      val toks = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      val raw = Dsir.fit(toks, col("__toks"), target.buckets, cache = false)
+      val scored = Dsir.scoreDocs(toks, idCol, col("__toks"), target, raw)
+      df.join(Dsir.gumbelTopK(scored, idCol, k, seed).select(col(idCol)),
+        Seq(idCol), "left_semi")
+    }
+
+  /** Soft-dedup annotation stage (q125 operator): every row survives,
+    * gaining `n_dups` (CCNet-normalized exact-dup cluster size) and
+    * `weight` = 1/n_dups for loss reweighting — the keep-everything
+    * alternative to the drop tiers. */
+  def softDedupAnnotate(idCol: String, textCol: String): Stage =
+    stage("soft_dedup") { df =>
+      df.join(TextDedup.softDedupWeights(df, idCol,
+          TextOps.ccnetFingerprint(col(textCol)))
+        .select(col(idCol), col("n_dups"), col("weight")), Seq(idCol))
+    }
+
   /** Exact-duplicate removal tier (q32 operator; min-id canonical). */
   def exactDedup(idCol: String, textCol: String): Stage =
     stage("exact_dedup")(TextDedup.dropExactDuplicates(_, idCol, textCol))

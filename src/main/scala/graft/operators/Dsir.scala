@@ -81,7 +81,9 @@ object Dsir {
       .select(explode(featureBuckets(col("__toks"), buckets)).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
     val c = if (cache) c0.cache() else c0
-    Model(c, c.agg(sum(col("c"))).head.getLong(0), buckets)
+    // coalesce: an EMPTY fit corpus sums to NULL — the model then has
+    // total 0 and every bucket scores the uniform smoothing floor
+    Model(c, c.agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0), buckets)
   }
 
   /** Persist / load the model as a parquet count table (durable serving

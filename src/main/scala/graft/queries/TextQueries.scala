@@ -837,6 +837,74 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Quality-signal rank fusion: the engine's three cheap quality
+    // selectors (learned-classifier margin, CCNet bigram-OOV rate,
+    // stopword density) each rank the non-src0 corpus best-first; RRF
+    // aggregates the three rankings into one curation order — rank
+    // aggregation sidesteps the scale mismatch between heterogeneous
+    // signals (a margin, a permille, a ratio), the same reason hybrid
+    // search fuses ranks not scores. Every leg's ordering key is exact
+    // (double-from-integers or integer), so the whole query — including
+    // the fused score — hash-checks.
+    "q127_quality_fusion" -> { (s, d) =>
+      import graft.features.QualityClassifier
+      import graft.rank.Rrf
+      val docs = table(s, d, "documents").filter(col("source") =!= "src0")
+      val legA0 = QualityClassifier.score(
+          graft.functions.GopherQuality.metrics(docs, "doc_id", "text")
+            .drop("keep"), classifierFixedModel)
+        .select(col("doc_id"), col("z"))
+      val legA = Rrf.rankBy(
+        legA0.orderBy(col("z").desc, col("doc_id")).limit(200),
+        Seq(col("z").desc, col("doc_id")))
+      val toks = table(s, d, "documents")
+        .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("__toks"))
+      val m = NgramLm.fit(toks.filter(col("source") === "src0"), col("__toks"),
+        cache = false)
+      val legB0 = NgramLm.scoreDocs(toks.filter(col("source") =!= "src0"),
+          "doc_id", col("__toks"), m)
+        .filter(col("n_bigrams") > 0)
+        .withColumn("op", expr("(n_oov * 1000) div n_bigrams").cast("int"))
+        .select(col("doc_id"), col("op"))
+      val legB = Rrf.rankBy(
+        legB0.orderBy(col("op").asc, col("doc_id")).limit(200),
+        Seq(col("op").asc, col("doc_id")))
+      val legC0 = toks.filter(col("source") =!= "src0")
+        .select(col("doc_id"),
+          TextOps.stopwordRatio(col("__toks"), Seq("the", "a")).as("sw"))
+      val legC = Rrf.rankBy(
+        legC0.orderBy(col("sw").desc, col("doc_id")).limit(200),
+        Seq(col("sw").desc, col("doc_id")))
+      Rrf.fuseTopK(Seq(legA, legB, legC), "doc_id", "rank", 100)
+        .select(col("doc_id"), col("rank_0").as("clf_rank"),
+          col("rank_1").as("oov_rank"), col("rank_2").as("stop_rank"),
+          col("rrf"))
+        .orderBy(col("doc_id"))
+    },
+
+    // DSIR through the registry: quality gate → dsir_select (target model
+    // fit on src0, raw model fit ON THE GATED SLICE — the stage contract)
+    // → token count → projection. The oracle replays the gate, both model
+    // fits, logw + Gumbel selection, and the count — the full q122
+    // machinery composed over a derived corpus.
+    "q128_dsir_assembly" -> { (s, d) =>
+      import graft.operators.CorpusPipeline._
+      import graft.operators.Dsir
+      val target = Dsir.fit(
+        table(s, d, "documents").filter(col("source") === "src0")
+          .select(TextOps.tokens(col("text")).as("__toks")),
+        col("__toks"), cache = false)
+      val pipeline = dag(
+        ss => table(ss, d, "documents").filter(col("source") =!= "src0"),
+        Seq(
+          qualityGate("text", minStopwords = 1),
+          dsirSelect("doc_id", "text", target, 150),
+          tokenCount("text"),
+          stage("project")(_.select(col("doc_id"), col("n_tokens")))),
+        warehouseDir = s"${System.getProperty("java.io.tmpdir")}/graft_q128_unused")
+      run(s, pipeline, "project").orderBy(col("doc_id"))
+    },
+
     // TF-IDF distinctive terms: top-3 per doc by tf·ln(N/df) — corpus
     // inspection's "what is this document about". Integers + the term on
     // the hash surface; the ln only orders (exact-tie docs tie in BOTH
@@ -1174,9 +1242,13 @@ object TextQueries {
     * (doc_id, source, bucket — unigrams + space-joined bigrams, 48-bit md5
     * prefix mod 8192), `tgt` (src0 bucket counts) and `rawm` (non-src0
     * bucket counts). */
-  private val dsirFeatsSql: String = {
+  private val dsirFeatsSql: String = dsirFeatsSqlFrom("documents")
+
+  /** Same CTE block over an arbitrary (doc_id, source, text) relation —
+    * the registry-assembly oracles fit the raw model on a GATED slice. */
+  private def dsirFeatsSqlFrom(rel: String): String = {
     val bucket = s"(${hex48Sql("md5(g)")} % 8192)"
-    s"""t AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') w FROM documents),
+    s"""t AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') w FROM $rel),
          grams AS (SELECT doc_id, source, unnest(w) g FROM t
            UNION ALL
            SELECT doc_id, source,
@@ -1222,6 +1294,69 @@ object TextQueries {
                / 281474976710656.0))) DESC, doc_id
            LIMIT 200)
          SELECT doc_id, n_feats, n_oov_t FROM sel ORDER BY doc_id""",
+    "q128_dsir_assembly" ->
+      s"""WITH g0 AS (SELECT doc_id, text, ${gopherMetricsSql("text")}
+           FROM documents WHERE source <> 'src0'),
+         gated AS (SELECT doc_id, CAST('rawx' AS VARCHAR) AS source, text
+           FROM g0 WHERE ${gopherKeepSql(1)}),
+         dsrc AS (SELECT doc_id, source, text FROM documents WHERE source = 'src0'
+           UNION ALL SELECT doc_id, source, text FROM gated),
+         ${dsirFeatsSqlFrom("dsrc")},
+         tt AS (SELECT CAST(COUNT(*) + 8192 AS DOUBLE) n FROM feats WHERE source = 'src0'),
+         tr AS (SELECT CAST(COUNT(*) + 8192 AS DOUBLE) n FROM feats WHERE source <> 'src0'),
+         ev AS (SELECT f.doc_id,
+             CAST(SUM(CAST(
+                 ln((COALESCE(tg.ct, 0) + 1.0) / tt.n)
+                 - ln((COALESCE(rw.cr, 0) + 1.0) / tr.n)
+               AS DECIMAL(38,18))) AS DOUBLE) logw
+           FROM feats f LEFT JOIN tgt tg ON f.bucket = tg.bucket
+                        LEFT JOIN rawm rw ON f.bucket = rw.bucket,
+                tt, tr
+           WHERE f.source <> 'src0' GROUP BY f.doc_id),
+         sel AS (SELECT doc_id FROM ev
+           ORDER BY logw + (-ln(-ln(
+             (${hex48Sql("md5('dsir|' || CAST(doc_id AS VARCHAR))")} + 0.5)
+               / 281474976710656.0))) DESC, doc_id
+           LIMIT 150)
+         SELECT g.doc_id,
+           CAST(len(string_split_regex(trim(g.text), '\\s+')) AS INT) AS n_tokens
+         FROM gated g JOIN sel USING (doc_id) ORDER BY g.doc_id""",
+    "q127_quality_fusion" ->
+      s"""WITH nd AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+         m AS (SELECT doc_id, ${gopherMetricsSql("text")} FROM nd),
+         za AS (SELECT doc_id, $classifierMarginSql AS z FROM m),
+         la AS (SELECT doc_id, r FROM (
+             SELECT doc_id, ROW_NUMBER() OVER (ORDER BY z DESC, doc_id) r FROM za)
+           WHERE r <= 200),
+         t AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') w FROM documents),
+         pairs AS (SELECT doc_id, source,
+             unnest(list_transform(range(len(w)-1), i -> w[i+1])) w1,
+             unnest(list_transform(range(len(w)-1), i -> w[i+2])) w2
+           FROM t WHERE len(w) >= 2),
+         refbi AS (SELECT w1, w2, COUNT(*) c12 FROM pairs WHERE source = 'src0' GROUP BY 1, 2),
+         st AS (SELECT c.doc_id, COUNT(*) n_bigrams,
+             COUNT(CASE WHEN b.c12 IS NULL THEN 1 END) n_oov
+           FROM pairs c LEFT JOIN refbi b ON c.w1 = b.w1 AND c.w2 = b.w2
+           WHERE c.source <> 'src0' GROUP BY 1),
+         ob AS (SELECT doc_id, CAST((n_oov * 1000) // n_bigrams AS INT) op
+           FROM st WHERE n_bigrams > 0),
+         lb AS (SELECT doc_id, r FROM (
+             SELECT doc_id, ROW_NUMBER() OVER (ORDER BY op ASC, doc_id) r FROM ob)
+           WHERE r <= 200),
+         sw AS (SELECT doc_id,
+             CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE) / len(w) AS swr
+           FROM t WHERE source <> 'src0'),
+         lc AS (SELECT doc_id, r FROM (
+             SELECT doc_id, ROW_NUMBER() OVER (ORDER BY swr DESC, doc_id) r FROM sw)
+           WHERE r <= 200),
+         fused AS (SELECT doc_id, a.r ra, b.r rb, c.r rc,
+             ((COALESCE(CAST(1.0 AS DOUBLE) / (60 + a.r), CAST(0.0 AS DOUBLE))
+               + COALESCE(CAST(1.0 AS DOUBLE) / (60 + b.r), CAST(0.0 AS DOUBLE)))
+               + COALESCE(CAST(1.0 AS DOUBLE) / (60 + c.r), CAST(0.0 AS DOUBLE))) rrf
+           FROM la a FULL JOIN lb b USING (doc_id) FULL JOIN lc c USING (doc_id)),
+         sel AS (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 100)
+         SELECT doc_id, ra AS clf_rank, rb AS oov_rank, rc AS stop_rank, rrf
+         FROM sel ORDER BY doc_id""",
     "q126_script_profile" -> {
       import graft.functions.LangId.ScriptClasses
       val suffixCase = scriptNoise.zipWithIndex

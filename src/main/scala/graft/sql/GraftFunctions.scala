@@ -18,8 +18,11 @@ object GraftFunctions {
   val RollingHashName = "graft_rolling_hash"
   val UnicodeNormName = "graft_unicode_norm"
   val MinhashSigName = "graft_minhash_sig"
+  val CharNgramsName = "graft_char_ngrams"
 
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      CharNgramsName, exprs => CharNgramsF.fromExprs(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotName, exprs => DotF32(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -64,6 +67,12 @@ object GraftFunctions {
   def minhashSig(shingles: Column, numHashes: Int): Column =
     call_function(MinhashSigName, shingles,
       org.apache.spark.sql.functions.lit(numHashes))
+
+  /** Column-level call; requires `register` (or GraftExtensions) first.
+    * All overlapping character n-grams in one O(L) pass. */
+  def charNgrams(text: Column, n: Int): Column =
+    call_function(CharNgramsName, text,
+      org.apache.spark.sql.functions.lit(n))
 }
 
 /** spark.sql.extensions entry point. */
@@ -105,5 +114,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[MinhashSigF].getName, GraftFunctions.MinhashSigName),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinhashSigF.fromExprs(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.CharNgramsName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CharNgramsF].getName, GraftFunctions.CharNgramsName),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CharNgramsF.fromExprs(exprs.head, exprs(1))))
   }
 }

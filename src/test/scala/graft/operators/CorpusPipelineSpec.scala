@@ -139,4 +139,34 @@ class CorpusPipelineSpec extends SparkSpecBase {
       .select($"doc_id").as[Long].collect().toSeq.sorted
     assert(kept == Seq(1L, 3L), "exact tier keeps min-id canonical + uniques")
   }
+
+  test("dsir_select stage keeps exactly k target-like docs") {
+    val target = Dsir.fit(
+      Seq("alpha beta gamma delta epsilon").toDF("text")
+        .select(split(trim($"text"), "\\s+").as("__toks")), $"__toks")
+    val docs = ((0L until 20L).map(i => (i, "alpha beta gamma delta epsilon")) ++
+      (20L until 40L).map(i => (i, "zz xx vv ww uu"))).toDF("doc_id", "text")
+    val p = CorpusPipeline.dag(_ => docs,
+      Seq(CorpusPipeline.dsirSelect("doc_id", "text", target, 10)),
+      "/tmp/unused_dsir")
+    val kept = CorpusPipeline.run(spark, p, "dsir_select")
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(kept.size == 10)
+    assert(kept.count(_ < 20L) >= 8, s"selection should tilt target-like: $kept")
+    target.unpersist()
+  }
+
+  test("soft_dedup stage annotates every row with cluster size + weight") {
+    val docs = Seq((1L, "same text"), (2L, "Same  TEXT"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val p = CorpusPipeline.dag(_ => docs,
+      Seq(CorpusPipeline.softDedupAnnotate("doc_id", "text")),
+      "/tmp/unused_soft")
+    val out = CorpusPipeline.run(spark, p, "soft_dedup")
+      .select($"doc_id", $"n_dups", $"weight").as[(Long, Long, Double)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out.size == 3, "soft dedup keeps every row")
+    assert(out(1L) == ((2L, 0.5)), "case/space variants share a cluster")
+    assert(out(3L) == ((1L, 1.0)))
+  }
 }
