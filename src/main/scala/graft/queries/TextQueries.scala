@@ -820,6 +820,17 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // HyperLogLog register table over the doc keys — the mergeable
+    // distinct-count sketch (rolling-crawl "unique fingerprints so far"
+    // without rescanning history). Bucket + rho are pure integer
+    // functions of md5 bits (comparison-ladder rho, no log2/float), so
+    // the ENTIRE sketch artifact hash-checks; the harmonic estimate is
+    // float-land and stays spec-checked (HllSpec), the Dsir-logw split.
+    "q129_hll_registers" -> { (s, d) =>
+      graft.functions.Hll.registers(table(s, d, "documents"), col("doc_id"))
+        .orderBy(col("bucket"))
+    },
+
     // Unicode-script census (the zero-model triage before n-gram
     // language-ID): per-doc counts for 7 script classes + digits + the
     // argmax script, over text with one non-Latin phrase injected per
@@ -1294,6 +1305,18 @@ object TextQueries {
                / 281474976710656.0))) DESC, doc_id
            LIMIT 200)
          SELECT doc_id, n_feats, n_oov_t FROM sel ORDER BY doc_id""",
+    "q129_hll_registers" -> {
+      import graft.functions.Hll
+      // bucket = first 3 hex digits = (first 4 digits) // 16; the rho
+      // window = digits 4..15 as three 16-bit groups
+      val w = s"(${hex4Sql("x", 3)}::BIGINT * 4294967296 + " +
+        s"${hex4Sql("x", 7)}::BIGINT * 65536 + ${hex4Sql("x", 11)}::BIGINT)"
+      s"""WITH h AS (SELECT md5(CAST(doc_id AS VARCHAR)) x FROM documents),
+         v AS (SELECT CAST(${hex4Sql("x", 0)} // 16 AS INT) AS bucket, $w AS w
+           FROM h)
+         SELECT bucket, CAST(MAX(${Hll.rhoSql("w")}) AS INT) AS max_rho
+         FROM v GROUP BY bucket ORDER BY bucket"""
+    },
     "q128_dsir_assembly" ->
       s"""WITH g0 AS (SELECT doc_id, text, ${gopherMetricsSql("text")}
            FROM documents WHERE source <> 'src0'),
