@@ -820,6 +820,32 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Corpus data card: the per-(source, lang) datasheet a pipeline
+    // publishes with a training set — doc/token volume, exact-dup
+    // uniqueness, Gopher keep rate, mean learned-quality margin. Every
+    // cell is an exact integer or a decimal-summed double of exact
+    // per-row values, so the whole card hash-checks.
+    "q130_data_card" -> { (s, d) =>
+      import graft.features.QualityClassifier
+      import graft.functions.GopherQuality
+      val docs = table(s, d, "documents")
+      val feats = GopherQuality.metrics(docs, "doc_id", "text")
+      val z = QualityClassifier.score(feats.drop("keep"), classifierFixedModel)
+      val base = docs.select(col("doc_id"), col("source"), col("lang"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+      base
+        .join(feats.select(col("doc_id"), col("keep")), Seq("doc_id"))
+        .join(z.select(col("doc_id"), col("z")), Seq("doc_id"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("sum_tokens"),
+          countDistinct(col("fp")).as("n_unique"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+          (dsum(col("z"), 6) / count(lit(1))).as("mean_z"))
+        .orderBy(col("source"), col("lang"))
+    },
+
     // HyperLogLog register table over the doc keys — the mergeable
     // distinct-count sketch (rolling-crawl "unique fingerprints so far"
     // without rescanning history). Bucket + rho are pure integer
@@ -1305,6 +1331,21 @@ object TextQueries {
                / 281474976710656.0))) DESC, doc_id
            LIMIT 200)
          SELECT doc_id, n_feats, n_oov_t FROM sel ORDER BY doc_id""",
+    "q130_data_card" ->
+      s"""WITH m AS (SELECT doc_id, source, lang, text, ${gopherMetricsSql("text")}
+           FROM documents),
+         per AS (SELECT doc_id, source, lang,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks,
+             CASE WHEN ${gopherKeepSql(2)} THEN 1 ELSE 0 END AS keep,
+             $classifierMarginSql AS z
+           FROM m)
+         SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+           CAST(SUM(keep) AS BIGINT) AS n_keep,
+           CAST(SUM(CAST(z AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_z
+         FROM per GROUP BY source, lang ORDER BY source, lang""",
     "q129_hll_registers" -> {
       import graft.functions.Hll
       // bucket = first 3 hex digits = (first 4 digits) // 16; the rho
