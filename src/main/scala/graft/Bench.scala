@@ -30,7 +30,10 @@ import org.apache.spark.sql.SparkSession
   *  - the heavy queries (SparkEntry.benchIsolate) get System.gc() + a
   *    settle pause before EVERY rep, so their medians stop absorbing the
   *    previous query's heap/code-cache state (the q35 A/B showed suite
-  *    position alone moved an untouched query's median 2x);
+  *    position alone moved an untouched query's median 2x), plus ONE
+  *    untimed warmup rep so a cold first execution (parquet pages, plan
+  *    codegen) cannot flip a median-of-3 — the timed reps measure the
+  *    steady state the SCALE.md claims describe;
   *  - the fit-heavy entries (SparkEntry.benchVolatile — iterative model
   *    training dominates their wall) are listed under `volatile` in the
   *    artifact, and `core_total` sums everything else: the number to
@@ -92,6 +95,16 @@ object Bench {
 
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (String, Double, Seq[Double]) = {
+      // Isolated (heavy) queries get ONE untimed warmup rep: their first
+      // execution pays cold parquet pages + plan codegen, and with only 3
+      // timed reps a cold first rep flips the median by up to 1.7×
+      // (measured on q51s across the round-7 double run — reps like
+      // [9.5, 10.1, 6.7] vs [10.6, 6.3, 6.0] on identical code). The
+      // timed reps then measure the steady state the claims describe.
+      if (isolate(name)) {
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
       val times = (1 to reps).map { _ =>
         if (isolate(name)) { System.gc(); Thread.sleep(settleMs) }
         val t0 = System.nanoTime()
