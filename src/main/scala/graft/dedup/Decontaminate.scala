@@ -67,4 +67,37 @@ object Decontaminate {
       .select(col(idCol))
     corpus.join(bad, Seq(idCol), "left_anti")
   }
+
+  /** SEMANTIC decontamination report: per-corpus-row maximum cosine
+    * against the benchmark's EMBEDDINGS — catches paraphrased/reformatted
+    * benchmark leakage the n-gram probe misses (the embedding-similarity
+    * contamination check of recent eval-hygiene practice). The benchmark
+    * is broadcast (eval sets are MB-scale against a 100 TB corpus), so
+    * the corpus streams through one broadcast nested-loop pass — no
+    * shuffle, no all-pairs blowup; cost is |corpus|·|bench| dots of which
+    * the corpus side is scanned once. Scoring is the repo's sequential-
+    * fold cosine (graft.sql.DotF32-compatible), and MAX — unlike SUM — is
+    * order-independent over doubles, so `max_cos` is exact and
+    * oracle-checkable under any partitioning. Output: every corpus row
+    * with `max_cos` (null if the bench is empty). */
+  def semanticContamination(corpus: DataFrame, idCol: String, vecCol: String,
+      bench: DataFrame, benchVecCol: String): DataFrame = {
+    import graft.functions.VectorOps
+    val b = broadcast(bench.select(col(benchVecCol).as("__bv")))
+    val scored = corpus.select(col(idCol), col(vecCol).as("__cv"))
+      .join(b)
+      .groupBy(col(idCol))
+      .agg(max(VectorOps.cosine(col("__cv"), col("__bv"))).as("max_cos"))
+    corpus.select(col(idCol)).join(scored, Seq(idCol), "left")
+  }
+
+  /** Drop corpus rows whose embedding is closer than `maxCos` to ANY
+    * benchmark embedding. One broadcast pass + one anti join. */
+  def dropSemanticContaminated(corpus: DataFrame, idCol: String,
+      vecCol: String, bench: DataFrame, benchVecCol: String,
+      maxCos: Double): DataFrame = {
+    val bad = semanticContamination(corpus, idCol, vecCol, bench, benchVecCol)
+      .filter(col("max_cos") > maxCos).select(col(idCol))
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
 }

@@ -37,6 +37,19 @@ object VectorQueries {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Semantic decontamination (embedding leg of the q72 n-gram probe):
+    // per-corpus-row max cosine against the broadcast benchmark vectors
+    // (label 0 plays the eval set) — catches paraphrased benchmark
+    // leakage n-grams miss. MAX over doubles is order-independent, so
+    // max_cos sits on the hash surface.
+    "q131_semantic_decontam" -> { (s, d) =>
+      val emb = table(s, d, "embeddings")
+      graft.dedup.Decontaminate.semanticContamination(
+          emb.filter(col("label") =!= 0), "vec_id", "embedding",
+          emb.filter(col("label") === 0), "embedding")
+        .orderBy(col("vec_id"))
+    },
+
     // Hybrid retrieval via Reciprocal Rank Fusion (Cormack & Clarke 2009):
     // the BM25 keyword top-50 and the embedding-cosine top-50 (query =
     // doc 7's embedding; vec_id aligns with doc_id in the fixture) fused
@@ -235,6 +248,14 @@ object VectorQueries {
       s"""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
           sqrt(${dot("embedding", "embedding")}) AS l2
           FROM embeddings ORDER BY vec_id""",
+    "q131_semantic_decontam" ->
+      s"""WITH b AS (SELECT embedding bv FROM embeddings WHERE label = 0),
+          c AS (SELECT vec_id, embedding cv FROM embeddings WHERE label <> 0),
+          m AS (SELECT vec_id,
+              MAX(${dot("cv", "bv")} / (sqrt(${dot("cv", "cv")}) * sqrt(${dot("bv", "bv")}))) AS max_cos
+            FROM c, b GROUP BY vec_id)
+          SELECT c.vec_id, m.max_cos FROM c LEFT JOIN m ON c.vec_id = m.vec_id
+          ORDER BY c.vec_id""",
     "q123_hybrid_rrf" ->
       s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
          d AS (SELECT doc_id, CAST(len(w) AS DOUBLE) dl, w FROM t),

@@ -68,4 +68,41 @@ class DecontaminateSpec extends SparkSpecBase {
     assert(rep.count() == docs.count())
     assert(rep.select("doc_id").distinct().count() == docs.count())
   }
+
+  test("semantic: a bench-identical vector scores max_cos 1, orthogonal 0") {
+    import spark.implicits._
+    val bench = Seq(Tuple1(Array(1f, 0f, 0f))).toDF("v")
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f)), // identical
+      (2L, Array(0f, 1f, 0f)), // orthogonal
+      (3L, Array(1f, 1f, 0f))  // 45 degrees
+    ).toDF("vec_id", "v")
+    val m = Decontaminate.semanticContamination(corpus, "vec_id", "v", bench, "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(1L) === 1.0)
+    assert(m(2L) === 0.0)
+    assert(math.abs(m(3L) - 1.0 / math.sqrt(2.0)) < 1e-9)
+  }
+
+  test("semantic drop removes exactly the too-close rows, keeps the rest") {
+    import spark.implicits._
+    val bench = Seq(Tuple1(Array(1f, 0f))).toDF("v")
+    val corpus = Seq(
+      (1L, Array(1f, 0.01f)), (2L, Array(0f, 1f)), (3L, Array(0.5f, 0.5f))
+    ).toDF("vec_id", "v")
+    val kept = Decontaminate.dropSemanticContaminated(
+        corpus, "vec_id", "v", bench, "v", maxCos = 0.9)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(2L, 3L)) // row 1 ~cos 1.0; row 3 cos ~0.707
+  }
+
+  test("semantic report is one broadcast pass, no shuffle of the corpus side") {
+    val emb = tbl("embeddings")
+    val plan = Decontaminate.semanticContamination(
+        emb.filter(col("label") =!= 0), "vec_id", "embedding",
+        emb.filter(col("label") === 0), "embedding")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"bench side must broadcast:\n$plan")
+  }
 }
