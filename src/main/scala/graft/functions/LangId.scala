@@ -118,13 +118,18 @@ object LangId {
     * zero shuffles, linear in bytes, trivially 100 TB-safe — and every
     * output is an integer or a CASE over integer equalities, so the whole
     * row sits on the oracle surface. */
-  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withScriptProfile(df.select(col(idCol), col(textCol)), textCol)
+      .drop(textCol)
+
+  /** APPEND form of [[scriptProfile]] (the row-local registry-stage shape:
+    * keeps every existing column, adds the census columns) — a pure
+    * projection, so it runs unchanged on a stream. */
+  def withScriptProfile(df: DataFrame, textCol: String): DataFrame = {
     val counts = ScriptClasses.map { case (name, re) =>
-      name -> regexp_count(col(textCol), lit(re)).cast("long")
-    }
-    val withCounts = df.select(
-      (col(idCol) +: counts.map { case (n, c) => c.as(s"n_$n") }) :+
-        regexp_count(col(textCol), lit("[0-9]")).cast("long").as("n_digit"): _*)
+      s"n_$name" -> regexp_count(col(textCol), lit(re)).cast("long")
+    } :+ ("n_digit" -> regexp_count(col(textCol), lit("[0-9]")).cast("long"))
+    val withCounts = counts.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
     val best = greatest(ScriptClasses.map { case (n, _) => col(s"n_$n") }: _*)
     val main = ScriptClasses.foldRight(lit("none")) { case ((n, _), acc) =>
       when(col("__best") > 0 && col(s"n_$n") === col("__best"), lit(n))

@@ -71,6 +71,15 @@ object CorpusPipeline {
     stage("domain_cap")(df => DataMix.capPerGroupConstant(
       df, graft.functions.UrlCanon.host(col(urlCol)), col(idCol), maxPerDomain))
 
+  /** Unicode-script census (q126 operator) as an APPENDING row-local
+    * stage: per-script char counts + digits + argmax `main_script` added
+    * to every row — the zero-model language triage a multilingual crawl
+    * runs before routing to per-language gates. Pure codegen projection,
+    * so it is batch≡stream like the other row-local stages. */
+  def scriptCensus(textCol: String): Stage =
+    stage("script_census")(
+      graft.functions.LangId.withScriptProfile(_, textCol))
+
   /** Gopher rule battery as a pushdown-friendly filter (q95 operator). */
   def qualityGate(textCol: String, minWords: Int = 50,
       maxWords: Int = 100000, minStopwords: Int = 2): Stage =

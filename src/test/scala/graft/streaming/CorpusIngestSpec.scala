@@ -59,6 +59,7 @@ class CorpusIngestSpec extends SparkSpecBase {
       CorpusPipeline.stage("drop_title")(_.drop("title")),
       CorpusPipeline.classifierGate("text", m),
       CorpusPipeline.piiRedact("text"),
+      CorpusPipeline.scriptCensus("text"),
       CorpusPipeline.tokenCount("text"))
     def applyStages(df: org.apache.spark.sql.DataFrame) =
       stages.foldLeft(df)((d, st) => st.f(spark, d))
@@ -67,15 +68,15 @@ class CorpusIngestSpec extends SparkSpecBase {
       (2L, s"<body><p>$tooShort</p></body>"),          // fails the gate
       (3L, s"<body><!-- c --><p>$withPii</p></body>")) // PII scrubbed
     val expected = applyStages(pages.toDF("doc_id", "text"))
-      .select($"doc_id", $"text", $"n_tokens")
-      .as[(Long, String, Int)].collect().toSeq.sortBy(_._1)
-    val seen = mutable.ArrayBuffer[(Long, String, Int)]()
+      .select($"doc_id", $"text", $"n_tokens", $"main_script")
+      .as[(Long, String, Int, String)].collect().toSeq.sortBy(_._1)
+    val seen = mutable.ArrayBuffer[(Long, String, Int, String)]()
     val in = MemoryStream[(Long, String)]
     val q = applyStages(in.toDF().toDF("doc_id", "text"))
       .writeStream.outputMode("append")
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        seen ++= b.select(col("doc_id"), col("text"), col("n_tokens"))
-          .as[(Long, String, Int)].collect(); ()
+        seen ++= b.select(col("doc_id"), col("text"), col("n_tokens"), col("main_script"))
+          .as[(Long, String, Int, String)].collect(); ()
       }.start()
     in.addData(pages: _*)
     q.processAllAvailable()
@@ -83,6 +84,7 @@ class CorpusIngestSpec extends SparkSpecBase {
     assert(seen.sortBy(_._1).toSeq == expected)
     assert(expected.map(_._1) == Seq(1L, 3L), "gate must drop doc 2 in both modes")
     assert(expected.forall(!_._2.contains("@example.com")), "PII scrubbed in both modes")
+    assert(expected.forall(_._4 == "latin"), "census rides the stream unchanged")
   }
 
   test("streamed composition equals the batch composition") {
