@@ -83,4 +83,24 @@ object ShardPack {
       .withColumn("shard_id", expr(s"CAST(__excl DIV ${budget}L AS INT)"))
       .drop("__cum", "__excl")
   }
+
+  /** Per-shard release MANIFEST: row count, exact weight sum, and an
+    * order-independent 48-bit content fingerprint (bit_xor of each
+    * member's md5-prefix id hash) — the integrity record a data release
+    * ships beside its shards, so a consumer re-derives (count, weight,
+    * xor) from any shard it downloaded and catches dropped, duplicated,
+    * or cross-shard-mixed rows. XOR is associative/commutative/self-
+    * inverse → one partial-aggregated groupBy, partitioning-invariant,
+    * and replayable in any engine with the same md5 arithmetic (the
+    * whole manifest sits on the oracle hash surface). */
+  def manifest(shards: DataFrame, shardCol: String, idCol: String,
+      weight: Column): DataFrame = {
+    val h = conv(substring(
+      md5(concat(lit("m|"), col(idCol).cast("string"))), 1, 12), 16, 10)
+      .cast("long")
+    shards.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(weight).cast("long").as("sum_weight"),
+        bit_xor(h).as("content_xor"))
+  }
 }

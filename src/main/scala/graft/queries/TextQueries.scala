@@ -820,6 +820,21 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Shard release manifest over the q97 shuffled shards: per-shard row
+    // count, exact token sum, and the order-independent bit_xor content
+    // fingerprint — the integrity record a data release ships. Every
+    // column integer-exact; both engines replay the identical md5
+    // arithmetic, so the manifest itself hash-checks.
+    "q132_shard_manifest" -> { (s, d) =>
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens"))
+      val shards = graft.operators.CorpusShuffle.shuffledShards(
+        docs, "doc_id", col("n_tokens"), "s5", 500L)
+      graft.operators.ShardPack.manifest(shards, "shard_id", "doc_id",
+          col("n_tokens"))
+        .orderBy(col("shard_id"))
+    },
+
     // Corpus data card: the per-(source, lang) datasheet a pipeline
     // publishes with a training set — doc/token volume, exact-dup
     // uniqueness, Gopher keep rate, mean learned-quality margin. Every
@@ -1331,6 +1346,20 @@ object TextQueries {
                / 281474976710656.0))) DESC, doc_id
            LIMIT 200)
          SELECT doc_id, n_feats, n_oov_t FROM sel ORDER BY doc_id""",
+    "q132_shard_manifest" ->
+      s"""WITH t AS (SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) n_tokens,
+           md5('s5|' || CAST(doc_id AS VARCHAR)) m FROM documents),
+         k AS (SELECT doc_id, n_tokens, ${hex48Sql("m")} k FROM t),
+         c AS (SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum FROM k),
+         sh AS (SELECT doc_id, n_tokens,
+             CAST((cum - n_tokens) // 500 AS INT) AS shard_id FROM c)
+         SELECT shard_id, COUNT(*) AS n_rows,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_weight,
+           CAST(bit_xor(${hex48Sql("md5('m|' || CAST(doc_id AS VARCHAR))")}) AS BIGINT) AS content_xor
+         FROM sh GROUP BY shard_id ORDER BY shard_id""",
     "q130_data_card" ->
       s"""WITH m AS (SELECT doc_id, source, lang, text, ${gopherMetricsSql("text")}
            FROM documents),

@@ -65,4 +65,25 @@ class ShardPackSpec extends SparkSpecBase {
     val empty = docs.filter(lit(false))
     assert(ShardPack.cumsum(empty, "doc_id", col("n_chars"), "cum").count() == 0)
   }
+
+  test("manifest: counts/weights/xor re-derive identically from the shards") {
+    val shards = ShardPack.assignShards(docs, "doc_id", col("n_chars"), 5000L)
+    val m1 = ShardPack.manifest(shards, "shard_id", "doc_id", col("n_chars"))
+    val m2 = ShardPack.manifest(shards.repartition(7), "shard_id", "doc_id", col("n_chars"))
+    assert(m1.exceptAll(m2).isEmpty && m2.exceptAll(m1).isEmpty,
+      "manifest must be partitioning-invariant")
+    assert(m1.agg(sum($"n_rows")).head.getLong(0) === docs.count())
+  }
+
+  test("manifest catches a dropped and a duplicated row") {
+    val shards = ShardPack.assignShards(docs, "doc_id", col("n_chars"), 5000L)
+    val good = ShardPack.manifest(shards, "shard_id", "doc_id", col("n_chars"))
+    val dropped = ShardPack.manifest(
+      shards.filter($"doc_id" =!= 7L), "shard_id", "doc_id", col("n_chars"))
+    val duped = ShardPack.manifest(
+      shards.unionAll(shards.filter($"doc_id" === 7L)),
+      "shard_id", "doc_id", col("n_chars"))
+    assert(good.exceptAll(dropped).count() > 0, "a dropped row must change the manifest")
+    assert(good.exceptAll(duped).count() > 0, "a duplicated row must change the manifest")
+  }
 }
