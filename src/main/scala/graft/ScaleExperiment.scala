@@ -722,6 +722,27 @@ object ScaleExperiment {
       println(f"vectoringest_full_rebuild        ${(System.nanoTime() - t1) / 1e9}%8.1f s  rows=${rows.length}")
     }
 
+    // 28. the round-7 bounded-aggregate ops over the (replicated)
+    // documents fixture: HLL registers (4096-row bounded agg), script
+    // census (pure projection), soft-dedup weights (fp agg + group-stat
+    // join), shard manifest (partial agg over shards). All should track
+    // corpus size linearly at full cores — none holds growing state.
+    if (on("r7ops")) {
+      import graft.functions.{Hll, LangId, TextOps}
+      import graft.dedup.TextDedup
+      val docs = Tables.load(spark, dir, "documents")
+      timed("r7_hll_registers")(Hll.registers(docs, col("doc_id")))
+      timed("r7_script_census")(
+        LangId.withScriptProfile(docs.select(col("doc_id"), col("text")), "text"))
+      timed("r7_soft_dedup")(
+        TextDedup.softDedupWeights(docs, "doc_id", TextOps.fingerprint(col("text"))))
+      val sh = graft.operators.CorpusShuffle.shuffledShards(
+        docs.select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens")),
+        "doc_id", col("n_tokens"), "s5", 500L)
+      timed("r7_shard_manifest")(
+        graft.operators.ShardPack.manifest(sh, "shard_id", "doc_id", col("n_tokens")))
+    }
+
     // 27. language-ID fit+predict (the q36 shape) — the char-n-gram
     // extraction is the graft_char_ngrams kernel; this case is the
     // before/after seat for that swap and its scale ladder.
