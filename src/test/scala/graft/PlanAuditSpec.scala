@@ -189,6 +189,24 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("WindowGroupLimit"), s"missing WindowGroupLimit:\n$p")
   }
 
+  test("HLL registers combine map-side before the shuffle (bounded agg)") {
+    val p = plan(graft.functions.Hll.registers(tbl("documents"), col("doc_id")))
+    assert(p.contains("partial_max"),
+      s"register build must partial-aggregate (map-side combine):\n$p")
+  }
+
+  test("shard manifest partial-aggregates count/sum/xor") {
+    import graft.functions.TextOps
+    val docs = tbl("documents")
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens"))
+    val sh = graft.operators.CorpusShuffle.shuffledShards(
+      docs, "doc_id", col("n_tokens"), "s5", 500L)
+    val p = plan(graft.operators.ShardPack.manifest(sh, "shard_id", "doc_id",
+      col("n_tokens")))
+    assert(p.contains("partial_count") && p.contains("partial_bit_xor"),
+      s"manifest must partial-aggregate:\n$p")
+  }
+
   test("DSIR: both model joins broadcast (bounded bucket space)") {
     import graft.operators.Dsir
     val docs = tbl("documents")

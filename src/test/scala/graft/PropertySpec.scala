@@ -261,4 +261,36 @@ class PropertySpec extends SparkSpecBase {
           got.map(t => t._1 -> t._3).toMap == expect)
     }, cases = 15)
   }
+
+  test("Hll.rhoOf ladder matches JVM leading-zero ground truth over md5") {
+    check(Prop.forAll(Gen.choose(0L, 10000000L)) { id =>
+      val got = Seq(Tuple1(id)).toDF("k")
+        .select(graft.functions.Hll.rhoOf($"k").as("r")).head.getInt(0)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val w = java.lang.Long.parseLong(hex.substring(3, 15), 16)
+      val expect =
+        if (w == 0L) 49 else java.lang.Long.numberOfLeadingZeros(w) - 16 + 1
+      got == expect
+    }, cases = 20)
+  }
+
+  test("Dsir.featureBuckets arity: n tokens -> 2n-1 features (n>=2), n==1 -> 1") {
+    val gen = Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty)).map(_.take(30))
+    check(Prop.forAll(gen) { toks =>
+      val df = Seq(Tuple1(toks)).toDF("__toks")
+      val n = df.select(graft.operators.Dsir.featureBuckets($"__toks", 64).as("f"))
+        .head.getSeq[Long](0).length
+      n == (if (toks.length >= 2) 2 * toks.length - 1 else toks.length)
+    }, cases = 20)
+  }
+
+  test("Rrf.fuse equals the closed form for random rank pairs") {
+    check(Prop.forAll(Gen.choose(1, 200), Gen.choose(1, 200)) { (r1, r2) =>
+      val a = Seq((1L, r1)).toDF("id", "rank")
+      val b = Seq((1L, r2)).toDF("id", "rank")
+      val s = graft.rank.Rrf.fuse(Seq(a, b), "id", "rank").head.getDouble(3)
+      s == 1.0 / (60 + r1) + 1.0 / (60 + r2) && s <= 2.0 / 61 && s > 0
+    }, cases = 10)
+  }
 }
