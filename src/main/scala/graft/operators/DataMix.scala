@@ -120,4 +120,55 @@ object DataMix {
         floor(col("share") * totalRows).cast("long").as("cap"))
     capPerGroup(df, groupCol, key, caps)
   }
+
+  /** Token-budget epoch plan — the "how many passes over each source" table
+    * a pre-training run publishes (the Llama/Pile data recipe: sample
+    * source g for e_g epochs so the mixture hits temperature shares within
+    * a total token budget). Input: one row per group with its total token
+    * count `n_tokens`; output adds
+    *  - `share`   = w_g / Σw (temperature share over TOKEN mass, same
+    *                quantized-integer weights as [[temperatureShares]]),
+    *  - `epochs_e6` = min(maxEpochsE6, floor(share·budget/n_tokens · 10⁶))
+    *                — fractional epochs in 1e-6 fixed point, capped by the
+    *                repetition ceiling (data-repetition studies cap useful
+    *                epochs; past the cap a source just contributes less),
+    *  - `planned_tokens` = epochs_e6 · n_tokens DIV 10⁶ (exact integers —
+    *                the number the shard packer actually draws).
+    *
+    * Determinism: weights/total are exact integers; `share` and the epoch
+    * fraction are short identical-association double chains (each IEEE op
+    * correctly rounded — reproducible in any engine; the only libm escape
+    * is pow at α ∉ {0, 0.5, 1}, same contract as temperatureShares);
+    * planned_tokens multiplies through DECIMAL(38,0) so a 10¹³-token
+    * source times a 10⁸ epoch fraction cannot overflow a long. Uncapped
+    * groups under-consume the budget only by floor dust; capped groups
+    * return their surplus to nobody by design — re-run with the residual
+    * budget over the uncapped groups if exact budget exhaustion matters
+    * (two bounded passes, documented trade vs an iterative waterfill). */
+  def epochPlan(tokenCounts: DataFrame, groupCol: String, alpha: Double,
+      budgetTokens: Long, maxEpochsE6: Long): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1]: $alpha")
+    require(budgetTokens > 0 && maxEpochsE6 > 0,
+      s"budget and epoch cap must be positive: $budgetTokens, $maxEpochsE6")
+    val w = if (alpha == 0.5) sqrt(col("n_tokens"))
+      else pow(col("n_tokens"), lit(alpha))
+    val weighted = tokenCounts.withColumn("__w",
+      floor(w * lit(WeightScale)).cast("long"))
+    val total = weighted.agg(
+      sum(col("__w").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("__t"))
+    weighted.crossJoin(broadcast(total))
+      .withColumn("share",
+        col("__w").cast("double") / col("__t").cast("double"))
+      .withColumn("epochs_e6",
+        when(col("n_tokens") > 0,
+          least(
+            floor(col("share") * lit(budgetTokens) / col("n_tokens")
+              * lit(1000000.0)).cast("long"),
+            lit(maxEpochsE6)))
+          .otherwise(lit(0L)))
+      .withColumn("planned_tokens",
+        expr("CAST(CAST(epochs_e6 AS DECIMAL(38,0)) * CAST(n_tokens AS DECIMAL(38,0)) DIV 1000000 AS BIGINT)"))
+      .select(col(groupCol), col("n_tokens"), col("share"),
+        col("epochs_e6"), col("planned_tokens"))
+  }
 }

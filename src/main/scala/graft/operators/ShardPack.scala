@@ -93,6 +93,32 @@ object ShardPack {
     * inverse → one partial-aggregated groupBy, partitioning-invariant,
     * and replayable in any engine with the same md5 arithmetic (the
     * whole manifest sits on the oracle hash surface). */
+  /** Diff two release [[manifest]]s (old `a` → new `b`): one row per shard
+    * id present in either, with `status` added / removed / changed /
+    * unchanged — "changed" when any of (n_rows, sum_weight, content_xor)
+    * moved. This is the incremental-release validation a data consumer
+    * runs before re-downloading: only `changed`/`added` shards need
+    * transfer, and an unexpected `changed` deep in a supposedly
+    * append-only release is the alarm. One full-outer join over two
+    * |shards|-sized frames (manifests are corpus-volume-free by
+    * construction); every column integer/string-exact, so the whole diff
+    * sits on the oracle hash surface. */
+  def releaseDiff(a: DataFrame, b: DataFrame,
+      shardCol: String = "shard_id"): DataFrame = {
+    def side(m: DataFrame, s: String): DataFrame =
+      m.select(col(shardCol), col("n_rows").as(s"n_rows_$s"),
+        col("sum_weight").as(s"sum_weight_$s"),
+        col("content_xor").as(s"content_xor_$s"))
+    side(a, "a").join(side(b, "b"), Seq(shardCol), "full_outer")
+      .withColumn("status",
+        when(col("n_rows_a").isNull, lit("added"))
+          .when(col("n_rows_b").isNull, lit("removed"))
+          .when(col("n_rows_a") === col("n_rows_b")
+            && col("sum_weight_a") === col("sum_weight_b")
+            && col("content_xor_a") === col("content_xor_b"), lit("unchanged"))
+          .otherwise(lit("changed")))
+  }
+
   def manifest(shards: DataFrame, shardCol: String, idCol: String,
       weight: Column): DataFrame = {
     val h = conv(substring(

@@ -12,6 +12,24 @@ import QueryHelpers._
 object StarQueries {
 
   val defs: Map[String, QueryFn] = Map(
+    // Graph centrality over the part co-purchase graph: parts sharing an
+    // order are linked (distinct directed pairs, symmetric by
+    // construction), then 3 fixed-point PageRank sweeps. Every update is
+    // integer arithmetic (ranks in 1e-12 units), so all N ranks
+    // hash-match an unrolled-CTE replay — the determinism contract that
+    // makes an iterative 100 TB job replayable (see graph/PageRank).
+    "q134_copurchase_rank" -> { (s, d) =>
+      val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      graft.graph.PageRank.run(edges, iters = 3)
+        .select(col("node").as("part_id"), col("rank_fp").as("rank_e12"))
+        .orderBy(col("part_id"))
+    },
+
     // Data-quality audit + quarantine (the engine form of the reference's
     // dbt schema tests — schema.yml unique/not_null on staging keys — with
     // row-level triage instead of batch pass/fail). Violations are injected
@@ -349,7 +367,32 @@ object StarQueries {
        GROUP BY o_orderpriority
        ORDER BY o_orderpriority"""
 
+  /** One unrolled PageRank sweep as a pair of CTEs (inflow s_k, ranks r_k):
+    * the DuckDB mirror of graph/PageRank's integer recurrence. `prev` is
+    * the prior rank CTE's name. The co-purchase graph is symmetric, so the
+    * dangling term is identically 0 on both sides and the replay omits it. */
+  private def prIterSql(k: Int, prev: String): String =
+    s"""s$k AS (SELECT e.dst AS node, SUM($prev.r // deg.dg) AS inf
+          FROM e JOIN $prev ON e.src = $prev.node JOIN deg ON e.src = deg.src
+          GROUP BY 1),
+       r$k AS (SELECT nodes.node,
+            (15 * (1000000000000 // nn.c) + 85 * COALESCE(s$k.inf, 0)) // 100 AS r
+          FROM nodes LEFT JOIN s$k USING (node), nn)"""
+
   val oracles: Map[String, String] = Map(
+    "q134_copurchase_rank" ->
+      s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         nodes AS (SELECT DISTINCT src AS node FROM e),
+         nn AS (SELECT COUNT(*) c FROM nodes),
+         deg AS (SELECT src, COUNT(*) dg FROM e GROUP BY 1),
+         r0 AS (SELECT node, 1000000000000 // nn.c AS r FROM nodes, nn),
+         ${prIterSql(1, "r0")},
+         ${prIterSql(2, "r1")},
+         ${prIterSql(3, "r2")}
+         SELECT node AS part_id, CAST(r AS BIGINT) AS rank_e12
+         FROM r3 ORDER BY part_id""",
     "q70_drift_report" ->
       """WITH ord AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
                              o_orderdate

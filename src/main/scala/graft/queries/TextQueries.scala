@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.dedup.{Decontaminate, TextDedup}
 import graft.functions.{Bm25, Chunking, LangId, NgramLm, Repetition, TextOps}
@@ -835,6 +836,54 @@ object TextQueries {
         .orderBy(col("shard_id"))
     },
 
+    // Token-budget epoch plan: temperature shares over per-language token
+    // mass (α=0.5 upsamples small languages), fractional epochs in 1e-6
+    // fixed point against a 40k-token budget, capped at 1.5 epochs — the
+    // "passes per source" table of a pre-training data recipe. en lands
+    // under the cap, the four small languages hit it.
+    "q136_epoch_plan" -> { (s, d) =>
+      val counts = table(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(sum(size(TextOps.tokens(col("text")))).cast("long").as("n_tokens"))
+      graft.operators.DataMix.epochPlan(counts, "lang", alpha = 0.5,
+          budgetTokens = 40000L, maxEpochsE6 = 1500000L)
+        .orderBy(col("lang"))
+    },
+
+    // Release diff over shard manifests: release A = every doc, release B =
+    // the same pipeline after a length-cap policy change (n_chars < 300).
+    // Shards repack from the first dropped doc onward, so the diff reads
+    // unchanged... then changed... then removed — the incremental-release
+    // validation a consumer runs to re-download only what moved. Integer/
+    // string-exact end to end.
+    "q135_release_diff" -> { (s, d) =>
+      import graft.operators.{CorpusShuffle, ShardPack}
+      def release(docs: DataFrame) = {
+        val t = docs.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).as("n_tokens"))
+        ShardPack.manifest(
+          CorpusShuffle.shuffledShards(t, "doc_id", col("n_tokens"), "s5", 500L),
+          "shard_id", "doc_id", col("n_tokens"))
+      }
+      val docs = table(s, d, "documents")
+      ShardPack.releaseDiff(release(docs), release(docs.filter(col("n_chars") < 300)))
+        .orderBy(col("shard_id"))
+    },
+
+    // Cross-source overlap matrix: distinct word-8-grams shared per source
+    // pair + containment/Jaccard — the release audit that catches mixture
+    // double-counting before weights are set. Pair space bounded by
+    // |sources|², never corpus volume (distinct-collapsed before the
+    // gram join); similarities are single IEEE divisions of exact longs,
+    // so the whole matrix hash-checks.
+    "q133_overlap_matrix" -> { (s, d) =>
+      val docs = table(s, d, "documents")
+        .select(col("source"), TextOps.tokens(col("text")).as("__toks"))
+      graft.operators.CorpusAudit.overlapMatrix(docs, "source",
+          TextOps.wordShingles(col("__toks"), 8))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
     // Corpus data card: the per-(source, lang) datasheet a pipeline
     // publishes with a training set — doc/token volume, exact-dup
     // uniqueness, Gopher keep rate, mean learned-quality margin. Every
@@ -1311,7 +1360,55 @@ object TextQueries {
          rawm AS (SELECT bucket, COUNT(*) cr FROM feats WHERE source <> 'src0' GROUP BY 1)"""
   }
 
+  /** The q132 manifest chain as suffixed CTEs (so q135 can instantiate it
+    * twice — two releases — in one statement), parametrized by the release's
+    * doc predicate. */
+  private def manifestCtes(sfx: String, where: String): String =
+    s"""t_$sfx AS (SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) n_tokens,
+           md5('s5|' || CAST(doc_id AS VARCHAR)) m FROM documents $where),
+       k_$sfx AS (SELECT doc_id, n_tokens, ${hex48Sql("m")} k FROM t_$sfx),
+       c_$sfx AS (SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY k, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum FROM k_$sfx),
+       sh_$sfx AS (SELECT doc_id, n_tokens,
+           CAST((cum - n_tokens) // 500 AS INT) AS shard_id FROM c_$sfx),
+       m_$sfx AS (SELECT shard_id, COUNT(*) AS n_rows,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_weight,
+           CAST(bit_xor(${hex48Sql("md5('m|' || CAST(doc_id AS VARCHAR))")}) AS BIGINT) AS content_xor
+         FROM sh_$sfx GROUP BY shard_id)"""
+
   val oracles: Map[String, String] = Map(
+    "q136_epoch_plan" ->
+      """WITH c AS (SELECT lang,
+             CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) n_tokens
+           FROM documents GROUP BY 1),
+         w AS (SELECT lang, n_tokens,
+             CAST(FLOOR(sqrt(n_tokens) * 67108864) AS BIGINT) w FROM c),
+         t AS (SELECT CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DOUBLE) tw FROM w),
+         sel AS (SELECT lang, n_tokens, CAST(w AS DOUBLE) / tw AS share FROM w, t),
+         ep AS (SELECT lang, n_tokens, share,
+             LEAST(CAST(FLOOR(share * 40000 / n_tokens * 1000000) AS BIGINT),
+               1500000) AS epochs_e6
+           FROM sel)
+         SELECT lang, n_tokens, share, epochs_e6,
+           CAST(CAST(epochs_e6 AS HUGEINT) * n_tokens // 1000000 AS BIGINT) AS planned_tokens
+         FROM ep ORDER BY lang""",
+    "q135_release_diff" ->
+      s"""WITH ${manifestCtes("a", "")},
+         ${manifestCtes("b", "WHERE n_chars < 300")}
+         SELECT COALESCE(m_a.shard_id, m_b.shard_id) AS shard_id,
+           m_a.n_rows AS n_rows_a, m_a.sum_weight AS sum_weight_a,
+           m_a.content_xor AS content_xor_a,
+           m_b.n_rows AS n_rows_b, m_b.sum_weight AS sum_weight_b,
+           m_b.content_xor AS content_xor_b,
+           CASE WHEN m_a.shard_id IS NULL THEN 'added'
+                WHEN m_b.shard_id IS NULL THEN 'removed'
+                WHEN m_a.n_rows = m_b.n_rows AND m_a.sum_weight = m_b.sum_weight
+                     AND m_a.content_xor = m_b.content_xor THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM m_a FULL OUTER JOIN m_b ON m_a.shard_id = m_b.shard_id
+         ORDER BY shard_id""",
     "q121_dsir_evidence" ->
       s"""WITH $dsirFeatsSql,
          ev AS (SELECT f.doc_id, COUNT(*) n_feats,
@@ -1346,6 +1443,20 @@ object TextQueries {
                / 281474976710656.0))) DESC, doc_id
            LIMIT 200)
          SELECT doc_id, n_feats, n_oov_t FROM sel ORDER BY doc_id""",
+    "q133_overlap_matrix" ->
+      """WITH t AS (SELECT source, string_split_regex(trim(text), '\s+') w FROM documents),
+         sh AS (SELECT DISTINCT source,
+             unnest(list_transform(range(len(w)-7), i -> array_to_string(w[i+1:i+8], ' '))) g
+           FROM t WHERE len(w) >= 8),
+         c AS (SELECT source, COUNT(*) n FROM sh GROUP BY 1),
+         p AS (SELECT a.source sa, b.source sb, COUNT(*) n_shared
+           FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
+         SELECT p.sa AS source_a, p.sb AS source_b, p.n_shared,
+           ca.n AS n_a, cb.n AS n_b,
+           CAST(p.n_shared AS DOUBLE) / LEAST(ca.n, cb.n) AS containment,
+           CAST(p.n_shared AS DOUBLE) / (ca.n + cb.n - p.n_shared) AS jaccard
+         FROM p JOIN c ca ON p.sa = ca.source JOIN c cb ON p.sb = cb.source
+         ORDER BY source_a, source_b""",
     "q132_shard_manifest" ->
       s"""WITH t AS (SELECT doc_id,
            CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) n_tokens,

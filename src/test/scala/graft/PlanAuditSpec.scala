@@ -216,4 +216,26 @@ class PlanAuditSpec extends SparkSpecBase {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
       s"model joins must broadcast:\n$p")
   }
+
+  test("overlap matrix: distinct-collapse partial-aggregates; count joins broadcast") {
+    import graft.functions.TextOps
+    val docs = tbl("documents")
+      .select(col("source"), TextOps.tokens(col("text")).as("__toks"))
+    val p = plan(graft.operators.CorpusAudit.overlapMatrix(docs, "source",
+      TextOps.wordShingles(col("__toks"), 8)))
+    // the corpus-sized (group, gram) distinct must map-side combine
+    assert(p.contains("HashAggregate"), s"distinct must hash-aggregate:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"per-group count joins must broadcast:\n$p")
+  }
+
+  test("epoch plan: the weight total joins as a 1-row broadcast, never a shuffle") {
+    import graft.functions.TextOps
+    val counts = tbl("documents").groupBy(col("lang"))
+      .agg(sum(size(TextOps.tokens(col("text")))).cast("long").as("n_tokens"))
+    val p = plan(graft.operators.DataMix.epochPlan(counts, "lang", 0.5,
+      40000L, 1500000L))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row total must broadcast:\n$p")
+  }
 }

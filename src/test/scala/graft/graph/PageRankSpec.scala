@@ -1,0 +1,81 @@
+package graft.graph
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** PageRank: fixed-point recurrence vs an independent Map-based reference
+  * (same integer arithmetic, written without Spark), invariance under
+  * partitioning, uniform-rank symmetry, dangling handling, mass decay. */
+class PageRankSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Independent single-machine reference: identical integer recurrence. */
+  private def reference(edges: Seq[(Long, Long)], iters: Int,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = PageRank.Scale): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val teleport = scale / n
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = nodes.map(_ -> teleport).toMap
+    for (_ <- 0 until iters) {
+      val dang = nodes.filter(v => !outdeg.contains(v)).map(r).sum
+      val inflow = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((s, d) <- edges) inflow(d) += r(s) / outdeg(s)
+      r = nodes.map { v =>
+        v -> ((dampDen - dampNum) * teleport
+          + dampNum * (inflow(v) + dang / n)) / dampDen
+      }.toMap
+    }
+    r
+  }
+
+  // a directed graph with a hub (1), a cycle (2->3->4->2) and a dangling
+  // sink (5): exercises inflow, no-inflow, and dangling redistribution
+  private val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 2L), (2L, 5L))
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    PageRank.run(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("matches the independent integer reference on a graph with a dangling sink") {
+    for (iters <- Seq(0, 1, 3, 5))
+      assert(run(g, iters) === reference(g, iters), s"iters=$iters")
+  }
+
+  test("result is invariant under input partitioning") {
+    val df = g.toDF("src", "dst")
+    val a = PageRank.run(df.repartition(7), 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = PageRank.run(df.coalesce(1), 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+  }
+
+  test("symmetric complete graph converges to exactly uniform ranks") {
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b)
+    val ranks = run(k4, 4).values.toSeq
+    assert(ranks.distinct.size === 1) // exact equality, not approximate
+  }
+
+  test("total mass decays deterministically and stays within the floor-loss bound") {
+    val iters = 5
+    val total = run(g, iters).values.sum
+    val n = 5L; val e = g.size.toLong
+    val lossBound = iters * (e + n * 102L) + n // per-iter DIV floors + init
+    assert(total <= PageRank.Scale)
+    assert(total >= PageRank.Scale - lossBound)
+  }
+
+  test("hub-fed nodes outrank the hub; dangling sink gets mass back") {
+    val r = run(g, 10)
+    // 2 and 3 receive from the hub and the cycle; 1 only gets teleport+dangling
+    assert(r(2L) > r(1L) && r(3L) > r(1L))
+    assert(r(5L) > 0L)
+  }
+
+  test("massDelta shrinks geometrically with iterations (convergence gap)") {
+    val df = g.toDF("src", "dst")
+    val d1 = PageRank.massDelta(PageRank.run(df, 1), PageRank.run(df, 2))
+    val d4 = PageRank.massDelta(PageRank.run(df, 4), PageRank.run(df, 5))
+    assert(d4 < d1)
+  }
+}

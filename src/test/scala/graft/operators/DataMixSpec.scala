@@ -85,4 +85,39 @@ class DataMixSpec extends SparkSpecBase {
       assert(n == math.min(cap, have(lang)), s"$lang: $n vs cap $cap")
     }
   }
+
+  test("epochPlan matches the fixed-point recurrence; cap applies; zero-token group is 0") {
+    val counts = Seq(("web", 10000L), ("books", 400L), ("empty", 0L))
+      .toDF("src", "n_tokens")
+    val out = DataMix.epochPlan(counts, "src", alpha = 0.5,
+        budgetTokens = 8000L, maxEpochsE6 = 2000000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    // independent reference: same quantized weights + double chain
+    val w = Map("web" -> math.floor(math.sqrt(10000.0) * (1L << 26)).toLong,
+      "books" -> math.floor(math.sqrt(400.0) * (1L << 26)).toLong,
+      "empty" -> 0L)
+    val tw = w.values.sum.toDouble
+    def ref(k: String, n: Long) = {
+      val share = w(k) / tw
+      val e = if (n == 0) 0L
+        else math.min(math.floor(share * 8000L / n * 1000000.0).toLong, 2000000L)
+      (n, share, e, e * n / 1000000L)
+    }
+    assert(out("web") === ref("web", 10000L))
+    assert(out("books") === ref("books", 400L))
+    assert(out("empty") === ref("empty", 0L))
+    // books: share*B/n = (1/6)*8000/400 = 3.33 epochs -> capped at 2.0
+    assert(out("books")._3 === 2000000L)
+    assert(out("web")._3 < 2000000L)
+  }
+
+  test("epochPlan: uncapped groups consume the budget within floor dust") {
+    val counts = Seq(("a", 5000L), ("b", 5000L)).toDF("src", "n_tokens")
+    val out = DataMix.epochPlan(counts, "src", alpha = 1.0,
+        budgetTokens = 6000L, maxEpochsE6 = 100000000L)
+      .collect().map(r => r.getLong(4)).sum
+    // nothing capped -> planned within (budget - groups) .. budget
+    assert(out <= 6000L && out >= 6000L - 2L)
+  }
 }

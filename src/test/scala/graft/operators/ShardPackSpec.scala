@@ -86,4 +86,28 @@ class ShardPackSpec extends SparkSpecBase {
     assert(good.exceptAll(dropped).count() > 0, "a dropped row must change the manifest")
     assert(good.exceptAll(duped).count() > 0, "a duplicated row must change the manifest")
   }
+
+  test("releaseDiff labels added/removed/changed/unchanged correctly") {
+    def m(rows: Seq[(Int, Long, Long, Long)]) =
+      rows.toDF("shard_id", "n_rows", "sum_weight", "content_xor")
+    val a = m(Seq((0, 10L, 500L, 111L), (1, 10L, 480L, 222L), (2, 4L, 200L, 333L)))
+    val b = m(Seq((0, 10L, 500L, 111L), (1, 9L, 480L, 999L), (3, 2L, 90L, 444L)))
+    val st = ShardPack.releaseDiff(a, b).collect()
+      .map(r => r.getInt(0) -> r.getString(7)).toMap
+    assert(st === Map(0 -> "unchanged", 1 -> "changed", 2 -> "removed", 3 -> "added"))
+  }
+
+  test("releaseDiff: identical releases are all unchanged; xor-only drift is changed") {
+    val shards = ShardPack.assignShards(docs, "doc_id", col("n_chars"), 5000L)
+    val man = ShardPack.manifest(shards, "shard_id", "doc_id", col("n_chars"))
+    val same = ShardPack.releaseDiff(man, man)
+    assert(same.filter($"status" =!= "unchanged").count() === 0)
+    // same counts/weights, different members → xor flags it
+    val swapped = ShardPack.manifest(
+      shards.withColumn("doc_id",
+        when($"doc_id" === 1L, lit(100001L)).otherwise($"doc_id")),
+      "shard_id", "doc_id", col("n_chars"))
+    assert(ShardPack.releaseDiff(man, swapped)
+      .filter($"status" === "changed").count() >= 1)
+  }
 }
