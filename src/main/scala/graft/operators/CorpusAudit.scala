@@ -35,6 +35,28 @@ object CorpusAudit {
     * column sits on the oracle hash surface. Pairs sharing nothing are not
     * emitted (the matrix is sparse).
     */
+  /** Doc-level release changelog: full-outer compare of two corpus versions
+    * on the id, fingerprint compared where both sides exist — the
+    * row-granular companion of ShardPack.releaseDiff (that one says WHICH
+    * SHARDS to re-fetch; this one says WHAT HAPPENED, per document — the
+    * changelog a Dolma-style versioned release publishes). One
+    * co-partitioned full-outer join on the id; emits only rows with a
+    * status other than `unchanged` (at 100 TB the interesting set is the
+    * delta, not the corpus — pass `keepUnchanged = true` for the audit
+    * form). All columns id/string-exact. */
+  def docDiff(a: DataFrame, b: DataFrame, idCol: String, fpCol: String,
+      keepUnchanged: Boolean = false): DataFrame = {
+    val l = a.select(col(idCol), col(fpCol).as("fp_a"))
+    val r = b.select(col(idCol), col(fpCol).as("fp_b"))
+    val j = l.join(r, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("fp_a").isNull, lit("added"))
+          .when(col("fp_b").isNull, lit("removed"))
+          .when(col("fp_a") === col("fp_b"), lit("unchanged"))
+          .otherwise(lit("changed")))
+    if (keepUnchanged) j else j.filter(col("status") =!= "unchanged")
+  }
+
   def overlapMatrix(df: DataFrame, groupCol: String, grams: Column): DataFrame = {
     val sg = df.select(col(groupCol).cast("string").as("__g"),
         explode(grams).as("__gram"))

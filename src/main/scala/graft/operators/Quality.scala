@@ -54,6 +54,22 @@ object Quality {
       .drop(ts.map(i => s"__t$i"): _*)
   }
 
+  /** Per-group percentile calibration: percent_rank of `metric` inside each
+    * group — the standard fix when one quality score must gate SEVERAL
+    * heterogeneous sources (a classifier margin distributes differently on
+    * web text vs books vs code; a single global threshold keeps all of one
+    * and none of another — FineWeb-class pipelines therefore threshold the
+    * per-source RANK, not the raw score). `tieBreak` must make the order
+    * total so the rank — and the (rank−1)/(n−1) division, one IEEE op —
+    * is a pure function of the data (engine-exact; single-member groups
+    * are 0.0 in every engine). One partitioned window: spillable,
+    * parallel across groups; compose with the topKPerGroupSalted two-phase
+    * pattern if one source dominates the corpus. */
+  def percentileCalibrate(df: DataFrame, groupCol: String, metric: Column,
+      tieBreak: Seq[Column], out: String = "pr"): DataFrame =
+    df.withColumn(out, percent_rank().over(
+      Window.partitionBy(col(groupCol)).orderBy(metric +: tieBreak: _*)))
+
   /** Quantile-threshold pruning: keep rows whose `metric` lies inside the
     * [loQ, hiQ] exact percentiles of the corpus (the score-based corpus
     * trim a cleaning pipeline runs after quality scoring — drop the

@@ -836,6 +836,75 @@ object TextQueries {
         .orderBy(col("shard_id"))
     },
 
+    // Compression-ratio quality signal (MassiveText-class gibberish /
+    // template-spam detector): deflate_len over the codegen'd
+    // graft_deflate_len expression + one division. No DuckDB deflate
+    // exists, so this row is the driver's rows-only check — semantics
+    // pinned in DeflateLenFSpec (spam-vs-soup separation, determinism,
+    // codegen residency).
+    "q139_compress_ratio" -> { (s, d) =>
+      graft.sql.GraftFunctions.register(s)
+      table(s, d, "documents")
+        .select(col("doc_id"), octet_length(col("text")).as("n_bytes"),
+          graft.sql.GraftFunctions.deflateLen(col("text")).as("deflate_len"))
+        .withColumn("ratio", col("deflate_len").cast("double") / col("n_bytes"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Doc-level release changelog: corpus v2 = v1 minus short docs
+    // (removed), with every 7th doc's text revised (changed), plus five
+    // re-ingested docs under new ids (added); the full-outer fingerprint
+    // compare emits exactly the delta — the row-granular companion of
+    // q135's shard-level diff.
+    "q140_doc_changelog" -> { (s, d) =>
+      val docs = table(s, d, "documents")
+      val a = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      val v2 = when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" [v2]"))).otherwise(col("text"))
+      val b = docs.filter(col("n_chars") >= 100)
+        .select(col("doc_id"), TextOps.fingerprint(v2).as("fp"))
+        .unionByName(docs.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            TextOps.fingerprint(col("text")).as("fp")))
+      graft.operators.CorpusAudit.docDiff(a, b, "doc_id", "fp")
+        .orderBy(col("doc_id"))
+    },
+
+    // Tokenizer fertility per language: subword-proxy tokens per
+    // whitespace word (the multilingual-tokenizer health metric — a
+    // language whose fertility is 2x English pays 2x context for the
+    // same text; data recipes budget tokens, so fertility feeds q136's
+    // planner). One grouped aggregation of two exact integer counts +
+    // one IEEE division.
+    "q137_fertility" -> { (s, d) =>
+      table(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(sum(size(TextOps.tokens(col("text")))).cast("long").as("n_words"),
+          sum(TextOps.bpeTokenCount(col("text"))).cast("long").as("n_subtokens"))
+        .withColumn("fertility",
+          col("n_subtokens").cast("double") / col("n_words"))
+        .orderBy(col("lang"))
+    },
+
+    // Per-source score calibration: percent_rank of the learned-quality
+    // margin inside each source — the cross-source-comparable form of
+    // q104's raw margin (a single global threshold keeps all of one
+    // source and none of another). Total order via (z, doc_id), so the
+    // rank and its one-division percentile are engine-exact.
+    "q138_score_calibration" -> { (s, d) =>
+      import graft.features.QualityClassifier
+      import graft.functions.GopherQuality
+      val docs = table(s, d, "documents")
+      val feats = GopherQuality.metrics(docs, "doc_id", "text")
+      val z = QualityClassifier.score(feats.drop("keep"), classifierFixedModel)
+      val base = docs.select(col("doc_id"), col("source"))
+        .join(z.select(col("doc_id"), col("z")), Seq("doc_id"))
+      graft.operators.Quality.percentileCalibrate(base, "source", col("z"),
+          Seq(col("doc_id")))
+        .select(col("doc_id"), col("source"), col("z"), col("pr"))
+        .orderBy(col("doc_id"))
+    },
+
     // Token-budget epoch plan: temperature shares over per-language token
     // mass (α=0.5 upsamples small languages), fractional epochs in 1e-6
     // fixed point against a 40k-token budget, capped at 1.5 epochs — the
@@ -1379,6 +1448,42 @@ object TextQueries {
          FROM sh_$sfx GROUP BY shard_id)"""
 
   val oracles: Map[String, String] = Map(
+    "q140_doc_changelog" ->
+      """WITH a AS (SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) fp
+           FROM documents),
+         b AS (SELECT doc_id,
+             md5(regexp_replace(lower(trim(
+               CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END
+             )), '\s+', ' ', 'g')) fp
+           FROM documents WHERE n_chars >= 100
+           UNION ALL
+           SELECT doc_id + 1000000,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           FROM documents WHERE doc_id < 5),
+         d AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             a.fp AS fp_a, b.fp AS fp_b,
+             CASE WHEN a.fp IS NULL THEN 'added'
+                  WHEN b.fp IS NULL THEN 'removed'
+                  WHEN a.fp = b.fp THEN 'unchanged'
+                  ELSE 'changed' END AS status
+           FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+         SELECT doc_id, fp_a, fp_b, status FROM d
+         WHERE status <> 'unchanged' ORDER BY doc_id""",
+    "q137_fertility" ->
+      """SELECT lang,
+         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_words,
+         CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS n_subtokens,
+         CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS DOUBLE)
+           / SUM(len(string_split_regex(trim(text), '\s+'))) AS fertility
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q138_score_calibration" ->
+      s"""WITH m AS (SELECT doc_id, source, ${gopherMetricsSql("text")}
+           FROM documents),
+         za AS (SELECT doc_id, source, $classifierMarginSql AS z FROM m)
+         SELECT doc_id, source, z,
+           percent_rank() OVER (PARTITION BY source ORDER BY z, doc_id) AS pr
+         FROM za ORDER BY doc_id""",
     "q136_epoch_plan" ->
       """WITH c AS (SELECT lang,
              CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) n_tokens

@@ -19,8 +19,11 @@ object GraftFunctions {
   val UnicodeNormName = "graft_unicode_norm"
   val MinhashSigName = "graft_minhash_sig"
   val CharNgramsName = "graft_char_ngrams"
+  val DeflateLenName = "graft_deflate_len"
 
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      DeflateLenName, exprs => DeflateLenF(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       CharNgramsName, exprs => CharNgramsF.fromExprs(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -73,6 +76,10 @@ object GraftFunctions {
   def charNgrams(text: Column, n: Int): Column =
     call_function(CharNgramsName, text,
       org.apache.spark.sql.functions.lit(n))
+
+  /** Column-level call; requires `register` (or GraftExtensions) first.
+    * DEFLATE-compressed byte length (level 6) of a string/binary column. */
+  def deflateLen(c: Column): Column = call_function(DeflateLenName, c)
 }
 
 /** spark.sql.extensions entry point. */
@@ -120,5 +127,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[CharNgramsF].getName, GraftFunctions.CharNgramsName),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CharNgramsF.fromExprs(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.DeflateLenName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DeflateLenF].getName, GraftFunctions.DeflateLenName),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DeflateLenF(exprs.head)))
   }
 }

@@ -41,4 +41,15 @@ class CorpusAuditSpec extends SparkSpecBase {
     val m = matrix(Seq(("srcA", "solo"), ("srcB", "solo x"), ("srcC", "solo x")))
     assert(m.keySet === Set(("srcB", "srcC"))) // srcA has no 2-grams at all
   }
+
+  test("docDiff: all four statuses; unchanged filtered unless asked") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "fp")
+    val b = Seq((1L, "x"), (2L, "Y2"), (4L, "w")).toDF("id", "fp")
+    val delta = CorpusAudit.docDiff(a, b, "id", "fp")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(delta === Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    val full = CorpusAudit.docDiff(a, b, "id", "fp", keepUnchanged = true)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(full(1L) === "unchanged" && full.size === 4)
+  }
 }

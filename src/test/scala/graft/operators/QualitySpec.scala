@@ -128,4 +128,17 @@ class QualitySpec extends SparkSpecBase {
     val buckets = Seq(1L, 3L, 4L).map(id => out(id).getInt(3)).sorted
     assert(buckets == Seq(0, 1, 2), s"expected tertile spread, got $buckets")
   }
+
+  test("percentileCalibrate: per-group (rank-1)/(n-1), singles at 0, ties broken") {
+    val df = Seq(
+      ("web", 1L, 0.9), ("web", 2L, 0.1), ("web", 3L, 0.5), ("web", 4L, 0.5),
+      ("book", 5L, 42.0)) // raw scales wildly different across groups
+      .toDF("src", "id", "z")
+    val out = Quality.percentileCalibrate(df, "src", $"z", Seq($"id"))
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(out(2L) === 0.0 && out(1L) === 1.0)
+    // tied z=0.5 split by id: ranks 2 and 3 of 4 -> 1/3 and 2/3
+    assert(out(3L) === 1.0 / 3 && out(4L) === 2.0 / 3)
+    assert(out(5L) === 0.0, "single-member group calibrates to 0")
+  }
 }
