@@ -195,7 +195,12 @@ object Bench {
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","core_total":$coreTotal,"calibration":$calJson,"volatile":$volatileJson,"isolated":$isolateJson,"queries":$qs,"rep_times":$repsJson,"errors":$errJson,"sf":"$sfDir","reps":$reps,"cpus":$cpus}"""
     try {
-      val out = java.nio.file.Paths.get("target", "bench_full.json")
+      // a dev-filtered run must not clobber the full artifact the bench
+      // claims lint reads (measured mistake: two ONLY=q134 A/B runs left
+      // bench_full.json with one query and every SCALE.md claim "MISSING")
+      val name = if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY"))
+        "bench_partial.json" else "bench_full.json"
+      val out = java.nio.file.Paths.get("target", name)
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, full.getBytes("UTF-8"))
     } catch { case _: Throwable => () } // file dump is best-effort; stdout line is the contract

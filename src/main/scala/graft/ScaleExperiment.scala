@@ -727,6 +727,38 @@ object ScaleExperiment {
     // census (pure projection), soft-dedup weights (fp agg + group-stat
     // join), shard manifest (partial agg over shards). All should track
     // corpus size linearly at full cores — none holds growing state.
+    // 28. round-7 graph/audit ops at 10×: PageRank over the co-purchase
+    // graph (nodes and edges both ~10× — per-sweep cost must track the
+    // edge count), the cross-source overlap matrix (distinct-collapse
+    // bounds the gram join; replicated copies share most grams, so the
+    // collapse is doing real work here), the doc-level changelog
+    // (one co-partitioned full-outer join), and the deflate-ratio
+    // projection (bytes-linear, zero shuffle).
+    if (on("r7graph")) {
+      import graft.functions.TextOps
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      timed("r7_pagerank3")(graft.graph.PageRank.run(edges, 3))
+      val docs = Tables.load(spark, dir, "documents")
+      timed("r7_overlap_matrix")(
+        graft.operators.CorpusAudit.overlapMatrix(
+          docs.select(col("source"), TextOps.tokens(col("text")).as("__toks")),
+          "source", TextOps.wordShingles(col("__toks"), 8)))
+      val chA = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      val chB = docs.filter(col("n_chars") >= 100)
+        .select(col("doc_id"),
+          TextOps.fingerprint(concat(col("text"), lit(" v2"))).as("fp"))
+      timed("r7_doc_changelog")(
+        graft.operators.CorpusAudit.docDiff(chA, chB, "doc_id", "fp"))
+      timed("r7_deflate_ratio")(docs.select(col("doc_id"),
+        graft.sql.GraftFunctions.deflateLen(col("text")).as("l")))
+    }
+
     if (on("r7ops")) {
       import graft.functions.{Hll, LangId, TextOps}
       import graft.dedup.TextDedup

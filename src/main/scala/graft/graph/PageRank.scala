@@ -59,7 +59,12 @@ object PageRank {
     require(iters >= 0, s"iters must be >= 0: $iters")
     require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
       s"damping must be a fraction in [0,1]: $dampNum/$dampDen")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // hash-partition the (large, reused-every-sweep) edge side on its join
+    // key ONCE: localCheckpoint preserves outputPartitioning, so each
+    // sweep's edges⋈shares join reshuffles only the |nodes|-sized shares
+    // side, never the edges
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()

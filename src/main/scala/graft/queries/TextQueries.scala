@@ -836,6 +836,21 @@ object TextQueries {
         .orderBy(col("shard_id"))
     },
 
+    // Deep-graph connected components: a 25-deep chain per source (250 at
+    // bench sf) — the regime plain hash-min label propagation cannot
+    // finish inside the iteration guard (diameter rounds) and the
+    // pointer-jumping shortcut converges in O(log diameter). Expected
+    // labels are each source's min doc_id, which DuckDB states directly.
+    "q141_deep_components" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val edges = table(s, d, "documents")
+        .select(col("doc_id").as("a"), lag(col("doc_id"), 1).over(w).as("b"))
+        .filter(col("b").isNotNull)
+      graft.dedup.ConnectedComponents.run(edges, maxIter = 30)
+        .orderBy(col("node"))
+    },
+
     // Compression-ratio quality signal (MassiveText-class gibberish /
     // template-spam detector): deflate_len over the codegen'd
     // graft_deflate_len expression + one division. No DuckDB deflate
@@ -1448,6 +1463,10 @@ object TextQueries {
          FROM sh_$sfx GROUP BY shard_id)"""
 
   val oracles: Map[String, String] = Map(
+    "q141_deep_components" ->
+      """SELECT doc_id AS node,
+         MIN(doc_id) OVER (PARTITION BY source) AS comp
+         FROM documents ORDER BY node""",
     "q140_doc_changelog" ->
       """WITH a AS (SELECT doc_id,
              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) fp

@@ -46,6 +46,31 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     assert(labels(chain, maxIter = 20).values.toSet == Set(1L))
   }
 
+  test("pointer jumping converges a 2000-node path in O(log n) rounds") {
+    val chain = (0L until 2000L).sliding(2).map(s => (s(1), s.head)).toSeq
+    // plain hash-min needs ~2000 rounds — must abort at the guard
+    assertThrows[IllegalArgumentException](
+      ConnectedComponents.run(chain.toDF("a", "b"), maxIter = 15,
+        pointerJumping = false).count())
+    // jumping: diameter 2000 -> ~log2 rounds; 15 is generous headroom
+    val out = ConnectedComponents.run(chain.toDF("a", "b"), maxIter = 15)
+      .as[(Long, Long)].collect()
+    assert(out.length === 2000 && out.forall(_._2 == 0L))
+  }
+
+  test("jumping and non-jumping agree on random graphs (same fixpoint)") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(80)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+      val fast = ConnectedComponents.run(edges.toDF("a", "b"), 30)
+        .as[(Long, Long)].collect().toMap
+      val slow = ConnectedComponents.run(edges.toDF("a", "b"), 30,
+        pointerJumping = false).as[(Long, Long)].collect().toMap
+      assert(fast === slow, s"trial $trial")
+    }
+  }
+
   test("keepComponentRepresentatives keeps exactly one doc per duplicate cluster") {
     val docs = (1L to 8L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     // clusters {1,2,3} (chain) and {5,6}; 4,7,8 untouched

@@ -100,4 +100,51 @@ class EventStreamSpec extends SparkSpecBase {
       .filter($"lo" =!= 1 || $"hi" =!= $"n")
     assert(ids.isEmpty)
   }
+
+  import EventStreamSpec.{Trig, Outc}
+
+  test("attributionJoin matches outcomes to in-window same-user triggers only; batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val tIn = MemoryStream[Trig]
+    val oIn = MemoryStream[Outc]
+    val q = EventStream.attributionJoin(tIn.toDF(), oIn.toDF(),
+        maxLagSeconds = 1200L, "30 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append()).start()
+    tIn.addData(
+      Trig(1L, 101L, ts("2024-01-01 10:00:00")),
+      Trig(1L, 102L, ts("2024-01-01 10:05:00")),
+      Trig(2L, 201L, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    oIn.addData( // arrives in a LATER micro-batch: state must hold
+      Outc(1L, 901L, ts("2024-01-01 10:08:00")), // in window of 101+102
+      Outc(1L, 902L, ts("2024-01-01 10:20:00")), // in window of both (101 at the 1200 s boundary)
+      Outc(2L, 903L, ts("2024-01-01 11:00:00")), // past maxLag of 201
+      Outc(3L, 904L, ts("2024-01-01 10:01:00"))) // no trigger for user 3
+    q.processAllAvailable()
+    val got = spark.table("attr_out")
+      .select($"t_id", $"o_id", $"lag_sec").as[(Long, Long, Long)]
+      .collect().toSet
+    q.stop()
+    val expected = Set((101L, 901L, 480L), (102L, 901L, 180L),
+      (101L, 902L, 1200L), (102L, 902L, 900L))
+    assert(got == expected)
+    // batch parity: the identical join over static frames = same rows
+    val bt = Seq(Trig(1L, 101L, ts("2024-01-01 10:00:00")),
+      Trig(1L, 102L, ts("2024-01-01 10:05:00")),
+      Trig(2L, 201L, ts("2024-01-01 10:00:00"))).toDF()
+    val bo = Seq(Outc(1L, 901L, ts("2024-01-01 10:08:00")),
+      Outc(1L, 902L, ts("2024-01-01 10:20:00")),
+      Outc(2L, 903L, ts("2024-01-01 11:00:00")),
+      Outc(3L, 904L, ts("2024-01-01 10:01:00"))).toDF()
+    val batch = EventStream.attributionJoin(bt, bo, 1200L, "30 minutes", "30 minutes")
+      .select($"t_id", $"o_id", $"lag_sec").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(batch == expected, "backfill (batch) and live (stream) attribution must agree")
+  }
+}
+
+object EventStreamSpec {
+  case class Trig(t_user: Long, t_id: Long, t_ts: Timestamp)
+  case class Outc(o_user: Long, o_id: Long, o_ts: Timestamp)
 }
