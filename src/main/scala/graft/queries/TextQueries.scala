@@ -836,6 +836,34 @@ object TextQueries {
         .orderBy(col("shard_id"))
     },
 
+    // Recipe selection end-to-end: the q136 epoch plan DRIVES an actual
+    // per-language deterministic draw — docs taken in md5-hash order
+    // until each language's planned token budget is consumed (a source
+    // whose plan caps below 1 epoch contributes a strict subset; the
+    // windows are per-language, partitioned and spillable). The report
+    // row per language carries the plan vs what the draw realized —
+    // all exact integers, the whole recipe replayable by any engine.
+    "q142_recipe_selection" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, d, "documents").select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+      val counts = docs.groupBy(col("lang")).agg(sum(col("n_toks")).as("n_tokens"))
+      val plan = graft.operators.DataMix.epochPlan(counts, "lang", alpha = 0.5,
+          budgetTokens = 15000L, maxEpochsE6 = 600000L)
+        .select(col("lang"), col("planned_tokens"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(concat(lit("r|"), col("doc_id").cast("string"))), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.join(broadcast(plan), Seq("lang"))
+        .withColumn("__cum", sum(col("n_toks")).over(w))
+        .filter(col("__cum") <= col("planned_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("sel_tokens"),
+          max(col("planned_tokens")).as("planned_tokens"))
+        .orderBy(col("lang"))
+    },
+
     // Deep-graph connected components: a 25-deep chain per source (250 at
     // bench sf) — the regime plain hash-min label propagation cannot
     // finish inside the iteration guard (diameter rounds) and the
@@ -1463,6 +1491,31 @@ object TextQueries {
          FROM sh_$sfx GROUP BY shard_id)"""
 
   val oracles: Map[String, String] = Map(
+    "q142_recipe_selection" ->
+      """WITH t AS (SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_toks
+           FROM documents),
+         c AS (SELECT lang, SUM(n_toks) n_tokens FROM t GROUP BY 1),
+         w AS (SELECT lang, n_tokens,
+             CAST(FLOOR(sqrt(n_tokens) * 67108864) AS BIGINT) w FROM c),
+         tt AS (SELECT CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DOUBLE) tw FROM w),
+         ep AS (SELECT lang, n_tokens,
+             LEAST(CAST(FLOOR((CAST(w AS DOUBLE) / tw) * 15000 / n_tokens * 1000000) AS BIGINT),
+               600000) AS epochs_e6
+           FROM w, tt),
+         pl AS (SELECT lang,
+             CAST(CAST(epochs_e6 AS HUGEINT) * n_tokens // 1000000 AS BIGINT) AS planned_tokens
+           FROM ep),
+         cum AS (SELECT t.doc_id, t.lang, t.n_toks, pl.planned_tokens,
+             SUM(t.n_toks) OVER (PARTITION BY t.lang
+               ORDER BY md5('r|' || CAST(t.doc_id AS VARCHAR)), t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+           FROM t JOIN pl USING (lang))
+         SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS sel_tokens,
+           MAX(planned_tokens) AS planned_tokens
+         FROM cum WHERE c <= planned_tokens
+         GROUP BY lang ORDER BY lang""",
     "q141_deep_components" ->
       """SELECT doc_id AS node,
          MIN(doc_id) OVER (PARTITION BY source) AS comp

@@ -293,4 +293,38 @@ class PropertySpec extends SparkSpecBase {
       s == 1.0 / (60 + r1) + 1.0 / (60 + r2) && s <= 2.0 / 61 && s > 0
     }, cases = 10)
   }
+
+  /** Independent integer PageRank (same recurrence, no Spark) for the
+    * dataflow property below — separate from PageRankSpec's copy on
+    * purpose: two hand-written references agreeing with the operator on
+    * random graphs is the strongest cheap evidence the fixed-point
+    * arithmetic is what the Scaladoc claims. */
+  private def prReference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val scale = graft.graph.PageRank.Scale
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size.toLong
+    val tele = scale / n
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = nodes.map(_ -> tele).toMap
+    for (_ <- 0 until iters) {
+      val dang = nodes.filterNot(outdeg.contains).map(r).sum
+      val in = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((s, d) <- edges) in(d) += r(s) / outdeg(s)
+      r = nodes.map(v => v -> (15L * tele + 85L * (in(v) + dang / n)) / 100L).toMap
+    }
+    r
+  }
+
+  test("PageRank equals the integer reference on random digraphs (dataflow)") {
+    val genEdge = for {
+      a <- Gen.choose(0L, 12L); b <- Gen.choose(0L, 12L) if a != b
+    } yield (a, b)
+    check(Prop.forAll(Gen.nonEmptyListOf(genEdge), Gen.choose(0, 4)) {
+      (es0, iters) =>
+        val es = es0.distinct
+        val got = graft.graph.PageRank.run(es.toDF("src", "dst"), iters)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == prReference(es, iters)
+    }, cases = 8)
+  }
 }
