@@ -37,6 +37,23 @@ object VectorQueries {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Margin-based bitext mining (Artetxe & Schwenk 2019): best de match
+    // per en doc, scored by cosine over the mean of both sides' 4-NN
+    // cosines — the hubness-cancelling criterion CCMatrix mines parallel
+    // corpora with. Embeddings keyed by vec_id = doc_id; decimal-summed
+    // means + one identical-association double chain keep every column
+    // on the hash surface.
+    "q143_bitext_margin" -> { (s, d) =>
+      val emb = table(s, d, "embeddings")
+      val byLang = table(s, d, "documents").select(col("doc_id"), col("lang"))
+        .join(emb, col("doc_id") === col("vec_id"))
+      def side(l: String) = byLang.filter(col("lang") === l)
+        .select(col("doc_id"), col("embedding"))
+      graft.sim.BitextMine.mine(side("en"), side("de"), "doc_id", "embedding",
+          k = 4)
+        .orderBy(col("src_id"))
+    },
+
     // Semantic decontamination (embedding leg of the q72 n-gram probe):
     // per-corpus-row max cosine against the broadcast benchmark vectors
     // (label 0 plays the eval set) — catches paraphrased benchmark
@@ -294,6 +311,30 @@ object VectorQueries {
            FROM bm b FULL OUTER JOIN kn k ON b.doc_id = k.doc_id),
          sel AS (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 20)
          SELECT doc_id, r0 AS bm25_rank, r1 AS knn_rank, rrf FROM sel ORDER BY doc_id""",
+    "q143_bitext_margin" ->
+      s"""WITH e AS (SELECT d.doc_id, d.lang, emb.embedding
+            FROM documents d JOIN embeddings emb ON emb.vec_id = d.doc_id),
+          s AS (SELECT doc_id sid, embedding sv FROM e WHERE lang = 'en'),
+          t AS (SELECT doc_id tid, embedding tv FROM e WHERE lang = 'de'),
+          p AS (SELECT sid, tid,
+              ${dot("sv", "tv")} / (sqrt(${dot("sv", "sv")}) * sqrt(${dot("tv", "tv")})) AS cos
+            FROM s JOIN t ON TRUE),
+          fw AS (SELECT sid, tid, cos,
+              ROW_NUMBER() OVER (PARTITION BY sid ORDER BY cos DESC, tid) rk FROM p),
+          bw AS (SELECT sid, tid, cos,
+              ROW_NUMBER() OVER (PARTITION BY tid ORDER BY cos DESC, sid) rk FROM p),
+          ms AS (SELECT sid, CAST(SUM(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) m_src
+            FROM fw WHERE rk <= 4 GROUP BY sid),
+          mt AS (SELECT tid, CAST(SUM(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) m_tgt
+            FROM bw WHERE rk <= 4 GROUP BY tid),
+          sc AS (SELECT f.sid, f.tid, f.cos,
+              f.cos / ((ms.m_src + mt.m_tgt) / 2.0) AS margin
+            FROM fw f JOIN ms USING (sid) JOIN mt USING (tid) WHERE f.rk <= 4),
+          bm AS (SELECT sid, tid, cos, margin,
+              ROW_NUMBER() OVER (PARTITION BY sid ORDER BY margin DESC, tid) mrk
+            FROM sc)
+          SELECT sid AS src_id, tid AS tgt_id, cos, margin
+          FROM bm WHERE mrk = 1 ORDER BY src_id""",
     "q41_knn_exact" ->
       s"""WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 32),
           scored AS (
