@@ -90,6 +90,24 @@ object CorpusPipeline {
   def piiRedact(textCol: String): Stage =
     stage("pii_redact")(_.withColumn(textCol, Pii.redact(col(textCol))))
 
+  /** Compression-ratio gate (the q139 signal as a row-local stage): keep
+    * docs whose DEFLATE ratio lies in [minRatio, maxRatio] — below the
+    * floor is template spam / repeated boilerplate, above the ceiling is
+    * gibberish or binary soup (MassiveText's compressibility band). Pure
+    * per-row filter over the codegen graft_deflate_len expression —
+    * pushdown-friendly, zero shuffle; requires GraftFunctions.register
+    * (handled by the session bootstrap paths that run registry stages).
+    * Empty docs divide a 2-byte deflate floor by octet_length 0 → NULL
+    * ratio → dropped (an empty doc passes no quality band). */
+  def deflateGate(textCol: String, minRatio: Double = 0.05,
+      maxRatio: Double = 0.98): Stage =
+    stage("deflate_gate")(df => {
+      graft.sql.GraftFunctions.register(df.sparkSession)
+      df.filter((graft.sql.GraftFunctions.deflateLen(col(textCol))
+        .cast("double") / octet_length(col(textCol)))
+        .between(minRatio, maxRatio))
+    })
+
   /** Learned-classifier gate (q104 operator) as a PURE FILTER: the margin
     * is evaluated over the codegen Gopher metric expressions directly, so
     * the stage stays a pushdown-friendly per-row Filter like qualityGate.

@@ -13,6 +13,28 @@ import QueryHelpers._
 object EventQueries {
 
   val defs: Map[String, QueryFn] = Map(
+    // Event-rate spike detection: daily per-type counts smoothed by the
+    // exact integer half-weight EWMA (a lag-battery projection, no floats,
+    // no recurrence) with a cross-multiplied 3x spike test — the
+    // pipeline-ops monitor, every cell integer/boolean-exact.
+    "q144_rate_anomaly" -> { (s, d) =>
+      val counts = table(s, d, "events")
+        .groupBy(col("event_type"),
+          unix_micros(date_trunc("day", col("ts"))).as("bucket_us"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.RateMonitor.spikes(counts, "event_type", "bucket_us", "n")
+        .orderBy(col("event_type"), col("bucket_us"))
+    },
+
+    // Ordered funnel (view -> click -> purchase): earliest step-k event
+    // strictly after step k-1, per user — one type-pruned pass per step,
+    // all passes co-partitioned on the user key. Epoch-us longs, exact.
+    "q145_funnel" -> { (s, d) =>
+      graft.operators.Funnel.completion(table(s, d, "events"),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))
+    },
+
     // Latest-batch snapshot (reference: articles_staging.sql:1-7,23-26 —
     // batch = calendar day here, order = event ts).
     "q20_latest_batch" -> { (s, d) =>
@@ -229,6 +251,34 @@ object EventQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "q144_rate_anomaly" -> {
+      val lags = (1 to 8)
+        .map(j => s"COALESCE(LAG(n, $j) OVER w, 0) // ${1L << j}")
+        .mkString(" + ")
+      s"""WITH c AS (SELECT event_type,
+             epoch_us(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP))) bucket_us,
+             COUNT(*) n
+           FROM events GROUP BY 1, 2),
+         l AS (SELECT event_type, bucket_us, n, ($lags) AS baseline
+           FROM c WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us))
+         SELECT event_type, bucket_us, n, CAST(baseline AS BIGINT) AS baseline,
+           (baseline > 0 AND n * 1 > 3 * baseline) AS is_spike
+         FROM l ORDER BY event_type, bucket_us"""
+    },
+    "q145_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) t FROM events),
+         s1 AS (SELECT user_id, MIN(t) t_1 FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, MIN(e.t) t_2 FROM e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.t > s1.t_1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, MIN(e.t) t_3 FROM e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.t > s2.t_2 GROUP BY 1)
+         SELECT s1.user_id, s1.t_1, s2.t_2, s3.t_3,
+           (1 + CASE WHEN s2.t_2 IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN s3.t_3 IS NULL THEN 0 ELSE 1 END) AS steps_completed
+         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+         ORDER BY user_id""",
     "q20_latest_batch" ->
       """SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
          FROM events

@@ -59,6 +59,7 @@ class CorpusIngestSpec extends SparkSpecBase {
       CorpusPipeline.stage("drop_title")(_.drop("title")),
       CorpusPipeline.classifierGate("text", m),
       CorpusPipeline.piiRedact("text"),
+      CorpusPipeline.deflateGate("text"), // row-local: rides the stream too
       CorpusPipeline.scriptCensus("text"),
       CorpusPipeline.tokenCount("text"))
     def applyStages(df: org.apache.spark.sql.DataFrame) =
