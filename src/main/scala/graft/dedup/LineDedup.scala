@@ -66,6 +66,26 @@ object LineDedup {
         col(lineCol))
   }
 
+  /** Within-document first occurrences — the per-doc dedup POLICY: each
+    * document independently keeps its own first copy of a line
+    * (RefinedWeb's intra-document pass — terminal spam, repeated
+    * boilerplate paragraphs inside ONE page), where [[firstOccurrences]]
+    * is the corpus-wide policy that also kills legitimate cross-document
+    * repeats. One partial-aggregated groupBy on (doc, line); skew-free by
+    * construction (the hottest key is one document's own repeats). */
+  def firstOccurrencesWithinDoc(lines: DataFrame, idCol: String,
+      posCol: String, lineCol: String): DataFrame =
+    lines.groupBy(col(idCol), col(lineCol))
+      .agg(min(col(posCol)).as(posCol))
+
+  /** [[dropDuplicateLines]] under the within-document policy: every doc
+    * keeps the first copy of each of its own lines, cross-document
+    * repeats untouched. */
+  def dropDuplicateLinesWithinDoc(lines: DataFrame, idCol: String,
+      posCol: String, lineCol: String, sep: String = "\n"): DataFrame =
+    rebuild(firstOccurrencesWithinDoc(lines, idCol, posCol, lineCol),
+      lines, idCol, posCol, lineCol, sep)
+
   /** Full pipeline: dedup lines, then rebuild each document's text from
     * its surviving lines in original order (joined by `sep`). Every input
     * document survives — one whose every line was seen earlier comes back

@@ -74,6 +74,40 @@ object Hll {
       .groupBy(col("bucket")).agg(max(col("max_rho")).as("max_rho"))
   }
 
+  /** Per-group register tables in ONE corpus pass: (group, bucket,
+    * max_rho), ≤ |groups| × [[Buckets]] rows — the partial-aggregated
+    * shuffle is bounded the same way as [[registers]]. */
+  def registersBy(df: DataFrame, groupCol: String, key: Column): DataFrame =
+    df.select(col(groupCol), bucketOf(key).as("bucket"), rhoOf(key).as("__rho"))
+      .groupBy(col(groupCol), col("bucket")).agg(max(col("__rho")).as("max_rho"))
+
+  /** Pairwise UNION sketches over a per-group register table: for every
+    * unordered group pair (a < b), the per-bucket GREATEST of the two
+    * sketches, summarized as exact integers — (group_a, group_b,
+    * n_union_buckets, sum_union_rho). With the per-group summaries this
+    * is everything inclusion–exclusion needs for an overlap estimate
+    * (|A∩B| ≈ est(A) + est(B) − est(A∪B)); the float estimate itself
+    * stays spec-land ([[estimate]]), off the oracle hash surface.
+    *
+    * Scale: operates ONLY on register tables (|groups| × 4096 rows, no
+    * corpus data) — both joins broadcast the pair list; the pair space is
+    * |groups|², never corpus volume. The exact q133 overlap matrix joins
+    * the full distinct-gram sets; this is its sketch counterpart when the
+    * gram universe no longer fits a join. */
+  def pairUnionSummary(regs: DataFrame, groupCol: String): DataFrame = {
+    val gs = regs.select(col(groupCol).as("__g")).distinct()
+    val pairs = gs.select(col("__g").as("__ga"))
+      .join(gs.select(col("__g").as("__gb")), col("__ga") < col("__gb"))
+    val aSide = regs.join(broadcast(pairs), col(groupCol) === col("__ga"))
+    val bSide = regs.join(broadcast(pairs), col(groupCol) === col("__gb"))
+    aSide.unionByName(bSide)
+      .groupBy(col("__ga").as("group_a"), col("__gb").as("group_b"), col("bucket"))
+      .agg(max(col("max_rho")).as("max_rho"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(count(lit(1)).as("n_union_buckets"),
+        sum(col("max_rho")).as("sum_union_rho"))
+  }
+
   def save(registers: DataFrame, path: String): Unit =
     registers.write.mode("overwrite").parquet(path)
 

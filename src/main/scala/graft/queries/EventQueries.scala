@@ -13,6 +13,35 @@ import QueryHelpers._
 object EventQueries {
 
   val defs: Map[String, QueryFn] = Map(
+    // First-order next-item transition model (the Markov-chain sequential
+    // recommender baseline): consecutive props.k pairs inside a 30-min
+    // session gap, counted and conditioned — P(next | current) as one
+    // IEEE division of exact longs. Two shuffles total: user window +
+    // the src-keyed repartition that serves both the pair count and the
+    // out-degree window (subset-key clustering, the Cooccur trick).
+    "q146_transitions" -> { (s, d) =>
+      val ev = table(s, d, "events").select(col("user_id"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"),
+        unix_micros(col("ts")).as("ts_us"))
+      graft.rank.Markov.transitions(ev, "user_id", "item", "ts_us",
+          "event_id", gap = 1800000000L)
+        .orderBy(col("src_item"), col("dst_item"))
+    },
+
+    // Time-decayed item popularity (the cold-start fallback ranker):
+    // weight halves every 7 whole days from the corpus max timestamp,
+    // clamped at 40 doublings — every weight is the exact long
+    // 2^(40 − e), so the score is an exact integer sum and the whole
+    // ranking hash-replays (the DataMix quantization idea applied to
+    // recency decay). 1-row broadcast anchor + one partial-agg groupBy.
+    "q147_decayed_pop" -> { (s, d) =>
+      val ev = table(s, d, "events").select(
+        get_json_object(col("props"), "$.k").cast("int").as("item"),
+        unix_micros(col("ts")).as("ts_us"))
+      graft.rank.Popularity.decayedScores(ev, "item", "ts_us", halfLifeDays = 7)
+        .orderBy(col("score_scaled").desc, col("item"))
+    },
+
     // Event-rate spike detection: daily per-type counts smoothed by the
     // exact integer half-weight EWMA (a lag-battery projection, no floats,
     // no recurrence) with a cross-multiplied 3x spike test — the
@@ -251,6 +280,32 @@ object EventQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "q146_transitions" ->
+      """WITH e AS (SELECT user_id, event_id,
+             CAST(props->>'$.k' AS INT) item,
+             epoch_us(CAST(ts AS TIMESTAMP)) ts_us
+           FROM events),
+         p AS (SELECT item AS src_item,
+             LEAD(item) OVER w AS dst_item,
+             LEAD(ts_us) OVER w - ts_us AS gap_us
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         t AS (SELECT src_item, dst_item, COUNT(*) AS n FROM p
+           WHERE dst_item IS NOT NULL AND gap_us <= 1800000000
+           GROUP BY src_item, dst_item)
+         SELECT src_item, dst_item, n,
+           CAST(SUM(n) OVER (PARTITION BY src_item) AS BIGINT) AS n_src,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY src_item) AS BIGINT) AS p
+         FROM t ORDER BY src_item, dst_item""",
+    "q147_decayed_pop" ->
+      """WITH e AS (SELECT CAST(props->>'$.k' AS INT) item,
+             epoch_us(CAST(ts AS TIMESTAMP)) ts_us FROM events),
+         m AS (SELECT MAX(ts_us) AS anchor_us FROM e),
+         w AS (SELECT item, ts_us,
+             LEAST((anchor_us - ts_us) // 604800000000, 40) AS e FROM e, m)
+         SELECT item, COUNT(*) AS n_events,
+           CAST(SUM(CAST(1 AS BIGINT) << (40 - e)) AS BIGINT) AS score_scaled,
+           MAX(ts_us) AS last_seen_us
+         FROM w GROUP BY item ORDER BY score_scaled DESC, item""",
     "q144_rate_anomaly" -> {
       val lags = (1 to 8)
         .map(j => s"COALESCE(LAG(n, $j) OVER w, 0) // ${1L << j}")

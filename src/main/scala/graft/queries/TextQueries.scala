@@ -25,6 +25,56 @@ object TextQueries {
   }
 
   val defs: Map[String, QueryFn] = Map(
+    // Cross-source overlap by SKETCH — q133's scale path: per-source HLL
+    // register tables over word-8-grams (no distinct pass needed — the
+    // register max is duplicate-insensitive) + per-pair union sketches,
+    // everything after the one corpus scan bounded at |sources| × 4096
+    // rows. Exact-integer registers hash-check; the inclusion–exclusion
+    // overlap ESTIMATE (and its agreement with q133's exact Jaccard) is
+    // spec-land (HllSpec).
+    "q148_overlap_sketch" -> { (s, d) =>
+      import graft.functions.Hll
+      val grams = table(s, d, "documents")
+        .select(col("source"), TextOps.tokens(col("text")).as("__toks"))
+        .select(col("source"),
+          explode(TextOps.wordShingles(col("__toks"), shingleN)).as("g"))
+      val regs = Hll.registersBy(grams, "source", col("g"))
+      val per = regs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_buckets"), sum(col("max_rho")).as("sum_rho"))
+      Hll.pairUnionSummary(regs, "source")
+        .withColumnRenamed("group_a", "source_a")
+        .withColumnRenamed("group_b", "source_b")
+        .join(broadcast(per.select(col("source").as("source_a"),
+          col("n_buckets").as("n_buckets_a"), col("sum_rho").as("sum_rho_a"))),
+          Seq("source_a"))
+        .join(broadcast(per.select(col("source").as("source_b"),
+          col("n_buckets").as("n_buckets_b"), col("sum_rho").as("sum_rho_b"))),
+          Seq("source_b"))
+        .select(col("source_a"), col("source_b"),
+          col("n_union_buckets"), col("sum_union_rho"),
+          col("n_buckets_a"), col("sum_rho_a"),
+          col("n_buckets_b"), col("sum_rho_b"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
+    // Intra-document line dedup — the per-doc POLICY beside q93's
+    // corpus-wide pass (RefinedWeb runs both): each doc keeps its own
+    // first copy of a line, cross-document repeats untouched. Fixture
+    // re-appends every %3==0 doc's first line at pos 1000, so the
+    // operator has real intra-doc repeats to kill while q93-style
+    // cross-doc boilerplate must survive here.
+    "q150_intradoc_lines" -> { (s, d) =>
+      val chunks = graft.functions.Chunking.chunkTokens(
+          tokenized(s, d), "doc_id", col("__toks"), 8, 0)
+        .select(col("doc_id"), col("chunk_idx").as("pos"),
+          col("chunk_text").as("line"))
+      val injected = chunks.filter(col("pos") === 0 && col("doc_id") % 3 === 0)
+        .select(col("doc_id"), (col("pos") + 1000).as("pos"), col("line"))
+      graft.dedup.LineDedup.dropDuplicateLinesWithinDoc(
+          chunks.unionByName(injected), "doc_id", "pos", "line")
+        .orderBy(col("doc_id"))
+    },
+
     // Corpus profiling per (source, lang): the pre-training data-QA sweep —
     // doc counts, length min/median/max, exact-decimal mean. The median is
     // Spark's exact `percentile` (linear interpolation over int lengths —
@@ -1491,6 +1541,52 @@ object TextQueries {
          FROM sh_$sfx GROUP BY shard_id)"""
 
   val oracles: Map[String, String] = Map(
+    "q148_overlap_sketch" -> {
+      import graft.functions.Hll
+      val w = s"(${hex4Sql("x", 3)}::BIGINT * 4294967296 + " +
+        s"${hex4Sql("x", 7)}::BIGINT * 65536 + ${hex4Sql("x", 11)}::BIGINT)"
+      s"""WITH t AS (SELECT source, string_split_regex(trim(text), '\\s+') w FROM documents),
+         sh AS (SELECT source,
+             unnest(list_transform(range(len(w)-7), i -> array_to_string(w[i+1:i+8], ' '))) g
+           FROM t WHERE len(w) >= 8),
+         h AS (SELECT source, md5(g) x FROM sh),
+         v AS (SELECT source, CAST(${hex4Sql("x", 0)} // 16 AS INT) AS bucket, $w AS w
+           FROM h),
+         r AS (SELECT source, bucket, CAST(MAX(${Hll.rhoSql("w")}) AS INT) AS max_rho
+           FROM v GROUP BY source, bucket),
+         g AS (SELECT DISTINCT source FROM r),
+         pr AS (SELECT a.source sa, b.source sb FROM g a JOIN g b ON a.source < b.source),
+         u AS (SELECT pr.sa, pr.sb, r.bucket, r.max_rho FROM pr JOIN r ON r.source = pr.sa
+           UNION ALL
+           SELECT pr.sa, pr.sb, r.bucket, r.max_rho FROM pr JOIN r ON r.source = pr.sb),
+         ub AS (SELECT sa, sb, bucket, MAX(max_rho) mr FROM u GROUP BY sa, sb, bucket),
+         us AS (SELECT sa, sb, COUNT(*) nb, SUM(mr) sr FROM ub GROUP BY sa, sb),
+         ps AS (SELECT source, COUNT(*) nb, SUM(max_rho) sr FROM r GROUP BY source)
+         SELECT us.sa AS source_a, us.sb AS source_b,
+           CAST(us.nb AS BIGINT) AS n_union_buckets,
+           CAST(us.sr AS BIGINT) AS sum_union_rho,
+           CAST(pa.nb AS BIGINT) AS n_buckets_a, CAST(pa.sr AS BIGINT) AS sum_rho_a,
+           CAST(pb.nb AS BIGINT) AS n_buckets_b, CAST(pb.sr AS BIGINT) AS sum_rho_b
+         FROM us JOIN ps pa ON us.sa = pa.source JOIN ps pb ON us.sb = pb.source
+         ORDER BY source_a, source_b"""
+    },
+    "q150_intradoc_lines" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+         st AS (SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 8)) i FROM t),
+         lines0 AS (SELECT doc_id, CAST(i // 8 AS INT) pos,
+             array_to_string(w[i+1:i+8], ' ') line FROM st),
+         lines AS (SELECT * FROM lines0
+           UNION ALL
+           SELECT doc_id, pos + 1000, line FROM lines0
+           WHERE pos = 0 AND doc_id % 3 = 0),
+         kept AS (SELECT doc_id, line, MIN(pos) pos FROM lines GROUP BY doc_id, line),
+         rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) clean,
+             CAST(COUNT(*) AS INT) n_kept
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(r.clean, '') AS clean,
+           COALESCE(r.n_kept, 0) AS n_kept
+         FROM (SELECT DISTINCT doc_id FROM lines) d
+         LEFT JOIN rebuilt r USING (doc_id) ORDER BY d.doc_id""",
     "q142_recipe_selection" ->
       """WITH t AS (SELECT doc_id, lang,
              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_toks

@@ -20,6 +20,21 @@ object VectorQueries {
   private val dim = 64
 
   val defs: Map[String, QueryFn] = Map(
+    // Symmetric int8 scalar quantization (the faiss-SQ8 memory path
+    // beside PQ): per-vector maxabs + codes floor(x·127/maxabs + 0.5),
+    // emitted exploded so every code is an oracle-checkable exact
+    // integer (the maxabs double is one IEEE max of exact widened
+    // floats). Int8 top-k recall vs the exact KNN baseline is spec-land
+    // (ScalarQuantSpec — scoring rides the codegen DotF32 kernel on
+    // float-exact integer codes).
+    "q149_int8_quant" -> { (s, d) =>
+      val enc = graft.sim.ScalarQuant.encode(
+        table(s, d, "embeddings"), "vec_id", "embedding")
+      enc.select(col("vec_id"), col("maxabs"),
+          posexplode(col("codes")).as(Seq("i", "code")))
+        .orderBy(col("vec_id"), col("i"))
+    },
+
     // L2 norms + dims (F8 surface).
     "q40_vector_norms" -> { (s, d) =>
       table(s, d, "embeddings")
@@ -256,6 +271,16 @@ object VectorQueries {
   private def dot(x: String, y: String) = dotSql.format(x, y)
 
   val oracles: Map[String, String] = Map(
+    "q149_int8_quant" ->
+      """WITH m AS (SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) maxabs
+           FROM embeddings),
+         x AS (SELECT vec_id, maxabs, embedding, unnest(range(len(embedding))) i FROM m)
+         SELECT vec_id, maxabs, CAST(i AS INT) AS i,
+           CASE WHEN maxabs = 0 THEN 0
+                ELSE CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 127.0 / maxabs + 0.5) AS INT)
+           END AS code
+         FROM x ORDER BY vec_id, i""",
     "q45_label_centroids" ->
       s"""SELECT label, CAST(p.i AS INT) AS pos,
          CAST(SUM(CAST(CAST(embedding[p.i + 1] AS DOUBLE) AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS mean_x

@@ -98,4 +98,24 @@ class LineDedupSpec extends SparkSpecBase {
     assert(a == Seq((2L, "the rule 3", 1), (3L, "", 0)),
       "first occurrence = min (doc, pos): doc 2 pos 0 wins, original bytes kept")
   }
+
+  test("within-doc policy: intra-doc repeats die, cross-doc repeats survive") {
+    val in = lines(
+      (1L, 0, "header"), (1L, 1, "alpha"), (1L, 2, "header"), // intra repeat
+      (2L, 0, "header"), (2L, 1, "beta"),                     // cross-doc copy
+      (3L, 0, "beta"), (3L, 1, "beta"))                       // both
+    val out = LineDedup.dropDuplicateLinesWithinDoc(in, "id", "pos", "line")
+      .orderBy($"id").as[(Long, String, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, "header\nalpha", 2), // doc 1 keeps ITS first header
+      (2L, "header\nbeta", 2),  // doc 2's header untouched by doc 1's
+      (3L, "beta", 1)))
+  }
+
+  test("within-doc policy never empties a non-empty doc") {
+    val in = lines((1L, 0, "x"), (1L, 1, "x"), (2L, 0, "x"))
+    val out = LineDedup.dropDuplicateLinesWithinDoc(in, "id", "pos", "line")
+      .orderBy($"id").as[(Long, String, Int)].collect().toSeq
+    assert(out == Seq((1L, "x", 1), (2L, "x", 1)))
+  }
 }

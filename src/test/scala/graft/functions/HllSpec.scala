@@ -70,4 +70,48 @@ class HllSpec extends SparkSpecBase {
     val b = Hll.registers(df.repartition(7), col("doc_id"))
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("registersBy matches a per-group registers() run") {
+    val df = spark.range(30000L).toDF("id")
+      .withColumn("g", (col("id") % 3).cast("string"))
+    val by = Hll.registersBy(df, "g", col("id"))
+    (0 until 3).foreach { g =>
+      val direct = Hll.registers(df.filter(col("g") === g.toString), col("id"))
+      val slice = by.filter(col("g") === g.toString).drop("g")
+      assert(slice.exceptAll(direct).isEmpty && direct.exceptAll(slice).isEmpty,
+        s"group $g sketch differs")
+    }
+  }
+
+  test("pair union sketch equals the sketch of the unioned key sets") {
+    // groups with known overlap: a = [0, 30k), b = [20k, 60k), c = [55k, 70k)
+    val df = spark.range(0L, 30000L).toDF("id").withColumn("g", lit("a"))
+      .union(spark.range(20000L, 60000L).toDF("id").withColumn("g", lit("b")))
+      .union(spark.range(55000L, 70000L).toDF("id").withColumn("g", lit("c")))
+    val regs = Hll.registersBy(df, "g", col("id"))
+    val summary = Hll.pairUnionSummary(regs, "g")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(summary.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // the (a, b) union summary must equal registers over ids 0..60k
+    val direct = Hll.registers(spark.range(0L, 60000L).toDF("id"), col("id"))
+      .agg(count(lit(1)), sum(col("max_rho"))).collect().head
+    assert(summary(("a", "b")) == (direct.getLong(0), direct.getLong(1)))
+  }
+
+  test("inclusion-exclusion overlap estimate tracks the true intersection") {
+    val df = spark.range(0L, 30000L).toDF("id").withColumn("g", lit("a"))
+      .union(spark.range(20000L, 60000L).toDF("id").withColumn("g", lit("b")))
+    val regs = Hll.registersBy(df, "g", col("id"))
+    def est(g: String): Double =
+      Hll.estimate(regs.filter(col("g") === g).drop("g"))
+    // union estimate from the pair summary's underlying union registers
+    val unionRegs = Hll.merge(Seq(
+      regs.filter(col("g") === "a").drop("g"),
+      regs.filter(col("g") === "b").drop("g")))
+    val inter = est("a") + est("b") - Hll.estimate(unionRegs)
+    // true intersection = 10000; I-E compounds three 1.6%-SE estimates of
+    // much larger sets, so the tolerance is wide but still meaningful
+    assert(math.abs(inter - 10000.0) < 3500.0, s"intersection estimate $inter")
+  }
 }
