@@ -775,6 +775,44 @@ object ScaleExperiment {
         graft.operators.ShardPack.manifest(sh, "shard_id", "doc_id", col("n_tokens")))
     }
 
+    // 29. the q146-q150 batch at 10×: Markov transitions (events-wide
+    // user window + one src repartition — wall must track event volume),
+    // decayed popularity (1-row anchor broadcast + partial agg),
+    // the HLL overlap sketch (one corpus gram scan, then |sources|×4096
+    // bounded tables — the whole point vs the exact overlap matrix),
+    // int8 encode (zero-shuffle projection), and intra-doc line dedup
+    // (one (doc,line) partial agg + rebuild).
+    if (on("r7c")) {
+      import graft.functions.{Hll, TextOps}
+      val ev = Tables.load(spark, dir, "events").select(col("user_id"),
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"),
+        unix_micros(col("ts")).as("ts_us"))
+      timed("r7c_transitions")(graft.rank.Markov.transitions(
+        ev, "user_id", "item", "ts_us", "event_id", gap = 1800000000L))
+      timed("r7c_decayed_pop")(graft.rank.Popularity.decayedScores(
+        ev, "item", "ts_us", halfLifeDays = 7))
+      val docs = Tables.load(spark, dir, "documents")
+      timed("r7c_overlap_sketch") {
+        val grams = docs
+          .select(col("source"), TextOps.tokens(col("text")).as("__toks"))
+          .select(col("source"),
+            explode(TextOps.wordShingles(col("__toks"), 8)).as("g"))
+        Hll.pairUnionSummary(Hll.registersBy(grams, "source", col("g")), "source")
+      }
+      timed("r7c_int8_encode")(graft.sim.ScalarQuant.encode(
+        Tables.load(spark, dir, "embeddings"), "vec_id", "embedding"))
+      timed("r7c_intradoc_lines") {
+        val chunks = graft.functions.Chunking.chunkTokens(
+            docs.select(col("doc_id"), TextOps.tokens(col("text")).as("__toks")),
+            "doc_id", col("__toks"), 8, 0)
+          .select(col("doc_id"), col("chunk_idx").as("pos"),
+            col("chunk_text").as("line"))
+        graft.dedup.LineDedup.dropDuplicateLinesWithinDoc(
+          chunks, "doc_id", "pos", "line")
+      }
+    }
+
     // 27. language-ID fit+predict (the q36 shape) — the char-n-gram
     // extraction is the graft_char_ngrams kernel; this case is the
     // before/after seat for that swap and its scale ladder.

@@ -28,23 +28,26 @@ import org.apache.spark.sql.functions._
   */
 object ScalarQuant {
 
-  /** Per-vector max |x_i| as double (0.0 for an all-zero vector). */
-  private def maxAbs(vec: Column): Column =
+  /** The interpreted HOF forms of the two kernels — kept as the
+    * cross-implementation reference (Int8QuantSpec pins kernel ≡ HOF
+    * bit-parity; the q149 oracle replays the same semantics in DuckDB). */
+  private[graft] def maxAbsHof(vec: Column): Column =
     array_max(transform(vec, x => abs(x.cast("double"))))
 
-  /** Quantization codes: int in [-127, 127]; all-zero vectors encode as
-    * all-zero codes. */
-  private def codesOf(vec: Column, maxabs: Column): Column =
+  private[graft] def codesHof(vec: Column, maxabs: Column): Column =
     transform(vec, x =>
       when(maxabs === 0.0d, lit(0))
         .otherwise(floor(x.cast("double") * 127.0d / maxabs + 0.5d).cast("int")))
 
   /** Encode a float-vector column: (idCol, maxabs double, codes
-    * array<int>). Dequantize as code_i · maxabs / 127. */
+    * array<int>). Dequantize as code_i · maxabs / 127. Both columns ride
+    * the codegen kernels (MaxAbsF32 / Int8CodesF32) — the HOF form was
+    * three interpreted array walks per row, 3.4× slower at 10× (SCALE.md). */
   def encode(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val m = maxAbs(col(vecCol))
-    df.select(col(idCol), m.as("maxabs"),
-      codesOf(col(vecCol), m).as("codes"))
+    graft.sql.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+      graft.sql.GraftFunctions.maxAbsF32(col(vecCol)).as("maxabs"),
+      graft.sql.GraftFunctions.int8Codes(col(vecCol)).as("codes"))
   }
 
   /** Top-k by approximate dot product against a float query: both sides

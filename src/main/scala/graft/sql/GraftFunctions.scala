@@ -20,10 +20,16 @@ object GraftFunctions {
   val MinhashSigName = "graft_minhash_sig"
   val CharNgramsName = "graft_char_ngrams"
   val DeflateLenName = "graft_deflate_len"
+  val MaxAbsName = "graft_maxabs_f32"
+  val Int8CodesName = "graft_int8_codes"
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DeflateLenName, exprs => DeflateLenF(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      MaxAbsName, exprs => MaxAbsF32(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      Int8CodesName, exprs => Int8CodesF32(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       CharNgramsName, exprs => CharNgramsF.fromExprs(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -80,6 +86,14 @@ object GraftFunctions {
   /** Column-level call; requires `register` (or GraftExtensions) first.
     * DEFLATE-compressed byte length (level 6) of a string/binary column. */
   def deflateLen(c: Column): Column = call_function(DeflateLenName, c)
+
+  /** Column-level call; requires `register` (or GraftExtensions) first.
+    * max(|x_i|) of an array<float> as double (NULL for empty/all-null). */
+  def maxAbsF32(a: Column): Column = call_function(MaxAbsName, a)
+
+  /** Column-level call; requires `register` (or GraftExtensions) first.
+    * Int8 symmetric quantization codes floor(x·127/maxabs + 0.5). */
+  def int8Codes(a: Column): Column = call_function(Int8CodesName, a)
 }
 
 /** spark.sql.extensions entry point. */
@@ -133,5 +147,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[DeflateLenF].getName, GraftFunctions.DeflateLenName),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DeflateLenF(exprs.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.MaxAbsName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MaxAbsF32].getName, GraftFunctions.MaxAbsName),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MaxAbsF32(exprs.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.Int8CodesName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Int8CodesF32].getName, GraftFunctions.Int8CodesName),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Int8CodesF32(exprs.head)))
   }
 }

@@ -52,12 +52,20 @@ class GraftSqlSurfaceSpec extends SparkSpecBase {
     assert(s.length == 4 && s.forall(_ >= 0))
   }
 
-  test("all six names are catalog-visible after register()") {
+  test("graft_maxabs_f32 / graft_int8_codes from raw SQL") {
+    val r = sql1("""SELECT
+        graft_maxabs_f32(CAST(array(2.0, -4.0) AS ARRAY<FLOAT>)) AS m,
+        graft_int8_codes(CAST(array(2.0, -4.0) AS ARRAY<FLOAT>)) AS c""")
+    assert(r.getDouble(0) == 4.0 && r.getSeq[Int](1) == Seq(64, -127))
+  }
+
+  test("every registered name is catalog-visible after register()") {
     val s2 = spark.newSession()
     GraftFunctions.register(s2)
     Seq(GraftFunctions.DotName, GraftFunctions.L2NormName,
       GraftFunctions.IvfProbeName, GraftFunctions.RollingHashName,
-      GraftFunctions.UnicodeNormName, GraftFunctions.MinhashSigName).foreach { n =>
+      GraftFunctions.UnicodeNormName, GraftFunctions.MinhashSigName,
+      GraftFunctions.MaxAbsName, GraftFunctions.Int8CodesName).foreach { n =>
       assert(s2.catalog.functionExists(n), s"$n must be SQL-visible")
     }
   }
