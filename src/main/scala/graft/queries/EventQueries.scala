@@ -42,6 +42,42 @@ object EventQueries {
         .orderBy(col("score_scaled").desc, col("item"))
     },
 
+    // Popularity-concentration datasheet: Gini coefficient + top-10 share
+    // of the item interaction distribution. The rank every item needs for
+    // Gini comes from ShardPack's two-level exact prefix sum (weight 1 ⇒
+    // cumsum = row number) — never a single-partition window; Σ rank·n is
+    // tie-invariant so every cell is deterministic, and the two ratios
+    // are single IEEE divisions of exact longs.
+    "q151_concentration" -> { (s, d) =>
+      val ev = table(s, d, "events").select(
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      graft.rank.Popularity.concentration(ev, "item", topK = 10)
+    },
+
+    // Cohort retention matrix (daily cohorts): users cohorted by
+    // first-seen day, per-(cohort, offset) distinct-active counts and
+    // rates. One user-keyed repartition serves first-seen + join +
+    // distinct (subset-key clustering); only the periods²-row matrix
+    // crosses the final cohort window exchange.
+    "q152_retention" -> { (s, d) =>
+      val ev = table(s, d, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      graft.operators.Retention.matrix(ev, "user_id", "ts_us", 86400000000L)
+        .withColumnRenamed("offset", "period_offset")
+        .orderBy(col("cohort_period"), col("period_offset"))
+    },
+
+    // A/B experiment readout: md5(salt|user) parity assigns the arm
+    // (deterministic, engine-replayable, no assignment table); a unit
+    // converts if ANY purchase of value >= 195 — per-arm exact counts,
+    // rates, lift, and the two-proportion z in one fixed-association
+    // IEEE chain (sqrt is correctly rounded, so even z hash-replays).
+    "q153_ab_test" -> { (s, d) =>
+      graft.operators.AbTest.report(table(s, d, "events"), "user_id",
+        col("event_type") === "purchase" && col("value") >= 195.0d,
+        salt = "exp1")
+    },
+
     // Event-rate spike detection: daily per-type counts smoothed by the
     // exact integer half-weight EWMA (a lag-battery projection, no floats,
     // no recurrence) with a cross-multiplied 3x spike test — the
@@ -280,6 +316,60 @@ object EventQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "q151_concentration" ->
+      """WITH c AS (SELECT CAST(props->>'$.k' AS INT) item, COUNT(*) n
+           FROM events GROUP BY item),
+         r AS (SELECT item, n, ROW_NUMBER() OVER (ORDER BY n, item) rk FROM c),
+         s AS (SELECT CAST(COUNT(*) AS BIGINT) ni, CAST(SUM(n) AS BIGINT) ne,
+             CAST(SUM(2*rk*n) AS BIGINT) srn FROM r),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) te
+           FROM (SELECT n FROM c ORDER BY n DESC, item LIMIT 10))
+         SELECT ni AS n_items, ne AS n_events,
+           srn - (ni+1)*ne AS gini_num, ni*ne AS gini_den,
+           CAST(srn - (ni+1)*ne AS DOUBLE) / (ni*ne) AS gini,
+           te AS topk_events, CAST(te AS DOUBLE) / ne AS topk_share
+         FROM s, t""",
+    "q152_retention" ->
+      """WITH e AS (SELECT user_id u,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 p FROM events),
+         f AS (SELECT u, MIN(p) cp FROM e GROUP BY u),
+         cells AS (SELECT DISTINCT f.cp, e.p - f.cp po, e.u
+           FROM e JOIN f USING (u)),
+         m AS (SELECT cp, po, COUNT(*) n FROM cells GROUP BY cp, po),
+         s AS (SELECT cp, po, n,
+             MAX(CASE WHEN po = 0 THEN n END) OVER (PARTITION BY cp) cs FROM m)
+         SELECT cp AS cohort_period, po AS period_offset,
+           CAST(n AS BIGINT) AS n_active, CAST(cs AS BIGINT) AS cohort_size,
+           CAST(n AS DOUBLE) / cs AS rate
+         FROM s ORDER BY cohort_period, period_offset""",
+    "q153_ab_test" -> {
+      val armSql = s"(${hex48Sql("md5('exp1|' || CAST(u AS VARCHAR))")} % 2)"
+      s"""WITH units AS (SELECT user_id u,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 195.0
+                      THEN 1 ELSE 0 END) conv
+           FROM events GROUP BY user_id),
+         armed AS (SELECT $armSql arm, conv FROM units),
+         a AS (SELECT arm, COUNT(*) n, SUM(conv) c FROM armed GROUP BY arm),
+         one AS (SELECT
+             CAST(MAX(CASE WHEN arm = 0 THEN n END) AS BIGINT) n0,
+             CAST(MAX(CASE WHEN arm = 0 THEN c END) AS BIGINT) c0,
+             CAST(MAX(CASE WHEN arm = 1 THEN n END) AS BIGINT) n1,
+             CAST(MAX(CASE WHEN arm = 1 THEN c END) AS BIGINT) c1
+           FROM a)
+         SELECT n0, c0, n1, c1,
+           CAST(c0 AS DOUBLE) / n0 AS p0,
+           CAST(c1 AS DOUBLE) / n1 AS p1,
+           CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0 AS lift,
+           CASE WHEN sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)
+                     * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)))
+                    * (1.0 / n0 + 1.0 / n1)) > 0.0
+             THEN (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+               / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)
+                       * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)))
+                      * (1.0 / n0 + 1.0 / n1))
+           END AS z
+         FROM one"""
+    },
     "q146_transitions" ->
       """WITH e AS (SELECT user_id, event_id,
              CAST(props->>'$.k' AS INT) item,

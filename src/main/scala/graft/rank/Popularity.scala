@@ -2,6 +2,7 @@ package graft.rank
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.ShardPack
 
 /** Time-decayed item popularity — the most-popular baseline every
   * retrieval stack serves under cold start (the reference falls back to a
@@ -48,5 +49,46 @@ object Popularity {
         sum(col("__w")).as("score_scaled"),
         max(col("__ts")).as("last_seen_us"))
       .orderBy(col("score_scaled").desc, col("item"))
+  }
+
+  /** Popularity-concentration report: the Gini coefficient of the item
+    * interaction distribution (the popularity-bias datasheet number every
+    * recsys evaluation quotes — Abdollahpouri et al. 2019) plus the
+    * top-k share, as ONE row of exact integers and two IEEE divisions.
+    *
+    * Gini needs every item's rank in count order — a global sort. The
+    * rank is computed by [[ShardPack.cumsum]]'s two-level exact prefix
+    * sum (weight 1 ⇒ inclusive cumsum = row number), NOT a
+    * single-partition window: per-bucket windows + a 256-row offset
+    * table, so a 100M-item catalog ranks in parallel. With ties the
+    * rank assignment within a tie group is arbitrary but Σ rank·n is
+    * tie-invariant, so every output cell is deterministic anyway.
+    *
+    * Output: n_items, n_events, gini_num, gini_den (exact longs;
+    * gini = num/den), gini, topk_events, topk_share. Long-exact while
+    * N·Σn < 2^62 (a 10⁹-item, 10¹²-interaction catalog overflows —
+    * widen the two sums to DECIMAL(38,0) there, the DataMix device).
+    */
+  def concentration(events: DataFrame, itemCol: String, topK: Int = 10): DataFrame = {
+    val counts = events.groupBy(col(itemCol).as("item"))
+      .agg(count(lit(1)).as("n"))
+    val ranked = ShardPack.cumsum(counts, "n", lit(1L), "rk",
+      tieBreak = Seq(col("item")))
+    // Gini (ascending ranks 1..N): (2·Σ rk·n − (N+1)·Σn) / (N·Σn)
+    val totals = ranked.agg(
+      count(lit(1)).as("n_items"),
+      sum(col("n")).as("n_events"),
+      sum(col("rk") * col("n") * 2L).as("srn"))
+    // top-k share from a bounded TakeOrdered over the counts table
+    val top = counts.orderBy(col("n").desc, col("item").asc).limit(topK)
+      .agg(sum(col("n")).as("topk_events"))
+    totals.join(broadcast(top))
+      .select(col("n_items"), col("n_events"),
+        (col("srn") - (col("n_items") + 1L) * col("n_events")).as("gini_num"),
+        (col("n_items") * col("n_events")).as("gini_den"),
+        ((col("srn") - (col("n_items") + 1L) * col("n_events")).cast("double")
+          / (col("n_items") * col("n_events"))).as("gini"),
+        col("topk_events"),
+        (col("topk_events").cast("double") / col("n_events")).as("topk_share"))
   }
 }

@@ -48,6 +48,33 @@ class PopularitySpec extends SparkSpecBase {
     assert(r.getLong(1) == 2L && r.getLong(3) == 9L * day)
   }
 
+  test("concentration: Gini matches the hand formula on known counts") {
+    // counts: a=1, b=2, c=3 -> ranks 1,2,3; N=3, S=6
+    // gini = (2*(1*1+2*2+3*3) - 4*6) / (3*6) = (28-24)/18 = 2/9
+    val ev = ("a" +: Seq.fill(2)("b")) ++ Seq.fill(3)("c")
+    val df = ev.map(Tuple1(_)).toDF("item")
+    val r = Popularity.concentration(df, "item", topK = 1).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 6L)
+    assert(r.getLong(2) == 4L && r.getLong(3) == 18L)
+    assert(r.getDouble(4) == 4.0 / 18.0)
+    assert(r.getLong(5) == 3L) // top-1 item c
+    assert(r.getDouble(6) == 3.0 / 6.0)
+  }
+
+  test("concentration: a uniform distribution has Gini 0") {
+    val df = (1 to 50).flatMap(i => Seq.fill(4)(s"i$i")).map(Tuple1(_)).toDF("item")
+    val r = Popularity.concentration(df, "item").collect().head
+    assert(r.getLong(2) == 0L && r.getDouble(4) == 0.0)
+  }
+
+  test("concentration: Gini is invariant to input partitioning (tie groups)") {
+    val ev = tbl("events").select(
+      get_json_object(col("props"), "$.k").cast("int").as("item"))
+    val a = Popularity.concentration(ev, "item").collect().head
+    val b = Popularity.concentration(ev.repartition(13), "item").collect().head
+    assert(a == b)
+  }
+
   test("plan: one partial-aggregated shuffle, anchor broadcast") {
     val ev = tbl("events").select(
       get_json_object(col("props"), "$.k").cast("int").as("item"),
