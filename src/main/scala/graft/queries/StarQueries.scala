@@ -12,6 +12,19 @@ import QueryHelpers._
 object StarQueries {
 
   val defs: Map[String, QueryFn] = Map(
+    // Market-basket association rules over order baskets: directed
+    // (ante → cons) pairs with support / confidence / lift — Cooccur's
+    // score surface extended to the Agrawal-style rule metrics. One
+    // basket-keyed repartition serves distinct + basket count + both
+    // self-join sides; singleton counts and the 1-row total broadcast
+    // back; every ratio is a fixed-association IEEE chain over exact
+    // longs.
+    "q154_assoc_rules" -> { (s, d) =>
+      val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      graft.rank.AssocRules.rules(li, "l_orderkey", "l_partkey", minCount = 2L)
+        .orderBy(col("ante"), col("cons"))
+    },
+
     // Graph centrality over the part co-purchase graph: parts sharing an
     // order are linked (distinct directed pairs, symmetric by
     // construction), then 3 fixed-point PageRank sweeps. Every update is
@@ -380,6 +393,20 @@ object StarQueries {
           FROM nodes LEFT JOIN s$k USING (node), nn)"""
 
   val oracles: Map[String, String] = Map(
+    "q154_assoc_rules" ->
+      """WITH t AS (SELECT DISTINCT l_orderkey b, l_partkey i FROM lineitem),
+         n AS (SELECT COUNT(DISTINCT b) nb FROM t),
+         ic AS (SELECT i, COUNT(*) c FROM t GROUP BY i),
+         p AS (SELECT a.i ante, b.i cons, COUNT(*) c_pair
+           FROM t a JOIN t b ON a.b = b.b AND a.i <> b.i
+           GROUP BY a.i, b.i HAVING COUNT(*) >= 2)
+         SELECT p.ante, p.cons, p.c_pair,
+           ca.c AS c_ante, cb.c AS c_cons, CAST(n.nb AS BIGINT) AS n_baskets,
+           CAST(p.c_pair AS DOUBLE) / n.nb AS support,
+           CAST(p.c_pair AS DOUBLE) / ca.c AS confidence,
+           (CAST(p.c_pair AS DOUBLE) * n.nb) / (ca.c * cb.c) AS lift
+         FROM p JOIN ic ca ON p.ante = ca.i JOIN ic cb ON p.cons = cb.i, n
+         ORDER BY ante, cons""",
     "q134_copurchase_rank" ->
       s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
             FROM lineitem a JOIN lineitem b
