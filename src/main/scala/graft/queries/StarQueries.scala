@@ -25,6 +25,23 @@ object StarQueries {
         .orderBy(col("ante"), col("cons"))
     },
 
+    // Triangle census of the part co-purchase graph: per-node triangle
+    // counts + local clustering coefficient via degree-ordered
+    // orientation (wedge space O(m^1.5), hub-immune — the naive Σdeg²
+    // wedge join dies on the first celebrity part). The oracle replays
+    // with the simple id-ordered 3-way join: the triangle set is
+    // orientation-independent, so the scalable plan and the naive plan
+    // must agree bit-for-bit.
+    "q155_triangles" -> { (s, d) =>
+      val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      graft.graph.Triangles.perNode(edges, "src", "dst")
+        .orderBy(col("node"))
+    },
+
     // Graph centrality over the part co-purchase graph: parts sharing an
     // order are linked (distinct directed pairs, symmetric by
     // construction), then 3 fixed-point PageRank sweeps. Every update is
@@ -393,6 +410,23 @@ object StarQueries {
           FROM nodes LEFT JOIN s$k USING (node), nn)"""
 
   val oracles: Map[String, String] = Map(
+    "q155_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+         e AS (SELECT DISTINCT LEAST(a.p, b.p) u, GREATEST(a.p, b.p) v
+           FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
+         d AS (SELECT n, COUNT(*) degree FROM
+           (SELECT u n FROM e UNION ALL SELECT v n FROM e) GROUP BY n),
+         t AS (SELECT a.u x, a.v y, b.v z
+           FROM e a JOIN e b ON b.u = a.v JOIN e c ON c.u = a.u AND c.v = b.v),
+         corners AS (SELECT n, COUNT(*) tri FROM
+           (SELECT x n FROM t UNION ALL SELECT y n FROM t
+            UNION ALL SELECT z n FROM t) GROUP BY n)
+         SELECT d.n AS node, CAST(d.degree AS BIGINT) AS degree,
+           CAST(COALESCE(c.tri, 0) AS BIGINT) AS triangles,
+           CASE WHEN d.degree >= 2
+             THEN CAST(COALESCE(c.tri, 0) * 2 AS DOUBLE)
+               / (d.degree * (d.degree - 1)) END AS coeff
+         FROM d LEFT JOIN corners c ON c.n = d.n ORDER BY node""",
     "q154_assoc_rules" ->
       """WITH t AS (SELECT DISTINCT l_orderkey b, l_partkey i FROM lineitem),
          n AS (SELECT COUNT(DISTINCT b) nb FROM t),
