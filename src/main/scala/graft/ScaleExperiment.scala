@@ -813,6 +813,22 @@ object ScaleExperiment {
       }
     }
 
+    // 30. association rules + triangle census at 10×: both ride the
+    // lineitem basket self-join (pair stream ~10×); the triangle wedge
+    // space is bounded O(m^1.5) by the degree orientation — the 10× wall
+    // tells us where on that curve the co-purchase graph actually sits.
+    if (on("r7d")) {
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      timed("r7d_assoc_rules")(graft.rank.AssocRules.rules(
+        li, "l_orderkey", "l_partkey", minCount = 2L))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      timed("r7d_triangles")(graft.graph.Triangles.perNode(edges, "src", "dst"))
+    }
+
     // 27. language-ID fit+predict (the q36 shape) — the char-n-gram
     // extraction is the graft_char_ngrams kernel; this case is the
     // before/after seat for that swap and its scale ladder.
