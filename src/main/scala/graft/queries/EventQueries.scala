@@ -42,6 +42,51 @@ object EventQueries {
         .orderBy(col("score_scaled").desc, col("item"))
     },
 
+    // k-core filtering of the user-item interaction graph — THE standard
+    // recsys dataset-preprocessing step (MovieLens-style "10-core"):
+    // iteratively drop users/items with < k distinct partners until the
+    // fixpoint. Fixed peel rounds (the PageRank determinism convention)
+    // so the oracle unrolls the identical rounds as CTEs; convergence
+    // within the budget is spec-asserted. Items offset by 1e6 into the
+    // shared node space.
+    "q156_kcore" -> { (s, d) =>
+      val ev = table(s, d, "events").select(col("user_id").as("src"),
+        (get_json_object(col("props"), "$.k").cast("int") + 1000000).cast("long").as("dst"))
+      graft.graph.KCore.run(ev, "src", "dst", k = 45, rounds = 3)
+        .orderBy(col("node"))
+    },
+
+    // RFM customer segmentation — the CRM classic: per-user recency /
+    // frequency / monetary, each quintile-bucketed by the SAME
+    // exact-percentile broadcast device as CCNet's perplexity buckets
+    // (q107): thresholds from one exact-percentile aggregate, assignment
+    // a comparison battery — no global ntile window, no corpus sort.
+    // Monetary is an exact decimal sum; every bucket is an integer.
+    "q157_rfm" -> { (s, d) =>
+      import graft.operators.Quality
+      val day = 86400000000L
+      val p = table(s, d, "events").filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("t"), col("value"))
+      val perUser = p.groupBy(col("user_id")).agg(
+        max(col("t")).as("__last"), count(lit(1)).as("frequency"),
+        dsum(col("value"), 2).as("monetary"))
+      val anchor = perUser.agg(max(col("__last")).as("__mx"))
+      val base = perUser.join(broadcast(anchor))
+        .select(col("user_id"),
+          expr(s"(__mx - __last) div $day").as("recency_days"),
+          col("frequency"), col("monetary"))
+      val bucketed = Quality.percentileBuckets(
+        Quality.percentileBuckets(
+          Quality.percentileBuckets(base, col("recency_days"), 5, "r_bucket"),
+          col("frequency"), 5, "f_bucket"),
+        col("monetary"), 5, "m_bucket")
+      bucketed.select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary"), col("r_bucket"), col("f_bucket"), col("m_bucket"),
+          concat(lit("R"), col("r_bucket"), lit("F"), col("f_bucket"),
+            lit("M"), col("m_bucket")).as("segment"))
+        .orderBy(col("user_id"))
+    },
+
     // Popularity-concentration datasheet: Gini coefficient + top-10 share
     // of the item interaction distribution. The rank every item needs for
     // Gini comes from ShardPack's two-level exact prefix sum (weight 1 ⇒
@@ -316,6 +361,51 @@ object EventQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "q156_kcore" -> {
+      val (k, rounds) = (45, 3)
+      val iters = (1 to rounds).map { r =>
+        s"""d$r AS (SELECT n, COUNT(*) c FROM
+             (SELECT u n FROM e${r - 1} UNION ALL SELECT v n FROM e${r - 1}) GROUP BY n),
+           k$r AS (SELECT n FROM d$r WHERE c >= $k),
+           e$r AS (SELECT e.u, e.v FROM e${r - 1} e
+             JOIN k$r a ON e.u = a.n JOIN k$r b ON e.v = b.n)"""
+      }.mkString(",\n         ")
+      s"""WITH e0 AS (SELECT DISTINCT LEAST(u0, v0) u, GREATEST(u0, v0) v FROM
+           (SELECT user_id u0,
+              1000000 + CAST(props->>'$$.k' AS BIGINT) v0 FROM events)
+           WHERE u0 <> v0),
+         $iters
+         SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM
+           (SELECT u n FROM e$rounds UNION ALL SELECT v n FROM e$rounds)
+         GROUP BY n ORDER BY node"""
+    },
+    "q157_rfm" -> {
+      def ths(m: String, p: String) = (1 to 4)
+        .map(i => s"quantile_cont($m, ${i / 5.0}) ${p}$i").mkString(", ")
+      def bucket(m: String, p: String) = (1 to 4)
+        .map(i => s"CASE WHEN $m > th.${p}$i THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) t, value
+           FROM events WHERE event_type = 'purchase'),
+         u AS (SELECT user_id, MAX(t) last_us, COUNT(*) frequency,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) monetary
+           FROM p GROUP BY user_id),
+         a AS (SELECT MAX(last_us) mx FROM u),
+         r AS (SELECT user_id, (mx - last_us) // 86400000000 recency_days,
+             frequency, monetary FROM u, a),
+         th AS (SELECT ${ths("recency_days", "r")}, ${ths("frequency", "f")},
+             ${ths("monetary", "m")} FROM r),
+         b AS (SELECT r.user_id, r.recency_days,
+             CAST(r.frequency AS BIGINT) frequency, r.monetary,
+             CAST(${bucket("r.recency_days", "r")} AS INT) r_bucket,
+             CAST(${bucket("r.frequency", "f")} AS INT) f_bucket,
+             CAST(${bucket("r.monetary", "m")} AS INT) m_bucket
+           FROM r, th)
+         SELECT user_id, recency_days, frequency, monetary,
+           r_bucket, f_bucket, m_bucket,
+           'R' || r_bucket || 'F' || f_bucket || 'M' || m_bucket AS segment
+         FROM b ORDER BY user_id"""
+    },
     "q151_concentration" ->
       """WITH c AS (SELECT CAST(props->>'$.k' AS INT) item, COUNT(*) n
            FROM events GROUP BY item),
