@@ -42,6 +42,44 @@ object EventQueries {
         .orderBy(col("score_scaled").desc, col("item"))
     },
 
+    // Sequential-recommendation evaluation: train the Markov transition
+    // model on events before the cut, score next-item hit@3 on the test
+    // pairs after it, against the top-3-popularity baseline — the
+    // "does sequence beat popularity" number every session-rec paper
+    // reports. Test-pair multiplicities ride the transition counts, so
+    // every cell is an exact long and the two rates are single IEEE
+    // divisions.
+    "q159_markov_eval" -> { (s, d) =>
+      import graft.rank.Markov
+      val cutUs = java.time.LocalDateTime.of(2024, 1, 25, 0, 0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+      val ev = table(s, d, "events").select(col("user_id"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"),
+        unix_micros(col("ts")).as("ts_us"))
+      val gap = 86400000000L
+      val train = ev.filter(col("ts_us") < cutUs)
+      val test = ev.filter(col("ts_us") >= cutUs)
+      val model3 = Markov.nextItems(
+          Markov.transitions(train, "user_id", "item", "ts_us", "event_id", gap), 3)
+        .select(col("src_item"), col("dst_item"))
+      val pop3 = train.groupBy(col("item")).agg(count(lit(1)).as("__c"))
+        .orderBy(col("__c").desc, col("item").asc).limit(3)
+        .select(col("item").as("dst_item"))
+      val testPairs = Markov
+        .transitions(test, "user_id", "item", "ts_us", "event_id", gap)
+        .select(col("src_item"), col("dst_item"), col("n"))
+      val total = testPairs.agg(sum(col("n")).as("n_test"))
+      val hitsM = testPairs.join(model3, Seq("src_item", "dst_item"))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n_hit_markov"))
+      val hitsP = testPairs.join(broadcast(pop3), Seq("dst_item"))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n_hit_pop"))
+      total.join(broadcast(hitsM)).join(broadcast(hitsP))
+        .select(col("n_test"), col("n_hit_markov"),
+          (col("n_hit_markov").cast("double") / col("n_test")).as("hit_rate_markov"),
+          col("n_hit_pop"),
+          (col("n_hit_pop").cast("double") / col("n_test")).as("hit_rate_pop"))
+    },
+
     // k-core filtering of the user-item interaction graph — THE standard
     // recsys dataset-preprocessing step (MovieLens-style "10-core"):
     // iteratively drop users/items with < k distinct partners until the
@@ -379,6 +417,42 @@ object EventQueries {
            (SELECT u n FROM e$rounds UNION ALL SELECT v n FROM e$rounds)
          GROUP BY n ORDER BY node"""
     },
+    "q159_markov_eval" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(props->>'$.k' AS INT) item,
+             epoch_us(CAST(ts AS TIMESTAMP)) ts_us FROM events),
+         cut AS (SELECT epoch_us(TIMESTAMP '2024-01-25 00:00:00') c),
+         trn AS (SELECT e.* FROM e, cut WHERE ts_us < c),
+         tst AS (SELECT e.* FROM e, cut WHERE ts_us >= c),
+         trp AS (SELECT item src_item, LEAD(item) OVER w dst_item,
+             LEAD(ts_us) OVER w - ts_us gap_us FROM trn
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         trc AS (SELECT src_item, dst_item, COUNT(*) n FROM trp
+           WHERE dst_item IS NOT NULL AND gap_us <= 86400000000
+           GROUP BY src_item, dst_item),
+         model AS (SELECT src_item, dst_item FROM
+           (SELECT src_item, dst_item,
+              ROW_NUMBER() OVER (PARTITION BY src_item
+                ORDER BY n DESC, dst_item) rk FROM trc)
+           WHERE rk <= 3),
+         pop AS (SELECT item dst_item FROM
+           (SELECT item, COUNT(*) c FROM trn GROUP BY item
+            ORDER BY c DESC, item LIMIT 3)),
+         tsp AS (SELECT item src_item, LEAD(item) OVER w dst_item,
+             LEAD(ts_us) OVER w - ts_us gap_us FROM tst
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         tsc AS (SELECT src_item, dst_item, COUNT(*) n FROM tsp
+           WHERE dst_item IS NOT NULL AND gap_us <= 86400000000
+           GROUP BY src_item, dst_item),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) n_test FROM tsc),
+         hm AS (SELECT CAST(COALESCE(SUM(t.n), 0) AS BIGINT) n_hit_markov
+           FROM tsc t JOIN model m
+             ON t.src_item = m.src_item AND t.dst_item = m.dst_item),
+         hp AS (SELECT CAST(COALESCE(SUM(t.n), 0) AS BIGINT) n_hit_pop
+           FROM tsc t JOIN pop p ON t.dst_item = p.dst_item)
+         SELECT n_test, n_hit_markov,
+           CAST(n_hit_markov AS DOUBLE) / n_test AS hit_rate_markov,
+           n_hit_pop, CAST(n_hit_pop AS DOUBLE) / n_test AS hit_rate_pop
+         FROM tot, hm, hp""",
     "q157_rfm" -> {
       def ths(m: String, p: String) = (1 to 4)
         .map(i => s"quantile_cont($m, ${i / 5.0}) ${p}$i").mkString(", ")

@@ -35,6 +35,37 @@ object VectorQueries {
         .orderBy(col("vec_id"), col("i"))
     },
 
+    // Content-based user-profile retrieval — the two-tower-lite path:
+    // each user's profile is the exact decimal-mean of their purchased
+    // items' embeddings (vec_id = item id), every unseen item scored by
+    // the decimal-summed profile·item dot, top-3 per user. The whole
+    // chain is the exploded relational form, so profile means, scores,
+    // and ranks all hash-replay (the q45 centroid device extended
+    // through the dot product).
+    "q158_user_profiles" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val inter = table(s, d, "events")
+        .filter(col("event_type") === "purchase" && col("user_id") < 24)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("item"))
+        .distinct()
+      val itemx = table(s, d, "embeddings")
+        .select(col("vec_id").cast("int").as("item"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+      val prof = inter.join(itemx, Seq("item"))
+        .groupBy(col("user_id"), col("pos"))
+        .agg((dsum(col("x").cast("double"), 8) / count(lit(1))).as("m"))
+      val scores = prof.join(itemx, Seq("pos"))
+        .groupBy(col("user_id"), col("item"))
+        .agg(dsum(col("m") * col("x").cast("double"), 12).as("score"))
+        .join(inter, Seq("user_id", "item"), "left_anti")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("score").desc, col("item").asc)
+      scores.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("user_id"), col("rk"), col("item"), col("score"))
+        .orderBy(col("user_id"), col("rk"))
+    },
+
     // L2 norms + dims (F8 surface).
     "q40_vector_norms" -> { (s, d) =>
       table(s, d, "embeddings")
@@ -271,6 +302,29 @@ object VectorQueries {
   private def dot(x: String, y: String) = dotSql.format(x, y)
 
   val oracles: Map[String, String] = Map(
+    "q158_user_profiles" ->
+      """WITH inter AS (SELECT DISTINCT user_id, CAST(props->>'$.k' AS INT) item
+           FROM events WHERE event_type = 'purchase' AND user_id < 24),
+         itemx AS (SELECT CAST(vec_id AS INT) item, CAST(i AS INT) pos,
+             CAST(embedding[i + 1] AS DOUBLE) x
+           FROM (SELECT vec_id, embedding, unnest(range(len(embedding))) i
+                 FROM embeddings)),
+         prof AS (SELECT n.user_id, x.pos,
+             CAST(SUM(CAST(x.x AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) m
+           FROM inter n JOIN itemx x ON n.item = x.item
+           GROUP BY n.user_id, x.pos),
+         sc AS (SELECT p.user_id, x.item,
+             CAST(SUM(CAST(p.m * x.x AS DECIMAL(18,12))) AS DOUBLE) score
+           FROM prof p JOIN itemx x ON p.pos = x.pos
+           GROUP BY p.user_id, x.item),
+         unseen AS (SELECT sc.* FROM sc
+           LEFT JOIN inter n ON sc.user_id = n.user_id AND sc.item = n.item
+           WHERE n.item IS NULL),
+         ranked AS (SELECT user_id, item, score, ROW_NUMBER() OVER
+             (PARTITION BY user_id ORDER BY score DESC, item) rk
+           FROM unseen)
+         SELECT user_id, CAST(rk AS INT) rk, item, score FROM ranked
+         WHERE rk <= 3 ORDER BY user_id, rk""",
     "q149_int8_quant" ->
       """WITH m AS (SELECT vec_id, embedding,
              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) maxabs
