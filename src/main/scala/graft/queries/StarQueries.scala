@@ -25,6 +25,24 @@ object StarQueries {
         .orderBy(col("ante"), col("cons"))
     },
 
+    // Single-source shortest paths over the WEIGHTED co-purchase graph
+    // (edge cost shrinks with co-purchase strength): 4 fixed Bellman-Ford
+    // relaxation rounds — exact long min-plus, the PageRank determinism
+    // convention, so the oracle unrolls the same rounds as CTEs and every
+    // distance hash-replays.
+    "q160_sssp" -> { (s, d) =>
+      val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") =!= col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val edges = pairs.select(col("u"), col("v"),
+        expr("1 + (1000000 div c)").as("w"))
+      graft.graph.ShortestPaths.run(edges, "u", "v", "w", source = 0L, rounds = 4)
+        .orderBy(col("node"))
+    },
+
     // Triangle census of the part co-purchase graph: per-node triangle
     // counts + local clustering coefficient via degree-ordered
     // orientation (wedge space O(m^1.5), hub-immune — the naive Σdeg²
@@ -410,6 +428,25 @@ object StarQueries {
           FROM nodes LEFT JOIN s$k USING (node), nn)"""
 
   val oracles: Map[String, String] = Map(
+    "q160_sssp" -> {
+      val rounds = 4
+      val iters = (1 to rounds).map { r =>
+        s"""d$r AS (SELECT node, MIN(dist) dist FROM (
+             SELECT node, dist FROM d${r - 1}
+             UNION ALL
+             SELECT e.v node, p.dist + e.w dist
+             FROM d${r - 1} p JOIN e ON e.u = p.node) GROUP BY node)"""
+      }.mkString(",\n         ")
+      s"""WITH p AS (SELECT a.l_partkey u, b.l_partkey v, COUNT(*) c
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+           GROUP BY a.l_partkey, b.l_partkey),
+         e AS (SELECT u, v, 1 + (1000000 // c) w FROM p),
+         d0 AS (SELECT CAST(0 AS BIGINT) node, CAST(0 AS BIGINT) dist),
+         $iters
+         SELECT node, CAST(dist AS BIGINT) AS dist FROM d$rounds
+         ORDER BY node"""
+    },
     "q155_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
          e AS (SELECT DISTINCT LEAST(a.p, b.p) u, GREATEST(a.p, b.p) v

@@ -1,0 +1,47 @@
+package graft.graph
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class ShortestPathsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // weighted diamond: 1→2 (1), 1→3 (4), 2→3 (1), 3→4 (1), 2→4 (10)
+  private def g = Seq(
+    (1L, 2L, 1L), (1L, 3L, 4L), (2L, 3L, 1L), (3L, 4L, 1L), (2L, 4L, 10L)
+  ).toDF("u", "v", "w")
+
+  test("relaxation takes the cheaper multi-hop path over the direct edge") {
+    val d = ShortestPaths.run(g, "u", "v", "w", source = 1L, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("rounds bound path length: k rounds = best path of <= k edges") {
+    val d1 = ShortestPaths.run(g, "u", "v", "w", 1L, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one hop: 2 via (1), 3 via direct (4); 4 unreachable in 1 edge
+    assert(d1 == Map(1L -> 0L, 2L -> 1L, 3L -> 4L))
+    val d2 = ShortestPaths.run(g, "u", "v", "w", 1L, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2(3L) == 2L && d2(4L) == 5L) // 1→2→3 = 2; 1→3→4 = 5 (best ≤2 edges)
+  }
+
+  test("unreachable nodes are absent, not infinite") {
+    val iso = g.union(Seq((8L, 9L, 1L)).toDF("u", "v", "w"))
+    val d = ShortestPaths.run(iso, "u", "v", "w", 1L, rounds = 5)
+    assert(d.filter(col("node") >= 8L).count() == 0)
+  }
+
+  test("fixpoint: extra rounds past the diameter change nothing") {
+    val a = ShortestPaths.run(g, "u", "v", "w", 1L, rounds = 4).collect().toSet
+    val b = ShortestPaths.run(g, "u", "v", "w", 1L, rounds = 7).collect().toSet
+    assert(a == b)
+  }
+
+  test("distances are partitioning-invariant (exact long min-plus)") {
+    val a = ShortestPaths.run(g, "u", "v", "w", 1L, 4).collect().toSet
+    val b = ShortestPaths.run(g.repartition(7), "u", "v", "w", 1L, 4).collect().toSet
+    assert(a == b)
+  }
+}
