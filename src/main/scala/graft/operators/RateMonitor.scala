@@ -45,4 +45,40 @@ object RateMonitor {
         col("baseline") > 0 && col(countCol) * lit(den) > lit(num) * col("baseline"))
       .drop((1 to halfLives).map(j => s"__lag$j"): _*)
   }
+
+  /** CUSUM level-shift detection (Page 1954) — the complement of
+    * [[spikes]]: EWMA catches a one-bucket burst, CUSUM catches a
+    * SUSTAINED drift that never spikes (each bucket only slightly high,
+    * the sum marching away). EXACT INTEGER form: the baseline is the
+    * first `warmup` buckets' mean as the rational sum/warmup, deviations
+    * are kept in units of 1/warmup (dev_scaled = count·warmup − Σ_warmup,
+    * an exact long), and the running CUSUM is a window prefix sum of
+    * longs — bit-identical anywhere, the whole report on the oracle hash
+    * surface. Alarm when |cusum| exceeds `threshold` warmup-means
+    * (cross-multiplied, no division).
+    *
+    * One partitioned window per group (spillable, parallel across
+    * groups); warmup rows report cusum 0 / no alarm.
+    */
+  def cusum(counts: DataFrame, groupCol: String, bucketCol: String,
+      countCol: String, warmup: Int = 7, threshold: Long = 3L): DataFrame = {
+    require(warmup >= 1, s"warmup must be >= 1: $warmup")
+    require(threshold >= 1, s"threshold must be >= 1: $threshold")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(bucketCol))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withBase = counts
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__bsum",
+        sum(when(col("__rn") <= warmup, col(countCol))).over(
+          Window.partitionBy(col(groupCol))))
+    withBase
+      .withColumn("__dev",
+        when(col("__rn") > warmup,
+          col(countCol) * lit(warmup.toLong) - col("__bsum")).otherwise(lit(0L)))
+      .withColumn("cusum_scaled", sum(col("__dev")).over(wAll))
+      .withColumn("is_shift",
+        col("__rn") > warmup &&
+          abs(col("cusum_scaled")) > lit(threshold) * col("__bsum"))
+      .drop("__rn", "__bsum", "__dev")
+  }
 }

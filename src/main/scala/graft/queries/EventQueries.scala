@@ -161,6 +161,22 @@ object EventQueries {
         salt = "exp1")
     },
 
+    // CUSUM level-shift detection (Page 1954) — the complement of q144's
+    // EWMA spike test: a SUSTAINED drift that never spikes (each bucket
+    // only slightly high) walks the cumulative sum past the threshold.
+    // Baseline = first-7-day mean as the exact rational sum/7; deviations
+    // in 1/7 units are exact longs; the running CUSUM is a window prefix
+    // sum — every cell integer/boolean-exact.
+    "q162_cusum" -> { (s, d) =>
+      val counts = table(s, d, "events")
+        .groupBy(col("event_type"),
+          unix_micros(date_trunc("day", col("ts"))).as("bucket_us"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.RateMonitor.cusum(counts, "event_type", "bucket_us", "n",
+          warmup = 7, threshold = 3L)
+        .orderBy(col("event_type"), col("bucket_us"))
+    },
+
     // Event-rate spike detection: daily per-type counts smoothed by the
     // exact integer half-weight EWMA (a lag-battery projection, no floats,
     // no recurrence) with a cross-multiplied 3x spike test — the
@@ -399,6 +415,26 @@ object EventQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "q162_cusum" ->
+      """WITH c AS (SELECT event_type,
+             epoch_us(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP))) bucket_us,
+             COUNT(*) n
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT event_type, bucket_us, n, ROW_NUMBER() OVER w rn
+           FROM c WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us)),
+         b AS (SELECT event_type, SUM(CASE WHEN rn <= 7 THEN n END) bsum
+           FROM r GROUP BY event_type),
+         dv AS (SELECT r.event_type, bucket_us, n, rn, b.bsum,
+             CASE WHEN rn > 7 THEN n * 7 - b.bsum ELSE 0 END dev
+           FROM r JOIN b USING (event_type)),
+         s AS (SELECT event_type, bucket_us, n, rn, bsum,
+             SUM(dev) OVER (PARTITION BY event_type ORDER BY bucket_us
+               ROWS UNBOUNDED PRECEDING) cs
+           FROM dv)
+         SELECT event_type, bucket_us, CAST(n AS BIGINT) AS n,
+           CAST(cs AS BIGINT) AS cusum_scaled,
+           (rn > 7 AND ABS(cs) > 3 * bsum) AS is_shift
+         FROM s ORDER BY event_type, bucket_us""",
     "q156_kcore" -> {
       val (k, rounds) = (45, 3)
       val iters = (1 to rounds).map { r =>

@@ -57,6 +57,27 @@ object TextQueries {
         .orderBy(col("source_a"), col("source_b"))
     },
 
+    // GloVe-style windowed co-occurrence: every ordered token pair
+    // within 4 positions, weighted 1/distance — accumulated in exact
+    // integer units of 1/LCM(1..4)=1/12, so the word-vector training
+    // statistic hash-replays. Pairs come from per-offset arrays_zip
+    // slices (O(L·W) per doc), never a positional self-join (O(L²)).
+    "q161_glove_cooc" -> { (s, d) =>
+      graft.functions.Cooccurrence.glove(tokenized(s, d), col("__toks"), window = 4)
+        .orderBy(col("w1"), col("w2"))
+    },
+
+    // Exact phrase search over the positional inverted index (the IR leg
+    // BM25 doesn't cover): postings (term, doc, pos), a k-term phrase =
+    // k−1 joins of term-filtered postings shifted by phrase offset, all
+    // keyed on the same (doc, base) pair. Counts exact.
+    "q163_phrase_search" -> { (s, d) =>
+      import graft.functions.PhraseIndex
+      val idx = PhraseIndex.build(tokenized(s, d), "doc_id", col("__toks"))
+      PhraseIndex.phraseQuery(idx, "doc_id", Seq("slow", "hash", "batch"))
+        .orderBy(col("doc_id"))
+    },
+
     // Intra-document line dedup — the per-doc POLICY beside q93's
     // corpus-wide pass (RefinedWeb runs both): each doc keeps its own
     // first copy of a line, cross-document repeats untouched. Fixture
@@ -1541,6 +1562,27 @@ object TextQueries {
          FROM sh_$sfx GROUP BY shard_id)"""
 
   val oracles: Map[String, String] = Map(
+    "q161_glove_cooc" -> {
+      val legs = (1 to 4).map { dd =>
+        s"""SELECT w[i+1] w1, w[i+1+$dd] w2, ${12 / dd} wt
+           FROM (SELECT w, unnest(range(len(w)-$dd)) i FROM t WHERE len(w) > $dd)"""
+      }.mkString("\n           UNION ALL ")
+      s"""WITH t AS (SELECT string_split_regex(trim(text), '\\s+') w FROM documents),
+         p AS ($legs)
+         SELECT w1, w2, CAST(COUNT(*) AS BIGINT) n_pairs,
+           CAST(SUM(wt) AS BIGINT) weight_scaled
+         FROM p GROUP BY w1, w2 ORDER BY w1, w2"""
+    },
+    "q163_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+         x AS (SELECT doc_id, unnest(range(len(w))) i, w FROM t),
+         idx AS (SELECT doc_id, CAST(i AS INT) pos, w[i+1] term FROM x),
+         l0 AS (SELECT doc_id, pos AS base FROM idx WHERE term = 'slow'),
+         l1 AS (SELECT doc_id, pos - 1 AS base FROM idx WHERE term = 'hash'),
+         l2 AS (SELECT doc_id, pos - 2 AS base FROM idx WHERE term = 'batch')
+         SELECT l0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+         FROM l0 JOIN l1 USING (doc_id, base) JOIN l2 USING (doc_id, base)
+         GROUP BY l0.doc_id ORDER BY doc_id""",
     "q148_overlap_sketch" -> {
       import graft.functions.Hll
       val w = s"(${hex4Sql("x", 3)}::BIGINT * 4294967296 + " +
