@@ -827,6 +827,58 @@ object ScaleExperiment {
             && col("a.l_partkey") =!= col("b.l_partkey"))
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       timed("r7d_triangles")(graft.graph.Triangles.perNode(edges, "src", "dst"))
+      timed("r7d_sssp4")(graft.graph.ShortestPaths.run(
+        Tables.load(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .as("a").join(Tables.load(spark, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey")).as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey")
+              && col("a.l_partkey") =!= col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .select(col("u"), col("v"), expr("1 + (1000000 div c)").as("w")),
+        "u", "v", "w", source = 0L, rounds = 4))
+      import graft.functions.TextOps
+      val docs = Tables.load(spark, dir, "documents")
+      timed("r7d_glove_cooc")(graft.functions.Cooccurrence.glove(
+        docs.select(TextOps.tokens(col("text")).as("t")), col("t"), 4))
+      // user-profile scoring, both forms: the ORACLE form (exploded
+      // relational, exact decimal sums — users×items×dim rows, the cost
+      // of hash-exactness) vs the PRODUCTION form (VecCentroidAgg
+      // profile arrays + the codegen DotF32 kernel — users×items rows,
+      // dim inside one fused loop). Same ranking; the kernel form is
+      // what a catalog-scale scorer runs, with IVF/PQ beyond that.
+      val ev10 = Tables.load(spark, dir, "events")
+        .filter(col("event_type") === "purchase" && col("user_id") < 240)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("item"))
+        .distinct()
+      val emb = Tables.load(spark, dir, "embeddings")
+      val itemx = emb
+        .select(col("vec_id").cast("int").as("item"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+      // filter "r7d_kernel" runs ONLY the kernel form — at 10× the
+      // oracle form is a 300M-row exploded aggregate (the measured
+      // users×items×dim wall, see SCALE.md), not a benchmark
+      if (!only.contains("kernel")) timed("r7d_profiles_oracle_form") {
+        import graft.queries.QueryHelpers.dsum
+        val prof = ev10.join(itemx, Seq("item"))
+          .groupBy(col("user_id"), col("pos"))
+          .agg((dsum(col("x").cast("double"), 8) / count(lit(1))).as("m"))
+        prof.join(itemx, Seq("pos"))
+          .groupBy(col("user_id"), col("item"))
+          .agg(dsum(col("m") * col("x").cast("double"), 12).as("score"))
+      }
+      timed("r7d_profiles_kernel_form") {
+        val prof = ev10
+          .join(emb.select(col("vec_id").cast("int").as("item"), col("embedding")),
+            Seq("item"))
+          .groupBy(col("user_id"))
+          .agg(graft.functions.VecCentroidAgg.centroid(col("embedding")).as("p"))
+        prof.crossJoin(emb.select(col("vec_id"), col("embedding")))
+          .select(col("user_id"), col("vec_id"),
+            graft.sql.GraftFunctions.dotF32(col("p"), col("embedding")).as("score"))
+      }
     }
 
     // 27. language-ID fit+predict (the q36 shape) — the char-n-gram
