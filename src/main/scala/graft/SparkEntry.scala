@@ -114,6 +114,42 @@ object SparkEntry {
           explode(col("probes")).as("probe"))
         .groupBy(col("probe")).agg(count(lit(1)).as("n"), countDistinct(col("cid")).as("cells"))
     },
+    // The q158 scoring in its PRODUCTION form: VecCentroidAgg profile
+    // arrays + the codegen DotF32 kernel (users×items rows, dim inside
+    // one fused loop) — same ranking as the oracle's exploded exact form,
+    // 68× faster at sf0.1 (SCALE.md r7d). The oracle row stays exact by
+    // design; this entry tracks the path a catalog-scale scorer runs.
+    "q158k_profile_kernel" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val emb = graft.Tables.load(s, d, "embeddings")
+      val inter = graft.Tables.load(s, d, "events")
+        .filter(col("event_type") === "purchase" && col("user_id") < 240)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("item"))
+        .distinct()
+      val prof = inter
+        .join(emb.select(col("vec_id").cast("int").as("item"), col("embedding")),
+          Seq("item"))
+        .groupBy(col("user_id"))
+        .agg(graft.functions.VecCentroidAgg.centroid(col("embedding")).as("p"))
+      val scored = prof.crossJoin(emb.select(col("vec_id"), col("embedding")))
+        .select(col("user_id"), col("vec_id"),
+          graft.sql.GraftFunctions.dotF32(col("p"), col("embedding")).as("score"))
+      graft.operators.Relational.topKPerGroup(scored, Seq("user_id"),
+        Seq(col("score").desc, col("vec_id").asc), 10)
+    },
+    // Full-corpus int8 ADC top-k through the SQ8 kernels (encode is the
+    // codegen Int8CodesF32; scoring is DotF32 over float-exact codes):
+    // one query vector against every embedding, ranked. Correctness is
+    // q149 (encode oracle) + ScalarQuantSpec (recall, exact-dot parity).
+    "q149k_int8_topk" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val emb = graft.Tables.load(s, d, "embeddings")
+      val enc = graft.sim.ScalarQuant.encode(emb, "vec_id", "embedding")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      graft.sim.ScalarQuant.topK(enc, "vec_id", q, 10)
+    },
     // PQ encode + full-corpus ADC kernel at production code width (m=16,
     // k=256 → 16 B/vec): zero-shuffle encode, literal-LUT scoring, top-10.
     // Correctness of the PQ path is oracle-checked at q82 and spec-checked

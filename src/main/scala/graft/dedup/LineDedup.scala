@@ -104,7 +104,7 @@ object LineDedup {
     rebuild(firstOccurrencesBy(lines, idCol, posCol, lineCol, key),
       lines, idCol, posCol, lineCol, sep)
 
-  private def rebuild(kept: DataFrame, lines: DataFrame, idCol: String,
+  private[graft] def rebuild(kept: DataFrame, lines: DataFrame, idCol: String,
       posCol: String, lineCol: String, sep: String): DataFrame = {
     val rebuilt = kept
       .groupBy(col(idCol))

@@ -87,6 +87,21 @@ object Quality {
       .drop("__lo", "__hi")
   }
 
+  /** Line-granular quality filtering + document reassembly — the
+    * FineWeb/RefinedWeb line-removal pass (filter the BAD LINES, keep the
+    * doc): exploded (id, pos, line) rows are kept where `keep` holds and
+    * each document is rebuilt from its surviving lines in order (the
+    * LineDedup rebuild — one partial-agg shuffle on the doc key). Every
+    * input doc survives, possibly as "" — the gate downstream decides.
+    * `keep` should be a pure row-local predicate (integer
+    * cross-multiplied ratios, the GopherQuality device) so the whole
+    * pass is filter + rebuild, no extra pass over the corpus. */
+  def filterLines(lines: DataFrame, idCol: String, posCol: String,
+      lineCol: String, keep: Column, sep: String = "\n"): DataFrame =
+    graft.dedup.LineDedup.rebuild(
+      lines.filter(keep).select(col(idCol), col(posCol), col(lineCol)),
+      lines, idCol, posCol, lineCol, sep)
+
   /** Annotate every row with `failures`: a deterministic comma-joined list
     * of failed check names (empty string = clean row). `uniqueKeys` adds a
     * dbt-style uniqueness check per key set. */

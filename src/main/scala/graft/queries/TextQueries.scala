@@ -78,6 +78,26 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Line-granular quality filtering (the FineWeb/RefinedWeb line-removal
+    // pass): each 8-token line kept iff >= 3 tokens AND >= 50% alpha
+    // chars (integer cross-multiplied), docs rebuilt from survivors.
+    // Fixture appends one junk line ("## 123 $$%") to every %4==0 doc —
+    // the filter must kill exactly those plus genuine short tails.
+    "q164_line_quality" -> { (s, d) =>
+      val chunks = graft.functions.Chunking.chunkTokens(
+          tokenized(s, d), "doc_id", col("__toks"), 8, 0)
+        .select(col("doc_id"), col("chunk_idx").as("pos"),
+          col("chunk_text").as("line"))
+      val junk = chunks.select(col("doc_id")).distinct()
+        .filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), lit(2000).as("pos"), lit("## 123 $$%").as("line"))
+      val all = chunks.unionByName(junk)
+      val keep = (size(split(col("line"), " ")) >= 3) &&
+        (length(regexp_replace(col("line"), "[^A-Za-z]", "")) * 2 >= length(col("line")))
+      graft.operators.Quality.filterLines(all, "doc_id", "pos", "line", keep)
+        .orderBy(col("doc_id"))
+    },
+
     // Intra-document line dedup — the per-doc POLICY beside q93's
     // corpus-wide pass (RefinedWeb runs both): each doc keeps its own
     // first copy of a line, cross-document repeats untouched. Fixture
@@ -1573,6 +1593,25 @@ object TextQueries {
            CAST(SUM(wt) AS BIGINT) weight_scaled
          FROM p GROUP BY w1, w2 ORDER BY w1, w2"""
     },
+    "q164_line_quality" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+         st AS (SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 8)) i FROM t),
+         lines0 AS (SELECT doc_id, CAST(i // 8 AS INT) pos,
+             array_to_string(w[i+1:i+8], ' ') line FROM st),
+         lines AS (SELECT * FROM lines0
+           UNION ALL
+           SELECT DISTINCT doc_id, 2000, '## 123 $$%' FROM lines0
+           WHERE doc_id % 4 = 0),
+         kept AS (SELECT * FROM lines
+           WHERE len(string_split(line, ' ')) >= 3
+             AND len(regexp_replace(line, '[^A-Za-z]', '', 'g')) * 2 >= len(line)),
+         rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) clean,
+             CAST(COUNT(*) AS INT) n_kept
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(r.clean, '') AS clean,
+           COALESCE(r.n_kept, 0) AS n_kept
+         FROM (SELECT DISTINCT doc_id FROM lines) d
+         LEFT JOIN rebuilt r USING (doc_id) ORDER BY d.doc_id""",
     "q163_phrase_search" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
          x AS (SELECT doc_id, unnest(range(len(w))) i, w FROM t),

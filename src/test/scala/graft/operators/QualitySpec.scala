@@ -141,4 +141,28 @@ class QualitySpec extends SparkSpecBase {
     assert(out(3L) === 1.0 / 3 && out(4L) === 2.0 / 3)
     assert(out(5L) === 0.0, "single-member group calibrates to 0")
   }
+
+  test("filterLines drops failing lines and rebuilds docs in order") {
+    val lines = Seq(
+      (1L, 0, "good alpha line"), (1L, 1, "## 123 $$%"), (1L, 2, "more words here"),
+      (2L, 0, "## 123 $$%"),
+      (3L, 0, "ok line text")
+    ).toDF("id", "pos", "line")
+    val keep = (size(split(col("line"), " ")) >= 3) &&
+      (length(regexp_replace(col("line"), "[^A-Za-z]", "")) * 2 >= length(col("line")))
+    val out = Quality.filterLines(lines, "id", "pos", "line", keep)
+      .orderBy($"id").as[(Long, String, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, "good alpha line\nmore words here", 2),
+      (2L, "", 0), // every line failed: doc survives empty, gate decides
+      (3L, "ok line text", 1)))
+  }
+
+  test("filterLines keeps original positions' order under shuffled input") {
+    val lines = Seq((1L, 2, "c c c"), (1L, 0, "a a a"), (1L, 1, "b b b"))
+      .toDF("id", "pos", "line").repartition(5)
+    val out = Quality.filterLines(lines, "id", "pos", "line", lit(true))
+      .collect().head
+    assert(out.getString(1) == "a a a\nb b b\nc c c")
+  }
 }
