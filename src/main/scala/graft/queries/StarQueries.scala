@@ -25,6 +25,22 @@ object StarQueries {
         .orderBy(col("ante"), col("cons"))
     },
 
+    // DeepWalk-style random-walk corpus over the co-purchase graph: 2
+    // walks × 4 steps from every node, the neighbor choice at each step
+    // = md5(salt|walk|step) mod out-degree against RANKED adjacency — a
+    // pure function of the graph, replayed CTE-for-CTE by the oracle.
+    // Traces feed skip-gram statistics (Cooccurrence.glove) downstream.
+    "q165_random_walks" -> { (s, d) =>
+      val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      graft.graph.RandomWalks.walks(edges, "src", "dst",
+          numWalks = 2, length = 4, salt = "rw")
+        .orderBy(col("walk_id"), col("step"))
+    },
+
     // Single-source shortest paths over the WEIGHTED co-purchase graph
     // (edge cost shrinks with co-purchase strength): 4 fixed Bellman-Ford
     // relaxation rounds — exact long min-plus, the PageRank determinism
@@ -428,6 +444,30 @@ object StarQueries {
           FROM nodes LEFT JOIN s$k USING (node), nn)"""
 
   val oracles: Map[String, String] = Map(
+    "q165_random_walks" -> {
+      val (numWalks, length) = (2, 4)
+      def pick(t: Int) =
+        hex48Sql(s"md5('rw|' || CAST(s.walk_id AS VARCHAR) || '|$t')")
+      val steps = (1 to length).map { t =>
+        s"""s$t AS (SELECT s.walk_id, a.v cur FROM s${t - 1} s
+             JOIN adj a ON a.u = s.cur AND a.idx = ${pick(t)} % a.outdeg),
+           t$t AS (SELECT walk_id, $t step, cur node FROM s$t)"""
+      }.mkString(",\n         ")
+      val unions = (0 to length).map(t => s"SELECT * FROM t$t").mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT DISTINCT a.l_partkey u, b.l_partkey v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         adj AS (SELECT u, v,
+             ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1 idx,
+             COUNT(*) OVER (PARTITION BY u) outdeg FROM e),
+         s0 AS (SELECT n.u * $numWalks + w.w AS walk_id, n.u AS cur
+           FROM (SELECT DISTINCT u FROM adj) n,
+                (SELECT unnest(range($numWalks)) w) w),
+         t0 AS (SELECT walk_id, 0 step, cur node FROM s0),
+         $steps
+         SELECT walk_id, CAST(step AS INT) AS step, node
+         FROM ($unions) ORDER BY walk_id, step"""
+    },
     "q160_sssp" -> {
       val rounds = 4
       val iters = (1 to rounds).map { r =>

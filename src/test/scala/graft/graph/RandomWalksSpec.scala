@@ -1,0 +1,55 @@
+package graft.graph
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class RandomWalksSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("walks replay the md5 choice against ranked adjacency, by hand") {
+    // node 1 has neighbors {2, 3} (idx 0, 1); nodes 2, 3 loop to 1
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val trace = RandomWalks.walks(g, "src", "dst", numWalks = 1, length = 2, "s")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // driver-side replay for walk from node 1 (walk_id 1)
+    def pick(wid: Long, t: Int, outdeg: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s|$wid|$t".getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(6).map("%02x".format(_)).mkString, 16) % outdeg
+    }
+    val first = if (pick(1L, 1, 2L) == 0L) 2L else 3L
+    assert(trace((1L, 0)) == 1L && trace((1L, 1)) == first)
+    assert(trace((1L, 2)) == 1L, "both neighbors loop back")
+  }
+
+  test("every start node emits numWalks walks of full length on a complete graph") {
+    val nodes = (1L to 5L)
+    val g = (for { a <- nodes; b <- nodes if a != b } yield (a, b)).toDF("src", "dst")
+    val trace = RandomWalks.walks(g, "src", "dst", numWalks = 3, length = 4, "s")
+    assert(trace.count() == 5L * 3 * 5) // 15 walks × (length+1) rows
+    val perWalk = trace.groupBy(col("walk_id")).agg(count(lit(1)).as("n"))
+    assert(perWalk.filter(col("n") =!= 5).count() == 0)
+  }
+
+  test("dead-end nodes stop the walk instead of fabricating steps") {
+    val g = Seq((1L, 2L)).toDF("src", "dst") // 2 has no out-edges
+    val trace = RandomWalks.walks(g, "src", "dst", 1, 3, "s")
+    // walk from 1: steps 0 (at 1) and 1 (at 2), then stops
+    assert(trace.count() == 2L)
+  }
+
+  test("traces are a pure function of (graph, salt): rerun and repartition agree") {
+    val g = tbl("lineitem").select(col("l_orderkey"), col("l_partkey"))
+      .limit(2000)
+      .as("a").join(tbl("lineitem").select(col("l_orderkey"), col("l_partkey"))
+        .limit(2000).as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey")
+          && col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    val t1 = RandomWalks.walks(g, "src", "dst", 1, 3, "x").collect().toSet
+    val t2 = RandomWalks.walks(g.repartition(9), "src", "dst", 1, 3, "x").collect().toSet
+    val t3 = RandomWalks.walks(g, "src", "dst", 1, 3, "y").collect().toSet
+    assert(t1 == t2)
+    assert(t1 != t3, "salt must change the trace set")
+  }
+}
