@@ -161,6 +161,53 @@ object EventQueries {
         salt = "exp1")
     },
 
+    // Seasonal-naive forecast evaluation: forecast(day) = count(day−7),
+    // scored by MASE against the naive lag-1 baseline (Hyndman 2006 —
+    // THE scale-free forecast-eval number). Absolute errors are exact
+    // longs from two lag columns; MASE is one IEEE division of their
+    // sums. A model beating 1.0 beats walking forward last week.
+    "q166_seasonal_mase" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = table(s, d, "events")
+        .groupBy(col("event_type"),
+          unix_micros(date_trunc("day", col("ts"))).as("bucket_us"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_us"))
+      counts
+        .withColumn("__l7", lag(col("n"), 7).over(w))
+        .withColumn("__l1", lag(col("n"), 1).over(w))
+        .filter(col("__l7").isNotNull && col("__l1").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("n") - col("__l7"))).as("sae_seasonal"),
+          sum(abs(col("n") - col("__l1"))).as("sae_naive"))
+        .withColumn("mase", when(col("sae_naive") > 0,
+          col("sae_seasonal").cast("double") / col("sae_naive")))
+        .orderBy(col("event_type"))
+    },
+
+    // Session path mining: the top-20 consecutive event-type trigrams
+    // (both inter-event gaps <= 30 min — the same session semantics as
+    // q146's transitions, one order higher). Counts exact; ties broken
+    // by path text.
+    "q167_event_paths" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, d, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val gap = 1800000000L
+      ev
+        .withColumn("__t2", lead(col("event_type"), 1).over(w))
+        .withColumn("__t3", lead(col("event_type"), 2).over(w))
+        .withColumn("__g1", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        .withColumn("__g2", lead(col("ts_us"), 2).over(w) - lead(col("ts_us"), 1).over(w))
+        .filter(col("__t3").isNotNull && col("__g1") <= gap && col("__g2") <= gap)
+        .select(concat_ws(">", col("event_type"), col("__t2"), col("__t3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path").asc)
+        .limit(20)
+    },
+
     // CUSUM level-shift detection (Page 1954) — the complement of q144's
     // EWMA spike test: a SUSTAINED drift that never spikes (each bucket
     // only slightly high) walks the cumulative sum past the threshold.
@@ -415,6 +462,36 @@ object EventQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "q166_seasonal_mase" ->
+      """WITH c AS (SELECT event_type,
+             epoch_us(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP))) bucket_us,
+             COUNT(*) n
+           FROM events GROUP BY 1, 2),
+         l AS (SELECT event_type, bucket_us, n,
+             LAG(n, 7) OVER w l7, LAG(n, 1) OVER w l1
+           FROM c WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us)),
+         s AS (SELECT event_type, COUNT(*) n_days,
+             SUM(ABS(n - l7)) sae_seasonal, SUM(ABS(n - l1)) sae_naive
+           FROM l WHERE l7 IS NOT NULL AND l1 IS NOT NULL
+           GROUP BY event_type)
+         SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(sae_seasonal AS BIGINT) AS sae_seasonal,
+           CAST(sae_naive AS BIGINT) AS sae_naive,
+           CASE WHEN sae_naive > 0
+             THEN CAST(sae_seasonal AS DOUBLE) / sae_naive END AS mase
+         FROM s ORDER BY event_type""",
+    "q167_event_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) ts_us FROM events),
+         t AS (SELECT event_type t1,
+             LEAD(event_type, 1) OVER w t2, LEAD(event_type, 2) OVER w t3,
+             LEAD(ts_us, 1) OVER w - ts_us g1,
+             LEAD(ts_us, 2) OVER w - LEAD(ts_us, 1) OVER w g2
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         p AS (SELECT t1 || '>' || t2 || '>' || t3 AS path FROM t
+           WHERE t3 IS NOT NULL AND g1 <= 1800000000 AND g2 <= 1800000000)
+         SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM p
+         GROUP BY path ORDER BY n DESC, path LIMIT 20""",
     "q162_cusum" ->
       """WITH c AS (SELECT event_type,
              epoch_us(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP))) bucket_us,
