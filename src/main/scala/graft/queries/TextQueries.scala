@@ -235,6 +235,21 @@ object TextQueries {
         .orderBy(col("node"))
     },
 
+    // Near-dup cluster-size histogram — the dedup QA datasheet row
+    // ("how big are my duplicate families"): q64's verified-pair
+    // components grouped twice. A histogram dominated by giant clusters
+    // means boilerplate is bridging unrelated docs (the LSH-parameter
+    // smoke alarm); all-size-2 means pair-level dedup was enough.
+    "q169_cluster_histogram" -> { (s, d) =>
+      val docs = tokenized(s, d, shingleN)
+      val shingles = TextOps.wordShingles(col("__toks"), shingleN)
+      val pairs = TextDedup.nearDupPairs(docs, "doc_id", shingles, 16, 2, 0.5)
+      graft.dedup.ConnectedComponents.run(pairs)
+        .groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    },
+
     // Benchmark decontamination: src0's docs act as the held-out benchmark;
     // every other doc is scored by its distinct-3-gram overlap with that
     // vocabulary (broadcast on the corpus side — the 100 TB shape).
@@ -2067,6 +2082,23 @@ object TextQueries {
                    SELECT reach.node, sym.y FROM reach JOIN sym ON reach.r = sym.x)
          SELECT node, LEAST(node, MIN(r)) AS comp FROM reach
          GROUP BY node ORDER BY node""",
+    "q169_cluster_histogram" ->
+      s"""WITH RECURSIVE $lshChainSql,
+         scored AS (SELECT c.a a, c.b b,
+             CAST(cm.common AS DOUBLE) / (sa.n + sb.n - cm.common) j
+           FROM cand c JOIN common cm ON c.a = cm.a AND c.b = cm.b
+           JOIN sizes sa ON c.a = sa.doc_id JOIN sizes sb ON c.b = sb.doc_id),
+         pairs AS (SELECT a, b FROM scored WHERE j >= 0.5),
+         sym AS (SELECT a AS x, b AS y FROM pairs
+                 UNION ALL SELECT b, a FROM pairs),
+         reach AS (SELECT x AS node, y AS r FROM sym
+                   UNION
+                   SELECT reach.node, sym.y FROM reach JOIN sym ON reach.r = sym.x),
+         comp AS (SELECT node, LEAST(node, MIN(r)) AS c FROM reach GROUP BY node),
+         cs AS (SELECT c, COUNT(*) sz FROM comp GROUP BY c)
+         SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters
+         FROM cs GROUP BY sz ORDER BY cluster_size""",
     "q72_decontaminate" ->
       """WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') w FROM documents),
          sh AS (SELECT DISTINCT doc_id, source, unnest(list_transform(range(len(w)-2), i -> array_to_string(w[i+1:i+3], ' '))) s

@@ -66,6 +66,29 @@ object VectorQueries {
         .orderBy(col("user_id"), col("rk"))
     },
 
+    // Embedding-space outlier QA (mislabel / corrupt-vector detection):
+    // per-label centroid (exact decimal means), squared distance of
+    // every vector to its label's centroid (decimal-summed products),
+    // outlier = dist² above the label's exact 95th percentile (the q107
+    // threshold device, per group). The whole card — centroids,
+    // distances, thresholds, flags — hash-replays.
+    "q168_embedding_outliers" -> { (s, d) =>
+      val x = table(s, d, "embeddings").select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      val cent = x.groupBy(col("label"), col("pos"))
+        .agg((dsum(col("x").cast("double"), 8) / count(lit(1))).as("m"))
+      val dev = col("x").cast("double") - col("m")
+      val d2 = x.join(cent, Seq("label", "pos"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(dsum(dev * dev, 12).as("dist2"))
+      val thr = d2.groupBy(col("label"))
+        .agg(percentile(col("dist2"), lit(0.95)).as("thr"))
+      d2.join(broadcast(thr), Seq("label"))
+        .select(col("vec_id"), col("label"), col("dist2"), col("thr"),
+          (col("dist2") > col("thr")).as("is_outlier"))
+        .orderBy(col("vec_id"))
+    },
+
     // L2 norms + dims (F8 surface).
     "q40_vector_norms" -> { (s, d) =>
       table(s, d, "embeddings")
@@ -302,6 +325,22 @@ object VectorQueries {
   private def dot(x: String, y: String) = dotSql.format(x, y)
 
   val oracles: Map[String, String] = Map(
+    "q168_embedding_outliers" ->
+      """WITH x AS (SELECT label, vec_id, CAST(i AS INT) pos,
+             CAST(embedding[i + 1] AS DOUBLE) x
+           FROM (SELECT label, vec_id, embedding,
+                 unnest(range(len(embedding))) i FROM embeddings)),
+         cent AS (SELECT label, pos,
+             CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) m
+           FROM x GROUP BY label, pos),
+         d2 AS (SELECT x.vec_id, x.label,
+             CAST(SUM(CAST((x.x - c.m) * (x.x - c.m) AS DECIMAL(18,12))) AS DOUBLE) dist2
+           FROM x JOIN cent c ON x.label = c.label AND x.pos = c.pos
+           GROUP BY x.vec_id, x.label),
+         th AS (SELECT label, quantile_cont(dist2, 0.95) thr FROM d2 GROUP BY label)
+         SELECT d2.vec_id, d2.label, d2.dist2, th.thr,
+           d2.dist2 > th.thr AS is_outlier
+         FROM d2 JOIN th USING (label) ORDER BY d2.vec_id""",
     "q158_user_profiles" ->
       """WITH inter AS (SELECT DISTINCT user_id, CAST(props->>'$.k' AS INT) item
            FROM events WHERE event_type = 'purchase' AND user_id < 24),
