@@ -25,6 +25,33 @@ object StarQueries {
         .orderBy(col("ante"), col("cons"))
     },
 
+    // Crawl link-graph ranking end-to-end — the CommonCrawl host-graph
+    // pipeline: href extraction from HTML (codegen regexp_extract_all),
+    // host parsing, host→host edge derivation, 3 exact integer PageRank
+    // sweeps. Fixture wraps every document in HTML carrying 3
+    // deterministic cross-site links (site = fn(doc_id), 50 hosts);
+    // UrlCanon slots in upstream for messy real-world URLs (q112).
+    "q170_link_rank" -> { (s, d) =>
+      def site(j: Int) = concat(lit("https://site"),
+        pmod(col("doc_id") * 7 + j, lit(50)), lit(".example.com/p"), lit(j))
+      val html = table(s, d, "documents").select(col("doc_id"),
+        concat(lit("<html><body><p>"), col("text"),
+          lit(" <a href=\""), site(1), lit("\">a</a>"),
+          lit(" <a href=\""), site(2), lit("\">b</a>"),
+          lit(" <a href=\""), site(3), lit("\">c</a></p></body></html>")).as("html"))
+      val links = html.select(
+          concat(lit("site"), pmod(col("doc_id"), lit(50)),
+            lit(".example.com")).as("src"),
+          explode(expr("regexp_extract_all(html, 'href=\"(https?://[^\"]+)\"', 1)"))
+            .as("url"))
+        .select(col("src"),
+          regexp_extract(col("url"), "^https?://([^/]+)", 1).as("dst"))
+        .distinct()
+      graft.graph.PageRank.run(links, iters = 3)
+        .select(col("node").as("host"), col("rank_fp").as("rank_e12"))
+        .orderBy(col("host"))
+    },
+
     // DeepWalk-style random-walk corpus over the co-purchase graph: 2
     // walks × 4 steps from every node, the neighbor choice at each step
     // = md5(salt|walk|step) mod out-degree against RANKED adjacency — a
@@ -444,6 +471,30 @@ object StarQueries {
           FROM nodes LEFT JOIN s$k USING (node), nn)"""
 
   val oracles: Map[String, String] = Map(
+    "q170_link_rank" -> {
+      def site(j: Int) =
+        s"'https://site' || CAST((doc_id * 7 + $j) % 50 AS VARCHAR) || '.example.com/p$j'"
+      s"""WITH h AS (SELECT doc_id,
+             '<html><body><p>' || text
+             || ' <a href="' || ${site(1)} || '">a</a>'
+             || ' <a href="' || ${site(2)} || '">b</a>'
+             || ' <a href="' || ${site(3)} || '">c</a></p></body></html>' AS html
+           FROM documents),
+         u AS (SELECT 'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS src,
+             unnest(regexp_extract_all(html, 'href="(https?://[^"]+)"', 1)) AS url
+           FROM h),
+         e AS (SELECT DISTINCT src, regexp_extract(url, '^https?://([^/]+)', 1) AS dst
+           FROM u),
+         nodes AS (SELECT DISTINCT src AS node FROM e),
+         nn AS (SELECT COUNT(*) c FROM nodes),
+         deg AS (SELECT src, COUNT(*) dg FROM e GROUP BY 1),
+         r0 AS (SELECT node, 1000000000000 // nn.c AS r FROM nodes, nn),
+         ${prIterSql(1, "r0")},
+         ${prIterSql(2, "r1")},
+         ${prIterSql(3, "r2")}
+         SELECT node AS host, CAST(r AS BIGINT) AS rank_e12
+         FROM r3 ORDER BY host"""
+    },
     "q165_random_walks" -> {
       val (numWalks, length) = (2, 4)
       def pick(t: Int) =
