@@ -136,4 +136,33 @@ object ApproxStats {
       out
     }
   }
+
+  /** [[MgSummary]] as a typed `Aggregator`, usable directly in
+    * `groupBy(...).agg(ApproxStats.mgTopK(col, capacity))` — the
+    * PER-GROUP heavy-hitter form ([[heavyHitters]] is the global
+    * two-pass): each group keeps its own ≤2·capacity-entry summary,
+    * partial-aggregated and merged with the mergeable-summaries cut, so
+    * a group's distinct-value explosion never shuffles (contrast
+    * groupBy(group, value).count: distinct values × groups rows cross
+    * the exchange). Estimates undercount by ≤ N_group/(capacity+1); with
+    * capacity ≥ the group's alphabet the counts are EXACT (no shrink
+    * ever fires, no merge ever cuts) — the regime the q171 oracle pins.
+    * Output: value → estimated count map. */
+  final class MgTopKAgg(capacity: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[String, MgSummary, Map[String, Long]] {
+    override def zero: MgSummary = new MgSummary(capacity)
+    override def reduce(b: MgSummary, a: String): MgSummary =
+      if (a == null) b else b.add(a)
+    override def merge(x: MgSummary, y: MgSummary): MgSummary = x.merge(y)
+    override def finish(r: MgSummary): Map[String, Long] = r.counts
+    override def bufferEncoder: org.apache.spark.sql.Encoder[MgSummary] =
+      org.apache.spark.sql.Encoders.kryo[MgSummary]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Column form of [[MgTopKAgg]] for untyped groupBy.agg. */
+  def mgTopK(key: Column, capacity: Int): Column =
+    udaf(new MgTopKAgg(capacity), org.apache.spark.sql.Encoders.STRING)
+      .apply(key.cast("string"))
 }

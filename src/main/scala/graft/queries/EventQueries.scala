@@ -161,6 +161,22 @@ object EventQueries {
         salt = "exp1")
     },
 
+    // Per-group Misra-Gries heavy hitters through the typed Aggregator
+    // (SURVEY §2.11): daily event-type tallies via the mergeable MG
+    // summary instead of a (day, type) exchange. Capacity 16 ≥ the
+    // 5-type alphabet, so NO shrink/cut ever fires and the sketch's
+    // counts are EXACT — the oracle replays them with a plain GROUP BY,
+    // pinning the exactness regime the sketch guarantees.
+    "q171_mg_topk" -> { (s, d) =>
+      val ev = table(s, d, "events").select(
+        unix_micros(date_trunc("day", col("ts"))).as("bucket_us"),
+        col("event_type"))
+      ev.groupBy(col("bucket_us"))
+        .agg(graft.functions.ApproxStats.mgTopK(col("event_type"), 16).as("m"))
+        .select(col("bucket_us"), explode(col("m")).as(Seq("event_type", "n")))
+        .orderBy(col("bucket_us"), col("event_type"))
+    },
+
     // Seasonal-naive forecast evaluation: forecast(day) = count(day−7),
     // scored by MASE against the naive lag-1 baseline (Hyndman 2006 —
     // THE scale-free forecast-eval number). Absolute errors are exact
@@ -462,6 +478,10 @@ object EventQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "q171_mg_topk" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP))) AS bucket_us,
+         event_type, COUNT(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""",
     "q166_seasonal_mase" ->
       """WITH c AS (SELECT event_type,
              epoch_us(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP))) bucket_us,

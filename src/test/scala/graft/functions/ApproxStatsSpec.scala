@@ -91,4 +91,35 @@ class ApproxStatsSpec extends SparkSpecBase {
       ApproxStats.heavyHitters(df, $"k", 0)
     }
   }
+
+  test("mgTopK per group: exact counts when capacity >= the group alphabet") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1 to 40).flatMap(i => Seq(("g1", s"v${i % 3}"), ("g2", s"v${i % 4}")))
+      .toDF("g", "v").repartition(7)
+    val got = df.groupBy($"g").agg(ApproxStats.mgTopK($"v", 16).as("m"))
+      .select($"g", explode($"m").as(Seq("v", "n")))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (g, rs) => g -> rs.map(r => r._2 -> r._3).toMap }
+    val exact = df.groupBy($"g", $"v").count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (g, rs) => g -> rs.map(r => r._2 -> r._3).toMap }
+    assert(got == exact, "no shrink/cut may fire below capacity")
+  }
+
+  test("mgTopK under capacity pressure: undercount bounded by N/(capacity+1)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 200 distinct light keys + one heavy key, capacity 8
+    val rows = (1 to 200).map(i => ("g", s"light$i")) ++ Seq.fill(100)(("g", "heavy"))
+    val df = rows.toDF("g", "v").repartition(5)
+    val m = df.groupBy($"g").agg(ApproxStats.mgTopK($"v", 8).as("m"))
+      .select(explode($"m").as(Seq("v", "n")))
+      .as[(String, Long)].collect().toMap
+    val n = rows.size
+    assert(m.contains("heavy"), "a 1/3-frequency key must survive capacity 8")
+    assert(m("heavy") <= 100L && m("heavy") >= 100L - n / 9,
+      s"undercount bound violated: ${m("heavy")}")
+    assert(m.size <= 16, "live entries bounded by 2*capacity")
+  }
 }
