@@ -58,6 +58,28 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Shuffle-shaped calibration probe (round-7 finding: the CPU probe read
+    * drift_x 1.19 on a run whose shuffle-heavy queries were 2-4× the
+    * builder's numbers — CPU availability and exchange/spill throughput
+    * drift INDEPENDENTLY on a contended box, so each needs its own
+    * constant workload). 20M rows pushed through a full-width hash
+    * exchange (~320 MB shuffle write, wide key so nothing combines
+    * map-side) + a 1M-group aggregate: serializer, shuffle disk, and
+    * reducer-fetch shaped, deterministic, data-independent. The claims
+    * lint (tools/check_bench_claims.py) normalizes SCALE.md's pinned
+    * walls by BOTH probes' medians, so a box that shuffles 2× slower
+    * reads 2× claims instead of convicting untouched code. */
+  private def shuffleCalibration(spark: SparkSession, cpus: Int): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    spark.range(0L, 20000000L, 1L, cpus)
+      .select(xxhash64(col("id")).as("k"), (col("id") % 1000003L).as("g"))
+      .repartition(2 * cpus, col("k"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"), max(col("k")).as("m"))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -69,7 +91,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver records only the last ~2000 chars of
+    // stdout+stderr, and r7's WindowExec warnings (bounded-input windows,
+    // all documented) ate ~700 chars of that window — truncating the JSON
+    // line's tail and leaving cheap queries' numbers unverifiable.
+    spark.sparkContext.setLogLevel("ERROR")
     // Untimed JVM warmup (JIT + codegen compiler + parquet reader init) on
     // the tiny sf0.001 flagship so the first measured query isn't charged
     // ~8 s of one-time session cost.
@@ -125,22 +151,27 @@ object Bench {
       (name, median, times)
     }
 
-    // Calibration: one untimed warmup, then the three timed points
-    // (suite start / after half the queries / suite end).
+    // Calibration: one untimed warmup per probe, then three timed points
+    // each (suite start / after half the queries / suite end).
     try calibration(spark, cpus.toInt) catch { case _: Throwable => () }
+    try shuffleCalibration(spark, cpus.toInt) catch { case _: Throwable => () }
     def calPoint(): Double =
       try calibration(spark, cpus.toInt) catch { case _: Throwable => -1.0 }
-    val calStart = calPoint()
+    def shufPoint(): Double =
+      try shuffleCalibration(spark, cpus.toInt) catch { case _: Throwable => -1.0 }
+    val calStart = calPoint(); val shufStart = shufPoint()
     val (firstHalf, secondHalf) = ordered.splitAt(ordered.size / 2)
     val res1 = firstHalf.map { case (n, f) => runOne(n, f) }
-    val calMid = calPoint()
+    val calMid = calPoint(); val shufMid = shufPoint()
     val res2 = secondHalf.map { case (n, f) => runOne(n, f) }
-    val calEnd = calPoint()
+    val calEnd = calPoint(); val shufEnd = shufPoint()
     val results = res1 ++ res2
-    val calDrift = {
-      val pts = Seq(calStart, calMid, calEnd).filter(_ > 0)
-      if (pts.isEmpty) -1.0 else pts.max / pts.min
+    def driftOf(pts: Seq[Double]): Double = {
+      val good = pts.filter(_ > 0)
+      if (good.isEmpty) -1.0 else good.max / good.min
     }
+    val calDrift = driftOf(Seq(calStart, calMid, calEnd))
+    val shufDrift = driftOf(Seq(shufStart, shufMid, shufEnd))
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -155,12 +186,15 @@ object Bench {
     }.sum
     val calJson =
       s"""{"start":$calStart,"mid":$calMid,"end":$calEnd,"drift_x":$calDrift}"""
+    val shufJson =
+      s"""{"start":$shufStart,"mid":$shufMid,"end":$shufEnd,"drift_x":$shufDrift}"""
     val volatileJson =
       SparkEntry.benchVolatile.toSeq.sorted.map(jstr).mkString("[", ",", "]")
-    val calCompact = {
-      def r(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-      s"""{"start":${r(calStart)},"mid":${r(calMid)},"end":${r(calEnd)},"drift_x":${r(calDrift)}}"""
-    }
+    def r2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val calCompact =
+      s"""{"start":${r2(calStart)},"mid":${r2(calMid)},"end":${r2(calEnd)},"drift_x":${r2(calDrift)}}"""
+    val shufCompact =
+      s"""{"start":${r2(shufStart)},"mid":${r2(shufMid)},"end":${r2(shufEnd)},"drift_x":${r2(shufDrift)}}"""
     // STDOUT LINE SIZE CONTRACT: the driver records only the last ~2000
     // chars of the run's output (measured: every BENCH_r1..r6 artifact has
     // a 2000-char `tail` and `parsed: null` — the full per-query line has
@@ -171,7 +205,10 @@ object Bench {
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(v))
     val byCost = results.filter(_._2 > 0).sortBy(-_._2)
-    val qBudget = 1100
+    // ~360 chars of fixed fields (incl. both calibration blocks) + the
+    // [info] prefix leave ~1300 for per-query entries inside the driver's
+    // 2000-char tail now that the log level change keeps warnings out of it
+    val qBudget = 1300
     val kept = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     var used = 0
     byCost.foreach { case (k, v, _) =>
@@ -187,13 +224,13 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + jstr(v.take(40)) }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","core_total":${f3(coreTotal)},"n_queries":${results.size},"calibration":$calCompact,"queries":$qsCompact,"omitted":${omitted.size},"omitted_total":${f3(omittedTotal)},"n_errors":${errors.size},"errors":$errCompact,"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","core_total":${f3(coreTotal)},"n_queries":${results.size},"calibration":$calCompact,"shuffle_cal":$shufCompact,"queries":$qsCompact,"omitted":${omitted.size},"omitted_total":${f3(omittedTotal)},"n_errors":${errors.size},"errors":$errCompact,"sf":"$sfDir","reps":$reps}"""
     val repsJson = results.map { case (k, _, ts) =>
       jstr(k) + ":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val isolateJson = isolate.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","core_total":$coreTotal,"calibration":$calJson,"volatile":$volatileJson,"isolated":$isolateJson,"queries":$qs,"rep_times":$repsJson,"errors":$errJson,"sf":"$sfDir","reps":$reps,"cpus":$cpus}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","core_total":$coreTotal,"calibration":$calJson,"shuffle_cal":$shufJson,"volatile":$volatileJson,"isolated":$isolateJson,"queries":$qs,"rep_times":$repsJson,"errors":$errJson,"sf":"$sfDir","reps":$reps,"cpus":$cpus}"""
     try {
       // a dev-filtered run must not clobber the full artifact the bench
       // claims lint reads (measured mistake: two ONLY=q134 A/B runs left

@@ -526,6 +526,14 @@ object ScaleExperiment {
       timed("spandedup_hotgram_10x_salted")(
         graft.dedup.SpanDedup.removeDuplicateSpans(
           hotGramDocs(2000000), "doc_id", col("toks"), 8, numSalts = 8))
+      // round-8 bloom prefilter: in this fixture 1 of ~33 grams/doc is
+      // duplicated, so the marking stream shrinks ~33x map-side; together
+      // with the shuffle-free rebuild this is the path that beat the
+      // round-7 scratch ceiling (see the 100x block below)
+      timed("spandedup_hotgram_10x_bloom")(
+        graft.dedup.SpanDedup.removeDuplicateSpans(
+          hotGramDocs(2000000), "doc_id", col("toks"), 8,
+          bloomExpectedDupGrams = 100000L))
       // Beyond-10x walls (filter "spandedup100"): the hot gram in every
       // doc. MEASURED CEILING on this box: the full 100x (20M docs,
       // ~660M gram rows) dies ENOSPC mid-shuffle — spill needs more than
@@ -543,6 +551,10 @@ object ScaleExperiment {
         timed(s"spandedup_hotgram_${tag}_salted")(
           graft.dedup.SpanDedup.removeDuplicateSpans(
             hotGramDocs(big), "doc_id", col("toks"), 8, numSalts = 8))
+        timed(s"spandedup_hotgram_${tag}_bloom")(
+          graft.dedup.SpanDedup.removeDuplicateSpans(
+            hotGramDocs(big), "doc_id", col("toks"), 8,
+            bloomExpectedDupGrams = 100000L))
       }
     }
 

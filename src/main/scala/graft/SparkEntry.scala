@@ -42,11 +42,24 @@ object SparkEntry {
     DagQueries.benchSetup(spark, sfDir)
   }
 
-  /** Oracle queries whose bench duty moved to a decomposed benchOnly form:
-    * q25's in-memory e2e shape re-encodes envelopes every rep (rep spread
-    * 1.9× in round 5), so the bench measures q25a (ingest) + q25b (DAG over
-    * bronze) instead. Verify still runs every `queries` entry. */
-  def benchSkip: Set[String] = Set("q25_e2e_dag")
+  /** Oracle queries whose bench duty moved to a decomposed/production
+    * benchOnly form (Verify still runs every `queries` entry — correctness
+    * rows are untouched; only who carries the wall-clock number changes):
+    *  - q25: the in-memory e2e shape re-encodes envelopes every rep (rep
+    *    spread 1.9× in round 5) — the bench measures q25a (ingest) +
+    *    q25b (DAG over bronze) instead;
+    *  - q158: the oracle row is DELIBERATELY the exploded exact form so
+    *    profiles/scores/ranks hash-replay in DuckDB; the path a
+    *    catalog-scale scorer actually runs is q158k_profile_kernel
+    *    (VecCentroidAgg + codegen DotF32 — 68× at sf0.1), which carries
+    *    the bench number (round-7 verdict task 3);
+    *  - q34: documented verification-scale all-pairs Jaccard over
+    *    shared-shingle pairs; the discovery path at scale is the LSH
+    *    pipeline ALREADY benched as q37/q38 — the all-pairs wall
+    *    (15.9 s driver median, 4.9× rep spread) measured suite noise,
+    *    not a production plan. */
+  def benchSkip: Set[String] = Set(
+    "q25_e2e_dag", "q158_user_profiles", "q34_shingle_jaccard")
 
   /** The suite's top wall-clock consumers (the r6 top-10 plus the two
     * retrieval queries just under them): Bench runs System.gc() + a settle
@@ -80,6 +93,10 @@ object SparkEntry {
     */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] =
     RankQueries.serveDefs ++ DagQueries.benchDefs ++ Map(
+    // Deflate compression-ratio gate signal — no DuckDB deflate exists, so
+    // this is a bench-only entry (was the q139 `err:no_oracle` Verify row
+    // through round 7); correctness is pinned in DeflateLenFSpec.
+    "q139_compress_ratio" -> TextQueries.compressRatio,
     // ALS train + per-user top-10 + ranking eval, end to end (F9/F12).
     "q60_als_retrieval" -> { (s, d) =>
       import graft.rank._

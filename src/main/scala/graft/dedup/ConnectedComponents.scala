@@ -81,6 +81,10 @@ object ConnectedComponents {
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.comp") =!= col("o.comp"))
         .count()
+      // the convergence count was the old labels' last consumer; its
+      // blocks are superseded — free them now rather than accumulating
+      // one block set per iteration until the ContextCleaner catches up
+      graft.operators.Checkpoints.free(labels)
       labels = next
       iter += 1
     }

@@ -43,13 +43,17 @@ import graft.functions.TextOps
   *    [[graft.operators.Relational.saltedJoin]], spreading each gram
   *    over `numSalts` reducers at the cost of replicating the
   *    (gram, first) table `numSalts`× (rows are two words each);
-  *  - coverage: marked spans explode to ≤ k rows each — k× the
-  *    duplicated-occurrence count only, not the corpus;
-  *  - removal: left_anti join tokens against covered positions on
-  *    (doc, pos) — anti joins tolerate duplicate right-side rows, so
-  *    overlapping spans need no interval merge;
-  *  - rebuild: one shuffle on doc id (collect_list + array_sort).
-  * Total: three shuffles (gram, doc×pos, doc), each linear and skew-safe.
+  *  - coverage: marked span STARTS aggregate per doc (shuffle bounded by
+  *    the duplicated-occurrence count), then ONE HOF chain expands starts
+  *    to the covered-position array — overlap merge is array_distinct,
+  *    row-local;
+  *  - removal + rebuild: one doc-keyed join of the corpus against the
+  *    (dup-affected docs only) covered table, survivors selected map-side
+  *    by an index filter over the original token array — the token stream
+  *    itself never shuffles.
+  * Total: two corpus-proportional exchanges (the gram aggregate and the
+  * marking stream — the latter cut to the duplicated slice by the Bloom
+  * prefilter) + two dup-bounded ones, each linear and skew-safe.
   */
 object SpanDedup {
 
@@ -62,17 +66,50 @@ object SpanDedup {
   /** Start positions (idCol, pos) of every duplicated-gram occurrence that
     * is NOT its gram's corpus-wide first — the spans slated for removal.
     * `numSalts > 1` salts the marking join for hot-gram skew (see the
-    * scale-design note above); results are identical either way. */
+    * scale-design note above); results are identical either way.
+    *
+    * The aggregate side keeps only grams with corpus count >= 2 (round-8
+    * prefilter): a unique gram's sole occurrence IS its first, so it can
+    * never mark a span — dropping it from `firsts` changes nothing (the
+    * `packed > first` filter already discarded it) but shrinks the
+    * marking join's build side to the DUPLICATED vocabulary, typically a
+    * tiny fraction of all grams.
+    *
+    * `bloomExpectedDupGrams > 0` additionally cuts the marking join's
+    * STREAM side — the shuffle that hit the round-7 scratch ceiling
+    * (~660M gram rows at the 100x fixture, ENOSPC on a 77 GB-scratch
+    * box): a Bloom filter over the duplicated grams (built map-side by
+    * one treeAggregate, ~1.2 B/key at fpp 1%) filters the gram stream
+    * BEFORE its exchange, so only duplicated-gram occurrences (plus the
+    * fpp slice, resolved exactly by the inner marking join finding no
+    * match) cross the wire. Sizing: pass the expected count of DISTINCT
+    * duplicated grams; fine to ~10^8 keys, skip beyond (the dup
+    * vocabulary is no longer "small"). The dup-gram aggregate is
+    * computed twice on this path (once for the filter build, once for
+    * the join) — two map-combined aggregate exchanges are the cheap
+    * currency next to the corpus-sized stream shuffle they avoid.
+    * Results are identical with any parameter combination. */
   def duplicateSpanStarts(docs: DataFrame, idCol: String, toksCol: Column,
-      k: Int, numSalts: Int = 1): DataFrame = {
+      k: Int, numSalts: Int = 1, bloomExpectedDupGrams: Long = 0L,
+      bloomFpp: Double = 0.01): DataFrame = {
     val base = docs.select(col(idCol), toksCol.as("__toks"))
     val grams = gramRows(base, idCol, k)
     val firsts = grams
       .groupBy(col("__g"))
-      .agg(min(Packing.pack(col(idCol), col("pos"))).as("__f"))
+      .agg(min(Packing.pack(col(idCol), col("pos"))).as("__f"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+      .select(col("__g"), col("__f"))
+    val stream =
+      if (bloomExpectedDupGrams <= 0L) grams
+      else {
+        val maybeDup = graft.operators.BloomPrefilter.probe(
+          firsts.select(col("__g")), col("__g"), bloomExpectedDupGrams, bloomFpp)
+        grams.filter(maybeDup(col("__g")))
+      }
     val marked =
-      if (numSalts <= 1) grams.join(firsts, Seq("__g"))
-      else graft.operators.Relational.saltedJoin(grams, firsts, Seq("__g"), numSalts)
+      if (numSalts <= 1) stream.join(firsts, Seq("__g"))
+      else graft.operators.Relational.saltedJoin(stream, firsts, Seq("__g"), numSalts)
     marked
       .filter(Packing.pack(col(idCol), col("pos")) > col("__f"))
       .select(col(idCol), col("pos"))
@@ -81,25 +118,43 @@ object SpanDedup {
   /** Full pipeline: drop every token covered by a duplicated span, rebuild
     * each document from the survivors (space-joined, original order).
     * Every input document survives — one whose every token was covered
-    * comes back as the empty string. Output: (idCol, clean, n_kept). */
+    * comes back as the empty string. Output: (idCol, clean, n_kept).
+    *
+    * Rebuild dataflow (redesigned round 8 — the old form shuffled the
+    * TOKEN stream twice: posexplode → (doc,pos)-keyed anti join →
+    * doc-keyed collect_list, i.e. two corpus-sized exchanges of L× more
+    * rows than documents): the marked span STARTS aggregate per doc
+    * (shuffle bounded by duplicated-occurrence count, not corpus size),
+    * expand to a per-doc covered-position array with one HOF chain, and
+    * the surviving tokens are selected MAP-SIDE by an index-filter over
+    * the original token array after one doc-keyed join of base against
+    * the (dup-affected docs only) covered table. Corpus-sized data now
+    * crosses the wire once (the base side of that join) instead of three
+    * times, and the token stream never shuffles at all.
+    *
+    * The per-token `array_contains` probe is O(|covered|) — fine while
+    * per-doc duplicated coverage is spans × k (the regime this targets);
+    * a pathological doc that is ~all duplicated spans costs O(L²) CPU in
+    * that one row's lambda, still map-side and spill-free. */
   def removeDuplicateSpans(docs: DataFrame, idCol: String, toksCol: Column,
-      k: Int, numSalts: Int = 1): DataFrame = {
+      k: Int, numSalts: Int = 1, bloomExpectedDupGrams: Long = 0L): DataFrame = {
     val base = docs.select(col(idCol), toksCol.as("__toks"))
-    val covered = duplicateSpanStarts(base, idCol, col("__toks"), k, numSalts)
-      .select(col(idCol),
-        explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
-    val toks = base.select(col(idCol),
-      posexplode(col("__toks")).as(Seq("pos", "__tok")))
-    val rebuilt = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+    val covered = duplicateSpanStarts(base, idCol, col("__toks"), k, numSalts,
+        bloomExpectedDupGrams)
       .groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("pos"), col("__tok")))).as("__ts"))
+      .agg(collect_set(col("pos")).as("__starts"))
       .select(col(idCol),
-        concat_ws(" ", transform(col("__ts"), s => s.getField("__tok"))).as("clean"),
-        size(col("__ts")).as("n_kept"))
-    base.select(col(idCol))
-      .join(rebuilt, Seq(idCol), "left")
+        array_distinct(flatten(transform(col("__starts"),
+          s => sequence(s, s + (k - 1))))).as("__cov"))
+    base.join(covered, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("clean"), lit("")).as("clean"),
-        coalesce(col("n_kept"), lit(0)).as("n_kept"))
+        when(col("__cov").isNull, col("__toks"))
+          .otherwise(filter(col("__toks"),
+            (_, i) => !array_contains(col("__cov"), i))).as("__kept"))
+      .select(col(idCol),
+        concat_ws(" ", col("__kept")).as("clean"),
+        // coalesce: a NULL token array (no grams, no coverage) reads as
+        // the empty doc, matching the old left-join + fill semantics
+        coalesce(size(col("__kept")), lit(0)).as("n_kept"))
   }
 }

@@ -25,16 +25,39 @@ import org.apache.spark.sql.functions._
   */
 object Categorify {
 
-  /** Fit a frequency-ordered dictionary: value → id (1-based; 0 = null/OOV). */
-  def fitDictionary(df: DataFrame, column: String): DataFrame = {
-    val counts = df.filter(col(column).isNotNull)
-      .groupBy(col(column).as("value"))
-      .agg(count(lit(1)).as("freq"))
-    // The window has no partition key: acceptable because input here is the
-    // *distinct-value* set. High-cardinality path below avoids it.
-    // Long ids so both fitters produce the same persisted dictionary schema.
-    val w = Window.orderBy(col("freq").desc, col("value").asc)
-    counts.select(col("value"), row_number().over(w).cast("long").as("id"))
+  /** Default distinct-cardinality above which [[fitDictionary]] routes to
+    * the zipWithIndex fitter on its own: 2M distinct values × ~30 B is a
+    * ~60 MB single-partition window sort — still fine; an order of
+    * magnitude more is not, and a 100M-value user-id column must never
+    * pick the single-partition plan just because the caller used the
+    * default API (round-7 verdict task 6). */
+  val AutoSwitchDistinct: Long = 2L << 20
+
+  /** Fit a frequency-ordered dictionary: value → id (1-based; 0 = null/OOV).
+    *
+    * Plan selection is AUTOMATIC: one cheap `approx_count_distinct` probe
+    * (a map-combined HLL pass, no shuffle of values) routes columns whose
+    * distinct cardinality exceeds `autoSwitchDistinct` to
+    * [[fitDictionaryHighCardinality]] — same (freq DESC, value ASC) total
+    * order, same 1-based long ids, bit-identical dictionary (pinned in
+    * CategorifySpec) — so the single-partition row_number window only ever
+    * runs over distinct sets it can actually hold. The ±2% HLL error just
+    * moves the switch point, never the result. */
+  def fitDictionary(df: DataFrame, column: String,
+      autoSwitchDistinct: Long = AutoSwitchDistinct): DataFrame = {
+    val approx = df.select(
+      approx_count_distinct(col(column)).as("c")).head().getLong(0)
+    if (approx > autoSwitchDistinct) fitDictionaryHighCardinality(df, column)
+    else {
+      val counts = df.filter(col(column).isNotNull)
+        .groupBy(col(column).as("value"))
+        .agg(count(lit(1)).as("freq"))
+      // The window has no partition key: acceptable because input here is
+      // the *distinct-value* set, probed above to fit one partition.
+      // Long ids so both fitters produce the same persisted schema.
+      val w = Window.orderBy(col("freq").desc, col("value").asc)
+      counts.select(col("value"), row_number().over(w).cast("long").as("id"))
+    }
   }
 
   /** High-cardinality variant: ids are still deterministic (freq desc, value

@@ -42,11 +42,15 @@ object KCore {
         .unionAll(e.select(col("v").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("__d"))
       val keep = deg.filter(col("__d") >= k).select(col("n"))
+      val prev = e
       e = e
         .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
         .localCheckpoint()
+      // eager checkpoint materialized → the pre-peel edge blocks are
+      // superseded; free them instead of letting rounds accumulate
+      graft.operators.Checkpoints.free(prev)
       r += 1
     }
     e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))

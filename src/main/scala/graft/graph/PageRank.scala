@@ -77,6 +77,7 @@ object PageRank {
     var ranks = nodes.withColumn("rank_fp", lit(teleport)).localCheckpoint()
     var it = 0
     while (it < iters) {
+      val prev = ranks
       val withDeg = ranks.join(outdeg, Seq("node"), "left")
       // dangling mass: nodes with no out-edges spread their rank uniformly
       val dangling = withDeg.filter(col("__outdeg").isNull)
@@ -96,6 +97,11 @@ object PageRank {
               + expr(s"__dang DIV ${n}L"))).as("__num"))
         .select(col("node"), expr(s"__num DIV ${dampDen}L").as("rank_fp"))
         .localCheckpoint()
+      // the new checkpoint is eagerly materialized — the previous sweep's
+      // blocks are superseded and freed NOW, not when the ContextCleaner
+      // eventually notices (round-7 verdict #3: the accumulated per-sweep
+      // blocks were a real memory-pressure source across a long session)
+      graft.operators.Checkpoints.free(prev)
       it += 1
     }
     ranks

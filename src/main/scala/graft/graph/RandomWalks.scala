@@ -29,8 +29,18 @@ object RandomWalks {
   private def hex48(c: org.apache.spark.sql.Column) =
     conv(substring(md5(c), 1, 12), 16, 10).cast("long")
 
-  /** Walk traces: (walk_id, step, node), walk_id = start·numWalks + w.
-    * Starts from every node with at least one out-edge. */
+  /** Walk traces: (walk_id, step, node), walk_id = start·numWalks + w
+    * (computed in LONG — an IntegerType node id near Int.MaxValue/numWalks
+    * would otherwise overflow the multiply and collide walk ids, silently
+    * corrupting the md5 picks). Starts from every node with at least one
+    * out-edge.
+    *
+    * Block lifecycle: every step's checkpointed state IS part of the
+    * output (the trace is the union of all step frames), so unlike the
+    * PageRank/KCore loops nothing here is superseded — the per-step
+    * blocks live until the caller materializes the trace and drops the
+    * reference. Retention is output-sized by construction
+    * (numWalks·|V|·length rows), not scaffolding. */
   def walks(edges: DataFrame, srcCol: String, dstCol: String,
       numWalks: Int, length: Int, salt: String): DataFrame = {
     require(numWalks >= 1 && length >= 1, s"numWalks/length >= 1")
@@ -42,10 +52,13 @@ object RandomWalks {
       .repartition(col("u")).localCheckpoint()
     val starts = adj.select(col("u")).distinct()
       .select(col("u"), explode(sequence(lit(0), lit(numWalks - 1))).as("w"))
-      .select((col("u") * numWalks + col("w")).as("walk_id"), col("u").as("cur"))
-    var trace = starts.select(col("walk_id"), lit(0).as("step"),
-      col("cur").as("node")).localCheckpoint()
-    var state = starts.localCheckpoint()
+      .select((col("u").cast("long") * numWalks + col("w")).as("walk_id"),
+        col("u").as("cur"))
+      .localCheckpoint()
+    val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    frames += starts.select(col("walk_id"), lit(0).as("step"),
+      col("cur").as("node"))
+    var state = starts
     var t = 1
     while (t <= length) {
       val pick = hex48(concat(lit(salt + "|"), col("walk_id"),
@@ -53,10 +66,10 @@ object RandomWalks {
       state = state.join(adj, state("cur") === adj("u") && adj("idx") === pick)
         .select(col("walk_id"), col("v").as("cur"))
         .localCheckpoint()
-      trace = trace.unionByName(
-        state.select(col("walk_id"), lit(t).as("step"), col("cur").as("node")))
+      frames += state.select(col("walk_id"), lit(t).as("step"),
+        col("cur").as("node"))
       t += 1
     }
-    trace
+    frames.reduce(_.unionByName(_))
   }
 }

@@ -40,9 +40,13 @@ object ShortestPaths {
     while (r < rounds) {
       val relaxed = dist.join(e, dist("node") === e("u"))
         .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+      val prev = dist
       dist = dist.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .localCheckpoint()
+      // eager checkpoint materialized → the previous round's distance
+      // blocks are superseded; free them immediately
+      graft.operators.Checkpoints.free(prev)
       r += 1
     }
     dist

@@ -42,13 +42,24 @@ object BloomPrefilter {
         "cast both sides explicitly first")
   }
 
-  private def mightContain(small: DataFrame, smallKey: Column,
-      expectedItems: Long, fpp: Double) = {
+  /** Build the broadcast membership probe itself (the raw might-contain
+    * predicate, no resolving join): true when the key MIGHT be in
+    * `small`'s key set, false only when it definitely is not. Public for
+    * operators that resolve false positives through their own existing
+    * exact join (SpanDedup's marking join) instead of the antiJoin /
+    * semiJoin wrappers below. Builds the filter EAGERLY (one treeAggregate
+    * action over `small`). */
+  def probe(small: DataFrame, smallKey: Column,
+      expectedItems: Long, fpp: Double): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val bf = small.select(smallKey.cast("string").as("k")).na.drop("any")
       .stat.bloomFilter("k", expectedItems, fpp)
     val bbf = small.sparkSession.sparkContext.broadcast(bf)
     udf((s: String) => s != null && bbf.value.mightContainString(s))
   }
+
+  private def mightContain(small: DataFrame, smallKey: Column,
+      expectedItems: Long, fpp: Double) =
+    probe(small, smallKey, expectedItems, fpp)
 
   /** big WHERE bigKey NOT IN (small.smallKey) — exact anti-join semantics
     * (null big keys never match, so they are kept). */

@@ -68,6 +68,32 @@ object StarQueries {
         .orderBy(col("walk_id"), col("step"))
     },
 
+    // DeepWalk statistics END-TO-END (the last unconnected seam of the
+    // graph-embedding story, round-7 verdict task 7): random-walk traces
+    // over the (capped) co-purchase graph, regrouped into per-walk node
+    // sequences, fed to GloVe windowed co-occurrence — exactly the
+    // corpus a skip-gram/GloVe trainer consumes (Perozzi 2014 →
+    // Pennington 2014). Every weight is an exact integer (walks are
+    // md5-replayable, glove accumulates in 1/LCM units), so the composed
+    // statistic hash-replays CTE-for-CTE in DuckDB.
+    "q172_walk_glove" -> { (s, d) =>
+      val li = table(s, d, "lineitem")
+        .filter(col("l_partkey") < 500)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      val traces = graft.graph.RandomWalks.walks(edges, "src", "dst",
+        numWalks = 2, length = 4, salt = "rw")
+      val seqs = traces.groupBy(col("walk_id"))
+        .agg(array_sort(collect_list(struct(col("step"), col("node")))).as("__s"))
+        .select(transform(col("__s"),
+          x => x.getField("node").cast("string")).as("__toks"))
+      graft.functions.Cooccurrence.glove(seqs, col("__toks"), window = 2)
+        .orderBy(col("w1"), col("w2"))
+    },
+
     // Single-source shortest paths over the WEIGHTED co-purchase graph
     // (edge cost shrinks with co-purchase strength): 4 fixed Bellman-Ford
     // relaxation rounds — exact long min-plus, the PageRank determinism
@@ -462,6 +488,37 @@ object StarQueries {
     * the DuckDB mirror of graph/PageRank's integer recurrence. `prev` is
     * the prior rank CTE's name. The co-purchase graph is symmetric, so the
     * dangling term is identically 0 on both sides and the replay omits it. */
+  /** The q165 walk recurrence as reusable CTE text — e (co-purchase
+    * edges), adj (ranked adjacency), s0..sL walk states, t0..tL trace
+    * frames, tr (their union) — so composed oracles (q172's DeepWalk →
+    * GloVe statistics) replay the identical traces rather than
+    * copy-pasting the recurrence. `edgeWhere` optionally shrinks the
+    * graph (q172 caps part ids so the composed row stays cheap). */
+  private def walkCtesSql(numWalks: Int, length: Int, salt: String,
+      edgeWhere: String = ""): String = {
+    def pick(t: Int) =
+      hex48Sql(s"md5('$salt|' || CAST(s.walk_id AS VARCHAR) || '|$t')")
+    val steps = (1 to length).map { t =>
+      s"""s$t AS (SELECT s.walk_id, a.v cur FROM s${t - 1} s
+           JOIN adj a ON a.u = s.cur AND a.idx = ${pick(t)} % a.outdeg),
+         t$t AS (SELECT walk_id, $t step, cur node FROM s$t)"""
+    }.mkString(",\n         ")
+    val unions = (0 to length).map(t => s"SELECT * FROM t$t").mkString(" UNION ALL ")
+    s"""e AS (SELECT DISTINCT a.l_partkey u, b.l_partkey v
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         $edgeWhere),
+       adj AS (SELECT u, v,
+           ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1 idx,
+           COUNT(*) OVER (PARTITION BY u) outdeg FROM e),
+       s0 AS (SELECT n.u * $numWalks + w.w AS walk_id, n.u AS cur
+         FROM (SELECT DISTINCT u FROM adj) n,
+              (SELECT unnest(range($numWalks)) w) w),
+       t0 AS (SELECT walk_id, 0 step, cur node FROM s0),
+       $steps,
+       tr AS ($unions)"""
+  }
+
   private def prIterSql(k: Int, prev: String): String =
     s"""s$k AS (SELECT e.dst AS node, SUM($prev.r // deg.dg) AS inf
           FROM e JOIN $prev ON e.src = $prev.node JOIN deg ON e.src = deg.src
@@ -495,30 +552,23 @@ object StarQueries {
          SELECT node AS host, CAST(r AS BIGINT) AS rank_e12
          FROM r3 ORDER BY host"""
     },
-    "q165_random_walks" -> {
-      val (numWalks, length) = (2, 4)
-      def pick(t: Int) =
-        hex48Sql(s"md5('rw|' || CAST(s.walk_id AS VARCHAR) || '|$t')")
-      val steps = (1 to length).map { t =>
-        s"""s$t AS (SELECT s.walk_id, a.v cur FROM s${t - 1} s
-             JOIN adj a ON a.u = s.cur AND a.idx = ${pick(t)} % a.outdeg),
-           t$t AS (SELECT walk_id, $t step, cur node FROM s$t)"""
-      }.mkString(",\n         ")
-      val unions = (0 to length).map(t => s"SELECT * FROM t$t").mkString(" UNION ALL ")
-      s"""WITH e AS (SELECT DISTINCT a.l_partkey u, b.l_partkey v
-           FROM lineitem a JOIN lineitem b
-             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-         adj AS (SELECT u, v,
-             ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1 idx,
-             COUNT(*) OVER (PARTITION BY u) outdeg FROM e),
-         s0 AS (SELECT n.u * $numWalks + w.w AS walk_id, n.u AS cur
-           FROM (SELECT DISTINCT u FROM adj) n,
-                (SELECT unnest(range($numWalks)) w) w),
-         t0 AS (SELECT walk_id, 0 step, cur node FROM s0),
-         $steps
+    "q165_random_walks" ->
+      s"""WITH ${walkCtesSql(2, 4, "rw")}
          SELECT walk_id, CAST(step AS INT) AS step, node
-         FROM ($unions) ORDER BY walk_id, step"""
-    },
+         FROM tr ORDER BY walk_id, step""",
+    "q172_walk_glove" ->
+      s"""WITH ${walkCtesSql(2, 4, "rw",
+             "WHERE a.l_partkey < 500 AND b.l_partkey < 500")},
+         seqs AS (SELECT walk_id, list(CAST(node AS VARCHAR) ORDER BY step) w
+           FROM tr GROUP BY walk_id),
+         p AS (SELECT w[i+1] w1, w[i+2] w2, 2 wt
+             FROM (SELECT w, unnest(range(len(w)-1)) i FROM seqs WHERE len(w) > 1)
+           UNION ALL
+           SELECT w[i+1] w1, w[i+3] w2, 1 wt
+             FROM (SELECT w, unnest(range(len(w)-2)) i FROM seqs WHERE len(w) > 2))
+         SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(wt) AS BIGINT) AS weight_scaled
+         FROM p GROUP BY w1, w2 ORDER BY w1, w2""",
     "q160_sssp" -> {
       val rounds = 4
       val iters = (1 to rounds).map { r =>

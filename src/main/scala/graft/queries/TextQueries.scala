@@ -24,6 +24,24 @@ object TextQueries {
     if (minToks > 0) t.filter(size(col("__toks")) >= minToks) else t
   }
 
+  /** Compression-ratio quality signal (MassiveText-class gibberish /
+    * template-spam detector): deflate_len over the codegen'd
+    * graft_deflate_len expression + one division. Moved OUT of the
+    * oracle-gated `defs` in round 8 (verdict task 5): DuckDB has no
+    * deflate, so as a Verify row it could only ever read `err:no_oracle`
+    * — the one non-green cell of the round-6/7 correctness artifacts.
+    * Bench duty lives on via SparkEntry.benchOnly; the semantics are
+    * pinned in DeflateLenFSpec (spam-vs-soup separation, determinism,
+    * RFC-1951 parity, codegen residency). */
+  val compressRatio: QueryFn = (s, d) => {
+    graft.sql.GraftFunctions.register(s)
+    table(s, d, "documents")
+      .select(col("doc_id"), octet_length(col("text")).as("n_bytes"),
+        graft.sql.GraftFunctions.deflateLen(col("text")).as("deflate_len"))
+      .withColumn("ratio", col("deflate_len").cast("double") / col("n_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, QueryFn] = Map(
     // Cross-source overlap by SKETCH — q133's scale path: per-source HLL
     // register tables over word-8-grams (no distinct pass needed — the
@@ -983,21 +1001,6 @@ object TextQueries {
         .filter(col("b").isNotNull)
       graft.dedup.ConnectedComponents.run(edges, maxIter = 30)
         .orderBy(col("node"))
-    },
-
-    // Compression-ratio quality signal (MassiveText-class gibberish /
-    // template-spam detector): deflate_len over the codegen'd
-    // graft_deflate_len expression + one division. No DuckDB deflate
-    // exists, so this row is the driver's rows-only check — semantics
-    // pinned in DeflateLenFSpec (spam-vs-soup separation, determinism,
-    // codegen residency).
-    "q139_compress_ratio" -> { (s, d) =>
-      graft.sql.GraftFunctions.register(s)
-      table(s, d, "documents")
-        .select(col("doc_id"), octet_length(col("text")).as("n_bytes"),
-          graft.sql.GraftFunctions.deflateLen(col("text")).as("deflate_len"))
-        .withColumn("ratio", col("deflate_len").cast("double") / col("n_bytes"))
-        .orderBy(col("doc_id"))
     },
 
     // Doc-level release changelog: corpus v2 = v1 minus short docs

@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** First-order next-item transition model (the Markov-chain leg of
   * sequential recommendation — Rendle et al. 2010's FPMC factorizes
-  * exactly this matrix; the reference's sequence features come from the
-  * same per-user ordered history, my_merlin_flow.py:206-233). Counts
+  * exactly this matrix). Extension scope: the reference's per-user
+  * features are non-sequential NVTabular ops (Categorify/JoinGroupby,
+  * src/workflow_builder.py:18-75) — it has no sequence model; this is
+  * the standard zero-training sequential baseline beside it. Counts
   * consecutive (item → next item) pairs inside a session gap and turns
   * them into smoothed conditional probabilities P(next | current) — the
   * zero-training baseline ranker beside Cooccur (symmetric co-baskets)

@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.operators.ShardPack
 
 /** Time-decayed item popularity — the most-popular baseline every
-  * retrieval stack serves under cold start (the reference falls back to a
-  * popularity vector when a user has no history, my_merlin_flow.py:350),
-  * with exponential recency decay so last week's fad outranks last
-  * year's.
+  * retrieval stack serves under cold start (the reference serves a static
+  * fallback record under the `no_user` key when a request has no history —
+  * src/my_merlin_flow.py:626, read back by src/serverless/handler.py:53;
+  * a popularity ranker is the standard upgrade of that static list), with
+  * exponential recency decay so last week's fad outranks last year's.
   *
   * Exactness device: the decay is DYADIC — the weight halves every
   * `halfLifeDays` whole days and the exponent is clamped to `cap`
@@ -30,12 +31,22 @@ object Popularity {
     * floor weight 1 (= 2^0), so nothing vanishes entirely and the sum
     * stays exact.
     *
+    * Overflow budget: each event weighs at most 2^cap, so a long sum holds
+    * at least 2^(62−cap) FULL-WEIGHT events per item before overflowing —
+    * cap=40 (default) ⇒ ≥4M events inside one half-life per item; older
+    * events weigh geometrically less, so real capacity is far higher.
+    * `cap` is capped at 55 (≥128-event headroom even in the worst case),
+    * and under this engine's ANSI-on sessions an overflow THROWS rather
+    * than wrapping. A catalog hotter than 2^(62−cap) events/item/half-life
+    * should lower `cap` (the floor weight only coarsens the oldest tail)
+    * or widen the sum to DECIMAL(38,0) — the DataMix device.
+    *
     * Output: (item, n_events, score_scaled, last_seen_us), score in units
     * of 2^−cap, ordered by score desc then item.
     */
   def decayedScores(events: DataFrame, itemCol: String, tsCol: String,
       halfLifeDays: Int, cap: Int = 40): DataFrame = {
-    require(cap >= 1 && cap <= 62, s"cap must be in [1, 62], got $cap")
+    require(cap >= 1 && cap <= 55, s"cap must be in [1, 55], got $cap")
     require(halfLifeDays >= 1, s"halfLifeDays must be >= 1, got $halfLifeDays")
     val anchor = events.agg(max(col(tsCol)).as("__asof"))
     events.select(col(itemCol).as("item"), col(tsCol).as("__ts"))

@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   * oracle-checked end to end.
   *
   * Scale: encode is a zero-shuffle per-row projection; scoring casts the
-  * int8 codes to float arrays (integers ≤ 127 are float-exact, products
-  * ≤ 16129·dim stay under 2^24 so the float dot IS the exact integer
-  * dot) and rides the existing codegen [[graft.sql.DotF32]] kernel —
+  * int8 codes to float arrays (integers ≤ 127 are float-exact, and
+  * [[graft.sql.DotF32]] accumulates in double, so every partial sum of
+  * |code·code| ≤ 16129·dim products stays an exact integer up to 2^53 —
+  * the dot IS the exact integer dot for any realistic dim, independent
+  * of float's 2^24 mantissa) and rides the existing codegen kernel —
   * no new expression, whole-stage codegen, top-k via the same bounded
   * TakeOrdered the exact KNN path uses.
   */

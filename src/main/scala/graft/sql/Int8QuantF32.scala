@@ -11,13 +11,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * `transform` with a `when` guard — is three interpreted CodegenFallback
   * array walks per row (the q109/minhash lesson again); these two
   * UnaryExpressions are each one primitive loop inside whole-stage
-  * codegen, bit-identical to the HOF semantics (and to DuckDB's
-  * list_max/list_transform evaluation, which is what the q149 oracle
-  * replays).
+  * codegen, bit-identical to the HOF semantics for all FINITE inputs
+  * (and to DuckDB's list_max/list_transform evaluation, which is what
+  * the q149 oracle replays).
   *
   * Null convention (mirrors the HOF forms): null ELEMENTS are skipped by
   * the max and map to null codes; an empty or all-null array has maxabs
   * NULL (array_max semantics) and codes = [] / all-null.
+  *
+  * NaN carve-out (the one place kernel ≢ HOF, by design): Java's `v > m`
+  * is false for NaN, so these kernels SKIP NaN elements — a vector of
+  * NaNs and zeros gets maxabs from its finite values — whereas Spark's
+  * array_max (and DuckDB's list_max) order NaN greater than everything,
+  * making the HOF maxabs NaN and the codes null/garbage. Skipping is the
+  * deliberate choice: a NaN-poisoned maxabs silently zeroes the whole
+  * vector's codes downstream, while skipping degrades only the NaN lanes
+  * (which encode as 0 — Java's NaN→int cast).
+  * Embedding pipelines are expected to gate non-finite values upstream
+  * (VectorQueries' finiteness filters); Int8QuantSpec pins the skip
+  * behavior so the divergence is contractual, not accidental.
   */
 
 /** max(|x_i|) of an array<float> as double; NULL for empty/all-null. */

@@ -61,6 +61,47 @@ class SpanDedupSpec extends SparkSpecBase {
     assert(run(in) == run(in.repartition(7)))
   }
 
+  test("bloom-prefiltered marking is result-identical (FPs resolved by the exact join)") {
+    val in = docs(
+      (1L, "a b c d e"), (2L, "z a b c d w"), (3L, "q r s"),
+      (4L, "a b c d e"), (5L, "one two three four"), (6L, "q r s t"))
+    val plain = run(in)
+    val bloomed = SpanDedup.removeDuplicateSpans(in, "id", col("toks"), K,
+        numSalts = 1, bloomExpectedDupGrams = 64L)
+      .orderBy($"id").as[(Long, String, Int)].collect().toSeq
+    assert(bloomed == plain)
+    // and the probe actually sits in the plan (a Filter with the bloom UDF
+    // on the stream side, BEFORE the marking exchange)
+    val plan = SpanDedup.duplicateSpanStarts(in, "id", col("toks"), K,
+        numSalts = 1, bloomExpectedDupGrams = 64L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("UDF"), s"expected the bloom probe filter:\n$plan")
+  }
+
+  test("salted + bloom compose (both escape hatches at once, same result)") {
+    val in = docs(
+      (1L, "a b c d e"), (2L, "z a b c d w"), (4L, "a b c d e"))
+    val both = SpanDedup.removeDuplicateSpans(in, "id", col("toks"), K,
+        numSalts = 4, bloomExpectedDupGrams = 64L)
+      .orderBy($"id").as[(Long, String, Int)].collect().toSeq
+    assert(both == run(in))
+  }
+
+  test("rebuild never shuffles the token stream (map-side survivor selection)") {
+    // round-8 redesign: the old rebuild posexploded every token, anti-joined
+    // on (doc, pos) and collect_list'd back — two corpus-sized exchanges of
+    // L× more rows than documents. The new plan may exchange on the gram key
+    // and the doc id only; any hashpartitioning carrying `pos` (the old
+    // anti-join key) or a collect_list(struct(pos, tok)) is a regression.
+    val plan = SpanDedup.removeDuplicateSpans(
+        docs((1L, "a b c x"), (2L, "y a b c")), "id", col("toks"), K)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list(struct"),
+      s"token-stream rebuild crept back:\n$plan")
+    assert(!"hashpartitioning\\([^)]*\\bpos\\b".r.findFirstIn(plan).isDefined,
+      s"(doc, pos)-keyed exchange crept back:\n$plan")
+  }
+
   test("first-occurrence selection is a partial hash aggregate, never a window sort") {
     val in = docs((1L, "a b c"), (2L, "a b c"))
     val plan = SpanDedup.duplicateSpanStarts(in, "id", col("toks"), K)

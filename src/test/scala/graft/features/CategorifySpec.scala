@@ -22,6 +22,20 @@ class CategorifySpec extends SparkSpecBase {
     assert(d1.orderBy("id").collect().toSeq == d2.orderBy("id").collect().toSeq)
   }
 
+  test("auto-switch: above the distinct threshold fitDictionary routes to zipWithIndex, identically") {
+    // force the switch with threshold 1 — the dictionary must be
+    // bit-identical to the window path (same freq desc / value asc total
+    // order, same 1-based long ids), so the API default can never pick the
+    // single-partition window for a 100M-distinct column
+    val viaWindow = Categorify.fitDictionary(fixture, "v",
+      autoSwitchDistinct = Long.MaxValue)
+    val viaAuto = Categorify.fitDictionary(fixture, "v", autoSwitchDistinct = 1L)
+    assert(viaAuto.orderBy("id").collect().toSeq ==
+      viaWindow.orderBy("id").collect().toSeq)
+    // and the switched plan is genuinely windowless
+    assert(!viaAuto.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("encode maps unseen and null values to the reserved id 0") {
     val dict = Categorify.fitDictionary(fixture, "v")
     val in = Seq(Some("a"), Some("zzz"), None).toDF("v")

@@ -51,6 +51,25 @@ class Int8QuantFSpec extends SparkSpecBase {
     assert(got(1).isNullAt(1) && got(1).isNullAt(2))
   }
 
+  test("NaN carve-out is contractual: kernels SKIP NaN lanes (maxabs from finite values, NaN codes 0)") {
+    // Documented divergence from the HOF forms (Int8QuantF32.scala header):
+    // array_max would order NaN greatest and poison the whole vector; the
+    // kernels take maxabs over the finite lanes and encode NaN lanes as 0.
+    GraftFunctions.register(spark)
+    val df = Seq((1L, Array(Float.NaN, 2.0f, -8.0f)))
+      .toDF("id", "v")
+      .select(col("id"), col("v").cast("array<float>").as("v"))
+    val got = df.select(
+        GraftFunctions.maxAbsF32(col("v")).as("m"),
+        GraftFunctions.int8Codes(col("v")).as("c"))
+      .collect()(0)
+    assert(got.getDouble(0) == 8.0)
+    assert(got.getSeq[Int](1) == Seq(0, 32, -127))
+    // and the HOF form indeed diverges here — the carve-out is real
+    val hofM = df.select(ScalarQuant.maxAbsHof(col("v"))).collect()(0).getDouble(0)
+    assert(hofM.isNaN)
+  }
+
   test("the encode projection stays inside whole-stage codegen, zero shuffles") {
     val enc = ScalarQuant.encode(tbl("embeddings"), "vec_id", "embedding")
     val p = enc.queryExecution.executedPlan.toString
