@@ -544,17 +544,25 @@ object ScaleExperiment {
       // name carries the actual factor.
       if (only.endsWith("100")) {
         val big = sys.env.getOrElse("SPARK_GRAFT_SPAN_BIG_DOCS", "6000000").toInt
+        // which variants to run at the big size (plain 100x is a KNOWN
+        // ENOSPC on this box — takes minutes to fill 77 GB of scratch
+        // before dying, so re-measuring it must be an explicit choice)
+        val variants = sys.env.getOrElse("SPARK_GRAFT_SPAN_BIG_VARIANTS",
+          "plain,salted,bloom").split(",").toSet
         val tag = s"${big / 200000}x"
-        timed(s"spandedup_hotgram_$tag")(
-          graft.dedup.SpanDedup.removeDuplicateSpans(
-            hotGramDocs(big), "doc_id", col("toks"), 8))
-        timed(s"spandedup_hotgram_${tag}_salted")(
-          graft.dedup.SpanDedup.removeDuplicateSpans(
-            hotGramDocs(big), "doc_id", col("toks"), 8, numSalts = 8))
-        timed(s"spandedup_hotgram_${tag}_bloom")(
-          graft.dedup.SpanDedup.removeDuplicateSpans(
-            hotGramDocs(big), "doc_id", col("toks"), 8,
-            bloomExpectedDupGrams = 100000L))
+        if (variants("plain"))
+          timed(s"spandedup_hotgram_$tag")(
+            graft.dedup.SpanDedup.removeDuplicateSpans(
+              hotGramDocs(big), "doc_id", col("toks"), 8))
+        if (variants("salted"))
+          timed(s"spandedup_hotgram_${tag}_salted")(
+            graft.dedup.SpanDedup.removeDuplicateSpans(
+              hotGramDocs(big), "doc_id", col("toks"), 8, numSalts = 8))
+        if (variants("bloom"))
+          timed(s"spandedup_hotgram_${tag}_bloom")(
+            graft.dedup.SpanDedup.removeDuplicateSpans(
+              hotGramDocs(big), "doc_id", col("toks"), 8,
+              bloomExpectedDupGrams = 100000L))
       }
     }
 

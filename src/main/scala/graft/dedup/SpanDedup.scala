@@ -84,28 +84,30 @@ object SpanDedup {
     * fpp slice, resolved exactly by the inner marking join finding no
     * match) cross the wire. Sizing: pass the expected count of DISTINCT
     * duplicated grams; fine to ~10^8 keys, skip beyond (the dup
-    * vocabulary is no longer "small"). The dup-gram aggregate is
-    * computed twice on this path (once for the filter build, once for
-    * the join) — two map-combined aggregate exchanges are the cheap
-    * currency next to the corpus-sized stream shuffle they avoid.
+    * vocabulary is no longer "small"). The dup-gram table is computed
+    * ONCE and pinned with a localCheckpoint (blocks bounded by the dup
+    * vocabulary, not the corpus) so the filter build and the marking
+    * join share it — recomputing the corpus-wide gram aggregate twice
+    * was measured 16% SLOWER than no bloom at the 10x fixture.
     * Results are identical with any parameter combination. */
   def duplicateSpanStarts(docs: DataFrame, idCol: String, toksCol: Column,
       k: Int, numSalts: Int = 1, bloomExpectedDupGrams: Long = 0L,
       bloomFpp: Double = 0.01): DataFrame = {
     val base = docs.select(col(idCol), toksCol.as("__toks"))
     val grams = gramRows(base, idCol, k)
-    val firsts = grams
+    val firsts0 = grams
       .groupBy(col("__g"))
       .agg(min(Packing.pack(col(idCol), col("pos"))).as("__f"),
         count(lit(1)).as("__n"))
       .filter(col("__n") >= 2)
       .select(col("__g"), col("__f"))
-    val stream =
-      if (bloomExpectedDupGrams <= 0L) grams
+    val (firsts, stream) =
+      if (bloomExpectedDupGrams <= 0L) (firsts0, grams)
       else {
+        val pinned = firsts0.localCheckpoint()
         val maybeDup = graft.operators.BloomPrefilter.probe(
-          firsts.select(col("__g")), col("__g"), bloomExpectedDupGrams, bloomFpp)
-        grams.filter(maybeDup(col("__g")))
+          pinned.select(col("__g")), col("__g"), bloomExpectedDupGrams, bloomFpp)
+        (pinned, grams.filter(maybeDup(col("__g"))))
       }
     val marked =
       if (numSalts <= 1) stream.join(firsts, Seq("__g"))

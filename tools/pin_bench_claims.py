@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Round-8 claims pinning helper: given two back-to-back local bench
+artifacts (the A/B reproducibility pair) and the last official driver
+artifact, propose a BENCH_CLAIMS block that
+
+  1. pins claimed_sec = geomean(A, B) per query with the A/B-pooled
+     calibration medians as cal_ref / shufcal_ref;
+  2. KEEPS only queries whose claim would also pass the lint against the
+     driver artifact after normalization (predicted driver ratio within
+     the margin), and whose A/B spread is itself inside the margin —
+     a claim that only reproduces on one box or one run is not a claim;
+  3. prints the dropped candidates with the reason, so SCALE.md can name
+     them instead of silently shrinking the table.
+
+Usage:
+    python tools/pin_bench_claims.py runA.json runB.json BENCH_r07.json
+"""
+import json
+import math
+import sys
+
+sys.path.insert(0, "tools")
+from check_bench_claims import load_queries, _cal_median  # noqa: E402
+
+MARGIN = 1.35          # inner margin inside the lint's 1.5x band
+CANDIDATES = [
+    # the r7 claim set, minus entries that left the bench (q158 -> kernel
+    # form, q34 -> LSH path) and minus the two-round irreproducible q25b
+    "q25a_csv_to_bronze", "q38_drop_neardups", "q36_langid", "q43_knn_lsh",
+    "q51s_eval_served", "q52s_recs_served", "q50s_topk_served",
+    "q109_crawl_assembly", "q99_corpus_assembly", "q94_span_dedup",
+    "q80_incremental_dedup", "q121_dsir_evidence", "q122_dsir_select",
+    "q123_hybrid_rrf", "q124_top_terms", "q134_copurchase_rank",
+    "q133_overlap_matrix", "q138_score_calibration", "q155_triangles",
+    "q148_overlap_sketch", "q154_assoc_rules", "q146_transitions",
+    "q158k_profile_kernel", "q172_walk_glove", "q156_kcore",
+    "q165_random_walks",
+]
+
+
+def geomean(xs):
+    return math.exp(sum(math.log(x) for x in xs) / len(xs))
+
+
+def main(a_path, b_path, driver_path):
+    qa, cala, shufa, _ = load_queries(a_path)
+    qb, calb, shufb, _ = load_queries(b_path)
+    qd, cald, shufd, _ = load_queries(driver_path)
+    cal_ref = geomean([x for x in (_cal_median(cala), _cal_median(calb)) if x])
+    shuf_ms = [x for x in (_cal_median(shufa), _cal_median(shufb)) if x]
+    shuf_ref = geomean(shuf_ms) if shuf_ms else None
+    # predicted normalization factor a FUTURE driver run would apply,
+    # estimated from the r7 driver artifact's cpu probe (it has no
+    # shuffle probe yet)
+    d_cal = _cal_median(cald)
+    factor_d = (d_cal / cal_ref) if d_cal else 1.0
+    kept, dropped = [], []
+    for q in CANDIDATES:
+        if q not in qa or q not in qb:
+            dropped.append((q, "absent from a local run"))
+            continue
+        a, b = qa[q], qb[q]
+        if a <= 0 or b <= 0:
+            dropped.append((q, "errored in a local run"))
+            continue
+        spread = max(a, b) / min(a, b)
+        if spread > MARGIN:
+            dropped.append((q, f"A/B spread {spread:.2f}x > {MARGIN}"))
+            continue
+        claim = geomean([a, b])
+        if q in qd and qd[q] > 0:
+            pred = qd[q] / (claim * factor_d)
+            if pred > MARGIN or pred < 1 / MARGIN:
+                dropped.append((q, f"driver r07 ratio {pred:.2f}x after "
+                                   f"factor {factor_d:.2f}"))
+                continue
+        kept.append((q, claim))
+    print(f"<!-- BENCH_CLAIMS sf=0.1 tolerance=1.5 "
+          f"cal_ref={cal_ref:.2f}"
+          + (f" shufcal_ref={shuf_ref:.2f}" if shuf_ref else "")
+          + " -->")
+    print("| query | claimed_sec |")
+    print("|---|---|")
+    for q, c in kept:
+        print(f"| {q} | {c:.2f} |")
+    print("<!-- /BENCH_CLAIMS -->")
+    print()
+    print(f"# kept {len(kept)}, dropped {len(dropped)} "
+          f"(factor vs r07 driver: {factor_d:.2f}):")
+    for q, why in dropped:
+        print(f"#   {q}: {why}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:4])
