@@ -82,12 +82,16 @@ object Decontaminate {
     * with `max_cos` (null if the bench is empty). */
   def semanticContamination(corpus: DataFrame, idCol: String, vecCol: String,
       bench: DataFrame, benchVecCol: String): DataFrame = {
-    import graft.functions.VectorOps
+    // codegen cosine (bit-identical to the HOF form — q131's oracle
+    // replays the same fold): the |corpus|×|bench| score stream is the
+    // hot loop here, and the interpreted HOF walked each pair three times
+    graft.sql.GraftFunctions.register(corpus.sparkSession)
     val b = broadcast(bench.select(col(benchVecCol).as("__bv")))
     val scored = corpus.select(col(idCol), col(vecCol).as("__cv"))
       .join(b)
       .groupBy(col(idCol))
-      .agg(max(VectorOps.cosine(col("__cv"), col("__bv"))).as("max_cos"))
+      .agg(max(graft.sql.GraftFunctions.cosineF32(col("__cv"), col("__bv")))
+        .as("max_cos"))
     corpus.select(col(idCol)).join(scored, Seq(idCol), "left")
   }
 

@@ -19,11 +19,15 @@ import graft.operators.Relational
 object Knn {
 
   /** Exact brute-force top-k by cosine. `queries` must be small (broadcast).
-    * simFn lets callers pick the scoring kernel (HOF fold for cross-engine
-    * parity, graft.sql.DotF32-based for max throughput — both compute the
-    * identical sequential fold). */
+    * simFn lets callers pick the scoring kernel; the default is the
+    * codegen DotF32-composed cosine (bit-identical to the HOF fold —
+    * DotF32Spec — so oracle rows replaying the HOF arithmetic are
+    * unaffected; pass VectorOps.cosine explicitly for a kernel-free
+    * plan). */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
-      vecCol: String, k: Int, simFn: (Column, Column) => Column = VectorOps.cosine): DataFrame = {
+      vecCol: String, k: Int,
+      simFn: (Column, Column) => Column = graft.sql.GraftFunctions.cosineF32): DataFrame = {
+    graft.sql.GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))

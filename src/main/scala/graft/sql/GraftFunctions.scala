@@ -52,6 +52,16 @@ object GraftFunctions {
   /** Column-level call; requires `register` (or GraftExtensions) first. */
   def l2NormalizeF32(a: Column): Column = call_function(L2NormName, a)
 
+  /** Cosine over float arrays through the codegen dot kernel —
+    * bit-identical to VectorOps.cosine (DotF32 ≡ the HOF sequential fold
+    * per DotF32Spec, and the sqrt/division association is unchanged), so
+    * oracle rows replaying the HOF arithmetic swap freely. Three kernel
+    * calls per row instead of three interpreted array walks. */
+  def cosineF32(a: Column, b: Column): Column =
+    dotF32(a, b) /
+      (org.apache.spark.sql.functions.sqrt(dotF32(a, a))
+        * org.apache.spark.sql.functions.sqrt(dotF32(b, b)))
+
   /** Column-level call; requires `register` (or GraftExtensions) first.
     * The matrix travels as ONE nested-array literal (data, not plan code). */
   def ivfProbeF32(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
