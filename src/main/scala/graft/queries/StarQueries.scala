@@ -94,6 +94,24 @@ object StarQueries {
         .orderBy(col("w1"), col("w2"))
     },
 
+    // Community detection by fixed-round deterministic label propagation
+    // (Raghavan 2007 with the repo's determinism conventions: self-vote,
+    // max-count-then-smallest-label winner, fixed rounds) over the
+    // (capped) co-purchase graph — the community-structure leg beside
+    // components/k-core/PageRank. The oracle replays each round as a
+    // votes → counts → ROW_NUMBER argmax CTE chain, byte-equal to the
+    // min-struct argmax used by the engine.
+    "q173_communities" -> { (s, d) =>
+      val li = table(s, d, "lineitem").filter(col("l_partkey") < 300)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      graft.graph.LabelPropagation.run(edges, "src", "dst", rounds = 3)
+        .orderBy(col("node"))
+    },
+
     // Single-source shortest paths over the WEIGHTED co-purchase graph
     // (edge cost shrinks with co-purchase strength): 4 fixed Bellman-Ford
     // relaxation rounds — exact long min-plus, the PageRank determinism
@@ -556,6 +574,26 @@ object StarQueries {
       s"""WITH ${walkCtesSql(2, 4, "rw")}
          SELECT walk_id, CAST(step AS INT) AS step, node
          FROM tr ORDER BY walk_id, step""",
+    "q173_communities" -> {
+      val rounds = 3
+      val iters = (1 to rounds).map { r =>
+        s"""v$r AS (SELECT s.x node, l.lab FROM sym s
+             JOIN l${r - 1} l ON l.node = s.y
+           UNION ALL SELECT node, lab FROM l${r - 1}),
+         c$r AS (SELECT node, lab, COUNT(*) c FROM v$r GROUP BY 1, 2),
+         l$r AS (SELECT node, lab FROM (SELECT node, lab,
+             ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab ASC) rn
+           FROM c$r) WHERE rn = 1)"""
+      }.mkString(",\n         ")
+      s"""WITH e0 AS (SELECT DISTINCT a.l_partkey u, b.l_partkey v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+           WHERE a.l_partkey < 300 AND b.l_partkey < 300),
+         sym AS (SELECT u x, v y FROM e0 UNION SELECT v, u FROM e0),
+         l0 AS (SELECT DISTINCT x node, x lab FROM sym),
+         $iters
+         SELECT node, lab AS community FROM l$rounds ORDER BY node"""
+    },
     "q172_walk_glove" ->
       s"""WITH ${walkCtesSql(2, 4, "rw",
              "WHERE a.l_partkey < 500 AND b.l_partkey < 500")},

@@ -1003,6 +1003,20 @@ object TextQueries {
         .orderBy(col("node"))
     },
 
+    // Deterministic weighted corpus subsampling by PRIORITY SAMPLING
+    // (Duffield-Lund-Thorup 2007): q = w/u with u an exact md5-dyadic
+    // rational, top-k by q, per-row unbiased subset-sum estimate
+    // max(w, tau) — the size-biased sampler a data-recipe prototype uses
+    // to subsample by length/token count and still report calibrated
+    // totals. ONE bounded TakeOrdered (k+1 rows), never a full sort; the
+    // only float ops are correctly-rounded divisions, so the whole
+    // sample including tau hash-replays.
+    "q174_priority_sample" -> { (s, d) =>
+      graft.operators.PrioritySample.sample(
+        table(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 200, salt = "ps8")
+    },
+
     // Doc-level release changelog: corpus v2 = v1 minus short docs
     // (removed), with every 7th doc's text revised (changed), plus five
     // re-ingested docs under new ids (added); the full-outer fingerprint
@@ -1715,6 +1729,19 @@ object TextQueries {
       """SELECT doc_id AS node,
          MIN(doc_id) OVER (PARTITION BY source) AS comp
          FROM documents ORDER BY node""",
+    "q174_priority_sample" -> {
+      val u = s"((${hex48Sql("md5('ps8|' || CAST(doc_id AS VARCHAR))")} + 1) " +
+        "/ 281474976710656.0)"
+      s"""WITH s AS (SELECT doc_id, n_chars, n_chars / $u AS priority
+           FROM documents),
+         top AS (SELECT * FROM s ORDER BY priority DESC, doc_id LIMIT 201),
+         tau AS (SELECT CASE WHEN COUNT(*) = 201 THEN MIN(priority)
+             ELSE 0.0 END t FROM top)
+         SELECT doc_id, n_chars, priority,
+           GREATEST(CAST(n_chars AS DOUBLE), tau.t) AS w_hat
+         FROM (SELECT * FROM s ORDER BY priority DESC, doc_id LIMIT 200), tau
+         ORDER BY priority DESC, doc_id"""
+    },
     "q140_doc_changelog" ->
       """WITH a AS (SELECT doc_id,
              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) fp
