@@ -84,7 +84,8 @@ object SparkEntry {
     * should read core_total + the served forms, not the fit walls. */
   def benchVolatile: Set[String] = Set(
     "q50_topk_retrieval", "q51_rank_eval", "q52_recs_table",
-    "q53_grid_selection", "q60_als_retrieval", "q61_ivf_ann")
+    "q53_grid_selection", "q60_als_retrieval", "q61_ivf_ann",
+    "q63t_twotower_retrieval")
 
   /** Bench-only programs with no DuckDB-expressible oracle (model training /
     * approximate retrieval / fit-once serving forms); correctness for these
@@ -104,6 +105,32 @@ object SparkEntry {
       val model = AlsRecommender.train(tr, AlsConfig(rank = 16, maxIter = 5))
       val recs = AlsRecommender.recommend(model, te.select("user_id"), 10)
       RankingEval.perUser(recs, te, 10)
+    },
+    // Neural two-tower retrieval end to end (the reference's
+    // TF/Merlin TwoTowerModel rebuilt on Spark alone — see
+    // rank/TwoTower.scala): tanh-tower in-batch-softmax training on the
+    // basket-capped pre-cut interactions, held-out ranking eval through
+    // the same RankingEval contract as ALS. Fit-heavy (each optimizer
+    // step is its own Spark job whose batch-selection literal defeats
+    // the codegen cache — a fixed per-step tax that dwarfs the math at
+    // this scale) -> short schedule here + benchVolatile.
+    "q63t_twotower_retrieval" -> { (s, d) =>
+      import graft.rank._
+      val (tr, te) = Interactions.splitByTime(Interactions.fromStar(s, d), "2000-01-01")
+      val model = TwoTower.fit(
+        Interactions.recentN(tr, 12).select("user_id", "item_id"),
+        TwoTower.Config(embDim = 16, hiddenDim = 8, steps = 12,
+          batchRows = 4096, seed = "tt8"))
+      // sampled eval users (the standard protocol at catalog scale —
+      // brute-force-scoring every test user against the full catalog is
+      // the job of the ANN stack, not the trainer benchmark)
+      val evalUsers = te.select("user_id").distinct()
+        .filter(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.lit(7)) === 0)
+      val recs = TwoTower.recommend(model, evalUsers, 10,
+        excludeSeen = Some(tr.select("user_id", "item_id")))
+      RankingEval.perUser(recs, te.join(evalUsers, Seq("user_id"), "left_semi"), 10)
     },
     // IVF coarse-quantized ANN (k-means cells + probed exact rerank) — the
     // clustered scale path beside the SRP-LSH tables of q43; recall vs the

@@ -1,0 +1,480 @@
+package graft.rank
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Neural two-tower retrieval trainer — the reference's TF/Merlin
+  * TwoTowerModel (src/my_merlin_flow.py:306-324: user tower MLP × item
+  * tower MLP, dot-product scored, in-batch sampled-softmax loss) rebuilt
+  * on Spark alone, no DL runtime: each tower is id-embedding → ReLU
+  * dense layer; training is mini-batch SGD with the in-batch
+  * sampled-softmax objective (Yi et al. 2019, the standard retrieval
+  * loss the reference's `ItemRetrievalTask` wraps).
+  *
+  * Execution model (the honest pure-Spark seam): weights live on the
+  * driver between steps and travel to executors as a broadcast; each
+  * step selects a deterministic md5 mini-batch from the DISTRIBUTED
+  * encoded-pairs frame, computes the full gradient on an executor task,
+  * and the driver applies one SGD update. At this batch size the
+  * gradient task is deliberately ONE sorted task, which makes training
+  * bit-deterministic (fixed float accumulation order — rerun ≡ rerun,
+  * any input partitioning); the chunked in-batch losses are independent,
+  * so a cluster-scale trainer shards chunks across tasks and pays only
+  * the summation-order float jitter every data-parallel trainer accepts.
+  * Embedding tables are the parameter-server part: driver-held here
+  * (fine to ~10M ids × dim 32 ≈ 1.2 GB; `require`d), factored storage
+  * (the ALS block layout) past that.
+  *
+  * Serving integrates with the existing stack: towers are PRECOMPUTED
+  * into (id, vec array<float>) frames — the CLIP-style corpus-embedding
+  * contract — so recommend() is the q158k kernel shape (broadcast item
+  * vectors, codegen DotF32 scores, bounded topKPerGroup) and the vectors
+  * drop into Knn/Ivf/ScalarQuant unchanged. Persistence is two parquet
+  * tables.
+  *
+  * Determinism: init is md5-hashed per weight, batches are md5-bucketed,
+  * accumulation order is fixed (see above) — fit() is a pure function of
+  * (interactions, config). Scores are floats, so the SPEC pins exact
+  * rerun-equality and behavioral metrics, not an external oracle hash
+  * (the documented carve-out, same as ALS/IVF).
+  */
+object TwoTower {
+
+  case class Config(
+      embDim: Int = 32, hiddenDim: Int = 16, steps: Int = 80,
+      batchRows: Int = 4096, chunk: Int = 256, lr: Double = 0.1,
+      lrDecay: Double = 1.0, logitScale: Double = 4.0, seed: String = "tt")
+
+  /** Trained model: serving-space tower outputs per natural id. */
+  case class Model(userVecs: DataFrame, itemVecs: DataFrame, cfg: Config) {
+    def save(path: String): Unit = {
+      userVecs.write.mode("overwrite").parquet(s"$path/user_vecs.parquet")
+      itemVecs.write.mode("overwrite").parquet(s"$path/item_vecs.parquet")
+    }
+  }
+
+  def load(spark: SparkSession, path: String, cfg: Config = Config()): Model =
+    Model(spark.read.parquet(s"$path/user_vecs.parquet"),
+      spark.read.parquet(s"$path/item_vecs.parquet"), cfg)
+
+  // ---- deterministic init ----------------------------------------------
+
+  /** md5-uniform in [-scale, +scale], a pure function of (seed, tag, j). */
+  private def initVal(seed: String, tag: String, j: Int, scale: Float): Float = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed|$tag|$j".getBytes("UTF-8"))
+    val u = (((h(0) & 0xffL) << 40) | ((h(1) & 0xffL) << 32) |
+      ((h(2) & 0xffL) << 24) | ((h(3) & 0xffL) << 16) |
+      ((h(4) & 0xffL) << 8) | (h(5) & 0xffL)).toDouble / 281474976710656.0
+    ((u * 2.0 - 1.0) * scale).toFloat
+  }
+
+  private def initMatrix(seed: String, tag: String, rows: Int, cols: Int,
+      scale: Float): Array[Array[Float]] =
+    Array.tabulate(rows, cols)((r, c) => initVal(seed, s"$tag|$r", c, scale))
+
+  /** All trainable weights, flat on the driver. */
+  final class Weights(val uEmb: Array[Array[Float]], val iEmb: Array[Array[Float]],
+      val wU: Array[Array[Float]], val bU: Array[Float],
+      val wI: Array[Array[Float]], val bI: Array[Float]) extends Serializable
+
+  private def init(nU: Int, nI: Int, cfg: Config): Weights = {
+    // He-style uniform fan-in scaling — without it the random towers'
+    // logits start so close to uniform-softmax that gradients stall
+    val se = 0.5f
+    val sw = math.sqrt(6.0 / cfg.embDim).toFloat
+    new Weights(
+      initMatrix(cfg.seed, "ue", nU, cfg.embDim, se),
+      initMatrix(cfg.seed, "ie", nI, cfg.embDim, se),
+      initMatrix(cfg.seed, "wu", cfg.hiddenDim, cfg.embDim, sw),
+      new Array[Float](cfg.hiddenDim),
+      initMatrix(cfg.seed, "wi", cfg.hiddenDim, cfg.embDim, sw),
+      new Array[Float](cfg.hiddenDim))
+  }
+
+  /** Adagrad squared-gradient accumulators (same shapes as Weights). */
+  private final class AdaState(nU: Int, nI: Int, cfg: Config) extends Serializable {
+    val uEmb: Array[Array[Double]] = Array.ofDim(nU, cfg.embDim)
+    val iEmb: Array[Array[Double]] = Array.ofDim(nI, cfg.embDim)
+    val wU: Array[Array[Double]] = Array.ofDim(cfg.hiddenDim, cfg.embDim)
+    val bU = new Array[Double](cfg.hiddenDim)
+    val wI: Array[Array[Double]] = Array.ofDim(cfg.hiddenDim, cfg.embDim)
+    val bI = new Array[Double](cfg.hiddenDim)
+  }
+
+  private def copyW(w: Weights): Weights = new Weights(
+    w.uEmb.map(_.clone()), w.iEmb.map(_.clone()),
+    w.wU.map(_.clone()), w.bU.clone(), w.wI.map(_.clone()), w.bI.clone())
+
+  private def copyA(a: AdaState, nU: Int, nI: Int, cfg: Config): AdaState = {
+    val c = new AdaState(nU, nI, cfg)
+    def cp(src: Array[Array[Double]], dst: Array[Array[Double]]): Unit = {
+      var r = 0
+      while (r < src.length) { Array.copy(src(r), 0, dst(r), 0, src(r).length); r += 1 }
+    }
+    cp(a.uEmb, c.uEmb); cp(a.iEmb, c.iEmb); cp(a.wU, c.wU); cp(a.wI, c.wI)
+    Array.copy(a.bU, 0, c.bU, 0, a.bU.length)
+    Array.copy(a.bI, 0, c.bI, 0, a.bI.length)
+    c
+  }
+
+  // ---- forward pieces ---------------------------------------------------
+
+  /** h = tanh(W e + b). tanh, NOT relu, deliberately: relu towers feed
+    * the in-batch softmax only POSITIVE-orthant vectors, every dot is
+    * >= 0, and the loss's dominant push-negatives-apart term drives all
+    * pre-activations negative — measured as total dead-unit collapse
+    * (loss pinned at exactly ln(chunk) from step 2, gradient identically
+    * zero through the dead mask). tanh is symmetric (dots can be
+    * negative) and its gradient never fully dies. */
+  private def tower(w: Array[Array[Float]], b: Array[Float],
+      e: Array[Float]): Array[Float] = {
+    val d1 = b.length
+    val out = new Array[Float](d1)
+    var r = 0
+    while (r < d1) {
+      var s = b(r).toDouble
+      val row = w(r)
+      var c = 0
+      while (c < e.length) { s += row(c).toDouble * e(c); c += 1 }
+      out(r) = math.tanh(s).toFloat
+      r += 1
+    }
+    out
+  }
+
+  // ---- gradient of one chunk (in-batch sampled softmax) -----------------
+
+  /** Accumulates the gradient of the chunk's in-batch softmax loss into
+    * `g` (same shapes as Weights, double accumulators; embedding grads
+    * sparse by touched row). Returns the chunk loss. */
+  private final class Grad(nU: Int, nI: Int, cfg: Config) extends Serializable {
+    val uEmb = new java.util.TreeMap[Integer, Array[Double]]()
+    val iEmb = new java.util.TreeMap[Integer, Array[Double]]()
+    val wU: Array[Array[Double]] = Array.ofDim(cfg.hiddenDim, cfg.embDim)
+    val bU = new Array[Double](cfg.hiddenDim)
+    val wI: Array[Array[Double]] = Array.ofDim(cfg.hiddenDim, cfg.embDim)
+    val bI = new Array[Double](cfg.hiddenDim)
+    var loss = 0.0
+    var n = 0L
+
+    private def embRow(m: java.util.TreeMap[Integer, Array[Double]], id: Int,
+        d: Int): Array[Double] = {
+      var r = m.get(id)
+      if (r == null) { r = new Array[Double](d); m.put(id, r) }
+      r
+    }
+
+    def addChunk(w: Weights, us: Array[Int], is: Array[Int], cfg: Config): Unit = {
+      val b = us.length
+      if (b < 2) return // softmax over one candidate is degenerate
+      val hU = Array.tabulate(b)(a => tower(w.wU, w.bU, w.uEmb(us(a))))
+      val hI = Array.tabulate(b)(a => tower(w.wI, w.bI, w.iEmb(is(a))))
+      // logits + row softmax
+      // logits scaled by 1/temperature (Yi et al. 2019): an unscaled dot
+      // over a fresh init sits in the flat near-uniform softmax region
+      // where the pull-toward-positive and push-from-mean terms cancel
+      // and learning crawls (measured: loss froze ~ln(chunk) without it)
+      val p = Array.ofDim[Double](b, b)
+      var a = 0
+      while (a < b) {
+        var mx = Double.NegativeInfinity
+        var j = 0
+        while (j < b) {
+          var s = 0.0
+          var k = 0
+          while (k < cfg.hiddenDim) { s += hU(a)(k).toDouble * hI(j)(k); k += 1 }
+          p(a)(j) = s * cfg.logitScale
+          if (p(a)(j) > mx) mx = p(a)(j)
+          j += 1
+        }
+        var z = 0.0
+        j = 0
+        while (j < b) { p(a)(j) = math.exp(p(a)(j) - mx); z += p(a)(j); j += 1 }
+        j = 0
+        while (j < b) { p(a)(j) /= z; j += 1 }
+        loss -= math.log(math.max(p(a)(a), 1e-12))
+        p(a)(a) -= 1.0 // dL/dlogit
+        a += 1
+      }
+      n += b
+      // grad wrt tower outputs
+      val gHU = Array.ofDim[Double](b, cfg.hiddenDim)
+      val gHI = Array.ofDim[Double](b, cfg.hiddenDim)
+      a = 0
+      while (a < b) {
+        var j = 0
+        while (j < b) {
+          // chain rule through the scaled logit: dL/d(dot) = scale·(p−δ)
+          val d = p(a)(j) * cfg.logitScale
+          if (d != 0.0) {
+            var k = 0
+            while (k < cfg.hiddenDim) {
+              gHU(a)(k) += d * hI(j)(k)
+              gHI(j)(k) += d * hU(a)(k)
+              k += 1
+            }
+          }
+          j += 1
+        }
+        a += 1
+      }
+      // back through each tower (relu mask = h > 0)
+      a = 0
+      while (a < b) {
+        backTower(w.wU, w.uEmb(us(a)), hU(a), gHU(a), wU, bU,
+          embRow(uEmb, us(a), cfg.embDim))
+        backTower(w.wI, w.iEmb(is(a)), hI(a), gHI(a), wI, bI,
+          embRow(iEmb, is(a), cfg.embDim))
+        a += 1
+      }
+    }
+
+    private def backTower(wT: Array[Array[Float]], e: Array[Float],
+        h: Array[Float], gH: Array[Double], gW: Array[Array[Double]],
+        gB: Array[Double], gE: Array[Double]): Unit = {
+      var r = 0
+      while (r < gB.length) {
+        if (gH(r) != 0.0) {
+          // d tanh = 1 - h^2
+          val g = gH(r) * (1.0 - h(r).toDouble * h(r))
+          gB(r) += g
+          val wRow = wT(r); val gwRow = gW(r)
+          var c = 0
+          while (c < e.length) {
+            gwRow(c) += g * e(c)
+            gE(c) += g * wRow(c)
+            c += 1
+          }
+        }
+        r += 1
+      }
+    }
+
+    def merge(o: Grad): Grad = {
+      def mergeEmb(a: java.util.TreeMap[Integer, Array[Double]],
+          b: java.util.TreeMap[Integer, Array[Double]]): Unit = {
+        val it = b.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val mine = a.get(e.getKey)
+          if (mine == null) a.put(e.getKey, e.getValue)
+          else { var c = 0; while (c < mine.length) { mine(c) += e.getValue()(c); c += 1 } }
+        }
+      }
+      mergeEmb(uEmb, o.uEmb); mergeEmb(iEmb, o.iEmb)
+      var r = 0
+      while (r < bU.length) {
+        bU(r) += o.bU(r); bI(r) += o.bI(r)
+        var c = 0
+        while (c < wU(r).length) { wU(r)(c) += o.wU(r)(c); wI(r)(c) += o.wI(r)(c); c += 1 }
+        r += 1
+      }
+      loss += o.loss; n += o.n
+      this
+    }
+  }
+
+  // ---- test hooks (gradient finite-difference validation) ---------------
+
+  private[rank] def testInit(nU: Int, nI: Int, cfg: Config): Weights =
+    init(nU, nI, cfg)
+
+  private[rank] final class GradView(g: Grad, cfg: Config) {
+    private def row(m: java.util.TreeMap[Integer, Array[Double]], id: Int) =
+      Option(m.get(id)).getOrElse(new Array[Double](cfg.embDim))
+    def uEmbGrad(id: Int): Array[Double] = row(g.uEmb, id)
+    def iEmbGrad(id: Int): Array[Double] = row(g.iEmb, id)
+    def wUGrad: Array[Array[Double]] = g.wU
+    def wIGrad: Array[Array[Double]] = g.wI
+    def bUGrad: Array[Double] = g.bU
+    def bIGrad: Array[Double] = g.bI
+  }
+
+  private[rank] def testGrad(w: Weights, us: Array[Int], is: Array[Int],
+      cfg: Config): (GradView, Double) = {
+    val g = new Grad(0, 0, cfg)
+    g.addChunk(w, us, is, cfg)
+    (new GradView(g, cfg), g.loss)
+  }
+
+  // ---- training ---------------------------------------------------------
+
+  /** Fit on DataFrame[user_id, item_id] (any extra columns ignored;
+    * natural keys of any integral type). Returns serving-space vectors
+    * per natural id. */
+  def fit(inter: DataFrame, cfg: Config = Config()): Model =
+    fitWithLoss(inter, cfg)._1
+
+  /** fit + the per-step mean in-batch softmax loss (convergence
+    * telemetry; the spec asserts it decreases). */
+  def fitWithLoss(inter: DataFrame, cfg: Config = Config()): (Model, Seq[Double]) = {
+    val spark = inter.sparkSession
+    import graft.features.Categorify
+    val uDict = Categorify.fitDictionary(inter, "user_id").localCheckpoint()
+    val iDict = Categorify.fitDictionary(inter, "item_id").localCheckpoint()
+    val nU = uDict.count().toInt
+    val nI = iDict.count().toInt
+    require(nU.toLong * cfg.embDim < 300000000L && nI.toLong * cfg.embDim < 300000000L,
+      s"embedding tables must fit the driver ($nU users / $nI items at dim " +
+        s"${cfg.embDim}); shard the id space or use the ALS block layout past this")
+    // encoded distinct pairs with a deterministic batch bucket
+    val pairs = inter.select(col("user_id"), col("item_id")).distinct()
+    val enc = Categorify.encode(
+        Categorify.encode(pairs, "user_id", uDict, "__u"), "item_id", iDict, "__i")
+      .select((col("__u") - 1).cast("int").as("u"), (col("__i") - 1).cast("int").as("i"))
+    val nPairs = enc.count()
+    val nBatches = math.max(1L, nPairs / cfg.batchRows).toInt
+    val bucketed = enc.withColumn("__b",
+        (conv(substring(md5(concat(lit(cfg.seed + "|b|"), col("u"),
+          lit("|"), col("i"))), 1, 12), 16, 10).cast("long") % nBatches).cast("int"))
+      .localCheckpoint()
+
+    var w = init(nU, nI, cfg)
+    var ada = new AdaState(nU, nI, cfg)
+    var lr = cfg.lr
+    val losses = scala.collection.mutable.ArrayBuffer[Double]()
+    var step = 0
+    while (step < cfg.steps) {
+      // deterministic SHUFFLE order, not (u, i) order: chunked in-batch
+      // softmax needs diverse users/items per chunk — id-sorted chunks
+      // would pack one user's positives together, where they demote each
+      // other as in-batch negatives and training stalls (measured: loss
+      // froze at ln(chunk) until this sort key changed)
+      val batch = bucketed.filter(col("__b") === step % nBatches)
+        .select(col("u"), col("i"),
+          md5(concat(lit(cfg.seed + "|s|"), col("u"), lit("|"), col("i"))).as("__o"))
+        // ONE sorted task -> fixed accumulation order -> bit-deterministic
+        .coalesce(1).sortWithinPartitions(col("__o"))
+        .select(col("u"), col("i"))
+      // the task applies ONE Adagrad update per chunk SEQUENTIALLY (local
+      // SGD): ~batch/chunk optimizer steps per Spark job instead of one —
+      // the difference between converging in tens of jobs and thousands.
+      // Still one sorted task, so accumulation AND update order are fixed
+      // and training stays bit-deterministic. At cluster scale the chunks
+      // shard across tasks (each computing its chunk gradient against the
+      // broadcast snapshot — plain data-parallel SGD with the usual
+      // summation-order float jitter); the single-task form is right
+      // while one executor core chews a mini-batch in microseconds.
+      val lrNow = lr
+      val bw = spark.sparkContext.broadcast((w, ada))
+      val (nw, na, lossSum, nPos) = batch.rdd.mapPartitions { it =>
+        val (w0, a0) = bw.value
+        val lw = copyW(w0)
+        val la = copyA(a0, w0.uEmb.length, w0.iEmb.length, cfg)
+        var lossAcc = 0.0
+        var n = 0L
+        val buf = it.toArray
+        var off = 0
+        while (off < buf.length) {
+          val end = math.min(off + cfg.chunk, buf.length)
+          val us = new Array[Int](end - off)
+          val is = new Array[Int](end - off)
+          var k = off
+          while (k < end) {
+            us(k - off) = buf(k).getInt(0); is(k - off) = buf(k).getInt(1); k += 1
+          }
+          val g = new Grad(lw.uEmb.length, lw.iEmb.length, cfg)
+          g.addChunk(lw, us, is, cfg)
+          applyUpdate(lw, g, lrNow, la)
+          lossAcc += g.loss
+          n += g.n
+          off = end
+        }
+        Iterator.single((lw, la, lossAcc, n))
+      }.collect().head
+      bw.destroy()
+      w = nw
+      ada = na
+      losses += (if (nPos > 0) lossSum / nPos else 0.0)
+      lr *= cfg.lrDecay
+      step += 1
+    }
+
+    // precompute serving vectors and decode back to natural keys
+    val uvec = vecsFrame(spark, w.uEmb, w.wU, w.bU, uDict, "user_id")
+    val ivec = vecsFrame(spark, w.iEmb, w.wI, w.bI, iDict, "item_id")
+    (Model(uvec, ivec, cfg), losses.toSeq)
+  }
+
+  /** Adagrad step (Duchi et al. 2011): per-parameter adaptive rates make
+    * the trainer robust to the logit scale without hand-tuned schedules;
+    * the accumulator update is elementwise, so the step stays a
+    * deterministic function of the (deterministic) gradient stream. */
+  private def applyUpdate(w: Weights, g: Grad, lr: Double, s: AdaState): Unit = {
+    val n = math.max(1L, g.n).toDouble
+    val eps = 1e-8
+    def step(wv: Float, grad: Double, acc: Array[Double], c: Int): Float = {
+      val gn = grad / n
+      acc(c) += gn * gn
+      (wv - lr * gn / (math.sqrt(acc(c)) + eps)).toFloat
+    }
+    def upEmb(emb: Array[Array[Float]], accs: Array[Array[Double]],
+        ge: java.util.TreeMap[Integer, Array[Double]]): Unit = {
+      val it = ge.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val row = emb(e.getKey)
+        val acc = accs(e.getKey)
+        var c = 0
+        while (c < row.length) {
+          row(c) = step(row(c), e.getValue()(c), acc, c); c += 1
+        }
+      }
+    }
+    upEmb(w.uEmb, s.uEmb, g.uEmb); upEmb(w.iEmb, s.iEmb, g.iEmb)
+    var r = 0
+    while (r < w.bU.length) {
+      w.bU(r) = step(w.bU(r), g.bU(r), s.bU, r)
+      w.bI(r) = step(w.bI(r), g.bI(r), s.bI, r)
+      var c = 0
+      while (c < w.wU(r).length) {
+        w.wU(r)(c) = step(w.wU(r)(c), g.wU(r)(c), s.wU(r), c)
+        w.wI(r)(c) = step(w.wI(r)(c), g.wI(r)(c), s.wI(r), c)
+        c += 1
+      }
+      r += 1
+    }
+  }
+
+  /** (natural id, vec) frame: every dictionary id pushed through its tower
+    * ON THE DRIVER (tables are driver-held during training anyway), then
+    * parallelized — the serving artifact. */
+  private def vecsFrame(spark: SparkSession, emb: Array[Array[Float]],
+      wT: Array[Array[Float]], b: Array[Float], dict: DataFrame,
+      idName: String): DataFrame = {
+    import spark.implicits._
+    val rows = emb.indices.map(ix => (ix + 1L, tower(wT, b, emb(ix)).toSeq))
+    val vecs = rows.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    dict.select(col("value").as(idName), col("id"))
+      .join(vecs, Seq("id")).drop("id")
+  }
+
+  /** Top-k retrieval in the q158k kernel shape: users' tower vectors ⨝
+    * broadcast item vectors, codegen DotF32 scores, bounded per-user
+    * top-k. `excludeSeen` anti-joins (user_id, item_id) pairs out before
+    * ranking — the standard held-out evaluation protocol (a trainer that
+    * memorizes its positives would otherwise fill every slot with them).
+    * Output (user_id, rk, item_id, score) — RankingEval-ready. */
+  def recommend(model: Model, users: DataFrame, k: Int = 10,
+      excludeSeen: Option[DataFrame] = None): DataFrame = {
+    graft.sql.GraftFunctions.register(model.userVecs.sparkSession)
+    val u = users.select(col("user_id")).distinct()
+      .join(model.userVecs, Seq("user_id"))
+    val scored0 = u.crossJoin(
+        broadcast(model.itemVecs.select(col("item_id"), col("vec").as("__iv"))))
+      .select(col("user_id"), col("item_id"),
+        graft.sql.GraftFunctions.dotF32(col("vec"), col("__iv")).as("score"))
+    val scored = excludeSeen match {
+      case Some(seen) => scored0.join(
+        seen.select(col("user_id"), col("item_id")), Seq("user_id", "item_id"),
+        "left_anti")
+      case None => scored0
+    }
+    graft.operators.Relational.topKPerGroup(scored, Seq("user_id"),
+        Seq(col("score").desc, col("item_id").asc), k)
+      .select(col("user_id"), col("rk").cast("int").as("rk"),
+        col("item_id"), col("score"))
+  }
+}

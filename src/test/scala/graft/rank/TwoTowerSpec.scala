@@ -1,0 +1,109 @@
+package graft.rank
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class TwoTowerSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // Two disjoint taste communities: users 1-40 ~ items 101-130, users
+  // 41-80 ~ items 201-230; each user interacts with an md5-deterministic
+  // ~15 of their block's 30 items, 3 held out — the canonical
+  // recoverable structure for a retrieval trainer. A 30-item block with
+  // a 10-slot cutoff leaves room for held-out items to rank INSIDE the
+  // block (on a tiny universe every held-out item doubles as an in-batch
+  // negative and gets actively demoted).
+  private def blockRows: Seq[(Long, Long)] =
+    (for {
+      u <- 1L to 80L
+      block = if (u <= 40) 100L else 200L
+      j <- 1L to 30L
+    } yield (u, block + j)).filter { case (u, i) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bt|$u|$i".getBytes("UTF-8"))
+      (h(0) & 0x7f) % 2 == 0
+    }
+
+  private def split: (Seq[(Long, Long)], Seq[(Long, Long)]) = {
+    val byUser = blockRows.groupBy(_._1)
+    val tr = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val te = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    byUser.toSeq.sortBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      tr ++= sorted.dropRight(3)
+      te ++= sorted.takeRight(3)
+    }
+    (tr.toSeq, te.toSeq)
+  }
+
+  private val cfg = TwoTower.Config(embDim = 16, hiddenDim = 8, steps = 200,
+    lr = 0.5, seed = "tts")
+
+  private lazy val (trainRows, testRows) = split
+  private lazy val fitted =
+    TwoTower.fitWithLoss(trainRows.toDF("user_id", "item_id"), cfg)
+
+  test("in-batch softmax loss decreases under training") {
+    val losses = fitted._2
+    assert(losses.size == cfg.steps)
+    assert(losses.last < losses.head * 0.7,
+      s"loss did not decrease: ${losses.head} -> ${losses.last}")
+  }
+
+  test("recovers the block structure: top-3 recommendations stay in the user's community") {
+    val recs = TwoTower.recommend(fitted._1,
+        trainRows.map(_._1).distinct.toDF("user_id"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val inBlock = recs.count { case (u, i) =>
+      (u <= 40 && i < 200) || (u > 40 && i > 200) }
+    assert(inBlock.toDouble / recs.length > 0.9,
+      s"only $inBlock/${recs.length} recommendations in-community")
+  }
+
+  test("beats the popularity baseline on held-out recall@10 (the reference's bar)") {
+    // standard protocol: training positives are excluded from the ranked
+    // list on BOTH sides of the comparison
+    val te = testRows.toDF("user_id", "item_id")
+    val recs = TwoTower.recommend(fitted._1,
+      testRows.map(_._1).distinct.toDF("user_id"), 10,
+      excludeSeen = Some(trainRows.toDF("user_id", "item_id")))
+    val (recall, _) = RankingEval.meanMetrics(RankingEval.perUser(recs, te, 10))
+    // popularity top-10 is block-blind: half its slots go to the other
+    // community, capping its expected recall ~0.5 on this fixture
+    val topPop = trainRows.toDF("user_id", "item_id")
+      .groupBy("item_id").count().orderBy($"count".desc, $"item_id").limit(20)
+    val popRecs = testRows.map(_._1).distinct.toDF("user_id")
+      .crossJoin(topPop.select($"item_id", $"count"))
+      .join(trainRows.toDF("user_id", "item_id"), Seq("user_id", "item_id"),
+        "left_anti")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+          .orderBy($"count".desc, $"item_id")))
+      .filter($"rk" <= 10)
+    val (popRecall, _) =
+      RankingEval.meanMetrics(RankingEval.perUser(popRecs, te, 10))
+    assert(recall > popRecall,
+      s"two-tower recall $recall must beat popularity $popRecall")
+    assert(recall > 0.25, s"block recall too low: $recall")
+  }
+
+  test("training is bit-deterministic: refit reproduces identical vectors") {
+    // a short schedule suffices to catch any accumulation-order drift
+    val short = cfg.copy(steps = 30)
+    def dump(m: TwoTower.Model) =
+      m.userVecs.orderBy("user_id").collect().map(_.toString).toSeq ++
+        m.itemVecs.orderBy("item_id").collect().map(_.toString).toSeq
+    val a = TwoTower.fit(trainRows.toDF("user_id", "item_id").repartition(5), short)
+    val b = TwoTower.fit(trainRows.toDF("user_id", "item_id").coalesce(1), short)
+    assert(dump(a) == dump(b))
+  }
+
+  test("model persists and loads; recommend schema is RankingEval-ready") {
+    val tmp = java.nio.file.Files.createTempDirectory("twotower").toString
+    fitted._1.save(tmp)
+    val loaded = TwoTower.load(spark, tmp, cfg)
+    val recs = TwoTower.recommend(loaded, Seq(1L, 41L).toDF("user_id"), 5)
+    assert(recs.columns.toSeq == Seq("user_id", "rk", "item_id", "score"))
+    assert(recs.groupBy("user_id").count().filter($"count" =!= 5).count() == 0)
+  }
+}
