@@ -1,0 +1,85 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT Jaccard set-similarity self-join by prefix filtering (the
+  * AllPairs/PPJoin family — Bayardo et al. 2007, Xiao et al. 2008): all
+  * pairs of documents whose token/shingle SETS have Jaccard ≥ t, with no
+  * all-pairs comparison and no approximation. This completes the
+  * similarity-join triangle: q34's shared-shingle all-pairs form is the
+  * verification-scale EXACT baseline, MinHash-LSH (TextDedup) the
+  * probabilistic scale path — this is the exact SCALE path, the one a
+  * compliance-grade dedup (where a missed pair is a defect, not a recall
+  * point) runs.
+  *
+  * The prefix-filtering principle: order every set by ONE global
+  * canonical order (document frequency ASC, token ASC — rarest first);
+  * if J(a,b) ≥ t then |a∩b| ≥ ⌈t/(1+t)·(|a|+|b|)⌉, and two sets with
+  * that much overlap must share a token inside their first
+  * |s| − ⌈t·|s|⌉ + 1 tokens (pigeonhole under the common order, using
+  * the size bound t·|a| ≤ |b| ≤ |a|/t that J ≥ t forces — enforced as
+  * the length filter in the candidate join). So candidates = pairs
+  * sharing a PREFIX token, and the rare-first order makes prefixes hit
+  * rare tokens: candidate volume tracks true-pair volume, not corpus².
+  *
+  * Exactness device: the threshold is a RATIONAL num/den and every
+  * filter is integer cross-multiplied (den·|∩| ≥ num·|∪|, prefix length
+  * via integer ceil) — no float ever decides membership, so the result
+  * hash-replays in any engine; the oracle (q175) deliberately uses the
+  * NAIVE shared-token all-pairs formulation, so agreement PROVES the
+  * prefix optimization sound on real data.
+  *
+  * Scale: one df aggregate (map-combined), one per-doc sort (array_sort
+  * over its own tokens, row-local), candidate generation = equi-join on
+  * prefix tokens with the length filter inline, verification = one
+  * row-local array_intersect per CANDIDATE (never per pair of docs).
+  * Shuffles: df agg, canonical-sort regroup, candidate join, dedup —
+  * all keyed, all linear in their inputs.
+  */
+object SetSimJoin {
+
+  /** All unordered pairs (id_a < id_b) with Jaccard(sets) ≥ tNum/tDen.
+    * Output: (id_a, id_b, n_inter, n_union, jaccard). `toksCol` is any
+    * array<string> expression; duplicates within a document are ignored
+    * (set semantics). Empty sets never pair. */
+  def selfJoin(docs: DataFrame, idCol: String, toksCol: Column,
+      tNum: Long, tDen: Long): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"threshold must be in (0,1]: $tNum/$tDen")
+    val base = docs
+      .select(col(idCol).as("__id"), array_distinct(toksCol).as("__s"))
+      .withColumn("__n", size(col("__s")))
+      .filter(col("__n") > 0)
+    val dfreq = base.select(explode(col("__s")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+    // canonical rare-first order per doc, then the prefix:
+    // p = n - ceil(t*n) + 1, integer ceil = (num*n + den - 1) div den
+    val ordered = base.select(col("__id"), col("__n"), explode(col("__s")).as("tok"))
+      .join(dfreq, Seq("tok"))
+      .groupBy(col("__id"), col("__n"))
+      .agg(array_sort(collect_list(struct(col("__df"), col("tok")))).as("__o"))
+    val pLen = col("__n") -
+      expr(s"(${tNum}L * __n + ${tDen - 1}L) div ${tDen}L") + 1
+    val pref = ordered.select(col("__id"), col("__n"),
+      explode(slice(transform(col("__o"), s => s.getField("tok")),
+        lit(1), pLen)).as("tok"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.tok") === col("b.tok")
+          && col("a.__id") < col("b.__id")
+          // length filter: J >= t forces t·|a| <= |b| and t·|b| <= |a|
+          && lit(tNum) * col("a.__n") <= lit(tDen) * col("b.__n")
+          && lit(tNum) * col("b.__n") <= lit(tDen) * col("a.__n"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("__id").as("id_a"), col("__s").as("__sa"),
+        col("__n").as("__na")), Seq("id_a"))
+      .join(base.select(col("__id").as("id_b"), col("__s").as("__sb"),
+        col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("n_union", col("__na") + col("__nb") - col("n_inter"))
+      .filter(lit(tDen) * col("n_inter") >= lit(tNum) * col("n_union"))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
+        (col("n_inter").cast("double") / col("n_union")).as("jaccard"))
+  }
+}

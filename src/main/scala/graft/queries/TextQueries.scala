@@ -1003,6 +1003,20 @@ object TextQueries {
         .orderBy(col("node"))
     },
 
+    // EXACT Jaccard set-similarity self-join by prefix filtering
+    // (AllPairs/PPJoin, Bayardo 2007): all doc pairs with 4-shingle-set
+    // Jaccard >= 1/2, no all-pairs comparison, every filter integer
+    // cross-multiplied. The oracle deliberately uses the NAIVE
+    // shared-shingle all-pairs formulation — agreement proves the
+    // prefix optimization drops nothing on real data. The exact scale
+    // path beside q34 (all-pairs baseline) and q37/q38 (LSH).
+    "q175_setsim_join" -> { (s, d) =>
+      val sh = tokenized(s, d).select(col("doc_id"),
+        TextOps.wordShingles(col("__toks"), 4).as("sh"))
+      graft.dedup.SetSimJoin.selfJoin(sh, "doc_id", col("sh"), 1L, 2L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Deterministic weighted corpus subsampling by PRIORITY SAMPLING
     // (Duffield-Lund-Thorup 2007): q = w/u with u an exact md5-dyadic
     // rational, top-k by q, per-row unbiased subset-sum estimate
@@ -1729,6 +1743,23 @@ object TextQueries {
       """SELECT doc_id AS node,
          MIN(doc_id) OVER (PARTITION BY source) AS comp
          FROM documents ORDER BY node""",
+    "q175_setsim_join" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(range(len(w)-3),
+               i -> array_to_string(w[i+1:i+4], ' '))) s
+           FROM t WHERE len(w) >= 4),
+         x AS (SELECT doc_id, unnest(s) tok FROM sh),
+         cand AS (SELECT DISTINCT a.doc_id ia, b.doc_id ib
+           FROM x a JOIN x b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+         v AS (SELECT ia, ib,
+             len(list_intersect(sa.s, sb.s)) AS inter,
+             len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS uni
+           FROM cand JOIN sh sa ON sa.doc_id = ia JOIN sh sb ON sb.doc_id = ib)
+         SELECT ia AS id_a, ib AS id_b, CAST(inter AS INT) AS n_inter,
+           CAST(uni AS INT) AS n_union,
+           CAST(inter AS DOUBLE) / uni AS jaccard
+         FROM v WHERE 2 * inter >= uni ORDER BY id_a, id_b""",
     "q174_priority_sample" -> {
       val u = s"((${hex48Sql("md5('ps8|' || CAST(doc_id AS VARCHAR))")} + 1) " +
         "/ 281474976710656.0)"
