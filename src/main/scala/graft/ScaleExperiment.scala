@@ -585,6 +585,24 @@ object ScaleExperiment {
         graft.dedup.TextDedup.dropNearDuplicates(docs, "doc_id", sh, 16, 2, 0.5))
     }
 
+    // 28. EXACT prefix-filtered set-similarity join (round 8) over the
+    // same corpus/replicas: the compliance-grade alternative to LSH — no
+    // recall loss, candidate volume bounded by the rare-first prefixes.
+    // Against the replica fixtures the result row count ALSO verifies
+    // completeness at scale (pairs grow with the replica dup groups).
+    if (on("setsim")) {
+      import graft.functions.TextOps
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+      val sh4 = docs.select(col("doc_id"),
+        TextOps.wordShingles(col("__toks"), 4).as("sh"))
+      graft.dedup.SetSimJoin.selfJoin( // untimed JIT warmup
+          sh4.limit(500), "doc_id", col("sh"), 1L, 2L)
+        .write.format("noop").mode("overwrite").save()
+      counted("setsim_join_exact")(
+        graft.dedup.SetSimJoin.selfJoin(sh4, "doc_id", col("sh"), 1L, 2L))
+    }
+
     // 27. cluster-consistent keep-best vs per-pair near-dedup over the
     // SAME replicated corpus: the marginal cost of cluster consistency is
     // the components fixpoint (iterations track the dup-chain DIAMETER,
