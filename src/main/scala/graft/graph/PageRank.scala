@@ -107,6 +107,74 @@ object PageRank {
     ranks
   }
 
+  /** Personalized (topic-sensitive) PageRank — Haveliwala 2002: the
+    * teleport vector concentrates on a SEED set instead of spreading
+    * uniformly, so ranks measure proximity to the seeds ("related items
+    * to this basket", "pages near these trusted hosts" — TrustRank is
+    * exactly this with spam-free seeds). Same exact fixed-point integer
+    * arithmetic and the same per-sweep plan as [[run]]; the only changes
+    * are where teleport and dangling mass land (seeds only, scale DIV
+    * |S| each). With seeds = ALL nodes this reduces bit-for-bit to
+    * [[run]] — pinned in the spec as the cross-check.
+    *
+    * `seeds`: one column `node`; rows not present in the graph are
+    * ignored (their teleport share still counts — callers wanting strict
+    * semantics pre-join). Output: (node, rank_fp), rank_fp/scale sums to
+    * ≤ 1 with deterministic floor decay, concentrated near the seeds. */
+  def personalized(edges: DataFrame, seeds: DataFrame, iters: Int,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = Scale): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
+      s"damping must be a fraction in [0,1]: $dampNum/$dampDen")
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val s = seeds.select(col("node")).distinct().localCheckpoint()
+    val nS = s.count()
+    require(nS > 0, "empty seed set")
+    val teleport = scale / nS // exact: scale DIV |S|
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("__outdeg")).localCheckpoint()
+    // static per-node teleport column: teleport for seeds, 0 elsewhere
+    val withSeed = nodes
+      .join(s.withColumn("__t", lit(teleport)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__t"), lit(0L)).as("__t"))
+      .localCheckpoint()
+    var ranks = withSeed.select(col("node"), col("__t").as("rank_fp"))
+      .localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val prev = ranks
+      val withDeg = ranks.join(outdeg, Seq("node"), "left")
+      val dangling = withDeg.filter(col("__outdeg").isNull)
+        .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("__dang"))
+      val shares = withDeg.filter(col("__outdeg").isNotNull)
+        .select(col("node").as("src"),
+          expr("rank_fp DIV __outdeg").as("__share"))
+      val inflow = e.join(shares, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("__share")).as("__in"))
+      // teleport AND dangling both land on seeds only: seed term
+      // (den−num)·teleport + num·(dangling DIV |S|), gated by __t > 0
+      ranks = withSeed.join(inflow, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (when(col("__t") > 0L,
+            lit(dampDen - dampNum) * col("__t")
+              + lit(dampNum) * expr(s"__dang DIV ${nS}L"))
+            .otherwise(lit(0L))
+            + lit(dampNum) * coalesce(col("__in"), lit(0L))).as("__num"))
+        .select(col("node"), expr(s"__num DIV ${dampDen}L").as("rank_fp"))
+        .localCheckpoint()
+      graft.operators.Checkpoints.free(prev)
+      it += 1
+    }
+    ranks
+  }
+
   /** Total |rank−rank'| between two rank frames (fixed-point units) — the
     * L1 convergence gap, one aggregate. */
   def massDelta(a: DataFrame, b: DataFrame): Long =

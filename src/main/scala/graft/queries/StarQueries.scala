@@ -94,6 +94,26 @@ object StarQueries {
         .orderBy(col("w1"), col("w2"))
     },
 
+    // Personalized PageRank over the co-purchase graph (Haveliwala 2002
+    // topic-sensitive restart; TrustRank's mechanism): teleport and
+    // dangling mass land only on the SEED parts (ids % 40 == 0), so
+    // ranks measure proximity to the seed basket — the "related items"
+    // ranker beside global centrality (q134). Same exact 1e-12-unit
+    // integer arithmetic; the oracle unrolls the seed-gated recurrence
+    // (symmetric graph -> dangling identically 0 on both sides).
+    "q176_ppr_related" -> { (s, d) =>
+      val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .filter(col("node") % 40 === 0)
+      graft.graph.PageRank.personalized(edges, seeds, iters = 3)
+        .orderBy(col("node"))
+    },
+
     // Community detection by fixed-round deterministic label propagation
     // (Raghavan 2007 with the repo's determinism conventions: self-vote,
     // max-count-then-smallest-label winner, fixed rounds) over the
@@ -574,6 +594,30 @@ object StarQueries {
       s"""WITH ${walkCtesSql(2, 4, "rw")}
          SELECT walk_id, CAST(step AS INT) AS step, node
          FROM tr ORDER BY walk_id, step""",
+    "q176_ppr_related" -> {
+      def iter(k: Int, prev: String) =
+        s"""s$k AS (SELECT e.dst AS node, SUM($prev.r // deg.dg) AS inf
+              FROM e JOIN $prev ON e.src = $prev.node JOIN deg ON e.src = deg.src
+              GROUP BY 1),
+           r$k AS (SELECT nodes.node,
+                (CASE WHEN nodes.node % 40 = 0
+                   THEN 15 * (1000000000000 // ns.c) ELSE 0 END
+                 + 85 * COALESCE(s$k.inf, 0)) // 100 AS r
+              FROM nodes LEFT JOIN s$k USING (node), ns)"""
+      s"""WITH e AS (SELECT DISTINCT a.l_partkey src, b.l_partkey dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         nodes AS (SELECT DISTINCT src AS node FROM e),
+         ns AS (SELECT COUNT(*) c FROM nodes WHERE node % 40 = 0),
+         deg AS (SELECT src, COUNT(*) dg FROM e GROUP BY 1),
+         r0 AS (SELECT node, CASE WHEN node % 40 = 0
+             THEN 1000000000000 // ns.c ELSE 0 END AS r FROM nodes, ns),
+         ${iter(1, "r0")},
+         ${iter(2, "r1")},
+         ${iter(3, "r2")}
+         SELECT node, CAST(r AS BIGINT) AS rank_fp
+         FROM r3 ORDER BY node"""
+    },
     "q173_communities" -> {
       val rounds = 3
       val iters = (1 to rounds).map { r =>

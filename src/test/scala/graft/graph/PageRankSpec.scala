@@ -72,6 +72,59 @@ class PageRankSpec extends SparkSpecBase {
     assert(r(5L) > 0L)
   }
 
+  /** Independent PPR reference: same integer recurrence, seed-gated
+    * teleport and dangling. */
+  private def referencePpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int, dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = PageRank.Scale): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val nS = seeds.size.toLong
+    val teleport = scale / nS
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = nodes.map(v => v -> (if (seeds(v)) teleport else 0L)).toMap
+    for (_ <- 0 until iters) {
+      val dang = nodes.filter(v => !outdeg.contains(v)).map(r).sum
+      val inflow = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((s, d) <- edges) inflow(d) += r(s) / outdeg(s)
+      r = nodes.map { v =>
+        val seedTerm =
+          if (seeds(v)) (dampDen - dampNum) * teleport + dampNum * (dang / nS)
+          else 0L
+        v -> (seedTerm + dampNum * inflow(v)) / dampDen
+      }.toMap
+    }
+    r
+  }
+
+  private def runPpr(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      iters: Int): Map[Long, Long] =
+    PageRank.personalized(edges.toDF("src", "dst"), seeds.toDF("node"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("personalized PPR matches its independent integer reference") {
+    for (iters <- Seq(0, 1, 3, 5))
+      assert(runPpr(g, Seq(1L), iters) === referencePpr(g, Set(1L), iters),
+        s"iters=$iters")
+    assert(runPpr(g, Seq(2L, 5L), 4) === referencePpr(g, Set(2L, 5L), 4))
+  }
+
+  test("personalized with ALL nodes as seeds reduces bit-for-bit to uniform PageRank") {
+    val all = Seq(1L, 2L, 3L, 4L, 5L)
+    for (iters <- Seq(1, 4))
+      assert(runPpr(g, all, iters) === run(g, iters), s"iters=$iters")
+  }
+
+  test("PPR mass concentrates near the seed: downstream of seed outranks upstream-only nodes") {
+    // seed 1 feeds 2 and 3; node 5 is a dangling sink off 2; the cycle
+    // returns mass to 2. Nodes unreachable FROM the seed get rank only
+    // via floor-zero paths.
+    val r = runPpr(g, Seq(1L), 8)
+    assert(r(2L) > 0L && r(3L) > 0L)
+    assert(r(2L) > r(5L) && r(3L) > r(5L))
+    // the seed itself receives no inflow in this graph beyond teleport
+    assert(r(1L) > 0L)
+  }
+
   test("massDelta shrinks geometrically with iterations (convergence gap)") {
     val df = g.toDF("src", "dst")
     val d1 = PageRank.massDelta(PageRank.run(df, 1), PageRank.run(df, 2))
