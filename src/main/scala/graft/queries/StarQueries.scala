@@ -52,6 +52,32 @@ object StarQueries {
         .orderBy(col("host"))
     },
 
+    // HITS hubs & authorities (Kleinberg 1999) over the SAME directed
+    // crawl link graph as q170 — the asymmetric link-analysis complement
+    // of PageRank (a frontier wants authorities and hub/directory pages
+    // as separate signals). Fixed 2 sweeps, raw exact-long scores (no
+    // per-sweep normalization — pure cosmetics at fixed rounds, and a
+    // sqrt no engine replays), so both columns hash-replay.
+    "q177_link_hits" -> { (s, d) =>
+      def site(j: Int) = concat(lit("https://site"),
+        pmod(col("doc_id") * 7 + j, lit(50)), lit(".example.com/p"), lit(j))
+      val html = table(s, d, "documents").select(col("doc_id"),
+        concat(lit("<html><body><p>"), col("text"),
+          lit(" <a href=\""), site(1), lit("\">a</a>"),
+          lit(" <a href=\""), site(2), lit("\">b</a>"),
+          lit(" <a href=\""), site(3), lit("\">c</a></p></body></html>")).as("html"))
+      val links = html.select(
+          concat(lit("site"), pmod(col("doc_id"), lit(50)),
+            lit(".example.com")).as("src"),
+          explode(expr("regexp_extract_all(html, 'href=\"(https?://[^\"]+)\"', 1)"))
+            .as("url"))
+        .select(col("src"),
+          regexp_extract(col("url"), "^https?://([^/]+)", 1).as("dst"))
+        .distinct()
+      graft.graph.Hits.run(links, "src", "dst", iters = 2)
+        .orderBy(col("node"))
+    },
+
     // DeepWalk-style random-walk corpus over the co-purchase graph: 2
     // walks × 4 steps from every node, the neighbor choice at each step
     // = md5(salt|walk|step) mod out-degree against RANKED adjacency — a
@@ -589,6 +615,38 @@ object StarQueries {
          ${prIterSql(3, "r2")}
          SELECT node AS host, CAST(r AS BIGINT) AS rank_e12
          FROM r3 ORDER BY host"""
+    },
+    "q177_link_hits" -> {
+      def site(j: Int) =
+        s"'https://site' || CAST((doc_id * 7 + $j) % 50 AS VARCHAR) || '.example.com/p$j'"
+      s"""WITH h AS (SELECT doc_id,
+             '<html><body><p>' || text
+             || ' <a href="' || ${site(1)} || '">a</a>'
+             || ' <a href="' || ${site(2)} || '">b</a>'
+             || ' <a href="' || ${site(3)} || '">c</a></p></body></html>' AS html
+           FROM documents),
+         u AS (SELECT 'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS src,
+             unnest(regexp_extract_all(html, 'href="(https?://[^"]+)"', 1)) AS url
+           FROM h),
+         e AS (SELECT DISTINCT src, regexp_extract(url, '^https?://([^/]+)', 1) AS dst
+           FROM u),
+         nodes AS (SELECT node FROM
+           (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+         h0 AS (SELECT node, 1 AS h FROM nodes),
+         a1 AS (SELECT e.dst AS node, SUM(h0.h) AS a
+           FROM e JOIN h0 ON h0.node = e.src GROUP BY 1),
+         h1 AS (SELECT e.src AS node, SUM(a1.a) AS h
+           FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1),
+         a2 AS (SELECT e.dst AS node, SUM(h1.h) AS a
+           FROM e JOIN h1 ON h1.node = e.src GROUP BY 1),
+         h2 AS (SELECT e.src AS node, SUM(a2.a) AS h
+           FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1)
+         SELECT n.node, CAST(COALESCE(h2.h, 0) AS BIGINT) AS hub,
+           CAST(COALESCE(a2.a, 0) AS BIGINT) AS auth
+         FROM nodes n
+         LEFT JOIN h2 ON h2.node = n.node
+         LEFT JOIN a2 ON a2.node = n.node
+         ORDER BY n.node"""
     },
     "q165_random_walks" ->
       s"""WITH ${walkCtesSql(2, 4, "rw")}
