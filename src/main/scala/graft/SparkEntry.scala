@@ -74,7 +74,7 @@ object SparkEntry {
     "q51s_eval_served", "q52s_recs_served", "q109_crawl_assembly",
     "q36_langid", "q43_knn_lsh", "q50_topk_retrieval",
     "q134_copurchase_rank", "q155_triangles", "q165_random_walks",
-    "q176_ppr_related")
+    "q176_ppr_related", "q175_setsim_join")
 
   /** Fit-heavy entries: an iterative model fit (ALS sweeps, k-means) is
     * most of their wall, and fit wall breathes with JVM state no matter how
