@@ -20,30 +20,51 @@ import org.apache.spark.sql.execution.LogicalRDD
   * be called on a frame that feeds the loop's final result (RandomWalks'
   * per-step traces are output, not scaffolding, and are not freed).
   *
-  * Mechanism: a checkpointed Dataset's plan is a single [[LogicalRDD]]
-  * leaf whose `rdd` field is the persisted internal RDD — unpersisting
-  * that RDD (non-blocking) drops the blocks. A non-checkpointed frame
-  * simply has no LogicalRDD leaf and `free` is a no-op, so callers don't
-  * need to track which frames were checkpointed.
+  * Mechanism: a checkpointed Dataset's plan IS a single [[LogicalRDD]]
+  * root whose `rdd` field is the persisted internal RDD — unpersisting
+  * that RDD (non-blocking) drops the blocks. `free` acts ONLY when the
+  * analyzed plan root itself is a LogicalRDD: a non-checkpointed frame
+  * (or a frame DERIVED from a checkpoint — joins/projections that merely
+  * reference shared checkpoint leaves, like LabelPropagation's `sym` or
+  * Hits' edge frames) is a no-op, so a future misuse can never unpersist
+  * a block set another frame still reads (localCheckpoint blocks are
+  * unrecomputable after unpersist — a leaf-walking free would silently
+  * kill shared state).
   */
 object Checkpoints {
+
+  /** Unpersist the block set behind `df` when `df` is itself a
+    * checkpoint root (no-op for every other plan shape — see object
+    * doc). Call only on superseded iteration state. */
+  def free(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case lr: LogicalRDD => silencing { lr.rdd.unpersist(blocking = false) }
+    case _ => ()
+  }
 
   /** Spark WARNs "locally checkpointed … cannot be recomputed after
     * unpersisting" on every free — legitimate in general, pure noise
     * here (unrecomputability of a frame nothing will ever re-read is the
-    * point), and dozens of them would crowd the driver's log tail. */
-  private lazy val silenced: Unit =
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
-    catch { case _: Throwable => () }
+    * point), and dozens of them would crowd the driver's log tail. The
+    * suppression is SCOPED: the logger's level is raised only around the
+    * unpersist call and restored after, so the mutation never leaks to
+    * the rest of the process (the warning is emitted synchronously
+    * inside RDD.unpersist, before the async block removal). */
+  private val warnLogger = "org.apache.spark.rdd.MapPartitionsRDD"
 
-  /** Unpersist the block sets behind `df`'s checkpoint leaves (no-op for
-    * non-checkpointed plans). Call only on superseded iteration state. */
-  def free(df: DataFrame): Unit = {
-    silenced
-    df.queryExecution.analyzed.collect {
-      case lr: LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+  private def silencing(body: => Unit): Unit = {
+    val prev =
+      try {
+        val lvl = org.apache.logging.log4j.LogManager.getLogger(warnLogger)
+          .getLevel
+        org.apache.logging.log4j.core.config.Configurator.setLevel(
+          warnLogger, org.apache.logging.log4j.Level.ERROR)
+        Option(lvl)
+      } catch { case _: Throwable => None }
+    try body
+    finally prev.foreach { lvl =>
+      try org.apache.logging.log4j.core.config.Configurator.setLevel(
+        warnLogger, lvl)
+      catch { case _: Throwable => () }
+    }
   }
 }

@@ -55,9 +55,12 @@ object StarQueries {
     // HITS hubs & authorities (Kleinberg 1999) over the SAME directed
     // crawl link graph as q170 — the asymmetric link-analysis complement
     // of PageRank (a frontier wants authorities and hub/directory pages
-    // as separate signals). Fixed 2 sweeps, raw exact-long scores (no
-    // per-sweep normalization — pure cosmetics at fixed rounds, and a
-    // sqrt no engine replays), so both columns hash-replay.
+    // as separate signals). Fixed 2 sweeps, exact integer scores with a
+    // per-half-step fixed-point DIV rescale (max kept ~1e12 units —
+    // PageRank's own device, so web-scale degree x depth never
+    // overflows); the oracle replays the identical GREATEST/MAX///
+    // CTEs, and at this fixture scale every div is 1 so the values
+    // equal the raw recurrence. Both columns hash-replay.
     "q177_link_hits" -> { (s, d) =>
       def site(j: Int) = concat(lit("https://site"),
         pmod(col("doc_id") * 7 + j, lit(50)), lit(".example.com/p"), lit(j))
@@ -633,14 +636,22 @@ object StarQueries {
          nodes AS (SELECT node FROM
            (SELECT src AS node FROM e UNION SELECT dst FROM e)),
          h0 AS (SELECT node, 1 AS h FROM nodes),
-         a1 AS (SELECT e.dst AS node, SUM(h0.h) AS a
+         a1r AS (SELECT e.dst AS node, SUM(h0.h) AS a
            FROM e JOIN h0 ON h0.node = e.src GROUP BY 1),
-         h1 AS (SELECT e.src AS node, SUM(a1.a) AS h
+         a1v AS (SELECT GREATEST(1, MAX(a) // 1000000000000) AS dv FROM a1r),
+         a1 AS (SELECT node, a // dv AS a FROM a1r, a1v),
+         h1r AS (SELECT e.src AS node, SUM(a1.a) AS h
            FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1),
-         a2 AS (SELECT e.dst AS node, SUM(h1.h) AS a
+         h1v AS (SELECT GREATEST(1, MAX(h) // 1000000000000) AS dv FROM h1r),
+         h1 AS (SELECT node, h // dv AS h FROM h1r, h1v),
+         a2r AS (SELECT e.dst AS node, SUM(h1.h) AS a
            FROM e JOIN h1 ON h1.node = e.src GROUP BY 1),
-         h2 AS (SELECT e.src AS node, SUM(a2.a) AS h
-           FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1)
+         a2v AS (SELECT GREATEST(1, MAX(a) // 1000000000000) AS dv FROM a2r),
+         a2 AS (SELECT node, a // dv AS a FROM a2r, a2v),
+         h2r AS (SELECT e.src AS node, SUM(a2.a) AS h
+           FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1),
+         h2v AS (SELECT GREATEST(1, MAX(h) // 1000000000000) AS dv FROM h2r),
+         h2 AS (SELECT node, h // dv AS h FROM h2r, h2v)
          SELECT n.node, CAST(COALESCE(h2.h, 0) AS BIGINT) AS hub,
            CAST(COALESCE(a2.a, 0) AS BIGINT) AS auth
          FROM nodes n

@@ -73,4 +73,22 @@ class CheckpointLifecycleSpec extends SparkSpecBase {
     Checkpoints.free(df) // must not throw, must not unpersist anything else
     assert(df.count() == 6L)
   }
+
+  test("Checkpoints.free on a DERIVED frame never unpersists the shared checkpoint") {
+    // round-8 advice: free() must act only when the plan ROOT is the
+    // checkpoint — a projection/filter that merely references a shared
+    // checkpoint leaf must be a no-op, because localCheckpoint blocks
+    // are unrecomputable after unpersist and another frame still reads
+    // them.
+    val ck = g.toDF("src", "dst").localCheckpoint()
+    val derived = ck.filter(col("src") > 1).select(col("dst"))
+    val before = persistedCount
+    Checkpoints.free(derived) // leaf is a LogicalRDD, root is not -> no-op
+    assert(persistedCount == before,
+      "free() on a derived frame unpersisted a shared checkpoint block set")
+    // the checkpoint is still fully readable (blocks intact)
+    assert(ck.count() == 6L && derived.count() == 4L)
+    Checkpoints.free(ck) // root IS the checkpoint -> frees exactly one
+    assert(persistedCount == before - 1)
+  }
 }

@@ -5,18 +5,26 @@ import graft.SparkSpecBase
 class HitsSpec extends SparkSpecBase {
   import spark.implicits._
 
-  /** Independent reference: same integer half-step recurrence. */
-  private def reference(edges: Seq[(Long, Long)], iters: Int)
-      : Map[Long, (Long, Long)] = {
+  /** Independent reference: same integer half-step recurrence including
+    * the per-half-step fixed-point DIV rescale. */
+  private def reference(edges: Seq[(Long, Long)], iters: Int,
+      cap: Long = Hits.DefaultCapUnits): Map[Long, (Long, Long)] = {
     val es = edges.distinct
     val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    def rescale(m: Map[Long, Long]): Map[Long, Long] = {
+      val mx = if (m.isEmpty) 0L else m.values.max
+      val dv = math.max(1L, mx / cap)
+      if (dv == 1L) m else m.map { case (k, v) => k -> v / dv }
+    }
     var hub = nodes.map(_ -> 1L).toMap.withDefaultValue(0L)
     var auth = nodes.map(_ -> 1L).toMap.withDefaultValue(0L)
     for (_ <- 0 until iters) {
-      auth = nodes.map(v => v -> es.filter(_._2 == v).map(e => hub(e._1)).sum)
-        .toMap.withDefaultValue(0L)
-      hub = nodes.map(v => v -> es.filter(_._1 == v).map(e => auth(e._2)).sum)
-        .toMap.withDefaultValue(0L)
+      auth = rescale(nodes.map(v =>
+          v -> es.filter(_._2 == v).map(e => hub(e._1)).sum).toMap)
+        .withDefaultValue(0L)
+      hub = rescale(nodes.map(v =>
+          v -> es.filter(_._1 == v).map(e => auth(e._2)).sum).toMap)
+        .withDefaultValue(0L)
     }
     nodes.map(v => v -> (hub(v), auth(v))).toMap
   }
@@ -59,6 +67,30 @@ class HitsSpec extends SparkSpecBase {
     val b = Hits.run(g.toDF("s", "d").coalesce(1), "s", "d", 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(a === b)
+  }
+
+  test("fixed-point rescale path matches the reference at a forced small cap") {
+    // cap=4 forces div > 1 within three sweeps on the small fixture, so
+    // this exercises the exact DIV recurrence (not just the div=1 no-op)
+    val r = Hits.run(g.toDF("s", "d"), "s", "d", 3, cap = 4L)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r === reference(g, 3, cap = 4L))
+  }
+
+  test("d_max=1e5 star survives 4 sweeps at the default cap (raw recurrence overflows long)") {
+    // K(1e5 -> 2): raw scores reach a4 = 8e20 > Long.MaxValue, so the
+    // pre-rescale implementation threw an ANSI overflow by sweep 4; the
+    // fixed-point rescale keeps every score < 2*cap and completes.
+    val star = (1L to 100000L).flatMap(i => Seq((i, 1000001L), (i, 1000002L)))
+    val r = run(star, 4)
+    assert(r.size == 100002)
+    val topAuth = r.maxBy(x => (x._2._2, -x._1))._1
+    assert(Set(1000001L, 1000002L)(topAuth), s"sink nodes must top auth")
+    assert(r.values.forall { case (h, a) => h >= 0L && a >= 0L })
+    assert(r.values.map(_._2).max <= 2L * Hits.DefaultCapUnits)
+    assert(r.values.map(_._1).max <= 2L * Hits.DefaultCapUnits)
+    // sources are interchangeable: one uniform positive hub score
+    assert(r.filter(_._1 <= 100000L).values.map(_._1).toSet.size == 1)
   }
 
   test("retains O(1) persistent RDDs across sweeps (block lifecycle)") {
