@@ -23,19 +23,32 @@ import org.apache.spark.sql.functions._
   * sharing a PREFIX token, and the rare-first order makes prefixes hit
   * rare tokens: candidate volume tracks true-pair volume, not corpus².
   *
+  * POSITIONAL filter (PPJoin proper, Xiao 2008 §3.2): a shared prefix
+  * token at 1-based canonical position i in a and j in b bounds the
+  * achievable overlap by 1 + min(|a|−i, |b|−j) — everything before the
+  * token in either set is non-shared-so-far. The join keeps a pair only
+  * when some shared prefix token's bound reaches the required minimum
+  * overlap α = ⌈t/(1+t)·(|a|+|b|)⌉. Lossless: for a true pair the
+  * globally FIRST common token w₁ sits inside both prefixes (it is
+  * preceded only by non-common tokens, and overlap ≥ ⌈t·|s|⌉ forces its
+  * position ≤ |s| − ⌈t·|s|⌉ + 1) and at w₁ the bound equals
+  * 1 + min(remaining) ≥ |a∩b| ≥ α. At J ≥ 1/2 over near-dup corpora
+  * this kills a large share of candidates BEFORE the array_intersect
+  * verification (the expensive row-local step).
+  *
   * Exactness device: the threshold is a RATIONAL num/den and every
   * filter is integer cross-multiplied (den·|∩| ≥ num·|∪|, prefix length
-  * via integer ceil) — no float ever decides membership, so the result
-  * hash-replays in any engine; the oracle (q175) deliberately uses the
-  * NAIVE shared-token all-pairs formulation, so agreement PROVES the
-  * prefix optimization sound on real data.
+  * and α via integer ceil) — no float ever decides membership, so the
+  * result hash-replays in any engine; the oracle (q175) deliberately
+  * uses the NAIVE shared-token all-pairs formulation, so agreement
+  * PROVES the prefix+positional optimization sound on real data.
   *
   * Scale: one df aggregate (map-combined), one per-doc sort (array_sort
   * over its own tokens, row-local), candidate generation = equi-join on
-  * prefix tokens with the length filter inline, verification = one
-  * row-local array_intersect per CANDIDATE (never per pair of docs).
-  * Shuffles: df agg, canonical-sort regroup, candidate join, dedup —
-  * all keyed, all linear in their inputs.
+  * prefix tokens with the length and positional filters inline,
+  * verification = one row-local array_intersect per CANDIDATE (never
+  * per pair of docs). Shuffles: df agg, canonical-sort regroup,
+  * candidate join, dedup — all keyed, all linear in their inputs.
   */
 object SetSimJoin {
 
@@ -46,31 +59,8 @@ object SetSimJoin {
   def selfJoin(docs: DataFrame, idCol: String, toksCol: Column,
       tNum: Long, tDen: Long): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold must be in (0,1]: $tNum/$tDen")
-    val base = docs
-      .select(col(idCol).as("__id"), array_distinct(toksCol).as("__s"))
-      .withColumn("__n", size(col("__s")))
-      .filter(col("__n") > 0)
-    val dfreq = base.select(explode(col("__s")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("__df"))
-    // canonical rare-first order per doc, then the prefix:
-    // p = n - ceil(t*n) + 1, integer ceil = (num*n + den - 1) div den
-    val ordered = base.select(col("__id"), col("__n"), explode(col("__s")).as("tok"))
-      .join(dfreq, Seq("tok"))
-      .groupBy(col("__id"), col("__n"))
-      .agg(array_sort(collect_list(struct(col("__df"), col("tok")))).as("__o"))
-    val pLen = col("__n") -
-      expr(s"(${tNum}L * __n + ${tDen - 1}L) div ${tDen}L") + 1
-    val pref = ordered.select(col("__id"), col("__n"),
-      explode(slice(transform(col("__o"), s => s.getField("tok")),
-        lit(1), pLen)).as("tok"))
-    val cand = pref.as("a").join(pref.as("b"),
-        col("a.tok") === col("b.tok")
-          && col("a.__id") < col("b.__id")
-          // length filter: J >= t forces t·|a| <= |b| and t·|b| <= |a|
-          && lit(tNum) * col("a.__n") <= lit(tDen) * col("b.__n")
-          && lit(tNum) * col("b.__n") <= lit(tDen) * col("a.__n"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .distinct()
+    val base = prepared(docs, idCol, toksCol)
+    val cand = candidatePairs(base, tNum, tDen, positional = true)
     cand
       .join(base.select(col("__id").as("id_a"), col("__s").as("__sa"),
         col("__n").as("__na")), Seq("id_a"))
@@ -81,5 +71,54 @@ object SetSimJoin {
       .filter(lit(tDen) * col("n_inter") >= lit(tNum) * col("n_union"))
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
         (col("n_inter").cast("double") / col("n_union")).as("jaccard"))
+  }
+
+  /** (__id, __s array<string> distinct, __n size) with empties dropped. */
+  private[dedup] def prepared(docs: DataFrame, idCol: String,
+      toksCol: Column): DataFrame =
+    docs
+      .select(col(idCol).as("__id"), array_distinct(toksCol).as("__s"))
+      .withColumn("__n", size(col("__s")))
+      .filter(col("__n") > 0)
+
+  /** Distinct (id_a < id_b) candidate pairs from the prefix equi-join,
+    * with the length filter and (when `positional`) the PPJoin
+    * positional filter inline. Exposed for the spec's candidate-volume
+    * assertion; `selfJoin` always runs positional. */
+  private[dedup] def candidatePairs(base: DataFrame, tNum: Long, tDen: Long,
+      positional: Boolean): DataFrame = {
+    val dfreq = base.select(explode(col("__s")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+    // canonical rare-first order per doc, then the prefix:
+    // p = n - ceil(t*n) + 1, integer ceil = (num*n + den - 1) div den
+    val ordered = base.select(col("__id"), col("__n"), explode(col("__s")).as("tok"))
+      .join(dfreq, Seq("tok"))
+      .groupBy(col("__id"), col("__n"))
+      .agg(array_sort(collect_list(struct(col("__df"), col("tok")))).as("__o"))
+    val pLen = col("__n") -
+      expr(s"(${tNum}L * __n + ${tDen - 1}L) div ${tDen}L") + 1
+    // posexplode is 0-based over the sliced prefix, which is a prefix of
+    // the full canonical order, so __p = pos + 1 is the token's 1-based
+    // canonical position in the whole set
+    val pref = ordered.select(col("__id"), col("__n"),
+        posexplode(slice(transform(col("__o"), s => s.getField("tok")),
+          lit(1), pLen)))
+      .select(col("__id"), col("__n"), (col("pos") + 1).as("__p"),
+        col("col").as("tok"))
+    val lengthFilter =
+      // length filter: J >= t forces t·|a| <= |b| and t·|b| <= |a|
+      lit(tNum) * col("a.__n") <= lit(tDen) * col("b.__n") &&
+      lit(tNum) * col("b.__n") <= lit(tDen) * col("a.__n")
+    // positional: overlap reachable from this shared token,
+    // 1 + min(|a|-i, |b|-j), must cover α = ceil(num·(na+nb)/(num+den))
+    val posFilter = expr(
+      s"1L + least(a.__n - a.__p, b.__n - b.__p) >= " +
+        s"(${tNum}L * (a.__n + b.__n) + ${tNum + tDen - 1}L) div ${tNum + tDen}L")
+    val cond = col("a.tok") === col("b.tok") &&
+      col("a.__id") < col("b.__id") && lengthFilter &&
+      (if (positional) posFilter else lit(true))
+    pref.as("a").join(pref.as("b"), cond)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
   }
 }

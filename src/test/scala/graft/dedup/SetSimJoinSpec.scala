@@ -73,6 +73,31 @@ class SetSimJoinSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("positional filter (PPJoin §3.2) prunes candidates the length filter keeps — losslessly") {
+    // 20 docs {u_ia, u_ib, sh, the}: canonical order puts the uniques
+    // (df=1) first, the shared token sh (df=20) at position 3, the
+    // boilerplate at 4. Prefix length = 4 - ceil(4/2) + 1 = 3, so every
+    // pair is a PLAIN prefix candidate via sh; positionally the bound is
+    // 1 + min(4-3, 4-3) = 2 < α = ceil(1·8/3) = 3, so ALL 190 die before
+    // verification. Brute force agrees nothing was lost (J = 2/6 < 1/2).
+    val family = (1L to 20L).map(i => (i, s"u${i}a u${i}b sh the"))
+    val base = SetSimJoin.prepared(docs(family: _*), "id", col("toks"))
+    val plain = SetSimJoin.candidatePairs(base, 1L, 2L, positional = false).count()
+    val pos = SetSimJoin.candidatePairs(base, 1L, 2L, positional = true).count()
+    assert(plain == 190L, s"every pair must be a plain prefix candidate: $plain")
+    assert(pos == 0L, s"positional filter must kill them all: $pos")
+    assert(run(family, 1L, 2L) == brute(family, 1L, 2L))
+
+    // mixed corpus (true near-dups + the prunable family): candidates
+    // strictly shrink, results stay exactly brute-force
+    val mixed = fixture ++ family.map { case (i, s) => (i + 100L, s) }
+    val mixedBase = SetSimJoin.prepared(docs(mixed: _*), "id", col("toks"))
+    val mp = SetSimJoin.candidatePairs(mixedBase, 1L, 2L, positional = false).count()
+    val mq = SetSimJoin.candidatePairs(mixedBase, 1L, 2L, positional = true).count()
+    assert(mq < mp, s"positional must reduce candidate volume: $mq !< $mp")
+    assert(run(mixed, 1L, 2L) == brute(mixed, 1L, 2L))
+  }
+
   test("a frequent token never enters a short prefix (rare-first order bounds candidates)") {
     // 50 docs all share boilerplate token "the" plus a unique token; with
     // t=1/2 each 2-token doc's prefix has length 2-1+1=2... use 4-token
