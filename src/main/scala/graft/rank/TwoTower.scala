@@ -14,13 +14,16 @@ import org.apache.spark.sql.functions._
   * Execution model (the honest pure-Spark seam): weights live on the
   * driver between steps and travel to executors as a broadcast; each
   * step selects a deterministic md5 mini-batch from the DISTRIBUTED
-  * encoded-pairs frame, computes the full gradient on an executor task,
-  * and the driver applies one SGD update. At this batch size the
-  * gradient task is deliberately ONE sorted task, which makes training
-  * bit-deterministic (fixed float accumulation order — rerun ≡ rerun,
-  * any input partitioning); the chunked in-batch losses are independent,
-  * so a cluster-scale trainer shards chunks across tasks and pays only
-  * the summation-order float jitter every data-parallel trainer accepts.
+  * encoded-pairs frame, computes the gradient on executor task(s),
+  * and the driver applies the update. At bench batch sizes the
+  * gradient is deliberately ONE sorted task applying local-SGD chunk
+  * updates, which makes training bit-deterministic (fixed float
+  * accumulation order — rerun ≡ rerun, any input partitioning); the
+  * chunked in-batch losses are independent, so `Config.shards > 1`
+  * switches to the cluster-scale data-parallel form — chunks sharded
+  * across tasks against the broadcast snapshot, driver sums in
+  * partition order and applies one Adagrad step (still deterministic;
+  * see Config doc).
   * Embedding tables are the parameter-server part: driver-held here
   * (fine to ~10M ids × dim 32 ≈ 1.2 GB; `require`d), factored storage
   * (the ALS block layout) past that.
@@ -40,10 +43,24 @@ import org.apache.spark.sql.functions._
   */
 object TwoTower {
 
+  /** `shards` > 1 switches the gradient from the single-sorted-task
+    * local-SGD form to the data-parallel form (chunks sharded across
+    * `shards` tasks, each computing its chunk gradients against the
+    * broadcast weight snapshot; the driver sums shard gradients in
+    * partition order and applies ONE Adagrad update per step). Both
+    * forms are bit-deterministic — shard assignment is a hash of the
+    * deterministic order key, within-shard accumulation is sorted, and
+    * the driver merge is ordered — they just fix DIFFERENT accumulation
+    * orders, so they converge to different (equally valid) weights. */
   case class Config(
       embDim: Int = 32, hiddenDim: Int = 16, steps: Int = 80,
       batchRows: Int = 4096, chunk: Int = 256, lr: Double = 0.1,
-      lrDecay: Double = 1.0, logitScale: Double = 4.0, seed: String = "tt")
+      lrDecay: Double = 1.0, logitScale: Double = 4.0, seed: String = "tt",
+      shards: Int = 1) {
+    /** Deterministic grid identity (the F11 model-selection contract). */
+    def key: String = s"bs=$batchRows,lr=$lr,dim=$embDim,steps=$steps," +
+      s"shards=$shards"
+  }
 
   /** Trained model: serving-space tower outputs per natural id. */
   case class Model(userVecs: DataFrame, itemVecs: DataFrame, cfg: Config) {
@@ -219,7 +236,7 @@ object TwoTower {
         }
         a += 1
       }
-      // back through each tower (relu mask = h > 0)
+      // back through each tower (tanh derivative 1 - h^2)
       a = 0
       while (a < b) {
         backTower(w.wU, w.uEmb(us(a)), hU(a), gHU(a), wU, bU,
@@ -341,52 +358,95 @@ object TwoTower {
       // would pack one user's positives together, where they demote each
       // other as in-batch negatives and training stalls (measured: loss
       // froze at ln(chunk) until this sort key changed)
-      val batch = bucketed.filter(col("__b") === step % nBatches)
+      val ordered = bucketed.filter(col("__b") === step % nBatches)
         .select(col("u"), col("i"),
           md5(concat(lit(cfg.seed + "|s|"), col("u"), lit("|"), col("i"))).as("__o"))
-        // ONE sorted task -> fixed accumulation order -> bit-deterministic
-        .coalesce(1).sortWithinPartitions(col("__o"))
-        .select(col("u"), col("i"))
-      // the task applies ONE Adagrad update per chunk SEQUENTIALLY (local
-      // SGD): ~batch/chunk optimizer steps per Spark job instead of one —
-      // the difference between converging in tens of jobs and thousands.
-      // Still one sorted task, so accumulation AND update order are fixed
-      // and training stays bit-deterministic. At cluster scale the chunks
-      // shard across tasks (each computing its chunk gradient against the
-      // broadcast snapshot — plain data-parallel SGD with the usual
-      // summation-order float jitter); the single-task form is right
-      // while one executor core chews a mini-batch in microseconds.
       val lrNow = lr
-      val bw = spark.sparkContext.broadcast((w, ada))
-      val (nw, na, lossSum, nPos) = batch.rdd.mapPartitions { it =>
-        val (w0, a0) = bw.value
-        val lw = copyW(w0)
-        val la = copyA(a0, w0.uEmb.length, w0.iEmb.length, cfg)
-        var lossAcc = 0.0
-        var n = 0L
-        val buf = it.toArray
-        var off = 0
-        while (off < buf.length) {
-          val end = math.min(off + cfg.chunk, buf.length)
-          val us = new Array[Int](end - off)
-          val is = new Array[Int](end - off)
-          var k = off
-          while (k < end) {
-            us(k - off) = buf(k).getInt(0); is(k - off) = buf(k).getInt(1); k += 1
+      if (cfg.shards <= 1) {
+        // ONE sorted task -> fixed accumulation order -> bit-deterministic.
+        // The task applies ONE Adagrad update per chunk SEQUENTIALLY (local
+        // SGD): ~batch/chunk optimizer steps per Spark job instead of one —
+        // the difference between converging in tens of jobs and thousands.
+        // Still one sorted task, so accumulation AND update order are fixed
+        // and training stays bit-deterministic. The single-task form is
+        // right while one executor core chews a mini-batch in microseconds;
+        // past that, cfg.shards > 1 switches to the data-parallel form
+        // below.
+        val batch = ordered.coalesce(1).sortWithinPartitions(col("__o"))
+          .select(col("u"), col("i"))
+        val bw = spark.sparkContext.broadcast((w, ada))
+        val (nw, na, lossSum, nPos) = batch.rdd.mapPartitions { it =>
+          val (w0, a0) = bw.value
+          val lw = copyW(w0)
+          val la = copyA(a0, w0.uEmb.length, w0.iEmb.length, cfg)
+          var lossAcc = 0.0
+          var n = 0L
+          val buf = it.toArray
+          var off = 0
+          while (off < buf.length) {
+            val end = math.min(off + cfg.chunk, buf.length)
+            val us = new Array[Int](end - off)
+            val is = new Array[Int](end - off)
+            var k = off
+            while (k < end) {
+              us(k - off) = buf(k).getInt(0); is(k - off) = buf(k).getInt(1); k += 1
+            }
+            val g = new Grad(lw.uEmb.length, lw.iEmb.length, cfg)
+            g.addChunk(lw, us, is, cfg)
+            applyUpdate(lw, g, lrNow, la)
+            lossAcc += g.loss
+            n += g.n
+            off = end
           }
-          val g = new Grad(lw.uEmb.length, lw.iEmb.length, cfg)
-          g.addChunk(lw, us, is, cfg)
-          applyUpdate(lw, g, lrNow, la)
-          lossAcc += g.loss
-          n += g.n
-          off = end
+          Iterator.single((lw, la, lossAcc, n))
+        }.collect().head
+        bw.destroy()
+        w = nw
+        ada = na
+        losses += (if (nPos > 0) lossSum / nPos else 0.0)
+      } else {
+        // Data-parallel form (the cluster-scale seam, round-9): chunks
+        // shard across `shards` tasks, each computing its chunk gradients
+        // against the broadcast weight SNAPSHOT (no local updates); the
+        // driver sums shard gradients in partition order and applies ONE
+        // Adagrad update per step. Shard assignment hashes the
+        // deterministic order key, within-shard accumulation is sorted,
+        // and the driver merge is pid-ordered — so this form is ALSO
+        // bit-deterministic (rerun ≡ rerun); it just fixes a different
+        // accumulation order than the single-task form. Fewer optimizer
+        // updates per job than local SGD (one vs batch/chunk), so
+        // schedules trade steps for per-step wall — the gridSearch
+        // surface exists exactly to pick that trade.
+        val batch = ordered.repartition(cfg.shards, col("__o"))
+          .sortWithinPartitions(col("__o"))
+          .select(col("u"), col("i"))
+        val bw = spark.sparkContext.broadcast(w)
+        val parts = batch.rdd.mapPartitionsWithIndex { (pid, it) =>
+          val w0 = bw.value
+          val g = new Grad(w0.uEmb.length, w0.iEmb.length, cfg)
+          val buf = it.toArray
+          var off = 0
+          while (off < buf.length) {
+            val end = math.min(off + cfg.chunk, buf.length)
+            val us = new Array[Int](end - off)
+            val is = new Array[Int](end - off)
+            var k = off
+            while (k < end) {
+              us(k - off) = buf(k).getInt(0); is(k - off) = buf(k).getInt(1); k += 1
+            }
+            g.addChunk(w0, us, is, cfg)
+            off = end
+          }
+          if (buf.isEmpty) Iterator.empty else Iterator.single((pid, g))
+        }.collect()
+        bw.destroy()
+        parts.sortBy(_._1).map(_._2).reduceOption(_.merge(_)) match {
+          case Some(g) if g.n > 0 =>
+            applyUpdate(w, g, lrNow, ada)
+            losses += g.loss / g.n
+          case _ => losses += 0.0
         }
-        Iterator.single((lw, la, lossAcc, n))
-      }.collect().head
-      bw.destroy()
-      w = nw
-      ada = na
-      losses += (if (nPos > 0) lossSum / nPos else 0.0)
+      }
       lr *= cfg.lrDecay
       step += 1
     }
@@ -476,5 +536,35 @@ object TwoTower {
         Seq(col("score").desc, col("item_id").asc), k)
       .select(col("user_id"), col("rk").cast("int").as("rk"),
         col("item_id"), col("score"))
+  }
+
+  /** The reference's hyperparameter grid: batch sizes × learning rates
+    * (reference: src/my_merlin_flow.py:248-260 — batch_sizes [16384,
+    * 4096] × learning_rates [0.04, 0.02], fanned out per config). Scale
+    * the base schedule through it with `base.copy(...)`. */
+  def referenceGrid(base: Config,
+      batchSizes: Seq[Int] = Seq(16384, 4096),
+      learningRates: Seq[Double] = Seq(0.04, 0.02)): Seq[Config] =
+    for (bs <- batchSizes; lr <- learningRates)
+      yield base.copy(batchRows = bs, lr = lr)
+
+  /** Grid-search fan-out + model selection for the neural path (F10/F11
+    * parity with AlsRecommender.gridSearch, matching the reference's
+    * foreach-over-hypers train step): fit every config, evaluate mean
+    * recall@k on the validation split, pick the argmax (metric desc,
+    * config key asc — deterministic). Each fit is itself deterministic,
+    * so the winning (config, model) is a pure function of the inputs. */
+  def gridSearch(trainDf: DataFrame, valid: DataFrame, configs: Seq[Config],
+      k: Int = 10, excludeSeen: Option[DataFrame] = None)
+      : (Config, Model, Map[String, Double]) = {
+    require(configs.nonEmpty, "empty grid")
+    val fitted = configs.map { cfg =>
+      val model = fit(trainDf, cfg)
+      val recs = recommend(model, valid.select("user_id"), k, excludeSeen)
+      val (recall, _) = RankingEval.meanMetrics(RankingEval.perUser(recs, valid, k))
+      (cfg, model, recall)
+    }
+    val best = fitted.maxBy { case (cfg, _, r) => (r, cfg.key) }
+    (best._1, best._2, fitted.map { case (cfg, _, r) => cfg.key -> r }.toMap)
   }
 }

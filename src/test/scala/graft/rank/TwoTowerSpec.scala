@@ -98,6 +98,58 @@ class TwoTowerSpec extends SparkSpecBase {
     assert(dump(a) == dump(b))
   }
 
+  test("sharded data-parallel training converges to comparable held-out recall") {
+    // shards=4: chunks shard across tasks against the weight snapshot,
+    // one summed Adagrad update per step (vs ~batch/chunk local-SGD
+    // updates in the single-task form), so the schedule trades steps for
+    // per-step wall. The bar is the same one the single-task form must
+    // clear: beats popularity, recall above the fixture floor.
+    val scfg = cfg.copy(shards = 4, steps = 200)
+    val model = TwoTower.fit(trainRows.toDF("user_id", "item_id"), scfg)
+    val te = testRows.toDF("user_id", "item_id")
+    val recs = TwoTower.recommend(model,
+      testRows.map(_._1).distinct.toDF("user_id"), 10,
+      excludeSeen = Some(trainRows.toDF("user_id", "item_id")))
+    val (recall, _) = RankingEval.meanMetrics(RankingEval.perUser(recs, te, 10))
+    assert(recall > 0.25, s"sharded-form recall too low: $recall")
+  }
+
+  test("sharded training is bit-deterministic and partitioning-invariant too") {
+    // shard assignment hashes the deterministic order key, within-shard
+    // accumulation is sorted, driver merge is pid-ordered — so the
+    // data-parallel form must reproduce exactly as well
+    val short = cfg.copy(steps = 25, shards = 3)
+    def dump(m: TwoTower.Model) =
+      m.userVecs.orderBy("user_id").collect().map(_.toString).toSeq ++
+        m.itemVecs.orderBy("item_id").collect().map(_.toString).toSeq
+    val a = TwoTower.fit(trainRows.toDF("user_id", "item_id").repartition(5), short)
+    val b = TwoTower.fit(trainRows.toDF("user_id", "item_id").coalesce(1), short)
+    assert(dump(a) == dump(b))
+  }
+
+  test("referenceGrid spans the reference's batch/lr grid") {
+    val grid = TwoTower.referenceGrid(cfg)
+    assert(grid.size == 4)
+    assert(grid.map(c => (c.batchRows, c.lr)).toSet ==
+      Set((16384, 0.04), (16384, 0.02), (4096, 0.04), (4096, 0.02)))
+    assert(grid.map(_.key).distinct.size == 4)
+  }
+
+  test("gridSearch picks the deterministic argmax and reports every config's metric") {
+    val tr = trainRows.toDF("user_id", "item_id")
+    val te = testRows.toDF("user_id", "item_id")
+    val grid = Seq(cfg.copy(steps = 60), cfg.copy(steps = 60, lr = 0.001))
+    val (best, _, metrics) = TwoTower.gridSearch(tr, te, grid, k = 10,
+      excludeSeen = Some(tr))
+    assert(metrics.keySet == grid.map(_.key).toSet)
+    val (bestKey, bestVal) = metrics.maxBy { case (k2, v) => (v, k2) }
+    assert(best.key == bestKey && metrics(best.key) == bestVal)
+    // rerun reproduces the same winner (fits are deterministic)
+    val (best2, _, metrics2) = TwoTower.gridSearch(tr, te, grid, k = 10,
+      excludeSeen = Some(tr))
+    assert(best2.key == best.key && metrics2 == metrics)
+  }
+
   test("model persists and loads; recommend schema is RankingEval-ready") {
     val tmp = java.nio.file.Files.createTempDirectory("twotower").toString
     fitted._1.save(tmp)
