@@ -120,7 +120,12 @@ def main(artifact_path):
     factor = 1.0
     if ratios:
         factor = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
-        factor = min(4.0, max(0.5, factor))
+        # clamp tightened 4.0 -> 2.5 (round-8 advice): with tolerance 1.5
+        # a 4.0 clamp let a real regression of up to 6x pass on a box
+        # whose probes read slow; 2.5 bounds the worst pass-through at
+        # 3.75x while still covering every probe factor observed so far
+        # (0.54-2.6 across r7/r8 artifacts)
+        factor = min(2.5, max(0.5, factor))
 
     def drift_of(block):
         if not isinstance(block, dict):
@@ -155,9 +160,16 @@ def main(artifact_path):
         print(f"{level}: SCALE.md bench claims vs {artifact_path} "
               f"(tolerance {tol}x{norm}):")
         for name, claimed, actual in bad:
-            shown = "MISSING" if actual is None else f"{actual:.2f}s"
-            print(f"  {name}: claimed {claimed:.2f}s "
-                  f"(normalized {claimed * factor:.2f}s), artifact {shown}")
+            if actual is None:
+                print(f"  {name}: claimed {claimed:.2f}s "
+                      f"(normalized {claimed * factor:.2f}s), artifact MISSING")
+            else:
+                # raw ratio printed alongside (round-8 advice): large gaps
+                # stay visible even when normalization absorbs part of them
+                print(f"  {name}: claimed {claimed:.2f}s "
+                      f"(normalized {claimed * factor:.2f}s), artifact "
+                      f"{actual:.2f}s (raw {actual / claimed:.2f}x, "
+                      f"normalized {actual / (claimed * factor):.2f}x)")
         if not drifting:
             return 1
     if unchecked:
