@@ -955,6 +955,79 @@ object ScaleExperiment {
       tgt.unpersist(); raw.unpersist()
     }
 
+    // 27. Round-8 graph operators over the UNCAPPED co-purchase graph
+    // (q173/q176 cap l_partkey for oracle-replayable fixtures; the scale
+    // read wants the full edge list — same derivation as r7graph's
+    // PageRank case so the walls are comparable). HITS runs on the same
+    // graph: directed co-purchase edges exercise both half-steps, and
+    // the per-sweep fixed-point rescale is what makes the 10×-degree
+    // regime legal at all (raw longs overflow there).
+    if (on("r8graph")) {
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .filter(col("node") % 40 === 0)
+      // each op timed twice in the same JVM: the first run carries the
+      // cold-JIT tax (the r7graph protocol), the _warm rep is the quoted
+      // steady state
+      for (tag <- Seq("", "_warm")) {
+        timed(s"r8_lpa3$tag")(
+          graft.graph.LabelPropagation.run(edges, "src", "dst", rounds = 3))
+        timed(s"r8_ppr3$tag")(
+          graft.graph.PageRank.personalized(edges, seeds, iters = 3))
+        timed(s"r8_hits2$tag")(
+          graft.graph.Hits.run(edges, "src", "dst", iters = 2))
+      }
+    }
+
+    // 28. TwoTower gradient forms head-to-head at the q63t schedule:
+    // single-sorted-task local SGD vs the data-parallel sharded form
+    // (shards=8). Input prep (split + basket cap) is checkpointed ONCE
+    // outside the timers so the walls are pure trainer cost; steps/sec
+    // is the cluster-relevant read — the sharded form trades the
+    // local-SGD form's tens-of-updates-per-job for per-shard parallelism
+    // plus one driver merge per step.
+    if (on("r9tower")) {
+      import graft.rank._
+      val (tr, _) = Interactions.splitByTime(
+        Interactions.fromStar(spark, dir), "2000-01-01")
+      val inter = Interactions.recentN(tr, 12)
+        .select(col("user_id"), col("item_id")).localCheckpoint()
+      for (sh <- Seq(1, 8); rep <- Seq("", "_warm")) {
+        val cfg = TwoTower.Config(embDim = 16, hiddenDim = 8, steps = 12,
+          batchRows = 4096, seed = "tt8", shards = sh)
+        val t0 = System.nanoTime()
+        TwoTower.fit(inter, cfg)
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"r9_tower_shards$sh$rep%-16s $secs%8.1f s  steps_per_sec=${cfg.steps / secs}%6.2f")
+      }
+    }
+
+    // 29. Priority sampling at two k regimes over documents: the plan is
+    // one scan + ONE TakeOrdered of k+1 rows regardless of k, so both
+    // walls should be scan-bound (corpus-linear) with k contributing only
+    // the driver-side heap of the bounded top. k=200 mirrors q174; the
+    // 100k point shows the bounded top staying sub-dominant at a
+    // recipe-sized sample.
+    if (on("r8samp")) {
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      graft.operators.PrioritySample // untimed JIT warmup
+        .sample(docs.limit(500), "doc_id", "n_chars", 200, "ps8")
+        .write.format("noop").mode("overwrite").save()
+      timed("r8_psample_k200")(
+        graft.operators.PrioritySample.sample(docs, "doc_id", "n_chars",
+          200, "ps8"))
+      timed("r8_psample_k100k")(
+        graft.operators.PrioritySample.sample(docs, "doc_id", "n_chars",
+          100000, "ps8"))
+    }
+
     spark.stop()
   }
 }
