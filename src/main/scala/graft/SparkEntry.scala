@@ -121,9 +121,10 @@ object SparkEntry {
     // rank/TwoTower.scala): tanh-tower in-batch-softmax training on the
     // basket-capped pre-cut interactions, held-out ranking eval through
     // the same RankingEval contract as ALS. Fit-heavy (each optimizer
-    // step is its own Spark job whose batch-selection literal defeats
-    // the codegen cache — a fixed per-step tax that dwarfs the math at
-    // this scale) -> short schedule here + benchVolatile.
+    // step is its own partition-targeted Spark job against the
+    // pre-partitioned batch RDD — job-scheduling overhead still dwarfs
+    // the gradient math at this scale) -> short schedule here +
+    // benchVolatile.
     "q63t_twotower_retrieval" -> { (s, d) =>
       import graft.rank._
       val (tr, te) = Interactions.splitByTime(Interactions.fromStar(s, d), "2000-01-01")

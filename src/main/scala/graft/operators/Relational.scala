@@ -91,6 +91,42 @@ object Relational {
   def keepFirstPerKey(df: DataFrame, keys: Seq[String], orderCols: Seq[Column]): DataFrame =
     topKPerGroup(df, keys, orderCols, 1, "__rk").drop("__rk")
 
+  /** Aggregate flavor of [[topKPerGroup]] for CANDIDATE-HEAVY inputs:
+    * top-k by (`scoreCol` desc, `idCol` asc) via a k-bounded map-side
+    * heap (functions.TopKAgg), so the exchange carries `groups × k`
+    * survivor rows instead of every candidate. Use when the input is a
+    * generated candidate set orders of magnitude larger than the output
+    * (broadcast-scored retrieval: users × catalog); the window form
+    * stays right when the input is already group-partitioned or
+    * candidates ≈ survivors. Output matches
+    * `topKPerGroup(df, keys, Seq(scoreCol.desc, idCol.asc), k)` with
+    * columns (keys*, rankCol, id, score) — asserted in TopKAggSpec.
+    */
+  def topKPerGroupAgg(df: DataFrame, keys: Seq[String], scoreCol: Column,
+      idCol: Column, k: Int, rankCol: String = "rk",
+      idName: String = "id", scoreName: String = "score"): DataFrame = {
+    graft.sql.GraftFunctions.register(df.sparkSession)
+    // ObjectHashAggregate abandons its hash map for SORT-based
+    // aggregation after 128 distinct groups per task (the conservative
+    // default for arbitrary-size object buffers) — which re-sorts every
+    // candidate row and defeats this operator's entire point (measured:
+    // 18.4 s -> 8.2 s on the 38M-row retrieval shape). The top-k buffer
+    // is k-BOUNDED (~16B x k + object header per group), so a large map
+    // is safe; raise the threshold once, only if still at its default,
+    // so a user's explicit setting always wins. Worst-case map state at
+    // the 1M threshold and k=10 is ~300 MB/task — and a task actually
+    // holding 1M groups would pay more than that in fallback sort wall.
+    val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    if (df.sparkSession.conf.get(fallbackKey, "128") == "128")
+      df.sparkSession.conf.set(fallbackKey, (1 << 20).toString)
+    val keyCols = keys.map(col)
+    df.groupBy(keyCols: _*)
+      .agg(graft.sql.GraftFunctions.topKAgg(scoreCol, idCol, k).as("__top"))
+      .select(keyCols :+ posexplode(col("__top")).as(Seq("__pos", "__t")): _*)
+      .select(keyCols ++ Seq((col("__pos") + 1).cast("int").as(rankCol),
+        col("__t.id").as(idName), col("__t.score").as(scoreName)): _*)
+  }
+
   /** Salted flavor of [[topKPerGroup]] for SKEWED/low-cardinality keys. A
     * plain per-key window puts each key's whole partition on ONE task — with
     * 5 distinct keys (or one viral user holding 1% of a 100 TB fact table)

@@ -413,6 +413,20 @@ object EventQueries {
         .orderBy(col("event_type"), col("rk"))
     },
 
+    // Aggregate top-k (round-9): same semantics as a ROW_NUMBER window
+    // cut, computed as a k-bounded MAP-SIDE heap (functions.TopKAgg) so
+    // the exchange carries groups*k survivors instead of every candidate
+    // row — the scale form for candidate-heavy retrieval (users×catalog).
+    // Oracle is the plain window form — row-set equality is the claim.
+    "q178_topk_agg" -> { (s, d) =>
+      val ev = table(s, d, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+      Relational.topKPerGroupAgg(ev, Seq("event_type"),
+          col("value"), col("event_id"), k = 3,
+          idName = "event_id", scoreName = "score")
+        .orderBy(col("event_type"), col("rk"))
+    },
+
     // Interval (band) join via time-axis binning: attribute each view/click
     // to every purchase session of the same user whose ±2 h window contains
     // it. The bare non-equi form would plan a nested-loop join; binning
@@ -815,6 +829,14 @@ object EventQueries {
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q58_salted_topk" ->
       """SELECT event_type, event_id, value, CAST(rk AS INT) AS rk
+         FROM (SELECT event_type, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id) AS rk
+               FROM events) t
+         WHERE rk <= 3 ORDER BY event_type, rk""",
+    "q178_topk_agg" ->
+      """SELECT event_type, CAST(rk AS INT) AS rk, event_id,
+           CAST(value AS DOUBLE) AS score
          FROM (SELECT event_type, event_id, value,
                  ROW_NUMBER() OVER (PARTITION BY event_type
                                     ORDER BY value DESC, event_id) AS rk

@@ -12,18 +12,21 @@ import org.apache.spark.sql.functions._
   * loss the reference's `ItemRetrievalTask` wraps).
   *
   * Execution model (the honest pure-Spark seam): weights live on the
-  * driver between steps and travel to executors as a broadcast; each
-  * step selects a deterministic md5 mini-batch from the DISTRIBUTED
-  * encoded-pairs frame, computes the gradient on executor task(s),
-  * and the driver applies the update. At bench batch sizes the
-  * gradient is deliberately ONE sorted task applying local-SGD chunk
-  * updates, which makes training bit-deterministic (fixed float
-  * accumulation order — rerun ≡ rerun, any input partitioning); the
-  * chunked in-batch losses are independent, so `Config.shards > 1`
-  * switches to the cluster-scale data-parallel form — chunks sharded
-  * across tasks against the broadcast snapshot, driver sums in
-  * partition order and applies one Adagrad step (still deterministic;
-  * see Config doc).
+  * driver between steps and travel to executors as a broadcast; the
+  * encoded pairs are partitioned ONCE into (md5-batch × shard)
+  * partitions of a persisted RDD, and each step is a
+  * PARTITION-TARGETED job (`sc.runJob` on exactly the step's batch
+  * partitions) — no per-step plan, no per-step codegen compile, no
+  * scan of the other batches (the round-8 form re-planned a literal
+  * filter per step, and that fixed tax dwarfed the gradient math). At
+  * bench batch sizes the gradient is deliberately ONE sorted task
+  * applying local-SGD chunk updates, which makes training
+  * bit-deterministic (fixed float accumulation order — rerun ≡ rerun,
+  * any input partitioning); the chunked in-batch losses are
+  * independent, so `Config.shards > 1` switches to the cluster-scale
+  * data-parallel form — chunks sharded across tasks against the
+  * broadcast snapshot, driver sums in shard order and applies one
+  * Adagrad step (still deterministic; see Config doc).
   * Embedding tables are the parameter-server part: driver-held here
   * (fine to ~10M ids × dim 32 ≈ 1.2 GB; `require`d), factored storage
   * (the ALS block layout) past that.
@@ -315,6 +318,15 @@ object TwoTower {
     (new GradView(g, cfg), g.loss)
   }
 
+  /** Identity partitioner for the precomputed (batch*shards + shard)
+    * partition index — partition p of the persisted batch RDD IS batch
+    * p/shards, shard p%shards, so a training step can `runJob` exactly
+    * its own partitions. */
+  private final class IdPartitioner(n: Int) extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = n
+    override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+  }
+
   // ---- training ---------------------------------------------------------
 
   /** Fit on DataFrame[user_id, item_id] (any extra columns ignored;
@@ -328,24 +340,54 @@ object TwoTower {
   def fitWithLoss(inter: DataFrame, cfg: Config = Config()): (Model, Seq[Double]) = {
     val spark = inter.sparkSession
     import graft.features.Categorify
-    val uDict = Categorify.fitDictionary(inter, "user_id").localCheckpoint()
-    val iDict = Categorify.fitDictionary(inter, "item_id").localCheckpoint()
+    // ONE materialization of the (possibly expensive) input lineage: the
+    // two dictionary fits, the distinct, and the batch partitioning below
+    // all read this checkpoint instead of re-running the caller's
+    // upstream plan per pass (q63t's input is a window over events —
+    // unmaterialized, fit re-executed it four times).
+    val src = inter.select(col("user_id"), col("item_id")).localCheckpoint()
+    val uDict = Categorify.fitDictionary(src, "user_id").localCheckpoint()
+    val iDict = Categorify.fitDictionary(src, "item_id").localCheckpoint()
     val nU = uDict.count().toInt
     val nI = iDict.count().toInt
     require(nU.toLong * cfg.embDim < 300000000L && nI.toLong * cfg.embDim < 300000000L,
       s"embedding tables must fit the driver ($nU users / $nI items at dim " +
         s"${cfg.embDim}); shard the id space or use the ALS block layout past this")
+    val shards = math.max(1, cfg.shards)
     // encoded distinct pairs with a deterministic batch bucket
-    val pairs = inter.select(col("user_id"), col("item_id")).distinct()
+    val pairs = src.distinct()
     val enc = Categorify.encode(
         Categorify.encode(pairs, "user_id", uDict, "__u"), "item_id", iDict, "__i")
       .select((col("__u") - 1).cast("int").as("u"), (col("__i") - 1).cast("int").as("i"))
+      .localCheckpoint()
+    graft.operators.Checkpoints.free(src) // superseded by enc
     val nPairs = enc.count()
     val nBatches = math.max(1L, nPairs / cfg.batchRows).toInt
-    val bucketed = enc.withColumn("__b",
+    // Batch layout, built ONCE: partition p = batch*shards + shard holds
+    // batch (md5-bucket) rows for that shard, with the deterministic
+    // shuffle-order key __o precomputed. Shard assignment is
+    // pmod(murmur3(__o), shards) — the exact partition function
+    // `repartition(shards, col("__o"))` uses, so the sharded form's
+    // accumulation order is unchanged from the round-8 per-step
+    // repartition. Each training step then runs a job on exactly its
+    // own partition(s): no per-step plan, no codegen, no full scan.
+    val keyed = enc
+      .withColumn("__b",
         (conv(substring(md5(concat(lit(cfg.seed + "|b|"), col("u"),
           lit("|"), col("i"))), 1, 12), 16, 10).cast("long") % nBatches).cast("int"))
-      .localCheckpoint()
+      .withColumn("__o",
+        md5(concat(lit(cfg.seed + "|s|"), col("u"), lit("|"), col("i"))))
+      .withColumn("__p", (col("__b") * shards +
+        (if (shards > 1) pmod(hash(col("__o")), lit(shards)) else lit(0)))
+        .cast("int"))
+    val nParts = nBatches * shards
+    val batchRdd = keyed.select(col("__p"), col("u"), col("i"), col("__o")).rdd
+      .map(r => (r.getInt(0), (r.getInt(1), r.getInt(2), r.getString(3))))
+      .partitionBy(new IdPartitioner(nParts))
+      .map(_._2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    batchRdd.count() // materialize every batch partition in one pass
+    graft.operators.Checkpoints.free(enc) // superseded by batchRdd
 
     var w = init(nU, nI, cfg)
     var ada = new AdaState(nU, nI, cfg)
@@ -353,14 +395,12 @@ object TwoTower {
     val losses = scala.collection.mutable.ArrayBuffer[Double]()
     var step = 0
     while (step < cfg.steps) {
-      // deterministic SHUFFLE order, not (u, i) order: chunked in-batch
-      // softmax needs diverse users/items per chunk — id-sorted chunks
-      // would pack one user's positives together, where they demote each
-      // other as in-batch negatives and training stalls (measured: loss
-      // froze at ln(chunk) until this sort key changed)
-      val ordered = bucketed.filter(col("__b") === step % nBatches)
-        .select(col("u"), col("i"),
-          md5(concat(lit(cfg.seed + "|s|"), col("u"), lit("|"), col("i"))).as("__o"))
+      // deterministic SHUFFLE order (__o), not (u, i) order: chunked
+      // in-batch softmax needs diverse users/items per chunk — id-sorted
+      // chunks would pack one user's positives together, where they
+      // demote each other as in-batch negatives and training stalls
+      // (measured: loss froze at ln(chunk) until this sort key changed)
+      val base = (step % nBatches) * shards
       val lrNow = lr
       if (cfg.shards <= 1) {
         // ONE sorted task -> fixed accumulation order -> bit-deterministic.
@@ -372,34 +412,34 @@ object TwoTower {
         // right while one executor core chews a mini-batch in microseconds;
         // past that, cfg.shards > 1 switches to the data-parallel form
         // below.
-        val batch = ordered.coalesce(1).sortWithinPartitions(col("__o"))
-          .select(col("u"), col("i"))
         val bw = spark.sparkContext.broadcast((w, ada))
-        val (nw, na, lossSum, nPos) = batch.rdd.mapPartitions { it =>
-          val (w0, a0) = bw.value
-          val lw = copyW(w0)
-          val la = copyA(a0, w0.uEmb.length, w0.iEmb.length, cfg)
-          var lossAcc = 0.0
-          var n = 0L
-          val buf = it.toArray
-          var off = 0
-          while (off < buf.length) {
-            val end = math.min(off + cfg.chunk, buf.length)
-            val us = new Array[Int](end - off)
-            val is = new Array[Int](end - off)
-            var k = off
-            while (k < end) {
-              us(k - off) = buf(k).getInt(0); is(k - off) = buf(k).getInt(1); k += 1
+        val (nw, na, lossSum, nPos) = spark.sparkContext.runJob(
+          batchRdd,
+          (it: Iterator[(Int, Int, String)]) => {
+            val (w0, a0) = bw.value
+            val lw = copyW(w0)
+            val la = copyA(a0, w0.uEmb.length, w0.iEmb.length, cfg)
+            var lossAcc = 0.0
+            var n = 0L
+            val buf = it.toArray.sortBy(_._3) // ascii hex: same order as sortWithinPartitions
+            var off = 0
+            while (off < buf.length) {
+              val end = math.min(off + cfg.chunk, buf.length)
+              val us = new Array[Int](end - off)
+              val is = new Array[Int](end - off)
+              var k = off
+              while (k < end) {
+                us(k - off) = buf(k)._1; is(k - off) = buf(k)._2; k += 1
+              }
+              val g = new Grad(lw.uEmb.length, lw.iEmb.length, cfg)
+              g.addChunk(lw, us, is, cfg)
+              applyUpdate(lw, g, lrNow, la)
+              lossAcc += g.loss
+              n += g.n
+              off = end
             }
-            val g = new Grad(lw.uEmb.length, lw.iEmb.length, cfg)
-            g.addChunk(lw, us, is, cfg)
-            applyUpdate(lw, g, lrNow, la)
-            lossAcc += g.loss
-            n += g.n
-            off = end
-          }
-          Iterator.single((lw, la, lossAcc, n))
-        }.collect().head
+            (lw, la, lossAcc, n)
+          }, Seq(base)).head
         bw.destroy()
         w = nw
         ada = na
@@ -408,39 +448,40 @@ object TwoTower {
         // Data-parallel form (the cluster-scale seam, round-9): chunks
         // shard across `shards` tasks, each computing its chunk gradients
         // against the broadcast weight SNAPSHOT (no local updates); the
-        // driver sums shard gradients in partition order and applies ONE
+        // driver sums shard gradients in shard order and applies ONE
         // Adagrad update per step. Shard assignment hashes the
         // deterministic order key, within-shard accumulation is sorted,
-        // and the driver merge is pid-ordered — so this form is ALSO
+        // and the driver merge is shard-ordered — so this form is ALSO
         // bit-deterministic (rerun ≡ rerun); it just fixes a different
         // accumulation order than the single-task form. Fewer optimizer
         // updates per job than local SGD (one vs batch/chunk), so
         // schedules trade steps for per-step wall — the gridSearch
         // surface exists exactly to pick that trade.
-        val batch = ordered.repartition(cfg.shards, col("__o"))
-          .sortWithinPartitions(col("__o"))
-          .select(col("u"), col("i"))
         val bw = spark.sparkContext.broadcast(w)
-        val parts = batch.rdd.mapPartitionsWithIndex { (pid, it) =>
-          val w0 = bw.value
-          val g = new Grad(w0.uEmb.length, w0.iEmb.length, cfg)
-          val buf = it.toArray
-          var off = 0
-          while (off < buf.length) {
-            val end = math.min(off + cfg.chunk, buf.length)
-            val us = new Array[Int](end - off)
-            val is = new Array[Int](end - off)
-            var k = off
-            while (k < end) {
-              us(k - off) = buf(k).getInt(0); is(k - off) = buf(k).getInt(1); k += 1
+        val parts = spark.sparkContext.runJob(
+          batchRdd,
+          (it: Iterator[(Int, Int, String)]) => {
+            val w0 = bw.value
+            val g = new Grad(w0.uEmb.length, w0.iEmb.length, cfg)
+            val buf = it.toArray.sortBy(_._3)
+            var off = 0
+            while (off < buf.length) {
+              val end = math.min(off + cfg.chunk, buf.length)
+              val us = new Array[Int](end - off)
+              val is = new Array[Int](end - off)
+              var k = off
+              while (k < end) {
+                us(k - off) = buf(k)._1; is(k - off) = buf(k)._2; k += 1
+              }
+              g.addChunk(w0, us, is, cfg)
+              off = end
             }
-            g.addChunk(w0, us, is, cfg)
-            off = end
-          }
-          if (buf.isEmpty) Iterator.empty else Iterator.single((pid, g))
-        }.collect()
+            (buf.nonEmpty, g)
+          }, base until (base + shards))
         bw.destroy()
-        parts.sortBy(_._1).map(_._2).reduceOption(_.merge(_)) match {
+        // runJob returns results in partition (= shard) order
+        parts.toSeq.collect { case (true, g) => g }
+          .reduceOption(_.merge(_)) match {
           case Some(g) if g.n > 0 =>
             applyUpdate(w, g, lrNow, ada)
             losses += g.loss / g.n
@@ -450,6 +491,7 @@ object TwoTower {
       lr *= cfg.lrDecay
       step += 1
     }
+    batchRdd.unpersist(blocking = false)
 
     // precompute serving vectors and decode back to natural keys
     val uvec = vecsFrame(spark, w.uEmb, w.wU, w.bU, uDict, "user_id")
@@ -516,26 +558,40 @@ object TwoTower {
     * top-k. `excludeSeen` anti-joins (user_id, item_id) pairs out before
     * ranking — the standard held-out evaluation protocol (a trainer that
     * memorizes its positives would otherwise fill every slot with them).
-    * Output (user_id, rk, item_id, score) — RankingEval-ready. */
+    * Output (user_id, rk, item_id, score) — RankingEval-ready.
+    *
+    * Scale shape (round-9): the candidate set is users × catalog and
+    * must never cross an exchange — the anti-join broadcasts the seen
+    * pairs OF THE SCORED USERS ONLY (semi-filtered first: size is
+    * users × avg-history, not the full interaction log), and the top-k
+    * is the map-side k-bounded aggregate (sql.TopKAggF), so the one
+    * shuffle carries users × k survivor rows. Measured at sf0.1 (1.9k
+    * users × 20k items = 38M candidates): 16 s → ~8 s over the round-8
+    * window-plus-merge-anti plan (2.5 s scoring, ~3.5 s broadcast anti
+    * probe, ~2 s map-side heap). */
   def recommend(model: Model, users: DataFrame, k: Int = 10,
       excludeSeen: Option[DataFrame] = None): DataFrame = {
     graft.sql.GraftFunctions.register(model.userVecs.sparkSession)
-    val u = users.select(col("user_id")).distinct()
-      .join(model.userVecs, Seq("user_id"))
+    val uIds = users.select(col("user_id")).distinct()
+    val u = uIds.join(model.userVecs, Seq("user_id"))
     val scored0 = u.crossJoin(
         broadcast(model.itemVecs.select(col("item_id"), col("vec").as("__iv"))))
       .select(col("user_id"), col("item_id"),
         graft.sql.GraftFunctions.dotF32(col("vec"), col("__iv")).as("score"))
     val scored = excludeSeen match {
       case Some(seen) => scored0.join(
-        seen.select(col("user_id"), col("item_id")), Seq("user_id", "item_id"),
-        "left_anti")
+        broadcast(seen.select(col("user_id"), col("item_id"))
+          .join(uIds, Seq("user_id"), "left_semi")),
+        Seq("user_id", "item_id"), "left_anti")
       case None => scored0
     }
-    graft.operators.Relational.topKPerGroup(scored, Seq("user_id"),
-        Seq(col("score").desc, col("item_id").asc), k)
-      .select(col("user_id"), col("rk").cast("int").as("rk"),
-        col("item_id"), col("score"))
+    val iType = model.itemVecs.schema("item_id").dataType
+    graft.operators.Relational.topKPerGroupAgg(scored, Seq("user_id"),
+        col("score"), col("item_id"), k,
+        idName = "item_id", scoreName = "score")
+      .select(col("user_id"), col("rk"),
+        col("item_id").cast(iType).as("item_id"),
+        col("score").cast("float").as("score"))
   }
 
   /** The reference's hyperparameter grid: batch sizes × learning rates

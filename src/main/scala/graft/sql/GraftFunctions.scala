@@ -22,6 +22,7 @@ object GraftFunctions {
   val DeflateLenName = "graft_deflate_len"
   val MaxAbsName = "graft_maxabs_f32"
   val Int8CodesName = "graft_int8_codes"
+  val TopKName = "graft_topk"
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -44,6 +45,8 @@ object GraftFunctions {
       UnicodeNormName, exprs => UnicodeNormF(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       MinhashSigName, exprs => MinhashSigF.fromExprs(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      TopKName, exprs => TopKAggF(exprs.head, exprs(1), exprs(2)), "built-in")
   }
 
   /** Column-level call; requires `register` (or GraftExtensions) first. */
@@ -104,6 +107,15 @@ object GraftFunctions {
   /** Column-level call; requires `register` (or GraftExtensions) first.
     * Int8 symmetric quantization codes floor(x·127/maxabs + 0.5). */
   def int8Codes(a: Column): Column = call_function(Int8CodesName, a)
+
+  /** Column-level call; requires `register` (or GraftExtensions) first.
+    * Bounded top-k aggregate: the group's k best (score desc, id asc)
+    * rows as array<struct<id, score>>, best first, k-bounded heap held
+    * map-side (see TopKAggF; DataFrame surface is
+    * Relational.topKPerGroupAgg). */
+  def topKAgg(score: Column, id: Column, k: Int): Column =
+    call_function(TopKName, score.cast("double"), id.cast("long"),
+      org.apache.spark.sql.functions.lit(k))
 }
 
 /** spark.sql.extensions entry point. */
@@ -169,5 +181,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[Int8CodesF32].getName, GraftFunctions.Int8CodesName),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Int8CodesF32(exprs.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.TopKName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[TopKAggF].getName, GraftFunctions.TopKName),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TopKAggF(exprs.head, exprs(1), exprs(2))))
   }
 }

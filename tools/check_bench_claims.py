@@ -71,8 +71,13 @@ def load_queries(path):
     missing claim is reported unchecked, not failed)."""
     art = json.load(open(path))
     if isinstance(art, dict) and "queries" in art and "tail" not in art:
+        # the compact stdout line itself (saved to a file) carries only
+        # the most expensive queries up to the char budget and says so
+        # via "omitted" — treat it like a tail scavenge, where absence of
+        # a cheap query is not contradiction
+        shape = "tail" if art.get("omitted") else "full"
         return ({k: float(v) for k, v in art["queries"].items()},
-                art.get("calibration"), art.get("shuffle_cal"), "full")
+                art.get("calibration"), art.get("shuffle_cal"), shape)
     if isinstance(art, dict) and isinstance(art.get("parsed"), dict) \
             and "queries" in art["parsed"]:
         p = art["parsed"]
