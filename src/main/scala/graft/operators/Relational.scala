@@ -100,25 +100,23 @@ object Relational {
     * stays right when the input is already group-partitioned or
     * candidates ≈ survivors. Output matches
     * `topKPerGroup(df, keys, Seq(scoreCol.desc, idCol.asc), k)` with
-    * columns (keys*, rankCol, id, score) — asserted in TopKAggSpec.
+    * columns (keys*, rankCol, id, score) — asserted in TopKAggSpec —
+    * EXCEPT on nullable input: the aggregate DROPS rows with null score
+    * or null id (a group with fewer than k non-null rows returns fewer
+    * rows), while ROW_NUMBER under DESC NULLS LAST would rank and emit
+    * them. `idCol` must be long-castable (integral); non-integral ids
+    * cast to null and are dropped — callers with arbitrary id types stay
+    * on [[topKPerGroup]] (TwoTower.recommend does this dispatch).
+    *
+    * Session contract: calling this (via GraftFunctions.register) raises
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` to 1M
+    * for the whole session unless the user set it explicitly — see the
+    * register() scaladoc for the rationale and the opt-out.
     */
   def topKPerGroupAgg(df: DataFrame, keys: Seq[String], scoreCol: Column,
       idCol: Column, k: Int, rankCol: String = "rk",
       idName: String = "id", scoreName: String = "score"): DataFrame = {
     graft.sql.GraftFunctions.register(df.sparkSession)
-    // ObjectHashAggregate abandons its hash map for SORT-based
-    // aggregation after 128 distinct groups per task (the conservative
-    // default for arbitrary-size object buffers) — which re-sorts every
-    // candidate row and defeats this operator's entire point (measured:
-    // 18.4 s -> 8.2 s on the 38M-row retrieval shape). The top-k buffer
-    // is k-BOUNDED (~16B x k + object header per group), so a large map
-    // is safe; raise the threshold once, only if still at its default,
-    // so a user's explicit setting always wins. Worst-case map state at
-    // the 1M threshold and k=10 is ~300 MB/task — and a task actually
-    // holding 1M groups would pay more than that in fallback sort wall.
-    val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    if (df.sparkSession.conf.get(fallbackKey, "128") == "128")
-      df.sparkSession.conf.set(fallbackKey, (1 << 20).toString)
     val keyCols = keys.map(col)
     df.groupBy(keyCols: _*)
       .agg(graft.sql.GraftFunctions.topKAgg(scoreCol, idCol, k).as("__top"))

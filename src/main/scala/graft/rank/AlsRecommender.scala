@@ -80,7 +80,14 @@ object AlsRecommender {
 
   /** Top-k per user for a user subset: DataFrame[user_id, rk, item_id,
     * score] (reference: to_top_k_encoder + predict, my_merlin_flow.py:
-    * 333-345,478-481). */
+    * 333-345,478-481).
+    *
+    * No TopKAggF here (round-10 audit): recommendForUserSubset is
+    * spark.ml's blocked-BLAS top-k — factor blocks are cross-scored with
+    * a bounded priority queue INSIDE each block pair and only k
+    * candidates per (user, item-block) survive to its aggregation, so
+    * the candidate set never materializes; there is no per-group window
+    * to replace. */
   def recommend(model: ALSModel, users: DataFrame, k: Int = 10): DataFrame = {
     val u = users.select(col("user_id").cast("int").as("user_id")).distinct()
     model.recommendForUserSubset(u, k)

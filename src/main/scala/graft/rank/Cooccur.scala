@@ -64,6 +64,13 @@ object Cooccur {
     * (user_id, item_b) aggregation sums scores AND detects the marker, and
     * HashPartitioning(user_id) satisfies the aggregation, the filter, and
     * the top-k window without further exchanges.
+    *
+    * The final cut deliberately stays the WINDOW form, not TopKAggF
+    * (round-10 audit): its input is already HashPartitioning(user_id) —
+    * there is no exchange left for a map-side heap to shrink — and
+    * Spark's InferWindowGroupLimit already bounds the per-group sort to
+    * rank <= k survivors, so the aggregate form would only swap one
+    * bounded in-partition pass for another.
     */
   def recommend(inter: DataFrame, neighbors: DataFrame, k: Int = 10,
       maxBasket: Int = 0): DataFrame = {

@@ -49,7 +49,12 @@ object BitextMine {
       .withColumnRenamed("query_id", "neighbor_id")
     // margin-score ALL forward candidates, then pick the best BY MARGIN —
     // meanK(y) varies across candidates, so the margin argmax is not the
-    // cosine argmax: demoting the hub is exactly this re-rank
+    // cosine argmax: demoting the hub is exactly this re-rank.
+    // The candidate-heavy legs are the two bruteForceTopK calls above
+    // (which ride TopKAggF since round 10); THIS window stays — its
+    // input is already k-bounded per query (candidates ≈ survivors ×
+    // k), and the kept row must carry the full (cos, margin) row, not
+    // an (id, score) pair.
     val scored = fwd
       .join(mSrc, Seq("query_id"))
       .join(mTgt, Seq("neighbor_id"))

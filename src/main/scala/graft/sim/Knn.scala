@@ -23,7 +23,17 @@ object Knn {
     * codegen DotF32-composed cosine (bit-identical to the HOF fold —
     * DotF32Spec — so oracle rows replaying the HOF arithmetic are
     * unaffected; pass VectorOps.cosine explicitly for a kernel-free
-    * plan). */
+    * plan).
+    *
+    * Scale shape (round-10): the scored stream is |Q|×|C| candidate rows
+    * for a |Q|×k output — exactly TopKAggF's case — so when the id is
+    * integral and the score float/double (both round-trip the aggregate's
+    * long/double state exactly), the cut is the map-side k-bounded heap
+    * and the one exchange carries |Q|×k survivors instead of every
+    * candidate (row-set identical to the window form on non-null scores —
+    * TopKAggSpec/KnnSpec; null-scored rows would be dropped rather than
+    * ranked last, same divergence documented at topKPerGroupAgg). Other
+    * id/score types keep the window form. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int,
       simFn: (Column, Column) => Column = graft.sql.GraftFunctions.cosineF32): DataFrame = {
@@ -32,8 +42,22 @@ object Knn {
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), simFn(col("__qv"), col("__cv")).as("cos"))
-    Relational.topKPerGroup(scored, Seq("query_id"),
-      Seq(col("cos").desc, col("neighbor_id").asc), k)
+    val idType = scored.schema("neighbor_id").dataType
+    val scoreType = scored.schema("cos").dataType
+    import org.apache.spark.sql.types._
+    val aggSafe = (idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }) && (scoreType == FloatType || scoreType == DoubleType)
+    if (aggSafe)
+      Relational.topKPerGroupAgg(scored, Seq("query_id"), col("cos"),
+          col("neighbor_id"), k, idName = "neighbor_id", scoreName = "cos")
+        .select(col("query_id"),
+          col("neighbor_id").cast(idType).as("neighbor_id"),
+          col("cos").cast(scoreType).as("cos"), col("rk"))
+    else
+      Relational.topKPerGroup(scored, Seq("query_id"),
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
   }
 
   /** Deterministic ±1 hyperplane coefficients for SRP-LSH: sign(p, d) from

@@ -38,7 +38,11 @@ or a driver BENCH_r*.json wrapper (digs into "parsed" or regex-scavenges
 "tail"). A claimed query missing from the artifact fails; a normalized
 ratio outside [1/tol, tol] fails. If either probe's in-run drift_x
 exceeds 1.5, mismatches are reported as WARN only — the artifact itself
-says the box was drifting DURING the run, so it cannot convict a claim.
+says the box was drifting DURING the run, so it cannot convict a claim —
+EXCEPT (round-10, verdict task 4) when the RAW ratio exceeds RAW_HARD
+(2.0x) in either direction: a gap that large is a regression (or a stale
+claim) no observed probe drift explains, so it fails even on a drifting
+box. The drift escape hatch can no longer hide a real 2x+ regression.
 
 Exit 0 = claims match the signal; exit 1 = a claim the signal contradicts.
 """
@@ -46,6 +50,12 @@ import json
 import math
 import re
 import sys
+
+# Raw-ratio bound that convicts regardless of probe drift: chosen above
+# every honest raw ratio observed in r7-r9 artifacts (max 1.66 under the
+# worst recorded mid-run drift) and below the smallest real regression
+# the drift hatch previously waved through.
+RAW_HARD = 2.0
 
 
 def _median(xs):
@@ -140,6 +150,7 @@ def main(artifact_path):
     drifting = any(d > 1.5 for d in drifts)
 
     bad = []
+    hard_bad = []  # raw ratio outside [1/RAW_HARD, RAW_HARD]: fails even under drift
     unchecked = []
     for name, claimed in claims:
         claimed = float(claimed)
@@ -152,10 +163,14 @@ def main(artifact_path):
         actual = queries[name]
         if actual <= 0:  # negative = the query errored in this run
             bad.append((name, claimed, actual))
+            hard_bad.append(name)
             continue
         ratio = actual / (claimed * factor)
         if ratio > tol or ratio < 1.0 / tol:
             bad.append((name, claimed, actual))
+            raw = actual / claimed
+            if raw > RAW_HARD or raw < 1.0 / RAW_HARD:
+                hard_bad.append(name)
     norm = (f" (box factor {factor:.2f} from probes"
             f" cpu={cal_med if cal_med else '-'}"
             f" shuffle={shuf_med if shuf_med else '-'})") if ratios else ""
@@ -175,7 +190,10 @@ def main(artifact_path):
                       f"(normalized {claimed * factor:.2f}s), artifact "
                       f"{actual:.2f}s (raw {actual / claimed:.2f}x, "
                       f"normalized {actual / (claimed * factor):.2f}x)")
-        if not drifting:
+        if drifting and hard_bad:
+            print(f"FAIL anyway: raw ratio past the {RAW_HARD}x hard bound "
+                  f"(drift cannot explain it): " + ", ".join(hard_bad))
+        if not drifting or hard_bad:
             return 1
     if unchecked:
         print(f"note: {len(unchecked)} claims absent from the truncated "

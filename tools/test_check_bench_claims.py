@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Synthetic-artifact tests for check_bench_claims.py (round-10 verdict
+task 4): pins the lint's four regimes — in-band pass, out-of-band fail,
+the drift WARN escape for modest raw gaps, and the new RAW_HARD gate that
+fails a 2x+ raw regression even on a drifting box.
+
+Run from the repo root:  python tools/test_check_bench_claims.py
+Exit 0 = all cases behave; exit 1 = the lint regressed.
+"""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LINT = os.path.join(REPO, "tools", "check_bench_claims.py")
+
+SCALE_TMPL = """# SCALE (synthetic)
+<!-- BENCH_CLAIMS sf=0.1 tolerance=1.5 cal_ref=1.0 shufcal_ref=1.0 -->
+| query | claimed_sec |
+|---|---|
+| q01_test | 10.0 |
+<!-- /BENCH_CLAIMS -->
+"""
+
+
+def run_case(name, actual, drift, expect_exit, expect_substr=None):
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "SCALE.md"), "w") as f:
+            f.write(SCALE_TMPL)
+        art = {
+            "queries": {"q01_test": actual},
+            # probes read exactly the reference medians -> factor 1.0,
+            # so the normalized ratio IS the raw ratio and each case
+            # isolates one gate
+            "calibration": {"start": 1.0, "mid": 1.0, "end": 1.0,
+                            "drift_x": drift},
+            "shuffle_cal": {"start": 1.0, "mid": 1.0, "end": 1.0,
+                            "drift_x": drift},
+        }
+        apath = os.path.join(d, "bench.json")
+        with open(apath, "w") as f:
+            json.dump(art, f)
+        p = subprocess.run([sys.executable, LINT, apath], cwd=d,
+                           capture_output=True, text=True)
+        out = p.stdout + p.stderr
+        ok = p.returncode == expect_exit and \
+            (expect_substr is None or expect_substr in out)
+        status = "ok  " if ok else "FAIL"
+        print(f"{status} {name}: exit {p.returncode} (want {expect_exit})")
+        if not ok:
+            print("  --- lint output ---")
+            print("  " + out.replace("\n", "\n  "))
+        return ok
+
+
+def main():
+    results = [
+        # claim 10.0s, artifact 11.0s, calm box: within 1.5x -> pass
+        run_case("in-band, no drift", 11.0, 1.0, 0),
+        # artifact 18.0s (1.8x), calm box: normalized check convicts
+        run_case("out-of-band, no drift", 18.0, 1.0, 1, "FAIL"),
+        # artifact 16.0s (1.6x) but the box drifted 1.7x mid-run: the
+        # artifact cannot convict -> WARN, exit 0 (the q99 regime)
+        run_case("modest gap under drift -> WARN", 16.0, 1.7, 0, "WARN"),
+        # artifact 25.0s (2.5x raw) on the same drifting box: past
+        # RAW_HARD, drift is no alibi -> exit 1 (the round-10 gate)
+        run_case("2x+ raw gap under drift -> still FAIL", 25.0, 1.7, 1,
+                 "hard bound"),
+        # artifact errored (negative sentinel) under drift: hard fail
+        run_case("errored query under drift -> FAIL", -1.0, 1.7, 1),
+    ]
+    if all(results):
+        print(f"all {len(results)} lint cases behave")
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
