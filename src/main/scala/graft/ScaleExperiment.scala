@@ -1028,6 +1028,39 @@ object ScaleExperiment {
           100000, "ps8"))
     }
 
+    // 30. Cluster-held embedding tables (TwoTower.Config.embedParts) at
+    // an id count the driver-held layout REFUSES: 10M synthetic users at
+    // dim 32 = 320M floats > the 300M-float driver budget, so the
+    // driver form must throw and the cluster form must train. The
+    // 1M-user pair reads the mode overhead at a size both layouts can
+    // run; 1M -> 10M is the decade read on the cluster form (per-step
+    // wall is table-scan-bound — gather/scatter each scan the id space —
+    // while driver memory stays O(batch) in both rows).
+    if (on("r10embed")) {
+      import graft.rank.TwoTower
+      def synth(nUsers: Long) = spark.range(nUsers)
+        .select(col("id").as("user_id"), pmod(col("id"), lit(50000L)).as("item_id"))
+      val cfgBase = TwoTower.Config(embDim = 32, hiddenDim = 8, steps = 4,
+        batchRows = 8192, seed = "r10e")
+      for ((mode, parts) <- Seq(("driver", 0), ("cluster", 64))) {
+        val t0 = System.nanoTime()
+        TwoTower.fit(synth(1000000L), cfgBase.copy(embedParts = parts))
+        println(f"r10_embed_1m_$mode%-12s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+      }
+      val big = synth(10000000L)
+      try {
+        TwoTower.fit(big, cfgBase)
+        println("r10_embed_10m_driver           UNEXPECTEDLY trained — budget gone?")
+      } catch {
+        case e: IllegalArgumentException =>
+          println("r10_embed_10m_driver           refused (as designed): " +
+            e.getMessage.linesIterator.next().take(100))
+      }
+      val t0 = System.nanoTime()
+      TwoTower.fit(big, cfgBase.copy(embedParts = 64))
+      println(f"r10_embed_10m_cluster%-10s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+    }
+
     spark.stop()
   }
 }

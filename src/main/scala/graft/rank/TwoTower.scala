@@ -27,9 +27,11 @@ import org.apache.spark.sql.functions._
   * data-parallel form — chunks sharded across tasks against the
   * broadcast snapshot, driver sums in shard order and applies one
   * Adagrad step (still deterministic; see Config doc).
-  * Embedding tables are the parameter-server part: driver-held here
-  * (fine to ~10M ids × dim 32 ≈ 1.2 GB; `require`d), factored storage
-  * (the ALS block layout) past that.
+  * Embedding tables are the parameter-server part: driver-held by
+  * default (fine to ~10M ids × dim 32 ≈ 1.2 GB; `require`d), and
+  * CLUSTER-HELD past that via `Config.embedParts` — the factored/ALS
+  * block layout, bit-identical to the driver-held form (see Config and
+  * EmbStore docs).
   *
   * Serving integrates with the existing stack: towers are PRECOMPUTED
   * into (id, vec array<float>) frames — the CLIP-style corpus-embedding
@@ -54,12 +56,33 @@ object TwoTower {
     * forms are bit-deterministic — shard assignment is a hash of the
     * deterministic order key, within-shard accumulation is sorted, and
     * the driver merge is ordered — they just fix DIFFERENT accumulation
-    * orders, so they converge to different (equally valid) weights. */
+    * orders, so they converge to different (equally valid) weights.
+    *
+    * `embedParts` > 0 moves the EMBEDDING TABLES off the driver (round-10
+    * — the last `require` between this trainer and the 100 TB story):
+    * each table lives as a persisted RDD of (id, (vec, adagradAcc)) rows
+    * in `embedParts` partitions, the ALS block idea applied to the
+    * id space. Per step the driver touches only the BATCH'S rows — one
+    * tiny job lists the step's touched ids, a gather job filters them
+    * out of the table (broadcast id set, batch-bounded result), the
+    * existing step logic runs on the compact gathered arrays, and a
+    * scatter map writes the updated rows into a new persisted RDD
+    * (batch-bounded broadcast delta; lineage cut every 25 steps).
+    * Driver memory is O(batch), table memory is distributed — and the
+    * model is BIT-IDENTICAL to the driver-held form (spec-pinned):
+    * the compact remap changes indexing, not one float of arithmetic.
+    * Costs per step: two extra small jobs + one table-wide filter scan;
+    * worth paying exactly when the table no longer fits the driver
+    * (`driverEmbedBudget`, ~1.2 GB at the default).
+    *
+    * `embedParts` is an EXECUTION choice, not a hyperparameter (the
+    * model is identical), so it stays out of `key`. */
   case class Config(
       embDim: Int = 32, hiddenDim: Int = 16, steps: Int = 80,
       batchRows: Int = 4096, chunk: Int = 256, lr: Double = 0.1,
       lrDecay: Double = 1.0, logitScale: Double = 4.0, seed: String = "tt",
-      shards: Int = 1) {
+      shards: Int = 1, embedParts: Int = 0,
+      driverEmbedBudget: Long = 300000000L) {
     /** Deterministic grid identity (the F11 model-selection contract). */
     def key: String = s"bs=$batchRows,lr=$lr,dim=$embDim,steps=$steps," +
       s"shards=$shards"
@@ -113,13 +136,16 @@ object TwoTower {
   }
 
   /** Adagrad squared-gradient accumulators (same shapes as Weights). */
-  private final class AdaState(nU: Int, nI: Int, cfg: Config) extends Serializable {
-    val uEmb: Array[Array[Double]] = Array.ofDim(nU, cfg.embDim)
-    val iEmb: Array[Array[Double]] = Array.ofDim(nI, cfg.embDim)
-    val wU: Array[Array[Double]] = Array.ofDim(cfg.hiddenDim, cfg.embDim)
-    val bU = new Array[Double](cfg.hiddenDim)
-    val wI: Array[Array[Double]] = Array.ofDim(cfg.hiddenDim, cfg.embDim)
-    val bI = new Array[Double](cfg.hiddenDim)
+  private final class AdaState(
+      val uEmb: Array[Array[Double]], val iEmb: Array[Array[Double]],
+      val wU: Array[Array[Double]], val bU: Array[Double],
+      val wI: Array[Array[Double]], val bI: Array[Double]) extends Serializable {
+    def this(nU: Int, nI: Int, cfg: Config) = this(
+      Array.ofDim[Double](nU, cfg.embDim), Array.ofDim[Double](nI, cfg.embDim),
+      Array.ofDim[Double](cfg.hiddenDim, cfg.embDim),
+      new Array[Double](cfg.hiddenDim),
+      Array.ofDim[Double](cfg.hiddenDim, cfg.embDim),
+      new Array[Double](cfg.hiddenDim))
   }
 
   private def copyW(w: Weights): Weights = new Weights(
@@ -327,6 +353,102 @@ object TwoTower {
     override def getPartition(key: Any): Int = key.asInstanceOf[Int]
   }
 
+  /** Cluster-held embedding table (Config.embedParts > 0): (id, (vec,
+    * adagradAccumulator)) rows persisted across `parts` partitions — the
+    * ALS block layout applied to one tower's id space, so the table's
+    * memory is executor memory, not driver memory. Initialization runs
+    * the SAME md5 ladder as the driver-held `initMatrix` (same tags), so
+    * the two storage modes start — and, because the step arithmetic is
+    * shared, stay — bit-identical (TwoTowerSpec). gather/scatter move
+    * only batch-bounded data: a step broadcasts its touched-id set down
+    * and its updated rows back, never the table; the per-step table-wide
+    * work is one filter scan (gather) and one map (scatter). Scatter
+    * chains a map per step over the persisted parent and cuts lineage
+    * with a localCheckpoint every 25 steps — the localCheckpoint
+    * single-box fault-tolerance trade the fit already makes for its
+    * batch layout. */
+  private final class EmbStore(sc: org.apache.spark.SparkContext, n: Int,
+      cfg: Config, tag: String, scale: Float, parts: Int) {
+    import org.apache.spark.storage.StorageLevel
+
+    var rdd: org.apache.spark.rdd.RDD[(Int, (Array[Float], Array[Double]))] = {
+      // locals only in the closure: capturing a field would drag this
+      // (non-serializable) store into the task
+      val (seed, t, d, sc2) = (cfg.seed, tag, cfg.embDim, scale)
+      val r = sc.parallelize(0 until n, math.max(1, math.min(parts, math.max(1, n))))
+        .map(id => (id,
+          (Array.tabulate(d)(c => initVal(seed, s"$t|$id", c, sc2)),
+            new Array[Double](d))))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      r
+    }
+
+    /** Rows for `ids` (ascending), as (vecs, accs) in ids order —
+      * batch-bounded: the id set travels as a broadcast, survivors as
+      * task results. */
+    def gather(ids: Array[Int]): (Array[Array[Float]], Array[Array[Double]]) = {
+      val bset = sc.broadcast(ids.toSet)
+      val rows = sc.runJob(rdd,
+        (it: Iterator[(Int, (Array[Float], Array[Double]))]) =>
+          it.filter(r => bset.value.contains(r._1)).toArray).flatten
+      bset.unpersist(blocking = false)
+      val m = rows.toMap
+      (ids.map(id => m(id)._1), ids.map(id => m(id)._2))
+    }
+
+    /** Write updated rows back: a new persisted RDD mapping the old one
+      * through the broadcast delta (absolute values, not gradients — the
+      * step already applied its Adagrad arithmetic on the gathered
+      * copies, so storage mode cannot change one float). */
+    def scatter(ids: Array[Int], emb: Array[Array[Float]],
+        acc: Array[Array[Double]], step: Int): Unit = {
+      val upd = new java.util.HashMap[Int, (Array[Float], Array[Double])]()
+      var j = 0
+      while (j < ids.length) { upd.put(ids(j), (emb(j), acc(j))); j += 1 }
+      val b = sc.broadcast(upd)
+      val old = rdd
+      val next = old.mapPartitions(
+        { it: Iterator[(Int, (Array[Float], Array[Double]))] =>
+          it.map { r =>
+            val u = b.value.get(r._1)
+            if (u == null) r else (r._1, u)
+          }
+        }, preservesPartitioning = true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (step % 25 == 24) next.localCheckpoint()
+      next.count()
+      old.unpersist(blocking = false)
+      b.unpersist(blocking = false)
+      rdd = next
+    }
+
+    /** Serving vectors computed WHERE THE TABLE LIVES: one map applying
+      * the (broadcast, tiny) tower MLP per row; materialized eagerly so
+      * the store can be freed afterwards. */
+    def toVecs(spark: SparkSession, wT: Array[Array[Float]], b: Array[Float],
+        dict: DataFrame, idName: String): DataFrame = {
+      val bw = spark.sparkContext.broadcast((wT, b))
+      val rows = rdd.map { case (id, (e, _)) =>
+        val (wt, bb) = bw.value
+        org.apache.spark.sql.Row(id + 1L, tower(wt, bb, e).toSeq)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("vec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = false),
+          nullable = false)))
+      val vecs = spark.createDataFrame(rows, schema).localCheckpoint()
+      bw.unpersist(blocking = false)
+      dict.select(col("value").as(idName), col("id"))
+        .join(vecs, Seq("id")).drop("id")
+    }
+
+    def free(): Unit = rdd.unpersist(blocking = false)
+  }
+
   // ---- training ---------------------------------------------------------
 
   /** Fit on DataFrame[user_id, item_id] (any extra columns ignored;
@@ -350,9 +472,13 @@ object TwoTower {
     val iDict = Categorify.fitDictionary(src, "item_id").localCheckpoint()
     val nU = uDict.count().toInt
     val nI = iDict.count().toInt
-    require(nU.toLong * cfg.embDim < 300000000L && nI.toLong * cfg.embDim < 300000000L,
-      s"embedding tables must fit the driver ($nU users / $nI items at dim " +
-        s"${cfg.embDim}); shard the id space or use the ALS block layout past this")
+    val clusterEmb = cfg.embedParts > 0
+    if (!clusterEmb)
+      require(nU.toLong * cfg.embDim < cfg.driverEmbedBudget &&
+          nI.toLong * cfg.embDim < cfg.driverEmbedBudget,
+        s"embedding tables must fit the driver ($nU users / $nI items at dim " +
+          s"${cfg.embDim}, budget ${cfg.driverEmbedBudget} floats); set " +
+          "Config.embedParts > 0 for the cluster-held layout (bit-identical model)")
     val shards = math.max(1, cfg.shards)
     // encoded distinct pairs with a deterministic batch bucket
     val pairs = src.distinct()
@@ -361,6 +487,11 @@ object TwoTower {
       .select((col("__u") - 1).cast("int").as("u"), (col("__i") - 1).cast("int").as("i"))
       .localCheckpoint()
     graft.operators.Checkpoints.free(src) // superseded by enc
+    // enc's checkpoint stays alive until training COMPLETES (freed next
+    // to batchRdd.unpersist below): batchRdd's MEMORY_AND_DISK blocks
+    // recompute through enc's blocks after a mid-training executor loss,
+    // so freeing enc here would turn one lost executor into a failed fit
+    // on a real cluster (round-9 advice).
     val nPairs = enc.count()
     val nBatches = math.max(1L, nPairs / cfg.batchRows).toInt
     // Batch layout, built ONCE: partition p = batch*shards + shard holds
@@ -387,10 +518,15 @@ object TwoTower {
       .map(_._2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     batchRdd.count() // materialize every batch partition in one pass
-    graft.operators.Checkpoints.free(enc) // superseded by batchRdd
 
-    var w = init(nU, nI, cfg)
-    var ada = new AdaState(nU, nI, cfg)
+    val uStore = if (clusterEmb)
+      new EmbStore(spark.sparkContext, nU, cfg, "ue", 0.5f, cfg.embedParts) else null
+    val iStore = if (clusterEmb)
+      new EmbStore(spark.sparkContext, nI, cfg, "ie", 0.5f, cfg.embedParts) else null
+    // cluster mode: w/ada carry only the (tiny) MLP halves; embedding
+    // rows live in the stores and visit the driver per step, compacted
+    var w = if (clusterEmb) init(0, 0, cfg) else init(nU, nI, cfg)
+    var ada = if (clusterEmb) new AdaState(0, 0, cfg) else new AdaState(nU, nI, cfg)
     var lr = cfg.lr
     val losses = scala.collection.mutable.ArrayBuffer[Double]()
     var step = 0
@@ -402,6 +538,39 @@ object TwoTower {
       // (measured: loss froze at ln(chunk) until this sort key changed)
       val base = (step % nBatches) * shards
       val lrNow = lr
+      // Cluster-held tables: list the step's touched ids (one tiny job),
+      // gather their rows into COMPACT arrays, and run the unchanged step
+      // arithmetic on the compact view — us/is are remapped to local
+      // indices inside the gradient task via the broadcast maps. Sorted
+      // id order keeps the compact layout (and so every float op)
+      // deterministic.
+      val (stepW, stepA, uIds, iIds) =
+        if (clusterEmb) {
+          val parts = spark.sparkContext.runJob(batchRdd,
+            (it: Iterator[(Int, Int, String)]) => {
+              val u = scala.collection.mutable.HashSet[Int]()
+              val i = scala.collection.mutable.HashSet[Int]()
+              it.foreach { t => u += t._1; i += t._2 }
+              (u.toArray, i.toArray)
+            }, base until (base + shards))
+          val uIds0 = parts.flatMap(_._1).distinct.sorted
+          val iIds0 = parts.flatMap(_._2).distinct.sorted
+          val (ue, ua) = uStore.gather(uIds0)
+          val (ie, ia) = iStore.gather(iIds0)
+          (new Weights(ue, ie, w.wU, w.bU, w.wI, w.bI),
+            new AdaState(ua, ia, ada.wU, ada.bU, ada.wI, ada.bI),
+            uIds0, iIds0)
+        } else (w, ada, null, null)
+      def localIdMap(ids: Array[Int]): java.util.HashMap[Int, Int] =
+        if (ids == null) null
+        else {
+          val m = new java.util.HashMap[Int, Int](ids.length * 2)
+          var j = 0
+          while (j < ids.length) { m.put(ids(j), j); j += 1 }
+          m
+        }
+      val uMap = localIdMap(uIds)
+      val iMap = localIdMap(iIds)
       if (cfg.shards <= 1) {
         // ONE sorted task -> fixed accumulation order -> bit-deterministic.
         // The task applies ONE Adagrad update per chunk SEQUENTIALLY (local
@@ -412,11 +581,11 @@ object TwoTower {
         // right while one executor core chews a mini-batch in microseconds;
         // past that, cfg.shards > 1 switches to the data-parallel form
         // below.
-        val bw = spark.sparkContext.broadcast((w, ada))
+        val bw = spark.sparkContext.broadcast((stepW, stepA, uMap, iMap))
         val (nw, na, lossSum, nPos) = spark.sparkContext.runJob(
           batchRdd,
           (it: Iterator[(Int, Int, String)]) => {
-            val (w0, a0) = bw.value
+            val (w0, a0, um, im) = bw.value
             val lw = copyW(w0)
             val la = copyA(a0, w0.uEmb.length, w0.iEmb.length, cfg)
             var lossAcc = 0.0
@@ -429,7 +598,9 @@ object TwoTower {
               val is = new Array[Int](end - off)
               var k = off
               while (k < end) {
-                us(k - off) = buf(k)._1; is(k - off) = buf(k)._2; k += 1
+                us(k - off) = if (um == null) buf(k)._1 else um.get(buf(k)._1)
+                is(k - off) = if (im == null) buf(k)._2 else im.get(buf(k)._2)
+                k += 1
               }
               val g = new Grad(lw.uEmb.length, lw.iEmb.length, cfg)
               g.addChunk(lw, us, is, cfg)
@@ -441,8 +612,15 @@ object TwoTower {
             (lw, la, lossAcc, n)
           }, Seq(base)).head
         bw.destroy()
-        w = nw
-        ada = na
+        if (clusterEmb) {
+          w = new Weights(w.uEmb, w.iEmb, nw.wU, nw.bU, nw.wI, nw.bI)
+          ada = new AdaState(ada.uEmb, ada.iEmb, na.wU, na.bU, na.wI, na.bI)
+          if (uIds.nonEmpty) uStore.scatter(uIds, nw.uEmb, na.uEmb, step)
+          if (iIds.nonEmpty) iStore.scatter(iIds, nw.iEmb, na.iEmb, step)
+        } else {
+          w = nw
+          ada = na
+        }
         losses += (if (nPos > 0) lossSum / nPos else 0.0)
       } else {
         // Data-parallel form (the cluster-scale seam, round-9): chunks
@@ -457,11 +635,11 @@ object TwoTower {
         // updates per job than local SGD (one vs batch/chunk), so
         // schedules trade steps for per-step wall — the gridSearch
         // surface exists exactly to pick that trade.
-        val bw = spark.sparkContext.broadcast(w)
+        val bw = spark.sparkContext.broadcast((stepW, uMap, iMap))
         val parts = spark.sparkContext.runJob(
           batchRdd,
           (it: Iterator[(Int, Int, String)]) => {
-            val w0 = bw.value
+            val (w0, um, im) = bw.value
             val g = new Grad(w0.uEmb.length, w0.iEmb.length, cfg)
             val buf = it.toArray.sortBy(_._3)
             var off = 0
@@ -471,7 +649,9 @@ object TwoTower {
               val is = new Array[Int](end - off)
               var k = off
               while (k < end) {
-                us(k - off) = buf(k)._1; is(k - off) = buf(k)._2; k += 1
+                us(k - off) = if (um == null) buf(k)._1 else um.get(buf(k)._1)
+                is(k - off) = if (im == null) buf(k)._2 else im.get(buf(k)._2)
+                k += 1
               }
               g.addChunk(w0, us, is, cfg)
               off = end
@@ -483,8 +663,15 @@ object TwoTower {
         parts.toSeq.collect { case (true, g) => g }
           .reduceOption(_.merge(_)) match {
           case Some(g) if g.n > 0 =>
-            applyUpdate(w, g, lrNow, ada)
+            // stepW/stepA alias w/ada in driver mode (mutated in place,
+            // as before); in cluster mode they are the compact copies,
+            // scattered back below
+            applyUpdate(stepW, g, lrNow, stepA)
             losses += g.loss / g.n
+            if (clusterEmb) {
+              if (uIds.nonEmpty) uStore.scatter(uIds, stepW.uEmb, stepA.uEmb, step)
+              if (iIds.nonEmpty) iStore.scatter(iIds, stepW.iEmb, stepA.iEmb, step)
+            }
           case _ => losses += 0.0
         }
       }
@@ -492,10 +679,19 @@ object TwoTower {
       step += 1
     }
     batchRdd.unpersist(blocking = false)
+    graft.operators.Checkpoints.free(enc) // nothing recomputes through it now
 
     // precompute serving vectors and decode back to natural keys
-    val uvec = vecsFrame(spark, w.uEmb, w.wU, w.bU, uDict, "user_id")
-    val ivec = vecsFrame(spark, w.iEmb, w.wI, w.bI, iDict, "item_id")
+    val (uvec, ivec) =
+      if (clusterEmb) {
+        val uv = uStore.toVecs(spark, w.wU, w.bU, uDict, "user_id")
+        val iv = iStore.toVecs(spark, w.wI, w.bI, iDict, "item_id")
+        uStore.free()
+        iStore.free()
+        (uv, iv)
+      } else
+        (vecsFrame(spark, w.uEmb, w.wU, w.bU, uDict, "user_id"),
+          vecsFrame(spark, w.iEmb, w.wI, w.bI, iDict, "item_id"))
     (Model(uvec, ivec, cfg), losses.toSeq)
   }
 
@@ -540,7 +736,8 @@ object TwoTower {
   }
 
   /** (natural id, vec) frame: every dictionary id pushed through its tower
-    * ON THE DRIVER (tables are driver-held during training anyway), then
+    * ON THE DRIVER (tables are driver-held during training in this mode
+    * anyway; the cluster-held mode uses EmbStore.toVecs instead), then
     * parallelized — the serving artifact. */
   private def vecsFrame(spark: SparkSession, emb: Array[Array[Float]],
       wT: Array[Array[Float]], b: Array[Float], dict: DataFrame,
@@ -568,9 +765,25 @@ object TwoTower {
     * shuffle carries users × k survivor rows. Measured at sf0.1 (1.9k
     * users × 20k items = 38M candidates): 16 s → ~8 s over the round-8
     * window-plus-merge-anti plan (2.5 s scoring, ~3.5 s broadcast anti
-    * probe, ~2 s map-side heap). */
+    * probe, ~2 s map-side heap).
+    *
+    * Two guards (round-10, both advice-driven):
+    *  - TopKAggF carries ids as LONG, so the aggregate form runs only
+    *    when item_id is an integral type; any other id type (Categorify
+    *    accepts strings, UUIDs, …) would cast to null and be silently
+    *    DROPPED — those models take the window form, same output
+    *    contract, one candidate-width exchange more.
+    *  - the seen-pair broadcast is right for eval-user subsets but a
+    *    full-user-base serve would exceed executor broadcast memory;
+    *    when the semi-filtered history exceeds `broadcastSeenLimit` rows
+    *    (counted — one cheap job on two slim columns; default sized
+    *    ~30 bytes/row ≈ 1 GB, well under a 4 GB executor overhead slot)
+    *    the exclusion falls back to a shuffle anti-join: slower, but the
+    *    plan that actually completes at catalog × user-base scale
+    *    (spec-pinned in TwoTowerSpec with a limit of 1). */
   def recommend(model: Model, users: DataFrame, k: Int = 10,
-      excludeSeen: Option[DataFrame] = None): DataFrame = {
+      excludeSeen: Option[DataFrame] = None,
+      broadcastSeenLimit: Long = 32000000L): DataFrame = {
     graft.sql.GraftFunctions.register(model.userVecs.sparkSession)
     val uIds = users.select(col("user_id")).distinct()
     val u = uIds.join(model.userVecs, Seq("user_id"))
@@ -579,19 +792,33 @@ object TwoTower {
       .select(col("user_id"), col("item_id"),
         graft.sql.GraftFunctions.dotF32(col("vec"), col("__iv")).as("score"))
     val scored = excludeSeen match {
-      case Some(seen) => scored0.join(
-        broadcast(seen.select(col("user_id"), col("item_id"))
-          .join(uIds, Seq("user_id"), "left_semi")),
-        Seq("user_id", "item_id"), "left_anti")
+      case Some(seen) =>
+        val seenScored = seen.select(col("user_id"), col("item_id"))
+          .join(uIds, Seq("user_id"), "left_semi")
+        val small = seenScored.limit(broadcastSeenLimit.min(Int.MaxValue - 1L)
+          .toInt + 1).count() <= broadcastSeenLimit
+        scored0.join(if (small) broadcast(seenScored) else seenScored,
+          Seq("user_id", "item_id"), "left_anti")
       case None => scored0
     }
     val iType = model.itemVecs.schema("item_id").dataType
-    graft.operators.Relational.topKPerGroupAgg(scored, Seq("user_id"),
-        col("score"), col("item_id"), k,
-        idName = "item_id", scoreName = "score")
-      .select(col("user_id"), col("rk"),
-        col("item_id").cast(iType).as("item_id"),
-        col("score").cast("float").as("score"))
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integralId = iType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integralId)
+      graft.operators.Relational.topKPerGroupAgg(scored, Seq("user_id"),
+          col("score"), col("item_id"), k,
+          idName = "item_id", scoreName = "score")
+        .select(col("user_id"), col("rk"),
+          col("item_id").cast(iType).as("item_id"),
+          col("score").cast("float").as("score"))
+    else
+      graft.operators.Relational.topKPerGroup(scored, Seq("user_id"),
+          Seq(col("score").desc, col("item_id").asc), k)
+        .select(col("user_id"), col("rk").cast("int").as("rk"),
+          col("item_id"), col("score"))
   }
 
   /** The reference's hyperparameter grid: batch sizes × learning rates
@@ -606,20 +833,37 @@ object TwoTower {
 
   /** Grid-search fan-out + model selection for the neural path (F10/F11
     * parity with AlsRecommender.gridSearch, matching the reference's
-    * foreach-over-hypers train step): fit every config, evaluate mean
-    * recall@k on the validation split, pick the argmax (metric desc,
-    * config key asc — deterministic). Each fit is itself deterministic,
-    * so the winning (config, model) is a pure function of the inputs. */
+    * CONCURRENT foreach-over-hypers train step — Metaflow `foreach` with
+    * --max-workers 4, my_merlin_flow.py:263): configs fit in parallel on
+    * a driver thread pool of `maxWorkers` (Spark schedules concurrent
+    * jobs from multiple driver threads natively; each fit's jobs
+    * interleave on the executor cores the sequential form left idle
+    * between its small partition-targeted steps). Determinism is
+    * untouched: each fit is a pure function of (data, config) regardless
+    * of scheduling, results are collected in GRID order, and the argmax
+    * (metric desc, config key asc) never sees thread timing. */
   def gridSearch(trainDf: DataFrame, valid: DataFrame, configs: Seq[Config],
-      k: Int = 10, excludeSeen: Option[DataFrame] = None)
-      : (Config, Model, Map[String, Double]) = {
+      k: Int = 10, excludeSeen: Option[DataFrame] = None,
+      maxWorkers: Int = 4): (Config, Model, Map[String, Double]) = {
     require(configs.nonEmpty, "empty grid")
-    val fitted = configs.map { cfg =>
-      val model = fit(trainDf, cfg)
-      val recs = recommend(model, valid.select("user_id"), k, excludeSeen)
-      val (recall, _) = RankingEval.meanMetrics(RankingEval.perUser(recs, valid, k))
-      (cfg, model, recall)
-    }
+    require(maxWorkers > 0, s"maxWorkers must be positive, got $maxWorkers")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(maxWorkers, configs.size))
+    val fitted =
+      try {
+        val futures = configs.map { cfg =>
+          pool.submit(new java.util.concurrent.Callable[(Config, Model, Double)] {
+            override def call(): (Config, Model, Double) = {
+              val model = fit(trainDf, cfg)
+              val recs = recommend(model, valid.select("user_id"), k, excludeSeen)
+              val (recall, _) =
+                RankingEval.meanMetrics(RankingEval.perUser(recs, valid, k))
+              (cfg, model, recall)
+            }
+          })
+        }
+        futures.map(_.get()) // grid order, independent of completion order
+      } finally pool.shutdown()
     val best = fitted.maxBy { case (cfg, _, r) => (r, cfg.key) }
     (best._1, best._2, fitted.map { case (cfg, _, r) => cfg.key -> r }.toMap)
   }

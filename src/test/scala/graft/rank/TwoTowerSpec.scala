@@ -150,6 +150,78 @@ class TwoTowerSpec extends SparkSpecBase {
     assert(best2.key == best.key && metrics2 == metrics)
   }
 
+  test("cluster-held embeddings train BIT-IDENTICALLY to the driver-held form") {
+    // embedParts moves the tables off the driver; gather/scatter change
+    // WHERE rows live, never one float of arithmetic — so the two
+    // storage modes must produce identical vectors, in both gradient
+    // forms, regardless of input partitioning.
+    val short = cfg.copy(steps = 20)
+    def dump(m: TwoTower.Model) =
+      m.userVecs.orderBy("user_id").collect().map(_.toString).toSeq ++
+        m.itemVecs.orderBy("item_id").collect().map(_.toString).toSeq
+    val driver = dump(TwoTower.fit(trainRows.toDF("user_id", "item_id"), short))
+    val cluster = dump(TwoTower.fit(
+      trainRows.toDF("user_id", "item_id").repartition(5),
+      short.copy(embedParts = 3)))
+    assert(cluster == driver)
+    val driverSh = dump(TwoTower.fit(trainRows.toDF("user_id", "item_id"),
+      short.copy(shards = 2)))
+    val clusterSh = dump(TwoTower.fit(trainRows.toDF("user_id", "item_id"),
+      short.copy(shards = 2, embedParts = 2)))
+    assert(clusterSh == driverSh)
+  }
+
+  test("driver-held mode refuses past its budget; cluster-held mode accepts") {
+    // the seam the 100 TB story rides: the same data that trips the
+    // driver-RAM require trains fine with embedParts > 0
+    val tiny = cfg.copy(steps = 2, driverEmbedBudget = 100L) // 100 floats
+    val df = trainRows.toDF("user_id", "item_id") // 80 users x dim 16 >> 100
+    val e = intercept[IllegalArgumentException] { TwoTower.fit(df, tiny) }
+    assert(e.getMessage.contains("embedParts"))
+    val m = TwoTower.fit(df, tiny.copy(embedParts = 2))
+    assert(m.userVecs.count() == 80)
+  }
+
+  test("recommend serves models with non-integral item ids (window-form fallback)") {
+    // Categorify accepts any key type; TopKAggF carries ids as LONG, so a
+    // string-keyed model on the aggregate path would cast every id to
+    // null and silently return ZERO rows (round-9 advice). The dispatch
+    // must route such models through the window form instead.
+    val rows = (for (u <- 1L to 6L; j <- 1L to 8L) yield (u, s"sku-${(u + j) % 10}"))
+      .distinct.toDF("user_id", "item_id")
+    val model = TwoTower.fit(rows, cfg.copy(steps = 5))
+    assert(model.itemVecs.schema("item_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val recs = TwoTower.recommend(model, Seq(1L, 2L).toDF("user_id"), 3)
+    assert(recs.columns.toSeq == Seq("user_id", "rk", "item_id", "score"))
+    assert(recs.schema("item_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(recs.count() == 6, "string-id model must still return ranked rows")
+    // ranks are 1..k and ordering is (score desc, item_id asc) per user
+    val byUser = recs.collect().groupBy(_.getLong(0))
+    byUser.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3))
+    }
+  }
+
+  test("exclude-seen falls back to a shuffle anti-join past broadcastSeenLimit") {
+    // A full-user-base serve cannot broadcast its history; with the limit
+    // forced to 1 row the exclusion must take the un-hinted plan and
+    // still produce the identical result (auto-broadcast disabled so the
+    // fallback genuinely exercises the shuffle path).
+    val users = testRows.map(_._1).distinct.toDF("user_id")
+    val seen = trainRows.toDF("user_id", "item_id")
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id", "rk").collect().map(_.toString).toSeq
+    val viaBroadcast = dump(TwoTower.recommend(fitted._1, users, 5, Some(seen)))
+    val viaShuffle = withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      dump(TwoTower.recommend(fitted._1, users, 5, Some(seen),
+        broadcastSeenLimit = 1L))
+    }
+    assert(viaShuffle == viaBroadcast)
+    assert(viaShuffle.nonEmpty)
+  }
+
   test("model persists and loads; recommend schema is RankingEval-ready") {
     val tmp = java.nio.file.Files.createTempDirectory("twotower").toString
     fitted._1.save(tmp)
