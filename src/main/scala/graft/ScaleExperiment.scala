@@ -1058,7 +1058,7 @@ object ScaleExperiment {
       }
       val t0 = System.nanoTime()
       TwoTower.fit(big, cfgBase.copy(embedParts = 64))
-      println(f"r10_embed_10m_cluster%-10s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+      println(f"r10_embed_10m_cluster          ${(System.nanoTime() - t0) / 1e9}%8.1f s")
     }
 
     spark.stop()

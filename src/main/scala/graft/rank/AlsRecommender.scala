@@ -142,16 +142,34 @@ object AlsRecommender {
   /** Grid-search fan-out + model selection: fit every config, evaluate mean
     * recall@k on the validation split, pick the argmax (metric desc, config
     * key asc — deterministic). Returns the winning config, its model, and
-    * the per-config metrics. */
+    * the per-config metrics.
+    *
+    * Configs fit CONCURRENTLY on a driver thread pool (round 10, F10
+    * parity with the reference's Metaflow foreach --max-workers 4 and
+    * with TwoTower.gridSearch): ALS fits are seeded-deterministic
+    * regardless of job scheduling, results are collected in grid order,
+    * so the winner never sees thread timing. */
   def gridSearch(trainDf: DataFrame, valid: DataFrame, configs: Seq[AlsConfig],
-      k: Int = 10): (AlsConfig, ALSModel, Map[String, Double]) = {
+      k: Int = 10, maxWorkers: Int = 4): (AlsConfig, ALSModel, Map[String, Double]) = {
     require(configs.nonEmpty, "empty grid")
-    val fitted = configs.map { cfg =>
-      val model = train(trainDf, cfg)
-      val recs = recommend(model, valid.select("user_id"), k)
-      val (recall, _) = RankingEval.meanMetrics(RankingEval.perUser(recs, valid, k))
-      (cfg, model, recall)
-    }
+    require(maxWorkers > 0, s"maxWorkers must be positive, got $maxWorkers")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(maxWorkers, configs.size))
+    val fitted =
+      try {
+        val futures = configs.map { cfg =>
+          pool.submit(new java.util.concurrent.Callable[(AlsConfig, ALSModel, Double)] {
+            override def call(): (AlsConfig, ALSModel, Double) = {
+              val model = train(trainDf, cfg)
+              val recs = recommend(model, valid.select("user_id"), k)
+              val (recall, _) =
+                RankingEval.meanMetrics(RankingEval.perUser(recs, valid, k))
+              (cfg, model, recall)
+            }
+          })
+        }
+        futures.map(_.get())
+      } finally pool.shutdown()
     val best = fitted.maxBy { case (cfg, _, r) => (r, cfg.key) }
     (best._1, best._2, fitted.map { case (cfg, _, r) => cfg.key -> r }.toMap)
   }

@@ -60,6 +60,41 @@ class KnnSpec extends SparkSpecBase {
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
   }
 
+  test("aggregate-path bruteForceTopK equals the window form row-for-row") {
+    // round-10 dispatch: integral ids + float/double scores ride the
+    // map-side TopKAggF heap; the emitted row-set must equal the
+    // ROW_NUMBER window ranking exactly (same columns, ranks, doubles)
+    val emb = tbl("embeddings")
+    val queries = emb.filter($"vec_id" < 16)
+    val agg = Knn.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+    val q = queries.select($"vec_id".as("query_id"), $"embedding".as("__qv"))
+    val c = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("__cv"))
+    val scored = broadcast(q).join(c, $"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        graft.sql.GraftFunctions.cosineF32($"__qv", $"__cv").as("cos"))
+    val win = graft.operators.Relational.topKPerGroup(scored, Seq("query_id"),
+      Seq($"cos".desc, $"neighbor_id".asc), 5)
+    assert(agg.columns.toSeq == win.columns.toSeq)
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rk").collect().map(_.toString).toSeq
+    assert(dump(agg) == dump(win))
+    // the dispatch actually took the aggregate plan (no Window node)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_topk") && !plan.contains("Window"),
+      s"expected the aggregate plan, got:\n$plan")
+  }
+
+  test("non-integral ids keep the window form (and still return ranked rows)") {
+    val emb = tbl("embeddings").limit(40)
+      .select(concat(lit("v"), $"vec_id").as("vec_id"), $"embedding")
+    val out = Knn.bruteForceTopK(emb.limit(5), emb, "vec_id", "embedding", 3)
+    assert(out.schema("neighbor_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(out.count() == 15)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "string ids must take the window form")
+  }
+
   test("srpSigns is deterministic and balanced-ish") {
     val s1 = Knn.srpSigns(8, 64)
     val s2 = Knn.srpSigns(8, 64)

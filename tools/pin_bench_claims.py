@@ -35,6 +35,9 @@ CANDIDATES = [
     "q148_overlap_sketch", "q154_assoc_rules", "q146_transitions",
     "q158k_profile_kernel", "q172_walk_glove", "q156_kcore",
     "q165_random_walks",
+    # round-10 additions: the TopKAggF-routed exact-KNN shapes + the
+    # native aggregate's own entry
+    "q41_knn_exact", "q143_bitext_margin", "q178_topk_agg",
 ]
 
 
