@@ -125,6 +125,39 @@ object Relational {
         col("__t.id").as(idName), col("__t.score").as(scoreName)): _*)
   }
 
+  /** Type-dispatched top-k for CANDIDATE-HEAVY (score, id) cuts: the
+    * aggregate form ([[topKPerGroupAgg]]) when the id is integral and
+    * the score float/double — both round-trip the heap's long/double
+    * state losslessly, so the row-set equals the window form exactly on
+    * non-null input — and the window form otherwise. `df` must carry
+    * EXACTLY the columns `keys ++ (idName, scoreName)` (the aggregate
+    * rebuilds rows from its (id, score) pairs and cannot resurrect
+    * other columns). Output matches the window form: df's columns in
+    * their original order and types, plus `rankCol`. */
+  def topKPerGroupBest(df: DataFrame, keys: Seq[String], scoreName: String,
+      idName: String, k: Int, rankCol: String = "rk"): DataFrame = {
+    require(df.columns.toSet == (keys :+ idName :+ scoreName).toSet,
+      s"topKPerGroupBest needs exactly keys+id+score columns, got " +
+        df.columns.mkString(", "))
+    import org.apache.spark.sql.types._
+    val idType = df.schema(idName).dataType
+    val scoreType = df.schema(scoreName).dataType
+    val aggSafe = (idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }) && (scoreType == FloatType || scoreType == DoubleType)
+    if (aggSafe)
+      topKPerGroupAgg(df, keys, col(scoreName), col(idName), k, rankCol,
+          idName = idName, scoreName = scoreName)
+        .select(df.columns.map {
+          case c if c == idName => col(idName).cast(idType).as(idName)
+          case c if c == scoreName => col(scoreName).cast(scoreType).as(scoreName)
+          case c => col(c)
+        } :+ col(rankCol): _*)
+    else
+      topKPerGroup(df, keys, Seq(col(scoreName).desc, col(idName).asc), k, rankCol)
+  }
+
   /** Salted flavor of [[topKPerGroup]] for SKEWED/low-cardinality keys. A
     * plain per-key window puts each key's whole partition on ONE task — with
     * 5 distinct keys (or one viral user holding 1% of a 100 TB fact table)

@@ -143,7 +143,9 @@ object Ivf {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         GraftFunctions.dotF32(col("__qn"), col("__cn")).as("cos"))
-    Relational.topKPerGroup(scored, Seq("query_id"),
-      Seq(col("cos").desc, col("neighbor_id").asc), k)
+    // per-query candidates ≈ nprobe × corpus/nlist — candidate-heavy, so
+    // the cut rides the map-side heap when types allow (round 10; row-set
+    // identical to the window form, oracle q47 unchanged)
+    Relational.topKPerGroupBest(scored, Seq("query_id"), "cos", "neighbor_id", k)
   }
 }

@@ -42,22 +42,7 @@ object Knn {
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), simFn(col("__qv"), col("__cv")).as("cos"))
-    val idType = scored.schema("neighbor_id").dataType
-    val scoreType = scored.schema("cos").dataType
-    import org.apache.spark.sql.types._
-    val aggSafe = (idType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _ => false
-    }) && (scoreType == FloatType || scoreType == DoubleType)
-    if (aggSafe)
-      Relational.topKPerGroupAgg(scored, Seq("query_id"), col("cos"),
-          col("neighbor_id"), k, idName = "neighbor_id", scoreName = "cos")
-        .select(col("query_id"),
-          col("neighbor_id").cast(idType).as("neighbor_id"),
-          col("cos").cast(scoreType).as("cos"), col("rk"))
-    else
-      Relational.topKPerGroup(scored, Seq("query_id"),
-        Seq(col("cos").desc, col("neighbor_id").asc), k)
+    Relational.topKPerGroupBest(scored, Seq("query_id"), "cos", "neighbor_id", k)
   }
 
   /** Deterministic ±1 hyperplane coefficients for SRP-LSH: sign(p, d) from
