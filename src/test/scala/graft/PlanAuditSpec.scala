@@ -97,11 +97,12 @@ class PlanAuditSpec extends SparkSpecBase {
     val p = withSQLConf("spark.sql.adaptive.enabled" -> "false")(plan(df))
     // the probe expression appears as one fused call, not unrolled literals
     assert(p.contains("graft_ivf_probe_f32"), s"probe expression missing:\n$p")
-    assert(p.contains("WindowGroupLimit"), s"missing WindowGroupLimit:\n$p")
-    // exchanges: the (cid) join requirement on both sides + the top-k
-    // window reusing the query-side partitioning — no more
+    // round 10: the cut rides the map-side heap — a partial graft_topk
+    // BELOW the one query-keyed exchange, so the shuffle carries
+    // |Q|×k survivors, never the probed candidate stream
+    assert(p.contains("partial_graft_topk"), s"missing map-side top-k:\n$p")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges <= 3, s"unexpected exchange count $exchanges:\n$p")
+    assert(exchanges <= 2, s"unexpected exchange count $exchanges:\n$p")
   }
 
   test("lshTopK (probes=0) has no aggregation between scoring and the top-k window") {
