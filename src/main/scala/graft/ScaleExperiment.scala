@@ -1061,6 +1061,30 @@ object ScaleExperiment {
       println(f"r10_embed_10m_cluster          ${(System.nanoTime() - t0) / 1e9}%8.1f s")
     }
 
+    // 31. q175 stage breakdown: where does the PPJoin self-join's wall
+    // go at bench scale? Stages replayed with the public dataflow
+    // (identical shapes to SetSimJoin.selfJoin's internals) so the
+    // optimization target is measured, not guessed.
+    if (on("r10setsim")) {
+      import graft.functions.TextOps
+      val docs = Tables.load(spark, dir, "documents")
+      val sh = docs.select(col("doc_id"),
+        TextOps.wordShingles(TextOps.tokens(col("text")), 4).as("sh"))
+      val base = sh.select(col("doc_id").as("__id"), array_distinct(col("sh")).as("__s"))
+        .withColumn("__n", size(col("__s"))).filter(col("__n") > 0)
+      counted("setsim_base_scan")(base)
+      val dfreq = base.select(explode(col("__s")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+      counted("setsim_dfreq")(dfreq)
+      val ordered = base.select(col("__id"), col("__n"), explode(col("__s")).as("tok"))
+        .join(dfreq, Seq("tok"))
+        .groupBy(col("__id"), col("__n"))
+        .agg(array_sort(collect_list(struct(col("__df"), col("tok")))).as("__o"))
+      counted("setsim_ordered")(ordered.select(col("__id")))
+      counted("setsim_full")(
+        graft.dedup.SetSimJoin.selfJoin(sh, "doc_id", col("sh"), 1L, 2L))
+    }
+
     spark.stop()
   }
 }
