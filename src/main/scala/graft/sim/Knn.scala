@@ -100,9 +100,16 @@ object Knn {
     // invariant under positive scaling, and bit-reproducible externally).
     // Codegen'd normalize, NOT the HOF form: an HOF in the same select as
     // explode is planned above the Generate and would run per exploded row.
+    // Materialized ONCE (eager): the query and candidate legs are
+    // differently-aliased projections of this frame, so without the
+    // checkpoint the normalize + tables×bits dot-product bucket kernel —
+    // the expensive row-local work — executes twice (alias-differing
+    // subplans defeat ReusedExchange; confirmed in the executed plan).
+    // Blocks are corpus-linear (id, unit vec, bucket array) and
+    // ContextCleaner-reclaimed once the result frame dies.
     val withB = df.select(col(idCol),
       graft.sql.GraftFunctions.l2NormalizeF32(col(vecCol)).as("__nv"),
-      bucketArr.as("__bs"))
+      bucketArr.as("__bs")).localCheckpoint()
     val exploded = withB.select(col(idCol), col("__nv"), col("__bs"),
       posexplode(col("__bs")).as(Seq("t", "bucket")))
     val c = exploded.select(col("t"), col("bucket"), col(idCol).as("neighbor_id"),
