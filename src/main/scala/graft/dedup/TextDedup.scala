@@ -227,9 +227,20 @@ object TextDedup {
     // was measured 2.7× slower on q64: predicate pushdown substitutes the
     // full HOF shingle chain into the scan filter and re-evaluates it per
     // row.
-    val sig = minhashSignatures(df, idCol, shingles, numHashes)
+    //
+    // The distinct-shingle sets are materialized ONCE (eager, round 10):
+    // the plan otherwise evaluates the shingle expression three times —
+    // the signature pass plus BOTH verification sides (alias-differing
+    // subplans defeat ReusedExchange). Values are untouched: MinHash
+    // minima are duplicate-insensitive, so signatures over the distinct
+    // set equal signatures over the multiset, and verification already
+    // ran on array_distinct. Blocks are corpus-linear,
+    // ContextCleaner-reclaimed when the result frame dies.
+    val sets = df.select(col(idCol), array_distinct(shingles).as("__ss"))
+      .localCheckpoint()
+    val sig = minhashSignatures(sets, idCol, col("__ss"), numHashes)
     val cand = lshCandidatePairs(lshBands(sig, idCol, numHashes, rowsPerBand), idCol)
-    jaccardForPairs(cand, df, idCol, shingles)
+    jaccardForPairs(cand, sets, idCol, col("__ss"))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"))
   }
