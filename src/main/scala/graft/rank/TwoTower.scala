@@ -793,8 +793,11 @@ object TwoTower {
         graft.sql.GraftFunctions.dotF32(col("vec"), col("__iv")).as("score"))
     val scored = excludeSeen match {
       case Some(seen) =>
+        // materialized once (eager): the size probe and the anti-join
+        // both read these blocks, so the guard costs one bounded count
+        // over materialized rows, not a second semi-join pass
         val seenScored = seen.select(col("user_id"), col("item_id"))
-          .join(uIds, Seq("user_id"), "left_semi")
+          .join(uIds, Seq("user_id"), "left_semi").localCheckpoint()
         val small = seenScored.limit(broadcastSeenLimit.min(Int.MaxValue - 1L)
           .toInt + 1).count() <= broadcastSeenLimit
         scored0.join(if (small) broadcast(seenScored) else seenScored,
