@@ -134,6 +134,16 @@ object ScaleExperiment {
         Relational.topKPerGroup(fact, Seq("k"), ord, 10))
       timed("topk_salted32_viralkey")(
         Relational.topKPerGroupSalted(fact, Seq("k"), ord, 10, numSalts = 32))
+      // the aggregate form handles the viral key WITHOUT salting: each
+      // map task keeps its own k-bounded heap per key, so the hot key's
+      // candidates combine map-side and the exchange carries ~keys×k
+      // rows — skew immunity is structural, not a rebalancing trick
+      // (applies when the cut is (score,id)-shaped; the salted window
+      // form remains the general multi-column-ordering path)
+      timed("topk_agg_viralkey")(
+        Relational.topKPerGroupAgg(
+          fact.select(col("k"), col("row_id"), col("v").cast("double").as("v")),
+          Seq("k"), col("v"), col("row_id"), 10))
       val dim = spark.range(100000).select(col("id").as("k"),
         md5(col("id").cast("string")).as("attr"))
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -158,7 +158,13 @@ object Relational {
       topKPerGroup(df, keys, Seq(col(scoreName).desc, col(idName).asc), k, rankCol)
   }
 
-  /** Salted flavor of [[topKPerGroup]] for SKEWED/low-cardinality keys. A
+  /** Salted flavor of [[topKPerGroup]] for SKEWED/low-cardinality keys —
+    * when the ordering is multi-column or the row must survive whole.
+    * When the cut is (score, id)-shaped with an integral id, prefer
+    * [[topKPerGroupAgg]]: its map-side per-key heaps absorb a viral key
+    * structurally (each task combines the hot key's candidates before
+    * the exchange) — measured 2.6 s vs salted 4.2 s vs plain 6.9 s on
+    * the 20M-row viral-key fixture (ScaleExperiment `skew`). A
     * plain per-key window puts each key's whole partition on ONE task — with
     * 5 distinct keys (or one viral user holding 1% of a 100 TB fact table)
     * the job runs at the speed of its hottest key, and AQE cannot split a
