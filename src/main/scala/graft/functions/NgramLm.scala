@@ -40,12 +40,15 @@ object NgramLm {
     * corpus. With `cache = true` (the default for a model scored more than
     * once) both count tables are cached — they are model artifacts,
     * vocabulary-sized, tiny next to the corpus — and the caller owns
-    * releasing them via `model.unpersist()`. Pass `cache = false` on
-    * fit-score-once paths that never get a post-materialization hook (the
-    * q87 oracle query, bench reps): the only recomputation is the unigram
-    * aggregate (vocab count + scoring join), and nothing accumulates in
-    * the block-manager across a 3-rep × 90-query bench run. [[save]] /
-    * [[load]] is the durable form. */
+    * releasing them via `model.unpersist()`. With `cache = false`
+    * (fit-score-once paths that never get a post-materialization hook —
+    * the q87 oracle query, bench reps) the tables are still materialized
+    * ONCE, as eager localCheckpoints (round 10): the old pass-through
+    * form re-ran the corpus aggregation for the vocabulary count AND for
+    * every scoring join. Checkpoint blocks are vocabulary-sized and
+    * ContextCleaner-reclaimed when the model frame dies, so nothing
+    * accumulates across bench reps — the liability the flag existed to
+    * avoid. [[save]] / [[load]] is the durable form. */
   def fit(ref: DataFrame, toks: Column, cache: Boolean = true): Model = {
     val bound = ref.select(toks.as("__toks"))
     val bi0 = bound.select(explode(bigramPairs(col("__toks"))).as("p"))
@@ -53,7 +56,8 @@ object NgramLm {
       .agg(count(lit(1)).as("c12"))
     val uni0 = bound.select(explode(col("__toks")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val (bi, uni) = if (cache) (bi0.cache(), uni0.cache()) else (bi0, uni0)
+    val (bi, uni) = if (cache) (bi0.cache(), uni0.cache())
+      else (bi0.localCheckpoint(), uni0.localCheckpoint())
     Model(bi, uni, uni.count())
   }
 

@@ -69,18 +69,21 @@ object Dsir {
     * `cache = true` (the default for a model scored more than once) the
     * count table is cached — it is a model artifact, ≤ `buckets` rows, tiny
     * next to the corpus — so the total here and every later scoring join
-    * reuse ONE corpus pass; the caller owns `model.unpersist()`. Pass
-    * `cache = false` on fit-score-once paths with no post-materialization
-    * hook (the q121/q122 oracle queries, bench reps — the NgramLm.fit
-    * precedent): the only recomputation is one extra corpus aggregation,
-    * and nothing accumulates in the block-manager across a 3-rep ×
-    * 120-query bench run. [[save]]/[[load]] is the durable form. */
+    * reuse ONE corpus pass; the caller owns `model.unpersist()`. With
+    * `cache = false` the table is still materialized ONCE, as an eager
+    * localCheckpoint (round 10): the old pass-through form re-ran the
+    * whole corpus tokenize+aggregate for the `total` row AND for every
+    * scoring join — two to three corpus passes per fit-score-once query
+    * (measured on q121/q122). The checkpoint is ≤ `buckets` rows of
+    * blocks, reclaimed by the ContextCleaner when the model frame dies,
+    * so nothing accumulates across bench reps — the liability the flag
+    * existed to avoid. [[save]]/[[load]] is the durable form. */
   def fit(corpus: DataFrame, toks: Column, buckets: Int = 8192,
       cache: Boolean = true): Model = {
     val c0 = corpus.select(toks.as("__toks"))
       .select(explode(featureBuckets(col("__toks"), buckets)).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
-    val c = if (cache) c0.cache() else c0
+    val c = if (cache) c0.cache() else c0.localCheckpoint()
     // coalesce: an EMPTY fit corpus sums to NULL — the model then has
     // total 0 and every bucket scores the uniform smoothing floor
     Model(c, c.agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0), buckets)
