@@ -361,8 +361,15 @@ object TextDedup {
   def dedupAgainstIndex(newDocs: DataFrame, idCol: String, shingles: Column,
       indexSigs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 2,
       threshold: Double = 0.7): DataFrame = {
+    // materialized once (eager, round 10): the banding and the signature-
+    // agreement verification both read the new batch's signatures, and
+    // without the checkpoint the shingle+minhash kernel ran twice (plus a
+    // third evaluation pushed into the scan filter). Batch-linear blocks,
+    // ContextCleaner-reclaimed; inside DocIngest's foreachBatch this is a
+    // plain batch frame, so the streaming path shares the fix.
     val newSigs = minhashSignatures(
       newDocs.filter(size(shingles) > 0), idCol, shingles, numHashes)
+      .localCheckpoint()
     val nb = lshBands(newSigs, idCol, numHashes, rowsPerBand)
       .withColumnRenamed(idCol, "__new_id")
     val ob = lshBands(indexSigs, idCol, numHashes, rowsPerBand)
