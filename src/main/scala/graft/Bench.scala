@@ -205,10 +205,25 @@ object Bench {
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(v))
     val byCost = results.filter(_._2 > 0).sortBy(-_._2)
-    // ~360 chars of fixed fields (incl. both calibration blocks) + the
-    // [info] prefix leave ~1300 for per-query entries inside the driver's
-    // 2000-char tail now that the log level change keeps warnings out of it
-    val qBudget = 1300
+    // Per-query FLOOR = min of the positive timed reps. The round-8..10
+    // A/B pairs showed the floor is the stable cross-run statistic on a
+    // contended box (medians of isolated queries still absorbed 2-12x
+    // suite-position noise in single driver passes), so the claims lint
+    // adjudicates against min(median, floor) while the median stays the
+    // round-over-round number. core_floor sums the floors of the
+    // non-volatile queries — the suite total with per-rep noise removed.
+    val floors = results.collect { case (k, med, ts) if med > 0 =>
+      k -> ts.filter(_ > 0).min
+    }.toMap
+    val coreFloor = floors.collect {
+      case (k, v) if !SparkEntry.benchVolatile(k) => v
+    }.sum
+    // ~400 chars of fixed fields (incl. both calibration blocks) + the
+    // [info] prefix leave ~1600 for the per-query maps inside the driver's
+    // 2000-char tail; qfloor gets its own slice, prioritized by how much
+    // noise it removes (median - floor), and only rows where the floor
+    // actually disagrees (min < 0.85 x median) spend budget
+    val qBudget = 1050
     val kept = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     var used = 0
     byCost.foreach { case (k, v, _) =>
@@ -220,17 +235,39 @@ object Bench {
     val omittedTotal = omitted.map(_._2).sum
     val qsCompact = kept.map { case (k, v) => jstr(k) + ":" + f3(v) }
       .mkString("{", ",", "}")
+    val floorBudget = 300
+    val floorKept = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    var floorUsed = 0
+    byCost.toSeq
+      .collect { case (k, med, _) if floors.get(k).exists(_ < 0.85 * med) =>
+        (k, floors(k), med - floors(k))
+      }
+      .sortBy(-_._3)
+      .foreach { case (k, fl, _) =>
+        val entry = k.length + f3(fl).length + 4
+        if (floorUsed + entry <= floorBudget) {
+          floorKept += (k -> fl); floorUsed += entry
+        }
+      }
+    // "~" prefix on the compact floor keys: downstream tooling (and the
+    // driver) scavenges the possibly-truncated stdout tail with a flat
+    // `"qNNN":num` regex, and an unprefixed floor entry would silently
+    // overwrite the median for the same query name.
+    val qfloorCompact = floorKept.map { case (k, v) => jstr("~" + k) + ":" + f3(v) }
+      .mkString("{", ",", "}")
     val errCompact = errors.take(5)
       .map { case (k, v) => jstr(k) + ":" + jstr(v.take(40)) }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","core_total":${f3(coreTotal)},"n_queries":${results.size},"calibration":$calCompact,"shuffle_cal":$shufCompact,"queries":$qsCompact,"omitted":${omitted.size},"omitted_total":${f3(omittedTotal)},"n_errors":${errors.size},"errors":$errCompact,"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","core_total":${f3(coreTotal)},"core_floor":${f3(coreFloor)},"n_queries":${results.size},"calibration":$calCompact,"shuffle_cal":$shufCompact,"queries":$qsCompact,"qfloor":$qfloorCompact,"omitted":${omitted.size},"omitted_total":${f3(omittedTotal)},"n_errors":${errors.size},"errors":$errCompact,"sf":"$sfDir","reps":$reps}"""
     val repsJson = results.map { case (k, _, ts) =>
       jstr(k) + ":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val isolateJson = isolate.toSeq.sorted.map(jstr).mkString("[", ",", "]")
+    val qfloorJson = floors.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","core_total":$coreTotal,"calibration":$calJson,"shuffle_cal":$shufJson,"volatile":$volatileJson,"isolated":$isolateJson,"queries":$qs,"rep_times":$repsJson,"errors":$errJson,"sf":"$sfDir","reps":$reps,"cpus":$cpus}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","core_total":$coreTotal,"core_floor":$coreFloor,"calibration":$calJson,"shuffle_cal":$shufJson,"volatile":$volatileJson,"isolated":$isolateJson,"queries":$qs,"qfloor":$qfloorJson,"rep_times":$repsJson,"errors":$errJson,"sf":"$sfDir","reps":$reps,"cpus":$cpus}"""
     try {
       // a dev-filtered run must not clobber the full artifact the bench
       // claims lint reads (measured mistake: two ONLY=q134 A/B runs left

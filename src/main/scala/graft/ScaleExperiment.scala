@@ -56,6 +56,9 @@ object ScaleExperiment {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.sql.GraftFunctions.register(spark)
+    // the harness measures the object-agg kernels (centroid profiles,
+    // TopKAggF skew case) in their production hash-mode configuration
+    graft.sql.GraftFunctions.enableBoundedObjectAgg(spark)
 
     // 1. hot-user co-occurrence fit
     if (on("cooccur")) {

@@ -22,8 +22,23 @@ import org.apache.spark.sql.types.{ArrayType, DecimalType, StringType, StructTyp
 object NgramLm {
 
   case class Model(bigrams: DataFrame, unigrams: DataFrame, vocab: Long) {
-    /** Release the fit-time caches (no-op for uncached/loaded models). */
-    def unpersist(): Unit = { bigrams.unpersist(); unigrams.unpersist(); () }
+    /** Release the fit-time blocks deterministically — BOTH fit modes
+      * (round-10 advice): the `cache = true` caches unpersist directly;
+      * the `cache = false` localCheckpoint blocks are freed via
+      * Checkpoints.free (a no-op on any other plan shape, e.g. loaded
+      * parquet models), so a bench loop reclaims vocabulary-sized blocks
+      * immediately instead of waiting for driver GC to let the
+      * ContextCleaner notice the dead frame. The model is unusable after
+      * this call in checkpoint mode (blocks are unrecomputable). */
+    def unpersist(): Unit = {
+      bigrams.unpersist(); unigrams.unpersist()
+      graft.operators.Checkpoints.free(bigrams)
+      graft.operators.Checkpoints.free(unigrams)
+    }
+
+    /** Alias of [[unpersist]] (the explicit lifecycle verb used by the
+      * graph loops' Checkpoints API). */
+    def free(): Unit = unpersist()
   }
 
   /** Adjacent-token pair array: struct(w1, w2) per position; empty for

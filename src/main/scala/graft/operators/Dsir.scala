@@ -59,8 +59,18 @@ object Dsir {
     * plus the total feature count. Smoothed probability of bucket b is
     * (c_b + alpha) / (total + alpha·buckets). */
   case class Model(counts: DataFrame, total: Long, buckets: Int) {
-    /** Release the fit-time cache (no-op for uncached/loaded models). */
-    def unpersist(): Unit = { counts.unpersist(); () }
+    /** Release the fit-time blocks deterministically — both fit modes
+      * (round-10 advice, same contract as NgramLm.Model.unpersist): the
+      * cache unpersists directly; the `cache = false` localCheckpoint
+      * blocks are freed via Checkpoints.free (no-op for loaded/other
+      * plans). The model is unusable after this call in checkpoint mode. */
+    def unpersist(): Unit = {
+      counts.unpersist()
+      Checkpoints.free(counts)
+    }
+
+    /** Alias of [[unpersist]]. */
+    def free(): Unit = unpersist()
   }
 
   /** Fit bucket counts over a corpus: one explode + one partial-aggregated

@@ -104,36 +104,55 @@ object Relational {
     * EXCEPT on nullable input: the aggregate DROPS rows with null score
     * or null id (a group with fewer than k non-null rows returns fewer
     * rows), while ROW_NUMBER under DESC NULLS LAST would rank and emit
-    * them. `idCol` must be long-castable (integral); non-integral ids
-    * cast to null and are dropped — callers with arbitrary id types stay
-    * on [[topKPerGroup]] (TwoTower.recommend does this dispatch).
+    * them. `idCol` must be long-castable (integral) or a string (routed
+    * to the UTF8String-payload heap, graft_topk_str — bytewise tie-break
+    * equals Spark's string ordering); other id types cast to null and
+    * are dropped — such callers stay on [[topKPerGroup]]
+    * (TwoTower.recommend does this dispatch via [[topKPerGroupBest]]).
     *
-    * Session contract: calling this (via GraftFunctions.register) raises
+    * Session contract: calling this raises
     * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` to 1M
-    * for the whole session unless the user set it explicitly — see the
-    * register() scaladoc for the rationale and the opt-out.
+    * for the whole session unless the user set it explicitly — see
+    * GraftFunctions.enableBoundedObjectAgg for the rationale and the
+    * opt-out (round-11: the raise is scoped to the operators that run
+    * bounded object aggregates; plain register() no longer touches it).
     */
   def topKPerGroupAgg(df: DataFrame, keys: Seq[String], scoreCol: Column,
       idCol: Column, k: Int, rankCol: String = "rk",
       idName: String = "id", scoreName: String = "score"): DataFrame = {
     graft.sql.GraftFunctions.register(df.sparkSession)
+    graft.sql.GraftFunctions.enableBoundedObjectAgg(df.sparkSession)
+    // string ids route to the UTF8String-payload heap (graft_topk_str,
+    // round-10 verdict task 5) — bytewise tie-break, same row-set as the
+    // window form; everything else casts to long for the primitive heap
+    val idIsString = df.select(idCol.as("__id")).schema.head.dataType ==
+      org.apache.spark.sql.types.StringType
+    val agg =
+      if (idIsString) graft.sql.GraftFunctions.topKAggStr(scoreCol, idCol, k)
+      else graft.sql.GraftFunctions.topKAgg(scoreCol, idCol, k)
     val keyCols = keys.map(col)
     df.groupBy(keyCols: _*)
-      .agg(graft.sql.GraftFunctions.topKAgg(scoreCol, idCol, k).as("__top"))
+      .agg(agg.as("__top"))
       .select(keyCols :+ posexplode(col("__top")).as(Seq("__pos", "__t")): _*)
       .select(keyCols ++ Seq((col("__pos") + 1).cast("int").as(rankCol),
         col("__t.id").as(idName), col("__t.score").as(scoreName)): _*)
   }
 
   /** Type-dispatched top-k for CANDIDATE-HEAVY (score, id) cuts: the
-    * aggregate form ([[topKPerGroupAgg]]) when the id is integral and
-    * the score float/double — both round-trip the heap's long/double
-    * state losslessly, so the row-set equals the window form exactly on
-    * non-null input — and the window form otherwise. `df` must carry
+    * aggregate form ([[topKPerGroupAgg]]) when the id is integral or a
+    * string and the score float/double — the heap's long/double (or
+    * UTF8String) state round-trips losslessly, so the row-set equals the
+    * window form exactly — and the window form otherwise. `df` must carry
     * EXACTLY the columns `keys ++ (idName, scoreName)` (the aggregate
     * rebuilds rows from its (id, score) pairs and cannot resurrect
     * other columns). Output matches the window form: df's columns in
-    * their original order and types, plus `rankCol`. */
+    * their original order and types, plus `rankCol`.
+    *
+    * NULL contract (round-10 advice): rows with null score or null id
+    * are dropped in BOTH forms — the window fallback pre-filters them —
+    * so the emitted row-set never depends on which form the dispatch
+    * picked. Callers that want NULLS-LAST-ranked null rows use
+    * [[topKPerGroup]] directly. */
   def topKPerGroupBest(df: DataFrame, keys: Seq[String], scoreName: String,
       idName: String, k: Int, rankCol: String = "rk"): DataFrame = {
     require(df.columns.toSet == (keys :+ idName :+ scoreName).toSet,
@@ -143,7 +162,7 @@ object Relational {
     val idType = df.schema(idName).dataType
     val scoreType = df.schema(scoreName).dataType
     val aggSafe = (idType match {
-      case ByteType | ShortType | IntegerType | LongType => true
+      case ByteType | ShortType | IntegerType | LongType | StringType => true
       case _ => false
     }) && (scoreType == FloatType || scoreType == DoubleType)
     if (aggSafe)
@@ -155,7 +174,9 @@ object Relational {
           case c => col(c)
         } :+ col(rankCol): _*)
     else
-      topKPerGroup(df, keys, Seq(col(scoreName).desc, col(idName).asc), k, rankCol)
+      topKPerGroup(
+        df.filter(col(scoreName).isNotNull && col(idName).isNotNull),
+        keys, Seq(col(scoreName).desc, col(idName).asc), k, rankCol)
   }
 
   /** Salted flavor of [[topKPerGroup]] for SKEWED/low-cardinality keys —

@@ -168,6 +168,7 @@ object EventQueries {
     // counts are EXACT — the oracle replays them with a plain GROUP BY,
     // pinning the exactness regime the sketch guarantees.
     "q171_mg_topk" -> { (s, d) =>
+      graft.sql.GraftFunctions.enableBoundedObjectAgg(s)
       val ev = table(s, d, "events").select(
         unix_micros(date_trunc("day", col("ts"))).as("bucket_us"),
         col("event_type"))

@@ -352,6 +352,20 @@ object StarQueries {
         .orderBy(col("p_partkey"))
     },
 
+    // String-id aggregate top-k (round-11, verdict task 5): the same
+    // k-bounded map-side heap as q178, with the id payload as a STRING
+    // (graft_topk_str — the Categorify-string-catalog shape). Oracle is
+    // the plain window form; row-set equality — including bytewise
+    // string tie-breaks on duplicate prices — is the claim.
+    "q179_topk_str" -> { (s, d) =>
+      val part = table(s, d, "part")
+        .select(col("p_brand"), col("p_name"), col("p_retailprice"))
+      graft.operators.Relational.topKPerGroupAgg(part, Seq("p_brand"),
+          col("p_retailprice"), col("p_name"), k = 3,
+          idName = "p_name", scoreName = "score")
+        .orderBy(col("p_brand"), col("rk"))
+    },
+
     // Left semi join (reference: filtered_dataframe.sql:13-19 J4 semantics).
     "q05_semi_join" -> { (s, d) =>
       val cust = table(s, d, "customer")
@@ -595,6 +609,14 @@ object StarQueries {
           FROM nodes LEFT JOIN s$k USING (node), nn)"""
 
   val oracles: Map[String, String] = Map(
+    "q179_topk_str" ->
+      """SELECT p_brand, CAST(rk AS INT) AS rk, p_name,
+           CAST(p_retailprice AS DOUBLE) AS score
+         FROM (SELECT p_brand, p_name, p_retailprice,
+                 ROW_NUMBER() OVER (PARTITION BY p_brand
+                                    ORDER BY p_retailprice DESC, p_name) AS rk
+               FROM part) t
+         WHERE rk <= 3 ORDER BY p_brand, rk""",
     "q170_link_rank" -> {
       def site(j: Int) =
         s"'https://site' || CAST((doc_id * 7 + $j) % 50 AS VARCHAR) || '.example.com/p$j'"

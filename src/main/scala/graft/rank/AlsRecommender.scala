@@ -168,7 +168,16 @@ object AlsRecommender {
             }
           })
         }
-        futures.map(_.get())
+        try futures.map(_.get())
+        catch {
+          // round-10 advice (same as TwoTower.gridSearch): rethrow the
+          // fit's own exception, not the ExecutionException wrapper, and
+          // stop sibling fits instead of leaking pool threads
+          case e: java.util.concurrent.ExecutionException =>
+            futures.foreach(_.cancel(true))
+            pool.shutdownNow()
+            throw Option(e.getCause).getOrElse(e)
+        }
       } finally pool.shutdown()
     val best = fitted.maxBy { case (cfg, _, r) => (r, cfg.key) }
     (best._1, best._2, fitted.map { case (cfg, _, r) => cfg.key -> r }.toMap)

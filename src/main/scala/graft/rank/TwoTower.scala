@@ -75,14 +75,29 @@ object TwoTower {
     * worth paying exactly when the table no longer fits the driver
     * (`driverEmbedBudget`, ~1.2 GB at the default).
     *
-    * `embedParts` is an EXECUTION choice, not a hyperparameter (the
-    * model is identical), so it stays out of `key`. */
+    * `stepsPerJob` (round-10 verdict task 3) folds k consecutive
+    * optimizer steps into ONE Spark job when `shards == 1`: the batch
+    * layout co-partitions groups of k md5-batches, and the single sorted
+    * task walks its group's batches IN ORDER, applying each batch's
+    * chunked local-SGD updates with the same per-batch lr decay the
+    * driver loop would — so the arithmetic sequence is unchanged and the
+    * model is BIT-IDENTICAL to stepsPerJob=1 (TwoTowerSpec). What
+    * changes is the wall: one job per k steps instead of one per step,
+    * so the fixed scheduling latency (the dominant cost of q63t at small
+    * batches — see the bench entry doc) is paid steps/k times. The
+    * data-parallel form (shards > 1) cannot fold: its per-step driver
+    * gradient merge IS the synchronization point, so stepsPerJob is
+    * ignored there.
+    *
+    * `embedParts` and `stepsPerJob` are EXECUTION choices, not
+    * hyperparameters (the model is identical), so they stay out of
+    * `key`. */
   case class Config(
       embDim: Int = 32, hiddenDim: Int = 16, steps: Int = 80,
       batchRows: Int = 4096, chunk: Int = 256, lr: Double = 0.1,
       lrDecay: Double = 1.0, logitScale: Double = 4.0, seed: String = "tt",
       shards: Int = 1, embedParts: Int = 0,
-      driverEmbedBudget: Long = 300000000L) {
+      driverEmbedBudget: Long = 300000000L, stepsPerJob: Int = 1) {
     /** Deterministic grid identity (the F11 model-selection contract). */
     def key: String = s"bs=$batchRows,lr=$lr,dim=$embDim,steps=$steps," +
       s"shards=$shards"
@@ -397,6 +412,16 @@ object TwoTower {
       (ids.map(id => m(id)._1), ids.map(id => m(id)._2))
     }
 
+    /** The newest localCheckpointed ancestor, RETAINED until the next
+      * checkpoint materializes (round-10 advice): localCheckpoint blocks
+      * are the recompute SOURCE for every descendant — unpersisting the
+      * only checkpoint would make the table unrecomputable after an
+      * executor loss, exactly in the multi-executor mode embedParts
+      * exists for. Generation-based: scatter frees the superseded
+      * step-RDDs (recomputable through lastCk's blocks), and frees the
+      * PREVIOUS checkpoint only once a newer one has been counted. */
+    private var lastCk: org.apache.spark.rdd.RDD[(Int, (Array[Float], Array[Double]))] = null
+
     /** Write updated rows back: a new persisted RDD mapping the old one
       * through the broadcast delta (absolute values, not gradients — the
       * step already applied its Adagrad arithmetic on the gathered
@@ -416,9 +441,16 @@ object TwoTower {
           }
         }, preservesPartitioning = true)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      if (step % 25 == 24) next.localCheckpoint()
+      val checkpointed = step % 25 == 24
+      if (checkpointed) next.localCheckpoint()
       next.count()
-      old.unpersist(blocking = false)
+      if (!(old eq lastCk)) old.unpersist(blocking = false)
+      if (checkpointed) {
+        // the new checkpoint's blocks exist (count above) — the previous
+        // generation's recompute source can go
+        if (lastCk != null && !(lastCk eq old)) lastCk.unpersist(blocking = false)
+        lastCk = next
+      }
       b.unpersist(blocking = false)
       rdd = next
     }
@@ -446,7 +478,10 @@ object TwoTower {
         .join(vecs, Seq("id")).drop("id")
     }
 
-    def free(): Unit = rdd.unpersist(blocking = false)
+    def free(): Unit = {
+      rdd.unpersist(blocking = false)
+      if (lastCk != null && !(lastCk eq rdd)) lastCk.unpersist(blocking = false)
+    }
   }
 
   // ---- training ---------------------------------------------------------
@@ -494,26 +529,34 @@ object TwoTower {
     // on a real cluster (round-9 advice).
     val nPairs = enc.count()
     val nBatches = math.max(1L, nPairs / cfg.batchRows).toInt
-    // Batch layout, built ONCE: partition p = batch*shards + shard holds
-    // batch (md5-bucket) rows for that shard, with the deterministic
-    // shuffle-order key __o precomputed. Shard assignment is
-    // pmod(murmur3(__o), shards) — the exact partition function
+    // stepsPerJob folds k consecutive batches into one partition/job —
+    // single-task form only (the sharded form's per-step driver merge
+    // cannot fold; see Config doc)
+    val groupSize =
+      if (shards == 1) math.min(math.max(1, cfg.stepsPerJob), nBatches) else 1
+    val nGroups = (nBatches + groupSize - 1) / groupSize
+    // Batch layout, built ONCE: partition p = batch*shards + shard
+    // (shards > 1) or batch/groupSize (single-task — a partition holds
+    // its group's k consecutive md5-batches, tagged by __b so the task
+    // can walk them in order) holds batch (md5-bucket) rows, with the
+    // deterministic shuffle-order key __o precomputed. Shard assignment
+    // is pmod(murmur3(__o), shards) — the exact partition function
     // `repartition(shards, col("__o"))` uses, so the sharded form's
     // accumulation order is unchanged from the round-8 per-step
-    // repartition. Each training step then runs a job on exactly its
-    // own partition(s): no per-step plan, no codegen, no full scan.
+    // repartition. Each training job then runs on exactly its own
+    // partition(s): no per-step plan, no codegen, no full scan.
     val keyed = enc
       .withColumn("__b",
         (conv(substring(md5(concat(lit(cfg.seed + "|b|"), col("u"),
           lit("|"), col("i"))), 1, 12), 16, 10).cast("long") % nBatches).cast("int"))
       .withColumn("__o",
         md5(concat(lit(cfg.seed + "|s|"), col("u"), lit("|"), col("i"))))
-      .withColumn("__p", (col("__b") * shards +
-        (if (shards > 1) pmod(hash(col("__o")), lit(shards)) else lit(0)))
-        .cast("int"))
-    val nParts = nBatches * shards
-    val batchRdd = keyed.select(col("__p"), col("u"), col("i"), col("__o")).rdd
-      .map(r => (r.getInt(0), (r.getInt(1), r.getInt(2), r.getString(3))))
+      .withColumn("__p", (
+        if (shards > 1) col("__b") * shards + pmod(hash(col("__o")), lit(shards))
+        else col("__b") / groupSize).cast("int"))
+    val nParts = if (shards > 1) nBatches * shards else nGroups
+    val batchRdd = keyed.select(col("__p"), col("__b"), col("u"), col("i"), col("__o")).rdd
+      .map(r => (r.getInt(0), (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))))
       .partitionBy(new IdPartitioner(nParts))
       .map(_._2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -536,23 +579,38 @@ object TwoTower {
       // chunks would pack one user's positives together, where they
       // demote each other as in-batch negatives and training stalls
       // (measured: loss froze at ln(chunk) until this sort key changed)
-      val base = (step % nBatches) * shards
+      val curBatch = step % nBatches
+      // single-task form: this job walks curBatch's whole GROUP (k
+      // consecutive batches, co-partitioned above) and advances `step`
+      // by the number of batches processed — truncated at schedule end.
+      // Group boundaries align with the cycling batch sequence (todo
+      // always completes the group), so the per-batch order — and hence
+      // every float op — is identical to stepsPerJob=1.
+      val group = curBatch / groupSize
+      val todo =
+        if (shards > 1) 1
+        else math.min(math.min(groupSize, nBatches - group * groupSize),
+          cfg.steps - step)
       val lrNow = lr
-      // Cluster-held tables: list the step's touched ids (one tiny job),
+      val jobParts: Seq[Int] =
+        if (shards > 1) (curBatch * shards) until (curBatch * shards + shards)
+        else Seq(group)
+      // Cluster-held tables: list the job's touched ids (one tiny job),
       // gather their rows into COMPACT arrays, and run the unchanged step
       // arithmetic on the compact view — us/is are remapped to local
       // indices inside the gradient task via the broadcast maps. Sorted
       // id order keeps the compact layout (and so every float op)
-      // deterministic.
+      // deterministic. (With stepsPerJob > 1 the gather covers the whole
+      // group's union of touched ids and the scatter runs ONCE per job.)
       val (stepW, stepA, uIds, iIds) =
         if (clusterEmb) {
           val parts = spark.sparkContext.runJob(batchRdd,
-            (it: Iterator[(Int, Int, String)]) => {
+            (it: Iterator[(Int, Int, Int, String)]) => {
               val u = scala.collection.mutable.HashSet[Int]()
               val i = scala.collection.mutable.HashSet[Int]()
-              it.foreach { t => u += t._1; i += t._2 }
+              it.foreach { t => u += t._2; i += t._3 }
               (u.toArray, i.toArray)
-            }, base until (base + shards))
+            }, jobParts)
           val uIds0 = parts.flatMap(_._1).distinct.sorted
           val iIds0 = parts.flatMap(_._2).distinct.sorted
           val (ue, ua) = uStore.gather(uIds0)
@@ -577,51 +635,76 @@ object TwoTower {
         // SGD): ~batch/chunk optimizer steps per Spark job instead of one —
         // the difference between converging in tens of jobs and thousands.
         // Still one sorted task, so accumulation AND update order are fixed
-        // and training stays bit-deterministic. The single-task form is
-        // right while one executor core chews a mini-batch in microseconds;
-        // past that, cfg.shards > 1 switches to the data-parallel form
-        // below.
-        val bw = spark.sparkContext.broadcast((stepW, stepA, uMap, iMap))
-        val (nw, na, lossSum, nPos) = spark.sparkContext.runJob(
+        // and training stays bit-deterministic. With stepsPerJob > 1 the
+        // task walks its group's `todo` batches in batch order, decaying
+        // lr between batches exactly as the driver loop would — one Spark
+        // job per k optimizer steps, unchanged arithmetic. The single-task
+        // form is right while one executor core chews a mini-batch in
+        // microseconds; past that, cfg.shards > 1 switches to the
+        // data-parallel form below.
+        val bw = spark.sparkContext.broadcast(
+          (stepW, stepA, uMap, iMap, curBatch, todo, lrNow, cfg.lrDecay))
+        val (nw, na, perBatch) = spark.sparkContext.runJob(
           batchRdd,
-          (it: Iterator[(Int, Int, String)]) => {
-            val (w0, a0, um, im) = bw.value
+          (it: Iterator[(Int, Int, Int, String)]) => {
+            val (w0, a0, um, im, b0, nb, lr0, decay) = bw.value
             val lw = copyW(w0)
             val la = copyA(a0, w0.uEmb.length, w0.iEmb.length, cfg)
-            var lossAcc = 0.0
-            var n = 0L
-            val buf = it.toArray.sortBy(_._3) // ascii hex: same order as sortWithinPartitions
+            // sort once by (batch, __o): within a batch this is the ascii
+            // hex order sortWithinPartitions would give — the step order
+            val buf = it.toArray.sortBy(t => (t._1, t._4))
+            val stats = new Array[(Double, Long)](nb)
+            var lrCur = lr0
+            var bi = 0
             var off = 0
-            while (off < buf.length) {
-              val end = math.min(off + cfg.chunk, buf.length)
-              val us = new Array[Int](end - off)
-              val is = new Array[Int](end - off)
-              var k = off
-              while (k < end) {
-                us(k - off) = if (um == null) buf(k)._1 else um.get(buf(k)._1)
-                is(k - off) = if (im == null) buf(k)._2 else im.get(buf(k)._2)
-                k += 1
+            while (bi < nb) {
+              val b = b0 + bi
+              while (off < buf.length && buf(off)._1 < b) off += 1
+              var end0 = off
+              while (end0 < buf.length && buf(end0)._1 == b) end0 += 1
+              var lossAcc = 0.0
+              var n = 0L
+              while (off < end0) {
+                val end = math.min(off + cfg.chunk, end0)
+                val us = new Array[Int](end - off)
+                val is = new Array[Int](end - off)
+                var k = off
+                while (k < end) {
+                  us(k - off) = if (um == null) buf(k)._2 else um.get(buf(k)._2)
+                  is(k - off) = if (im == null) buf(k)._3 else im.get(buf(k)._3)
+                  k += 1
+                }
+                val g = new Grad(lw.uEmb.length, lw.iEmb.length, cfg)
+                g.addChunk(lw, us, is, cfg)
+                applyUpdate(lw, g, lrCur, la)
+                lossAcc += g.loss
+                n += g.n
+                off = end
               }
-              val g = new Grad(lw.uEmb.length, lw.iEmb.length, cfg)
-              g.addChunk(lw, us, is, cfg)
-              applyUpdate(lw, g, lrNow, la)
-              lossAcc += g.loss
-              n += g.n
-              off = end
+              stats(bi) = (lossAcc, n)
+              lrCur *= decay
+              bi += 1
             }
-            (lw, la, lossAcc, n)
-          }, Seq(base)).head
+            (lw, la, stats)
+          }, jobParts).head
         bw.destroy()
         if (clusterEmb) {
           w = new Weights(w.uEmb, w.iEmb, nw.wU, nw.bU, nw.wI, nw.bI)
           ada = new AdaState(ada.uEmb, ada.iEmb, na.wU, na.bU, na.wI, na.bI)
-          if (uIds.nonEmpty) uStore.scatter(uIds, nw.uEmb, na.uEmb, step)
-          if (iIds.nonEmpty) iStore.scatter(iIds, nw.iEmb, na.iEmb, step)
+          if (uIds.nonEmpty) uStore.scatter(uIds, nw.uEmb, na.uEmb, step + todo - 1)
+          if (iIds.nonEmpty) iStore.scatter(iIds, nw.iEmb, na.iEmb, step + todo - 1)
         } else {
           w = nw
           ada = na
         }
-        losses += (if (nPos > 0) lossSum / nPos else 0.0)
+        perBatch.foreach { case (lossSum, nPos) =>
+          losses += (if (nPos > 0) lossSum / nPos else 0.0)
+        }
+        // same repeated-multiply lr sequence as the per-step loop (a
+        // pow() shortcut could differ in the last ulp)
+        var t = 1
+        while (t < todo) { lr *= cfg.lrDecay; t += 1 }
+        step += todo - 1
       } else {
         // Data-parallel form (the cluster-scale seam, round-9): chunks
         // shard across `shards` tasks, each computing its chunk gradients
@@ -638,10 +721,10 @@ object TwoTower {
         val bw = spark.sparkContext.broadcast((stepW, uMap, iMap))
         val parts = spark.sparkContext.runJob(
           batchRdd,
-          (it: Iterator[(Int, Int, String)]) => {
+          (it: Iterator[(Int, Int, Int, String)]) => {
             val (w0, um, im) = bw.value
             val g = new Grad(w0.uEmb.length, w0.iEmb.length, cfg)
-            val buf = it.toArray.sortBy(_._3)
+            val buf = it.toArray.sortBy(_._4)
             var off = 0
             while (off < buf.length) {
               val end = math.min(off + cfg.chunk, buf.length)
@@ -649,15 +732,15 @@ object TwoTower {
               val is = new Array[Int](end - off)
               var k = off
               while (k < end) {
-                us(k - off) = if (um == null) buf(k)._1 else um.get(buf(k)._1)
-                is(k - off) = if (im == null) buf(k)._2 else im.get(buf(k)._2)
+                us(k - off) = if (um == null) buf(k)._2 else um.get(buf(k)._2)
+                is(k - off) = if (im == null) buf(k)._3 else im.get(buf(k)._3)
                 k += 1
               }
               g.addChunk(w0, us, is, cfg)
               off = end
             }
             (buf.nonEmpty, g)
-          }, base until (base + shards))
+          }, jobParts)
         bw.destroy()
         // runJob returns results in partition (= shard) order
         parts.toSeq.collect { case (true, g) => g }
@@ -865,7 +948,18 @@ object TwoTower {
             }
           })
         }
-        futures.map(_.get()) // grid order, independent of completion order
+        try futures.map(_.get()) // grid order, independent of completion order
+        catch {
+          // round-10 advice: surface the fit's OWN exception (e.g. the
+          // IllegalArgumentException from a bad config's require), not
+          // the pool's ExecutionException wrapper, and stop the sibling
+          // fits — a failed grid must not keep leaked pool threads
+          // submitting Spark jobs
+          case e: java.util.concurrent.ExecutionException =>
+            futures.foreach(_.cancel(true))
+            pool.shutdownNow()
+            throw Option(e.getCause).getOrElse(e)
+        }
       } finally pool.shutdown()
     val best = fitted.maxBy { case (cfg, _, r) => (r, cfg.key) }
     (best._1, best._2, fitted.map { case (cfg, _, r) => cfg.key -> r }.toMap)

@@ -113,6 +113,56 @@ object RecsTable {
     * and the log compacts on the same cadence as the model refit
     * (fold it into the history snapshot and truncate — Layout.compact).
     */
+  /** Streaming top-k serving END-TO-END (round-10 verdict task 7): a live
+    * recs table maintained by the native bounded top-k aggregate's state
+    * — `graft_topk`'s serialize/deserialize pair IS the state-store
+    * contract, so the per-user state is the k-bounded (id, score) heap
+    * and NOTHING else: no retained candidate rows, no history rescans
+    * (contrast [[streamRefresh]], which recomputes from the logged
+    * history because its co-occurrence scores change as history grows;
+    * here scores are fixed at arrival — model-scored candidate streams —
+    * so the heap alone carries the cross-batch semantics pinned in
+    * StreamingTopKSpec).
+    *
+    * Input: a stream of scored candidates (user_id, item_id, score).
+    * Per micro-batch (`update` mode) only users whose top-k CHANGED are
+    * emitted; their refreshed lists go through the same kvSink seam as
+    * the batch table (payload = the JSON rec list handler.py:64 parses),
+    * together with the `no_user` fallback row re-put each batch —
+    * last-write-wins keeps the point-lookup path always answering.
+    * String item ids route to graft_topk_str, integral ids to the
+    * primitive heap (same dispatch as Relational.topKPerGroupAgg).
+    *
+    * At 100 TB: state is users × k entries, the per-batch work is
+    * candidate-rows × O(log k) heap pushes behind a partial aggregate,
+    * and the KV write volume is changed-users only. */
+  def streamTopKServe(scored: DataFrame, k: Int, fallback: Seq[String],
+      put: Iterator[(String, String)] => Unit, fallbackKey: String = "no_user")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = scored.sparkSession
+    graft.sql.GraftFunctions.register(spark)
+    graft.sql.GraftFunctions.enableBoundedObjectAgg(spark)
+    val idIsString = scored.schema("item_id").dataType ==
+      org.apache.spark.sql.types.StringType
+    val agg =
+      if (idIsString)
+        graft.sql.GraftFunctions.topKAggStr(col("score"), col("item_id"), k)
+      else graft.sql.GraftFunctions.topKAgg(col("score"), col("item_id"), k)
+    scored.groupBy(col("user_id")).agg(agg.as("__top"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val lists = batch.select(
+          col("user_id").cast("string").as("user_id"),
+          transform(col("__top"), x => x.getField("id").cast("string")).as("recs"))
+        val fallbackRow = Seq((fallbackKey, fallback)).toDF("user_id", "recs")
+        kvSink(lists.unionByName(fallbackRow), put)
+        ()
+      }
+      .start()
+  }
+
   def streamRefresh(stream: DataFrame, history: DataFrame, neighbors: DataFrame,
       k: Int, put: Iterator[(String, String)] => Unit, streamLogDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =

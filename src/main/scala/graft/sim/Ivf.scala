@@ -75,6 +75,7 @@ object Ivf {
   def fitCentroids(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 3): Array[Array[Float]] = {
     GraftFunctions.register(df.sparkSession)
+    GraftFunctions.enableBoundedObjectAgg(df.sparkSession) // dim-bounded centroid buffers over nlist groups
     val init = df
       .select(col(idCol), col(vecCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))

@@ -30,10 +30,12 @@ object Knn {
     * integral and the score float/double (both round-trip the aggregate's
     * long/double state exactly), the cut is the map-side k-bounded heap
     * and the one exchange carries |Q|×k survivors instead of every
-    * candidate (row-set identical to the window form on non-null scores —
-    * TopKAggSpec/KnnSpec; null-scored rows would be dropped rather than
-    * ranked last, same divergence documented at topKPerGroupAgg). Other
-    * id/score types keep the window form. */
+    * candidate. Row-set is dispatch-invariant (TopKAggSpec/KnnSpec):
+    * since round 11 topKPerGroupBest drops null-score/null-id rows in
+    * BOTH its forms, so a group with fewer than k non-null cosines
+    * (e.g. null embeddings) returns the same shorter row-set whichever
+    * path the types select. Other id/score types keep the (pre-filtered)
+    * window form. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int,
       simFn: (Column, Column) => Column = graft.sql.GraftFunctions.cosineF32): DataFrame = {

@@ -36,6 +36,7 @@ object Pq {
   def fitCodebooks(df: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, iters: Int = 3): Array[Array[Array[Float]]] = {
     GraftFunctions.register(df.sparkSession)
+    GraftFunctions.enableBoundedObjectAgg(df.sparkSession) // subDim-bounded centroid buffers over m×k groups
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m

@@ -23,32 +23,52 @@ object GraftFunctions {
   val MaxAbsName = "graft_maxabs_f32"
   val Int8CodesName = "graft_int8_codes"
   val TopKName = "graft_topk"
+  val TopKStrName = "graft_topk_str"
 
-  /** ENGINE-SESSION CONTRACT (documented, not a silent per-operator side
-    * effect): registering graft raises
-    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` from its
-    * conservative default (128 distinct groups per task, sized for
-    * ARBITRARY-size object buffers) to 1M — IF AND ONLY IF the user has
-    * not set it (an explicit setting, even explicitly 128, always wins;
-    * asserted in GraftSessionContractSpec). Rationale: graft's object
-    * aggregates (TopKAggF, MgTopKAgg, VecCentroidAgg) all carry
-    * K-BOUNDED buffers (~16B×k / 2×capacity entries / dim doubles per
-    * group), so a large hash map is safe, while the sort-based fallback
-    * re-sorts every candidate row and defeats the map-side-combine point
-    * of TopKAggF entirely (measured 18.4 s → 8.2 s on the 38M-row
-    * retrieval shape). Sessions that also run UNBOUNDED-buffer object
-    * aggregates (collect_list/percentile over huge groups) should set
-    * the threshold explicitly before registering. */
+  /** ENGINE-SESSION CONTRACT (round-11, narrowed per the round-10
+    * advice): running a graft operator that aggregates with one of the
+    * K-BOUNDED object aggregates (TopKAggF, MgTopKAgg, VecCentroidAgg —
+    * buffers of ~16B×k / 2×capacity entries / dim doubles per group)
+    * raises `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * from its conservative default (128 distinct groups per task, sized
+    * for ARBITRARY-size object buffers) to 1M — IF AND ONLY IF the user
+    * has not set it (an explicit setting, even explicitly 128, always
+    * wins; asserted in GraftSessionContractSpec). The sort-based
+    * fallback re-sorts every candidate row and defeats the
+    * map-side-combine point of TopKAggF entirely (measured
+    * 18.4 s → 8.2 s on the 38M-row retrieval shape).
+    *
+    * The raise is SESSION-WIDE once applied (SQLConf has no per-query
+    * scope), so it is triggered only by [[enableBoundedObjectAgg]] —
+    * called from the operator paths that actually run these aggregates
+    * (Relational.topKPerGroupAgg, Ivf/Pq k-means fits, ApproxStats) —
+    * not by plain `register()`: a session that merely uses graft's
+    * scalar expressions keeps Spark's memory-safe default for its own
+    * unbounded-buffer aggregates (collect_list/percentile over millions
+    * of groups). Sessions mixing graft top-k with such aggregates
+    * should set the threshold explicitly; the one-time INFO log records
+    * when the raise happens. */
   private val FallbackKey =
     "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
 
-  def register(spark: SparkSession): Unit = {
+  /** Raise the ObjectHashAggregate sort-fallback threshold for graft's
+    * bounded-buffer aggregates (see the contract above). Idempotent;
+    * never overrides an explicit user setting; logs once per session
+    * (the first call sets the key, making later calls no-ops). */
+  def enableBoundedObjectAgg(spark: SparkSession): Unit = {
     // contains() is true only for EXPLICITLY-set entries (session set()
     // or spark-defaults, both land in the session's settings map) — so
     // unlike a value==default check, a user who deliberately set 128
     // keeps 128.
-    if (!spark.sessionState.conf.contains(FallbackKey))
+    if (!spark.sessionState.conf.contains(FallbackKey)) {
       spark.conf.set(FallbackKey, (1 << 20).toString)
+      org.apache.logging.log4j.LogManager.getLogger(getClass)
+        .info(s"graft: raised $FallbackKey to 1M for this session " +
+          "(k-bounded object-aggregate path; set it explicitly to opt out)")
+    }
+  }
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DeflateLenName, exprs => DeflateLenF(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -71,6 +91,8 @@ object GraftFunctions {
       MinhashSigName, exprs => MinhashSigF.fromExprs(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       TopKName, exprs => TopKAggF(exprs.head, exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      TopKStrName, exprs => TopKStrAggF(exprs.head, exprs(1), exprs(2)), "built-in")
   }
 
   /** Column-level call; requires `register` (or GraftExtensions) first. */
@@ -139,6 +161,14 @@ object GraftFunctions {
     * Relational.topKPerGroupAgg). */
   def topKAgg(score: Column, id: Column, k: Int): Column =
     call_function(TopKName, score.cast("double"), id.cast("long"),
+      org.apache.spark.sql.functions.lit(k))
+
+  /** Column-level call; requires `register` (or GraftExtensions) first.
+    * String-id flavor of [[topKAgg]] (Categorify catalogs, UUIDs, URLs):
+    * array<struct<id: string, score: double>>, best first, bytewise id
+    * tie-break — identical row-set to the window form. */
+  def topKAggStr(score: Column, id: Column, k: Int): Column =
+    call_function(TopKStrName, score.cast("double"), id.cast("string"),
       org.apache.spark.sql.functions.lit(k))
 }
 
@@ -211,5 +241,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[TopKAggF].getName, GraftFunctions.TopKName),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TopKAggF(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.TopKStrName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[TopKStrAggF].getName, GraftFunctions.TopKStrName),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TopKStrAggF(exprs.head, exprs(1), exprs(2))))
   }
 }

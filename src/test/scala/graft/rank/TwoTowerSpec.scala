@@ -171,6 +171,29 @@ class TwoTowerSpec extends SparkSpecBase {
     assert(clusterSh == driverSh)
   }
 
+  test("stepsPerJob folds steps into one job BIT-IDENTICALLY (incl. losses, wrap, cluster-held)") {
+    // round-10 verdict task 3: k consecutive batches per Spark job — an
+    // execution choice, so model AND per-step loss telemetry must be
+    // bit-identical to the one-job-per-step form, including when the
+    // schedule wraps mid-cycle (steps not a multiple of nBatches or of
+    // stepsPerJob) and in the cluster-held embedding mode.
+    val short = cfg.copy(steps = 20, batchRows = 128, lrDecay = 0.97)
+    def dump(m: TwoTower.Model) =
+      m.userVecs.orderBy("user_id").collect().map(_.toString).toSeq ++
+        m.itemVecs.orderBy("item_id").collect().map(_.toString).toSeq
+    val df = trainRows.toDF("user_id", "item_id")
+    val (m1, l1) = TwoTower.fitWithLoss(df, short)
+    val (m4, l4) = TwoTower.fitWithLoss(df.repartition(7), short.copy(stepsPerJob = 4))
+    assert(l4 == l1, "per-step losses diverged under stepsPerJob")
+    assert(dump(m4) == dump(m1), "model diverged under stepsPerJob")
+    // stepsPerJob larger than the batch count clamps to one full cycle
+    val (mBig, lBig) = TwoTower.fitWithLoss(df, short.copy(stepsPerJob = 1000))
+    assert(lBig == l1 && dump(mBig) == dump(m1))
+    // cluster-held tables: one gather/scatter per GROUP, same floats
+    val (mc, lc) = TwoTower.fitWithLoss(df, short.copy(stepsPerJob = 4, embedParts = 3))
+    assert(lc == l1 && dump(mc) == dump(m1))
+  }
+
   test("driver-held mode refuses past its budget; cluster-held mode accepts") {
     // the seam the 100 TB story rides: the same data that trips the
     // driver-RAM require trains fine with embedParts > 0

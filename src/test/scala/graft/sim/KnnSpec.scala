@@ -84,7 +84,9 @@ class KnnSpec extends SparkSpecBase {
       s"expected the aggregate plan, got:\n$plan")
   }
 
-  test("non-integral ids keep the window form (and still return ranked rows)") {
+  test("string ids ride the string-payload heap; non-dispatchable ids keep the window form") {
+    // round 11: string ids route to graft_topk_str (same groups×k
+    // exchange as the long heap) instead of falling back to the window
     val emb = tbl("embeddings").limit(40)
       .select(concat(lit("v"), $"vec_id").as("vec_id"), $"embedding")
     val out = Knn.bruteForceTopK(emb.limit(5), emb, "vec_id", "embedding", 3)
@@ -92,7 +94,15 @@ class KnnSpec extends SparkSpecBase {
       org.apache.spark.sql.types.StringType)
     assert(out.count() == 15)
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("Window"), "string ids must take the window form")
+    assert(plan.contains("graft_topk_str"),
+      "string ids must take the string-heap aggregate form")
+    // an id type neither heap carries (decimal) still gets the window form
+    val embDec = tbl("embeddings").limit(40)
+      .select($"vec_id".cast("decimal(20,0)").as("vec_id"), $"embedding")
+    val outDec = Knn.bruteForceTopK(embDec.limit(5), embDec, "vec_id", "embedding", 3)
+    assert(outDec.count() == 15)
+    assert(outDec.queryExecution.executedPlan.toString.contains("Window"),
+      "non-dispatchable ids must take the window form")
   }
 
   test("srpSigns is deterministic and balanced-ish") {

@@ -25,7 +25,8 @@ SCALE_TMPL = """# SCALE (synthetic)
 """
 
 
-def run_case(name, actual, drift, expect_exit, expect_substr=None):
+def run_case(name, actual, drift, expect_exit, expect_substr=None,
+             floor=None):
     with tempfile.TemporaryDirectory() as d:
         with open(os.path.join(d, "SCALE.md"), "w") as f:
             f.write(SCALE_TMPL)
@@ -39,6 +40,8 @@ def run_case(name, actual, drift, expect_exit, expect_substr=None):
             "shuffle_cal": {"start": 1.0, "mid": 1.0, "end": 1.0,
                             "drift_x": drift},
         }
+        if floor is not None:
+            art["qfloor"] = {"~q01_test": floor}
         apath = os.path.join(d, "bench.json")
         with open(apath, "w") as f:
             json.dump(art, f)
@@ -70,6 +73,14 @@ def main():
                  "hard bound"),
         # artifact errored (negative sentinel) under drift: hard fail
         run_case("errored query under drift -> FAIL", -1.0, 1.7, 1),
+        # round-11: median 25.0s (2.5x raw) but the run's own floor
+        # (min-of-reps) reads 10.5s -> one noisy rep inflated the
+        # median; the floor-aware check passes
+        run_case("noisy median, in-band floor -> pass", 25.0, 1.0, 0,
+                 floor=10.5),
+        # floor present but ALSO out of band (real regression): fail
+        run_case("out-of-band floor -> still FAIL", 30.0, 1.0, 1, "FAIL",
+                 floor=22.0),
     ]
     if all(results):
         print(f"all {len(results)} lint cases behave")
