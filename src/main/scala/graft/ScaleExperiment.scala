@@ -77,6 +77,24 @@ object ScaleExperiment {
           graft.rank.Cooccur.itemNeighbors(withHot, 50))
     }
 
+    // 1b. two-tower fit wall vs Config.stepsPerJob at the q63t schedule
+    // (round-11 verdict task 3): same data, same model — bit-identical,
+    // TwoTowerSpec — so the wall delta is pure per-job scheduling tax.
+    if (on("r11steps")) {
+      import graft.rank._
+      val (tr, _) = Interactions.splitByTime(
+        Interactions.fromStar(spark, dir), "2000-01-01")
+      val pairs = Interactions.recentN(tr, 12).select("user_id", "item_id")
+        .localCheckpoint() // isolate the fit wall from the input lineage
+      for (spj <- Seq(1, 6, 12)) {
+        val t0 = System.nanoTime()
+        TwoTower.fit(pairs, TwoTower.Config(embDim = 16, hiddenDim = 8,
+          steps = 12, batchRows = 4096, seed = "tt8", stepsPerJob = spj))
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"r11steps_fit_spj$spj%-24s $dt%8.1f s  steps_per_sec=${12.0 / dt}%.2f")
+      }
+    }
+
     // 2. within-label near-dup: plain vs blocked (2000 rows/label)
     if (on("neardup")) {
       val emb = Tables.load(spark, dir, "embeddings")
