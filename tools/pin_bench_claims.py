@@ -20,7 +20,7 @@ import math
 import sys
 
 sys.path.insert(0, "tools")
-from check_bench_claims import load_queries, _cal_median  # noqa: E402
+from check_bench_claims import load_queries, load_floors, _cal_median  # noqa: E402
 
 MARGIN = 1.35          # inner margin inside the lint's 1.5x band
 CANDIDATES = [
@@ -49,6 +49,19 @@ def main(a_path, b_path, driver_path):
     qa, cala, shufa, _ = load_queries(a_path)
     qb, calb, shufb, _ = load_queries(b_path)
     qd, cald, shufd, _ = load_queries(driver_path)
+    # round-11 (SURVEY §8 floor protocol): pin from each run's EFFECTIVE
+    # wall min(median, floor) — the statistic the lint adjudicates. A
+    # query that warms downward across reps would otherwise get a median
+    # pin the lint later convicts LOW against its own floor.
+    for q, fl in load_floors(a_path).items():
+        if q in qa and 0 < fl < qa[q]:
+            qa[q] = fl
+    for q, fl in load_floors(b_path).items():
+        if q in qb and 0 < fl < qb[q]:
+            qb[q] = fl
+    for q, fl in load_floors(driver_path).items():
+        if q in qd and 0 < fl < qd[q]:
+            qd[q] = fl
     cal_ref = geomean([x for x in (_cal_median(cala), _cal_median(calb)) if x])
     shuf_ms = [x for x in (_cal_median(shufa), _cal_median(shufb)) if x]
     shuf_ref = geomean(shuf_ms) if shuf_ms else None
