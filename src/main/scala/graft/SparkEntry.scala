@@ -91,7 +91,14 @@ object SparkEntry {
     // the last one tripped the claims lint's 2.0x raw hard bound)
     "q158k_profile_kernel", "q151_concentration", "q56_stratified_sample",
     "q55_asof_features", "q54_capped_topk", "q150_intradoc_lines",
-    "q159_markov_eval", "q57_salted_join")
+    "q159_markov_eval", "q57_salted_join",
+    // round-11 additions: every >1s row whose round-11 builder A/B pair
+    // spread exceeded 1.5x on byte-identical code (BENCH_r11_local_a/b
+    // — q134 4.5/8.1, q148 3.0/4.5, q141 2.0/3.5, q130 1.3/2.6,
+    // q154 2.0/2.6 with in-run rep warming, q94 2.8/2.2) — the same
+    // suite-position class isolation stabilized for q158k and the r9 set
+    "q134_copurchase_rank", "q148_overlap_sketch", "q141_deep_components",
+    "q130_data_card", "q154_assoc_rules", "q94_span_dedup")
 
   /** Fit-heavy entries: an iterative model fit (ALS sweeps, k-means) is
     * most of their wall, and fit wall breathes with JVM state no matter how

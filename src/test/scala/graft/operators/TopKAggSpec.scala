@@ -106,6 +106,14 @@ class TopKAggSpec extends SparkSpecBase {
         col("s"), col("id"), 10)
       .orderBy("g", "rk").collect().toSeq
     assert(a17 == a1)
+    // the string form keeps the partial+final ObjectHashAggregate pair —
+    // the exchange stays groups×k, same as the long heap
+    val plan = Relational.topKPerGroupAgg(df, Seq("g"), col("s"), col("id"), 5)
+      .queryExecution.executedPlan.toString
+    val i = plan.indexOf("ObjectHashAggregate")
+    assert(i >= 0 && plan.indexOf("ObjectHashAggregate", i + 1) > i,
+      s"expected partial+final ObjectHashAggregate pair in:\n$plan")
+    assert(plan.contains("graft_topk_str"))
   }
 
   test("topKPerGroupBest drops null score/id rows identically in BOTH forms (round-11 null contract)") {

@@ -134,6 +134,64 @@ class RecsTableSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamTopKServe recovers its heap state from the checkpoint across a query RESTART") {
+    // The production property behind the state-store claim: the
+    // TypedImperativeAggregate's serialize/deserialize pair must
+    // round-trip through an actual checkpointed state store, so a
+    // restarted serving query keeps displacing against survivors it
+    // learned BEFORE the restart (a state loss would silently resurface
+    // evicted items). File source + checkpointLocation = the durable
+    // form MemoryStream cannot exercise.
+    import org.apache.spark.sql.types._
+    InMemoryKv.store.clear()
+    val base = java.nio.file.Files.createTempDirectory("graft_topk_restart")
+    val srcDir = base.resolve("src").toString
+    val ckDir = base.resolve("ck").toString
+    new java.io.File(srcDir).mkdirs()
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("item_id", LongType),
+      StructField("score", DoubleType)))
+    def writeBatch(name: String, lines: Seq[String]): Unit = {
+      val tmp = base.resolve(name + ".tmp").toFile
+      val w = new java.io.PrintWriter(tmp)
+      lines.foreach(w.println); w.close()
+      // atomic move so the file source never reads a partial file
+      java.nio.file.Files.move(tmp.toPath,
+        java.nio.file.Paths.get(srcDir, name))
+    }
+    def start() = {
+      val scored = spark.readStream.schema(schema).json(srcDir)
+      val q = scored.groupBy(col("user_id"))
+        .agg(graft.sql.GraftFunctions.topKAgg(col("score"), col("item_id"), 2).as("__top"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val lists = batch.select(col("user_id").cast("string").as("user_id"),
+            transform(col("__top"), x => x.getField("id").cast("string")).as("recs"))
+          RecsTable.kvSink(lists, InMemoryKv.putBatch)
+          ()
+        }.start()
+      q
+    }
+    val q1 = start()
+    try {
+      writeBatch("b1.json",
+        Seq("""{"user_id":1,"item_id":10,"score":2.0}""",
+          """{"user_id":1,"item_id":11,"score":5.0}"""))
+      q1.processAllAvailable()
+      assert(InMemoryKv.store.get("1") == """["11","10"]""")
+    } finally q1.stop()
+    // restart from the checkpoint; the new batch must displace item 10
+    // (score 2.0, learned before the restart) but not item 11 (5.0)
+    val q2 = start()
+    try {
+      writeBatch("b2.json", Seq("""{"user_id":1,"item_id":12,"score":3.0}"""))
+      q2.processAllAvailable()
+      assert(InMemoryKv.store.get("1") == """["11","12"]""",
+        s"state not recovered across restart: ${InMemoryKv.store.get("1")}")
+    } finally q2.stop()
+  }
+
   test("json sink (S11) round-trips the table") {
     val tmp = java.nio.file.Files.createTempDirectory("recsjson").toString
     val table = RecsTable.assemble(recs, targets, Seq("7"))
