@@ -95,6 +95,39 @@ object ScaleExperiment {
       }
     }
 
+    // 1c. q63t phase breakdown: the fit wall is ~3 s after the round-11
+    // step fold, yet the bench entry reads 12-15 s — attribute the rest
+    // (input prep / recommend / eval) so perf work aims at the right
+    // phase instead of the already-amortized trainer.
+    if (on("q63phase")) {
+      import graft.rank._
+      for (rep <- 1 to 3) {
+        var t0 = System.nanoTime()
+        def lap(name: String): Unit = {
+          println(f"q63phase_r$rep%s_$name%-26s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+          t0 = System.nanoTime()
+        }
+        val (tr, te) = Interactions.splitByTime(
+          Interactions.fromStar(spark, dir), "2000-01-01")
+        val pairs = Interactions.recentN(tr, 12).select("user_id", "item_id")
+          .localCheckpoint()
+        lap("prep_materialized")
+        val model = TwoTower.fit(pairs, TwoTower.Config(embDim = 16,
+          hiddenDim = 8, steps = 12, batchRows = 4096, seed = "tt8",
+          stepsPerJob = 6))
+        lap("fit")
+        val evalUsers = te.select("user_id").distinct()
+          .filter(pmod(col("user_id"), lit(7)) === 0)
+        val recs = TwoTower.recommend(model, evalUsers, 10,
+          excludeSeen = Some(tr.select("user_id", "item_id")))
+        recs.write.format("noop").mode("overwrite").save()
+        lap("recommend")
+        RankingEval.perUser(recs, te.join(evalUsers, Seq("user_id"), "left_semi"), 10)
+          .write.format("noop").mode("overwrite").save()
+        lap("eval_including_recs_replay")
+      }
+    }
+
     // 2. within-label near-dup: plain vs blocked (2000 rows/label)
     if (on("neardup")) {
       val emb = Tables.load(spark, dir, "embeddings")

@@ -866,9 +866,58 @@ object TwoTower {
     *    (spec-pinned in TwoTowerSpec with a limit of 1). */
   def recommend(model: Model, users: DataFrame, k: Int = 10,
       excludeSeen: Option[DataFrame] = None,
-      broadcastSeenLimit: Long = 32000000L): DataFrame = {
+      broadcastSeenLimit: Long = 32000000L,
+      fusedCatalogFloatLimit: Long = 64000000L): DataFrame = {
     graft.sql.GraftFunctions.register(model.userVecs.sparkSession)
     val uIds = users.select(col("user_id")).distinct()
+    val iType0 = model.itemVecs.schema("item_id").dataType
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integralId0 = iType0 match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    // FUSED serving path (round 11): integral-id catalogs inside the float
+    // budget are collected once (bounded: limit probes the budget in one
+    // job) and scored through sql.TopKDotF32 — candidates never materialize
+    // as rows, the seen-set anti-join becomes a row-local membership test,
+    // and the plan's only exchange is the small per-user history
+    // aggregation. Row-identical to the unfused plan below (spec-pinned);
+    // catalogs past the budget (or non-integral ids) fall through to it.
+    if (integralId0 && fusedCatalogFloatLimit > 0) {
+      val dimRow = model.itemVecs
+        .select(org.apache.spark.sql.functions.size(col("vec")).as("d")).head(1)
+      val dim = if (dimRow.isEmpty) 0 else dimRow(0).getInt(0)
+      if (dim > 0) {
+        val maxRows = (fusedCatalogFloatLimit / dim).toInt
+        val rows = model.itemVecs
+          .select(col("item_id").cast("long"), col("vec").cast("array<float>"))
+          .limit(maxRows + 1).collect()
+        if (rows.length <= maxRows) {
+          val ids = rows.map(_.getLong(0))
+          val mats = rows.map(_.getSeq[Float](1).toArray)
+          val u = uIds.join(model.userVecs, Seq("user_id"))
+          val base = excludeSeen match {
+            case Some(seen) =>
+              val seenSets = seen
+                .select(col("user_id"), col("item_id").cast("long").as("__sid"))
+                .join(uIds, Seq("user_id"), "left_semi")
+                .groupBy(col("user_id"))
+                .agg(org.apache.spark.sql.functions.collect_set(col("__sid")).as("__seen"))
+              u.join(seenSets, Seq("user_id"), "left")
+            case None => u.withColumn("__seen", lit(null).cast("array<bigint>"))
+          }
+          return base
+            .select(col("user_id"), posexplode(
+              graft.sql.GraftFunctions.topKDotF32(
+                col("vec").cast("array<float>"),
+                coalesce(col("__seen"), typedLit(Seq.empty[Long])),
+                ids, mats, k)))
+            .select(col("user_id"), (col("pos") + 1).cast("int").as("rk"),
+              col("col.item_id").cast(iType0).as("item_id"),
+              col("col.score").cast("float").as("score"))
+        }
+      }
+    }
     val u = uIds.join(model.userVecs, Seq("user_id"))
     val scored0 = u.crossJoin(
         broadcast(model.itemVecs.select(col("item_id"), col("vec").as("__iv"))))

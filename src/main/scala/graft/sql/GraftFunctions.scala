@@ -24,6 +24,7 @@ object GraftFunctions {
   val Int8CodesName = "graft_int8_codes"
   val TopKName = "graft_topk"
   val TopKStrName = "graft_topk_str"
+  val TopKDotName = "graft_topk_dot_f32"
 
   /** ENGINE-SESSION CONTRACT (round-11, narrowed per the round-10
     * advice): running a graft operator that aggregates with one of the
@@ -93,6 +94,9 @@ object GraftFunctions {
       TopKName, exprs => TopKAggF(exprs.head, exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       TopKStrName, exprs => TopKStrAggF(exprs.head, exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      TopKDotName, exprs => TopKDotF32.fromExprs(exprs.head, exprs(1),
+        exprs(2), exprs(3), exprs(4)), "built-in")
   }
 
   /** Column-level call; requires `register` (or GraftExtensions) first. */
@@ -117,6 +121,19 @@ object GraftFunctions {
     call_function(IvfProbeName, vec,
       org.apache.spark.sql.functions.typedLit(centroids.map(_.toSeq).toSeq),
       org.apache.spark.sql.functions.lit(nprobe))
+
+  /** Column-level call; requires `register` (or GraftExtensions) first.
+    * Fused brute-force top-k retrieval: score `vec` against the whole
+    * catalog (DotF32-identical arithmetic), skip ids in the row's `seen`
+    * array, return the k best (score desc, id asc) as
+    * array<struct<item_id,score>> best-first. Catalog travels as data
+    * (one literal), plan size O(1) in catalog size. */
+  def topKDotF32(vec: Column, seen: Column, itemIds: Array[Long],
+      items: Array[Array[Float]], k: Int): Column =
+    call_function(TopKDotName, vec, seen,
+      org.apache.spark.sql.functions.typedLit(itemIds.toSeq),
+      org.apache.spark.sql.functions.typedLit(items.map(_.toSeq).toSeq),
+      org.apache.spark.sql.functions.lit(k))
 
   /** Column-level call; requires `register` (or GraftExtensions) first.
     * Rabin–Karp hashes of every k-codepoint window, one O(L) pass. */

@@ -236,13 +236,38 @@ class TwoTowerSpec extends SparkSpecBase {
     val seen = trainRows.toDF("user_id", "item_id")
     def dump(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("user_id", "rk").collect().map(_.toString).toSeq
-    val viaBroadcast = dump(TwoTower.recommend(fitted._1, users, 5, Some(seen)))
+    val viaBroadcast = dump(TwoTower.recommend(fitted._1, users, 5, Some(seen),
+      fusedCatalogFloatLimit = 0L))
     val viaShuffle = withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       dump(TwoTower.recommend(fitted._1, users, 5, Some(seen),
-        broadcastSeenLimit = 1L))
+        broadcastSeenLimit = 1L, fusedCatalogFloatLimit = 0L))
     }
     assert(viaShuffle == viaBroadcast)
     assert(viaShuffle.nonEmpty)
+  }
+
+  test("fused TopKDotF32 serving is row-identical to the unfused crossJoin plan") {
+    // The round-11 serving kernel: same (score desc, id asc) order, same
+    // DotF32 arithmetic, same exclude-seen row set — with and without a
+    // history, including a user whose whole block is seen (fewer than k
+    // survivors) and an unknown user (no tower vector -> no rows).
+    val users = (testRows.map(_._1).distinct :+ 999999L).toDF("user_id")
+    val seen = trainRows.toDF("user_id", "item_id")
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id", "rk").collect().map(_.toString).toSeq
+    for (excl <- Seq(None, Some(seen))) {
+      val fused = dump(TwoTower.recommend(fitted._1, users, 5, excl))
+      val unfused = dump(TwoTower.recommend(fitted._1, users, 5, excl,
+        fusedCatalogFloatLimit = 0L))
+      assert(fused == unfused, s"fused/unfused diverge (excludeSeen=$excl)")
+      assert(fused.nonEmpty)
+    }
+    // k larger than the surviving catalog: both forms return every
+    // survivor, ranked identically
+    val big = dump(TwoTower.recommend(fitted._1, users, 1000, Some(seen)))
+    val bigU = dump(TwoTower.recommend(fitted._1, users, 1000, Some(seen),
+      fusedCatalogFloatLimit = 0L))
+    assert(big == bigU)
   }
 
   test("model persists and loads; recommend schema is RankingEval-ready") {
