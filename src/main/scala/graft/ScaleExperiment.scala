@@ -128,6 +128,61 @@ object ScaleExperiment {
       }
     }
 
+    // 1d. fused vs unfused serving on the SAME fitted model (round 11,
+    // sql.TopKDotF32): the toggle is fusedCatalogFloatLimit=0, everything
+    // else identical — so the delta is purely the candidate
+    // materialization + anti-join probe the fused kernel removes. Inputs
+    // are localCheckpointed so neither side pays the star-join lineage.
+    if (on("r11fused")) {
+      import graft.rank._
+      val (tr0, te0) = Interactions.splitByTime(
+        Interactions.fromStar(spark, dir), "2000-01-01")
+      val tr = tr0.localCheckpoint()
+      val te = te0.localCheckpoint()
+      val model = TwoTower.fit(
+        Interactions.recentN(tr, 12).select("user_id", "item_id"),
+        TwoTower.Config(embDim = 16, hiddenDim = 8, steps = 12,
+          batchRows = 4096, seed = "tt8", stepsPerJob = 6))
+      val evalUsers = te.select(col("user_id")).distinct()
+        .filter(pmod(col("user_id"), lit(7)) === 0).localCheckpoint()
+      val seen = tr.select(col("user_id"), col("item_id"))
+      for (rep <- 1 to 2; fused <- Seq(false, true)) {
+        val t0 = System.nanoTime()
+        TwoTower.recommend(model, evalUsers, 10, excludeSeen = Some(seen),
+            fusedCatalogFloatLimit = if (fused) 64000000L else 0L)
+          .write.format("noop").mode("overwrite").save()
+        println(f"r11fused_rep${rep}_${if (fused) "fused" else "unfused"}%-10s " +
+          f"${(System.nanoTime() - t0) / 1e9}%8.1f s")
+      }
+    }
+
+    // 1e. q53 grid forms head-to-head: per-cap recommends vs the one-pass
+    // multi-cap (round 11), each with the raw star-join input and with the
+    // input materialized once — attributes the entry's wall between the
+    // grid algebra and the input-lineage replay.
+    if (on("r11grid")) {
+      import graft.rank._
+      val caps = Seq(5, 10, 20)
+      def hits(recs: DataFrame, teD: DataFrame): Long =
+        recs.join(teD, Seq("user_id", "item_id")).count()
+      for (rep <- 1 to 2; mat <- Seq(false, true)) {
+        val (tr0, te0) = Interactions.splitByTime(
+          Interactions.fromStar(spark, dir), "2000-01-01")
+        val tr = if (mat) tr0.localCheckpoint() else tr0
+        val teD = (if (mat) te0.localCheckpoint() else te0)
+          .select(col("user_id"), col("item_id")).distinct()
+        var t0 = System.nanoTime()
+        val perCap = caps.map(m => hits(
+          Cooccur.recommend(tr, Cooccur.itemNeighbors(tr, m), 10), teD))
+        println(f"r11grid_rep${rep}_mat${mat}_percap   ${(System.nanoTime() - t0) / 1e9}%8.1f s  hits=${perCap.mkString(",")}")
+        t0 = System.nanoTime()
+        val multi = Cooccur.recommendMultiCap(tr,
+          Cooccur.itemNeighborsRanked(tr, caps.max), caps, 10)
+        val multiHits = caps.map(m => hits(multi.filter(col("cap") === m), teD))
+        println(f"r11grid_rep${rep}_mat${mat}_multicap ${(System.nanoTime() - t0) / 1e9}%8.1f s  hits=${multiHits.mkString(",")}")
+      }
+    }
+
     // 2. within-label near-dup: plain vs blocked (2000 rows/label)
     if (on("neardup")) {
       val emb = Tables.load(spark, dir, "embeddings")

@@ -98,4 +98,75 @@ object Cooccur {
         Seq(col("score").desc, col("item_b").asc), k)
       .select(col("user_id"), col("rk"), col("item_b").as("item_id"), col("score"))
   }
+
+  /** [[itemNeighbors]] keeping the per-item neighbor rank (`nb_rank`,
+    * 1-based under (c desc, item_b asc)) — the nested-grid primitive:
+    * `nb_rank <= m` of one maxNeighbors fit IS itemNeighbors(inter, m)
+    * for every m <= maxNeighbors, so a cap grid fits ONCE at the largest
+    * cap instead of once per point. */
+  def itemNeighborsRanked(inter: DataFrame, maxNeighbors: Int = 50,
+      maxBasket: Int = 0): DataFrame = {
+    val t =
+      if (maxBasket > 0)
+        Interactions.recentN(inter, maxBasket).select(col("user_id"), col("item_id"))
+      else inter.select(col("user_id"), col("item_id"))
+        .repartition(col("user_id")).distinct()
+    val pairs = t.as("a").join(t.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item_id") =!= col("b.item_id"))
+      .select(col("a.item_id").as("item_a"), col("b.item_id").as("item_b"))
+      .repartition(col("item_a"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("c"))
+    Relational.topKPerGroup(pairs, Seq("item_a"),
+        Seq(col("c").desc, col("item_b").asc), maxNeighbors, "__nrk")
+      .withColumnRenamed("__nrk", "nb_rank")
+  }
+
+  /** The whole neighbor-cap grid in ONE candidate pass: per-cap recs
+    * identical to `recommend(inter, itemNeighbors(inter, m), k)` for every
+    * m in `caps`, but the scored candidate stream (|history| × M rows —
+    * the grid's dominant cost) crosses its one user_id shuffle ONCE
+    * instead of once per grid point. Per-cap scores are conditional sums
+    * over the shared ranked-neighbor join (`sum(c) filter nb_rank <= m` —
+    * exact same integer totals as the per-cap fit, since a cap-m neighbor
+    * list is the rank-<=m prefix of the largest fit); the aggregated
+    * per-user frame is materialized once (users × distinct-candidates
+    * rows, ContextCleaner-reclaimed) and each cap's top-k window re-reads
+    * it instead of replaying the candidate join. Output adds `cap` to the
+    * recommend schema; row-parity with the per-cap form is spec-pinned
+    * (CooccurSpec) and q53's oracle replays each cap independently.
+    *
+    * `neighborsRanked` must come from [[itemNeighborsRanked]] with
+    * maxNeighbors >= max(caps) (required). */
+  def recommendMultiCap(inter: DataFrame, neighborsRanked: DataFrame,
+      caps: Seq[Int], k: Int = 10, maxBasket: Int = 0): DataFrame = {
+    require(caps.nonEmpty, "empty cap grid")
+    val t = inter.select(col("user_id"), col("item_id")).distinct()
+    val hist =
+      if (maxBasket > 0)
+        Interactions.recentN(inter, maxBasket).select(col("user_id"), col("item_id"))
+      else t
+    val cand = hist.join(neighborsRanked, hist("item_id") === neighborsRanked("item_a"))
+      .select(col("user_id"), col("item_b"), col("c"), col("nb_rank"),
+        lit(false).as("__seen"))
+    val seenRows = t.select(col("user_id"), col("item_id").as("item_b"),
+      lit(null).cast("long").as("c"), lit(null).cast("int").as("nb_rank"),
+      lit(true).as("__seen"))
+    val capScores = caps.map(m =>
+      sum(when(col("nb_rank") <= m, col("c"))).as(s"__score_$m"))
+    val scored = cand.unionByName(seenRows)
+      .repartition(col("user_id"))
+      .groupBy(col("user_id"), col("item_b"))
+      .agg(capScores.head, capScores.tail :+ max(col("__seen")).as("__s"): _*)
+      .filter(!col("__s"))
+      .localCheckpoint() // one pass feeds every cap's top-k branch
+    caps.map { m =>
+      val unseen = scored.filter(col(s"__score_$m").isNotNull)
+        .select(col("user_id"), col("item_b"), col(s"__score_$m").as("score"))
+      Relational.topKPerGroup(unseen, Seq("user_id"),
+          Seq(col("score").desc, col("item_b").asc), k)
+        .select(lit(m).as("cap"), col("user_id"), col("rk"),
+          col("item_b").as("item_id"), col("score"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -62,7 +62,14 @@ object NegativeSampling {
       numBuckets: Int = 4096,
       oversample: Int = 2): DataFrame = {
     require(k > 0 && oversample >= 1 && numBuckets > 0)
-    val pop = positives.groupBy(col("item_id"))
+    // The positive pairs feed FOUR branches (the weight aggregation, the
+    // eager total-weight job, the per-user draw fan-out, and the final
+    // anti-join); without materialization each branch re-executes the
+    // caller's input lineage — for q59 a full star join per branch. One
+    // eager localCheckpoint runs it once; blocks are two slim columns,
+    // ContextCleaner-reclaimed with the returned frame.
+    val pos = positives.select(col("user_id"), col("item_id")).localCheckpoint()
+    val pop = pos.groupBy(col("item_id"))
       .agg(count(lit(1)).as("n"))
       .select(col("item_id"), weightExpr.cast("long").as("w"))
     val totalW = pop.agg(sum(col("w"))).head().getLong(0) // one long — bounded collect
@@ -77,7 +84,7 @@ object NegativeSampling {
           expr(s"(hi - 1) * ${numBuckets}L div ${totalW}L"))))
 
     val kPrime = k * oversample
-    val draws = positives.select(col("user_id")).distinct()
+    val draws = pos.select(col("user_id")).distinct()
       .select(col("user_id"),
         explode(sequence(lit(0), lit(kPrime - 1))).as("slot"))
       .withColumn("__u",
@@ -89,7 +96,7 @@ object NegativeSampling {
       .filter(col("__u") >= col("lo") && col("__u") < col("hi"))
       .select(col("user_id"), col("slot"), col("item_id"))
     val negatives = hits.join(
-      positives.select(col("user_id"), col("item_id")).distinct(),
+      pos.distinct(),
       Seq("user_id", "item_id"), "left_anti")
     graft.operators.Relational.topKPerGroup(negatives, Seq("user_id"),
         Seq(col("slot").asc), k)

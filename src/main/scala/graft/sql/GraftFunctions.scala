@@ -264,5 +264,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[TopKStrAggF].getName, GraftFunctions.TopKStrName),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TopKStrAggF(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.TopKDotName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[TopKDotF32].getName, GraftFunctions.TopKDotName),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TopKDotF32.fromExprs(exprs.head, exprs(1), exprs(2), exprs(3), exprs(4))))
   }
 }
