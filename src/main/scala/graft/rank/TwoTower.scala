@@ -906,7 +906,15 @@ object TwoTower {
               u.join(seenSets, Seq("user_id"), "left")
             case None => u.withColumn("__seen", lit(null).cast("array<bigint>"))
           }
-          return base
+          // Each row here carries catalog × dim WORK but only ~dim bytes:
+          // AQE's size-based coalescing sees a ~MB user frame and folds it
+          // to one partition, serializing the whole scoring loop on one
+          // core. Spread rows explicitly — a fixed-count round-robin
+          // repartition (user-specified counts are exempt from AQE
+          // coalescing) over |users| skinny rows costs nothing next to
+          // the loop it parallelizes.
+          val slices = base.sparkSession.sparkContext.defaultParallelism
+          return base.repartition(slices)
             .select(col("user_id"), posexplode(
               graft.sql.GraftFunctions.topKDotF32(
                 col("vec").cast("array<float>"),
@@ -918,7 +926,10 @@ object TwoTower {
         }
       }
     }
+    // same AQE hazard as the fused path: the user frame is ~MB but each
+    // row fans out to |catalog| scored rows — spread it before the join
     val u = uIds.join(model.userVecs, Seq("user_id"))
+      .repartition(model.userVecs.sparkSession.sparkContext.defaultParallelism)
     val scored0 = u.crossJoin(
         broadcast(model.itemVecs.select(col("item_id"), col("vec").as("__iv"))))
       .select(col("user_id"), col("item_id"),
