@@ -884,46 +884,16 @@ object TwoTower {
     // aggregation. Row-identical to the unfused plan below (spec-pinned);
     // catalogs past the budget (or non-integral ids) fall through to it.
     if (integralId0 && fusedCatalogFloatLimit > 0) {
-      val dimRow = model.itemVecs
-        .select(org.apache.spark.sql.functions.size(col("vec")).as("d")).head(1)
-      val dim = if (dimRow.isEmpty) 0 else dimRow(0).getInt(0)
-      if (dim > 0) {
-        val maxRows = (fusedCatalogFloatLimit / dim).toInt
-        val rows = model.itemVecs
-          .select(col("item_id").cast("long"), col("vec").cast("array<float>"))
-          .limit(maxRows + 1).collect()
-        if (rows.length <= maxRows) {
-          val ids = rows.map(_.getLong(0))
-          val mats = rows.map(_.getSeq[Float](1).toArray)
-          val u = uIds.join(model.userVecs, Seq("user_id"))
-          val base = excludeSeen match {
-            case Some(seen) =>
-              val seenSets = seen
-                .select(col("user_id"), col("item_id").cast("long").as("__sid"))
-                .join(uIds, Seq("user_id"), "left_semi")
-                .groupBy(col("user_id"))
-                .agg(org.apache.spark.sql.functions.collect_set(col("__sid")).as("__seen"))
-              u.join(seenSets, Seq("user_id"), "left")
-            case None => u.withColumn("__seen", lit(null).cast("array<bigint>"))
-          }
-          // Each row here carries catalog × dim WORK but only ~dim bytes:
-          // AQE's size-based coalescing sees a ~MB user frame and folds it
-          // to one partition, serializing the whole scoring loop on one
-          // core. Spread rows explicitly — a fixed-count round-robin
-          // repartition (user-specified counts are exempt from AQE
-          // coalescing) over |users| skinny rows costs nothing next to
-          // the loop it parallelizes.
-          val slices = base.sparkSession.sparkContext.defaultParallelism
-          return base.repartition(slices)
-            .select(col("user_id"), posexplode(
-              graft.sql.GraftFunctions.topKDotF32(
-                col("vec").cast("array<float>"),
-                coalesce(col("__seen"), typedLit(Seq.empty[Long])),
-                ids, mats, k)))
-            .select(col("user_id"), (col("pos") + 1).cast("int").as("rk"),
-              col("col.item_id").cast(iType0).as("item_id"),
-              col("col.score").cast("float").as("score"))
-        }
+      val u = uIds.join(model.userVecs, Seq("user_id"))
+      graft.sim.Retrieval.topKDot(u, "user_id", "vec",
+          model.itemVecs, "item_id", "vec", k,
+          seen = excludeSeen.map(_.select(col("user_id"), col("item_id"))),
+          catalogFloatLimit = fusedCatalogFloatLimit) match {
+        case Some(recs) =>
+          return recs.select(col("user_id"), col("rk"),
+            col("item_id").cast(iType0).as("item_id"),
+            col("score").cast("float").as("score"))
+        case None => () // catalog past the budget — unfused plan below
       }
     }
     // same AQE hazard as the fused path: the user frame is ~MB but each
