@@ -97,6 +97,23 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     },
 
+    // Fused serving kernel vs the DuckDB replay (sim.Retrieval /
+    // sql.TopKDotF32, round 11): top-5 raw-dot retrieval of 48 query
+    // vectors over the whole catalog, a deterministic (q+c)%11 "seen" set
+    // excluded ROW-LOCALLY inside the kernel — the oracle replays it as a
+    // join predicate and must produce the identical ranked rows.
+    "q180_fused_retrieval" -> { (s, d) =>
+      val emb = table(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 48)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val seen = queries.select(col("q_id"))
+        .crossJoin(emb.select(col("vec_id")))
+        .filter((col("q_id") + col("vec_id")) % 11 === 0)
+      graft.sim.Retrieval.topKDot(queries, "q_id", "qv", emb, "vec_id",
+          "embedding", 5, seen = Some(seen)).get
+        .orderBy(col("q_id"), col("rk"))
+    },
+
     // Brute-force cosine top-5 for a small query set (exact ANN baseline).
     "q41_knn_exact" -> { (s, d) =>
       val emb = table(s, d, "embeddings")
@@ -453,6 +470,17 @@ object VectorQueries {
             FROM sc)
           SELECT sid AS src_id, tid AS tgt_id, cos, margin
           FROM bm WHERE mrk = 1 ORDER BY src_id""",
+    "q180_fused_retrieval" ->
+      s"""WITH q AS (SELECT vec_id q_id, embedding qv FROM embeddings WHERE vec_id < 48),
+          scored AS (
+            SELECT q_id, vec_id, ${dot("qv", "embedding")} AS score
+            FROM q JOIN embeddings ON (q_id + vec_id) % 11 <> 0),
+          ranked AS (
+            SELECT q_id, vec_id, score,
+              CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INT) AS rk
+            FROM scored)
+          SELECT q_id, rk, vec_id, score FROM ranked WHERE rk <= 5
+          ORDER BY q_id, rk""",
     "q41_knn_exact" ->
       s"""WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 32),
           scored AS (
