@@ -183,6 +183,57 @@ object ScaleExperiment {
       }
     }
 
+    // 1f. q51s serving-lineage phase breakdown: model + split tables are
+    // pre-materialized parquet (the serve contract), so the phases are
+    // the distinct, the candidate generation, and the eval join.
+    if (on("r11serve")) {
+      import graft.rank._
+      val tmp = java.nio.file.Files.createTempDirectory("r11serve").toString
+      val (tr0, te0) = Interactions.splitByTime(
+        Interactions.fromStar(spark, dir), "2000-01-01")
+      RetrievalPipeline.fitAndSave(tr0, s"$tmp/nb", 50)
+      tr0.write.mode("overwrite").parquet(s"$tmp/tr")
+      te0.write.mode("overwrite").parquet(s"$tmp/te")
+      for (rep <- 1 to 3) {
+        val tr = spark.read.parquet(s"$tmp/tr")
+        val te = spark.read.parquet(s"$tmp/te")
+        val nb = RetrievalPipeline.loadModel(spark, s"$tmp/nb")
+        var t0 = System.nanoTime()
+        def lap(name: String): Unit = {
+          println(f"r11serve_r${rep}_$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+          t0 = System.nanoTime()
+        }
+        val recs = Cooccur.recommend(tr, nb, 10).localCheckpoint()
+        lap("recommend")
+        RankingEval.perUser(recs, te, 10)
+          .write.format("noop").mode("overwrite").save()
+        lap("eval")
+        // sub-phases of recommend (marginal, each stage checkpointed)
+        val t = tr.select(col("user_id"), col("item_id")).distinct()
+          .localCheckpoint()
+        lap("sub_distinct")
+        val cand = t.join(nb, t("item_id") === nb("item_a"))
+          .select(col("user_id"), col("item_b"), col("c"), lit(false).as("__seen"))
+          .localCheckpoint()
+        lap("sub_cand_join")
+        val unseen = cand.unionByName(t.select(col("user_id"),
+            col("item_id").as("item_b"), lit(null).cast("long").as("c"),
+            lit(true).as("__seen")))
+          .repartition(col("user_id"))
+          .groupBy(col("user_id"), col("item_b"))
+          .agg(sum(col("c")).as("score"), max(col("__seen")).as("__s"))
+          .filter(!col("__s"))
+          .select(col("user_id"), col("item_b"), col("score"))
+          .localCheckpoint()
+        lap("sub_agg")
+        graft.operators.Relational.topKPerGroup(unseen, Seq("user_id"),
+            Seq(col("score").desc, col("item_b").asc), 10)
+          .write.format("noop").mode("overwrite").save()
+        lap("sub_window")
+        println(s"r11serve_r${rep}_rows cand=${cand.count()} agg=${unseen.count()}")
+      }
+    }
+
     // 2. within-label near-dup: plain vs blocked (2000 rows/label)
     if (on("neardup")) {
       val emb = Tables.load(spark, dir, "embeddings")
