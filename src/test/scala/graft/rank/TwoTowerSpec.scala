@@ -270,6 +270,34 @@ class TwoTowerSpec extends SparkSpecBase {
     assert(big == bigU)
   }
 
+  test("fused recommend feeds the RecsTable serving contract end-to-end") {
+    import graft.serve.RecsTable
+    val users = testRows.map(_._1).distinct.toDF("user_id")
+    val tr = trainRows.toDF("user_id", "item_id")
+    val recs = TwoTower.recommend(fitted._1, users, 5, Some(tr))
+    // the kernel actually served this plan, not the unfused fallback
+    assert(recs.queryExecution.executedPlan.toString
+      .contains("graft_topk_dot_f32"))
+    val te = testRows.toDF("user_id", "item_id")
+      .withColumn("ts", to_timestamp(lit("2001-01-01")))
+    val targets = RecsTable.firstTargetPerUser(te,
+      Seq(col("ts").asc, col("item_id").asc))
+    val table = RecsTable.assemble(recs, targets, RecsTable.popularFallback(tr, 5))
+    val rows = table.collect()
+    assert(rows.map(_.getString(0)).contains("no_user"))
+    assert(rows.length == testRows.map(_._1).distinct.size + 1)
+    val seenByUser = trainRows.groupBy(_._1)
+      .map { case (u, xs) => u.toString -> xs.map(_._2.toString).toSet }
+    for (r <- rows if r.getString(0) != "no_user") {
+      val served = r.getSeq[String](1)
+      assert(served.size == 5, s"user ${r.getString(0)} got ${served.size} recs")
+      val overlap = served.toSet.intersect(
+        seenByUser.getOrElse(r.getString(0), Set.empty))
+      assert(overlap.isEmpty, s"seen items served to ${r.getString(0)}: $overlap")
+      assert(r.getString(2) != null, "held-out target missing")
+    }
+  }
+
   test("model persists and loads; recommend schema is RankingEval-ready") {
     val tmp = java.nio.file.Files.createTempDirectory("twotower").toString
     fitted._1.save(tmp)
