@@ -38,7 +38,8 @@ object Retrieval {
     val dimRow = catalog.select(size(col(cVec)).as("d")).head(1)
     val dim = if (dimRow.isEmpty) 0 else dimRow(0).getInt(0)
     if (dim <= 0 || catalogFloatLimit <= 0) return None
-    val maxRows = (catalogFloatLimit / dim).toInt
+    // clamp before toInt: a generous Long budget must not truncate negative
+    val maxRows = math.min(catalogFloatLimit / dim, (Int.MaxValue - 1).toLong).toInt
     val rows = catalog
       .select(col(cId).cast("long"), col(cVec).cast("array<float>"))
       .limit(maxRows + 1).collect()

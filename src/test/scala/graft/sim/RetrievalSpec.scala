@@ -58,6 +58,9 @@ class RetrievalSpec extends SparkSpecBase {
       "cv", 5, catalogFloatLimit = 10L).isEmpty)
     assert(Retrieval.topKDot(queries, "q_id", "qv",
       catalog.filter(lit(false)), "item_id", "cv", 5).isEmpty)
+    // a generous Long budget must not overflow the row cap into a refusal
+    assert(Retrieval.topKDot(queries, "q_id", "qv", catalog, "item_id",
+      "cv", 5, catalogFloatLimit = Long.MaxValue).nonEmpty)
   }
 
   test("plan: one fused Generate, no candidate join, and >1 scoring partition") {
