@@ -183,4 +183,42 @@ object RecsTable {
         ()
       }
       .start()
+
+  /** Dense-model counterpart of [[streamRefresh]] (round 11): per
+    * micro-batch, re-serve ONLY the users with new activity by scoring
+    * their tower/factor vectors against the item catalog through the
+    * fused retrieval kernel (`sim.Retrieval.topKDot`) — base history plus
+    * the accumulated stream log is excluded ROW-LOCALLY inside the
+    * kernel, so a refresh costs |active| × catalog fused dots with zero
+    * candidate materialization and no history rescans outside the seen
+    * aggregation. The model is DATA (two (id, vec) frames): a hot-swapped
+    * model takes effect on the next batch without restarting the query.
+    * A catalog past the kernel's float budget fails the batch LOUDLY —
+    * streaming serve at that scale belongs to the ANN index refresh path
+    * (streaming/VectorIngest), not a silent fallback to a candidate
+    * blowup inside foreachBatch. */
+  def streamDenseRefresh(stream: DataFrame, history: DataFrame,
+      userVecs: DataFrame, itemVecs: DataFrame, k: Int,
+      put: Iterator[(String, String)] => Unit, streamLogDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("user_id"), col("item_id"))
+        b.write.mode("append").parquet(streamLogDir)
+        val active = b.select(col("user_id")).distinct()
+        val seen = history.select(col("user_id"), col("item_id"))
+          .unionByName(spark.read.parquet(streamLogDir))
+        val q = active.join(userVecs, Seq("user_id"))
+        val recs = graft.sim.Retrieval.topKDot(q, "user_id", "vec",
+            itemVecs, "item_id", "vec", k, seen = Some(seen))
+          .getOrElse(throw new IllegalStateException(
+            "item catalog exceeds the fused-kernel budget; refresh through " +
+              "the ANN index path instead"))
+        val lists = recLists(recs)
+          .select(col("user_id").cast("string").as("user_id"), col("recs"))
+        kvSink(lists, put)
+        ()
+      }
+      .start()
 }

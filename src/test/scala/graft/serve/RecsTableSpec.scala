@@ -80,6 +80,49 @@ class RecsTableSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamDenseRefresh serves the fused kernel per batch with cross-batch seen memory") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    InMemoryKv.store.clear()
+
+    // items 1..4 near-one-hot; u1 prefers dims in order 1>2>3>4, u2 the
+    // reverse — so unseen ranking is fully determined and tie-free
+    val itemVecs = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1f, 0f)), (4L, Seq(0f, 0f, 0f, 1f)))
+      .toDF("item_id", "vec")
+    val userVecs = Seq(
+      (1L, Seq(0.9f, 0.7f, 0.5f, 0.3f)),
+      (2L, Seq(0.3f, 0.5f, 0.7f, 0.9f)))
+      .toDF("user_id", "vec")
+    val history = Seq((1L, 1L)).toDF("user_id", "item_id") // u1 already saw 1
+
+    val in = MemoryStream[(Long, Long)]
+    val logDir = java.nio.file.Files.createTempDirectory("graft_denselog").toString
+    val q = RecsTable.streamDenseRefresh(
+      in.toDF().toDF("user_id", "item_id"), history, userVecs, itemVecs,
+      k = 2, InMemoryKv.putBatch, s"$logDir/log")
+    try {
+      in.addData((1L, 4L)) // u1 interacts with item 4
+      q.processAllAvailable()
+      assert(InMemoryKv.store.containsKey("1"), "active user refreshed")
+      assert(!InMemoryKv.store.containsKey("2"), "inactive user NOT recomputed")
+      // u1's unseen = {2, 3}, ranked by preference: [2, 3]
+      assert(InMemoryKv.store.get("1") == "[\"2\",\"3\"]",
+        s"payload ${InMemoryKv.store.get("1")}")
+
+      in.addData((2L, 4L), (1L, 2L)) // u2 activates; u1 touches 2
+      q.processAllAvailable()
+      // u2's unseen = {1, 2, 3}, reverse preference: [3, 2]
+      assert(InMemoryKv.store.get("2") == "[\"3\",\"2\"]",
+        s"payload ${InMemoryKv.store.get("2")}")
+      // cross-batch memory: u1's batch-1 item 4 and base-history item 1
+      // stay excluded even though this batch only carried (1, 2)
+      assert(InMemoryKv.store.get("1") == "[\"3\"]",
+        s"payload ${InMemoryKv.store.get("1")}")
+    } finally q.stop()
+  }
+
   test("streamTopKServe maintains per-user top-k KV state across micro-batches (round-11)") {
     // round-10 verdict task 7: the StreamingTopKSpec heap composed with
     // the serving contract — cross-batch displacement must reach the KV
