@@ -244,7 +244,10 @@ object Bench {
       }
       .sortBy(-_._3)
       .foreach { case (k, fl, _) =>
-        val entry = k.length + f3(fl).length + 4
+        // +5, not +4: the emitted key is "~"+k (round-12 advice — the
+        // uncounted tilde let floorKept overrun the budget by one byte
+        // per entry and eat the 2000-char driver tail margin)
+        val entry = k.length + f3(fl).length + 5
         if (floorUsed + entry <= floorBudget) {
           floorKept += (k -> fl); floorUsed += entry
         }

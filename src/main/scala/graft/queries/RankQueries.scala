@@ -135,6 +135,19 @@ object RankQueries {
     graft.rank.RetrievalPipeline.fitAndSave(tr, s"$serveModelDir/cooccur", neighborCap)
     tr.write.mode("overwrite").parquet(s"$serveModelDir/tr")
     te.write.mode("overwrite").parquet(s"$serveModelDir/te")
+    // two-tower fit-once artifacts (round-12 verdict task 8): q63t mixes a
+    // volatile fit with the fused serve; q63ts/q63ta read THIS model so
+    // rounds can track the serving kernels' wall without fit noise
+    import graft.rank.TwoTower
+    val ttModel = TwoTower.fit(
+      Interactions.recentN(tr, 12).select("user_id", "item_id"),
+      TwoTower.Config(embDim = 16, hiddenDim = 8, steps = 12,
+        batchRows = 4096, seed = "tt8", stepsPerJob = 6))
+    ttModel.save(s"$serveModelDir/twotower")
+    graft.sim.Ivf.saveCentroids(s,
+      graft.sim.Ivf.fitCentroids(ttModel.itemVecs, "item_id", "vec",
+        nlist = 64, iters = 3),
+      s"$serveModelDir/tt_centroids")
   }
 
   val serveDefs: Map[String, QueryFn] = Map(
@@ -161,6 +174,35 @@ object RankQueries {
       RecsTable.assemble(recs, targets, RecsTable.popularFallback(tr, k))
         .select(col("user_id"), to_json(col("recs")).as("recs_json"), col("target"))
         .orderBy(col("user_id"))
+    },
+    // The fused dense serving kernel at the nightly-refresh shape
+    // (round-12 verdict task 8): fit-once model, top-10 for EVERY trained
+    // user against the full item catalog with the whole train history
+    // excluded — the q63t serve leg without its volatile fit. The wall is
+    // sql.TopKDotF32 (one broadcast catalog, zero candidate rows) plus
+    // the seen aggregation.
+    "q63ts_twotower_served" -> { (s, _) =>
+      val tr = s.read.parquet(s"$serveModelDir/tr")
+      val model = graft.rank.TwoTower.load(s, s"$serveModelDir/twotower")
+      graft.rank.TwoTower.recommend(model, model.userVecs.select("user_id"),
+          k, excludeSeen = Some(tr.select("user_id", "item_id")))
+        .orderBy(col("user_id"), col("rk"))
+    },
+    // The ANN-served leg at the same shape (round-12 verdict task 2):
+    // identical model, users and exclusions, served through the IVF probe
+    // (fit-once 64-cell quantizer, nprobe 8) + exact in-cell scoring —
+    // the plan that holds when the catalog outgrows the dense kernel's
+    // float budget. Recall vs q63ts is nprobe/nlist-governed
+    // (TwoTowerSpec pins full-probe equality and the partial-probe
+    // floor).
+    "q63ta_twotower_ann" -> { (s, _) =>
+      val tr = s.read.parquet(s"$serveModelDir/tr")
+      val model = graft.rank.TwoTower.load(s, s"$serveModelDir/twotower")
+      val cents = graft.sim.Ivf.loadCentroids(s, s"$serveModelDir/tt_centroids")
+      graft.rank.TwoTower.recommendAnn(model, model.userVecs.select("user_id"),
+          k, excludeSeen = Some(tr.select("user_id", "item_id")),
+          nprobe = 8, centroids = Some(cents))
+        .orderBy(col("user_id"), col("rk"))
     })
 
   private def interSql(cmp: String): String =

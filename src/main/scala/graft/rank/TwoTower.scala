@@ -399,39 +399,69 @@ object TwoTower {
       r
     }
 
-    /** Rows for `ids` (ascending), as (vecs, accs) in ids order —
-      * batch-bounded: the id set travels as a broadcast, survivors as
-      * task results. */
+    /** Rows updated since the last compaction (round-11 verdict task 4):
+      * scatter no longer rewrites — and re-persists — the WHOLE table
+      * every step (2 full-table writes/step was the named scale term in
+      * SCALE.md's 10M-id row); it overlays the step's batch-bounded rows
+      * here, gather merges the overlay over the base, and [[compact]]
+      * folds the overlay into a new persisted base every `compactEvery`
+      * steps — the SAME cadence as the old lineage cut, which the
+      * compaction now IS. Driver memory stays O(batch): the overlay is
+      * bounded by `deltaRowCap` (an early compaction trips before it
+      * outgrows a fixed slice of `driverEmbedBudget`), and values are the
+      * exact arrays the step produced — storage layout cannot change one
+      * float (bit-parity spec-pinned in TwoTowerSpec). */
+    private val delta = new java.util.HashMap[Int, (Array[Float], Array[Double])]()
+    private var sinceCompact = 0
+    private val compactEvery = 25
+    // vec floats (4 B) + adagrad doubles (8 B) ≈ 12·embDim B/row; cap the
+    // overlay at ~1/8 of the driver budget's float bytes
+    private val deltaRowCap =
+      math.max(1L, cfg.driverEmbedBudget / (8L * math.max(1, cfg.embDim)))
+
+    /** Rows for `ids` (ascending), as (vecs, accs) in ids order — the
+      * driver-held overlay answers ids it holds; only the rest run the
+      * batch-bounded cluster filter (the id set travels as a broadcast,
+      * survivors as task results). A step re-touching recent ids skips
+      * the cluster entirely. */
     def gather(ids: Array[Int]): (Array[Array[Float]], Array[Array[Double]]) = {
-      val bset = sc.broadcast(ids.toSet)
-      val rows = sc.runJob(rdd,
-        (it: Iterator[(Int, (Array[Float], Array[Double]))]) =>
-          it.filter(r => bset.value.contains(r._1)).toArray).flatten
-      bset.unpersist(blocking = false)
-      val m = rows.toMap
-      (ids.map(id => m(id)._1), ids.map(id => m(id)._2))
+      val missing = ids.filter(id => !delta.containsKey(id))
+      val m: Map[Int, (Array[Float], Array[Double])] =
+        if (missing.isEmpty) Map.empty
+        else {
+          val bset = sc.broadcast(missing.toSet)
+          val rows = sc.runJob(rdd,
+            (it: Iterator[(Int, (Array[Float], Array[Double]))]) =>
+              it.filter(r => bset.value.contains(r._1)).toArray).flatten
+          bset.unpersist(blocking = false)
+          rows.toMap
+        }
+      (ids.map(id => Option(delta.get(id)).map(_._1).getOrElse(m(id)._1)),
+        ids.map(id => Option(delta.get(id)).map(_._2).getOrElse(m(id)._2)))
     }
 
-    /** The newest localCheckpointed ancestor, RETAINED until the next
-      * checkpoint materializes (round-10 advice): localCheckpoint blocks
-      * are the recompute SOURCE for every descendant — unpersisting the
-      * only checkpoint would make the table unrecomputable after an
-      * executor loss, exactly in the multi-executor mode embedParts
-      * exists for. Generation-based: scatter frees the superseded
-      * step-RDDs (recomputable through lastCk's blocks), and frees the
-      * PREVIOUS checkpoint only once a newer one has been counted. */
-    private var lastCk: org.apache.spark.rdd.RDD[(Int, (Array[Float], Array[Double]))] = null
-
-    /** Write updated rows back: a new persisted RDD mapping the old one
-      * through the broadcast delta (absolute values, not gradients — the
-      * step already applied its Adagrad arithmetic on the gathered
-      * copies, so storage mode cannot change one float). */
+    /** Write updated rows into the overlay (absolute values, not
+      * gradients — the step already applied its Adagrad arithmetic on the
+      * gathered copies). ZERO Spark jobs on the common path; the table
+      * write happens once per [[compactEvery]] steps (or early when the
+      * overlay trips its row cap) instead of every step. */
     def scatter(ids: Array[Int], emb: Array[Array[Float]],
         acc: Array[Array[Double]], step: Int): Unit = {
-      val upd = new java.util.HashMap[Int, (Array[Float], Array[Double])]()
       var j = 0
-      while (j < ids.length) { upd.put(ids(j), (emb(j), acc(j))); j += 1 }
-      val b = sc.broadcast(upd)
+      while (j < ids.length) { delta.put(ids(j), (emb(j), acc(j))); j += 1 }
+      sinceCompact += 1
+      if (sinceCompact >= compactEvery || delta.size.toLong > deltaRowCap)
+        compact()
+    }
+
+    /** Fold the overlay into a new persisted, localCheckpointed base —
+      * one broadcast map over the old base. The checkpoint doubles as the
+      * lineage cut (blocks materialized by the count BEFORE the old base
+      * is freed, so the table stays recomputable after an executor loss —
+      * round-10 advice, unchanged guarantee). */
+    private def compact(): Unit = {
+      if (delta.isEmpty) { sinceCompact = 0; return }
+      val b = sc.broadcast(new java.util.HashMap(delta))
       val old = rdd
       val next = old.mapPartitions(
         { it: Iterator[(Int, (Array[Float], Array[Double]))] =>
@@ -441,25 +471,22 @@ object TwoTower {
           }
         }, preservesPartitioning = true)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val checkpointed = step % 25 == 24
-      if (checkpointed) next.localCheckpoint()
+      next.localCheckpoint()
       next.count()
-      if (!(old eq lastCk)) old.unpersist(blocking = false)
-      if (checkpointed) {
-        // the new checkpoint's blocks exist (count above) — the previous
-        // generation's recompute source can go
-        if (lastCk != null && !(lastCk eq old)) lastCk.unpersist(blocking = false)
-        lastCk = next
-      }
+      old.unpersist(blocking = false)
       b.unpersist(blocking = false)
       rdd = next
+      delta.clear()
+      sinceCompact = 0
     }
 
     /** Serving vectors computed WHERE THE TABLE LIVES: one map applying
       * the (broadcast, tiny) tower MLP per row; materialized eagerly so
-      * the store can be freed afterwards. */
+      * the store can be freed afterwards. Compacts first so the overlay's
+      * newest rows are in the scanned table. */
     def toVecs(spark: SparkSession, wT: Array[Array[Float]], b: Array[Float],
         dict: DataFrame, idName: String): DataFrame = {
+      compact()
       val bw = spark.sparkContext.broadcast((wT, b))
       val rows = rdd.map { case (id, (e, _)) =>
         val (wt, bb) = bw.value
@@ -480,7 +507,7 @@ object TwoTower {
 
     def free(): Unit = {
       rdd.unpersist(blocking = false)
-      if (lastCk != null && !(lastCk eq rdd)) lastCk.unpersist(blocking = false)
+      delta.clear()
     }
   }
 
@@ -935,6 +962,39 @@ object TwoTower {
           Seq(col("score").desc, col("item_id").asc), k)
         .select(col("user_id"), col("rk").cast("int").as("rk"),
           col("item_id"), col("score"))
+  }
+
+  /** ANN-served recommend (round-11 verdict task 2): the same output
+    * contract as [[recommend]] at catalog sizes PAST the fused kernel's
+    * float budget — per-user top-k through the IVF probe with exact
+    * in-cell scoring (sim.Retrieval.topKAnn): each user's vector probes
+    * its `nprobe` nearest of `nlist` cells, only those cells' item rows
+    * are scored (one cid equi-join — at 100 TB the index is parquet
+    * `partitionBy("cid")` and probes prune files), the seen exclusion is
+    * row-local, and the map-side heap cuts candidates to users × k.
+    * Recall vs [[recommend]] is nprobe/nlist-governed; with
+    * nprobe = nlist the rows EQUAL the exact kernel's (spec-pinned in
+    * TwoTowerSpec, with a recall floor at nprobe < nlist). Pass prebuilt
+    * `centroids` (Ivf.loadCentroids) to skip the quantizer fit — the
+    * production serve fits on the model-refresh cadence, not per
+    * request. */
+  def recommendAnn(model: Model, users: DataFrame, k: Int = 10,
+      excludeSeen: Option[DataFrame] = None,
+      nlist: Int = 64, nprobe: Int = 8, iters: Int = 3,
+      centroids: Option[Array[Array[Float]]] = None): DataFrame = {
+    graft.sql.GraftFunctions.register(model.userVecs.sparkSession)
+    val iType = model.itemVecs.schema("item_id").dataType
+    val cents = centroids.getOrElse(
+      graft.sim.Ivf.fitCentroids(model.itemVecs, "item_id", "vec", nlist, iters))
+    val index = graft.sim.Retrieval.annIndex(model.itemVecs, "item_id", "vec", cents)
+    val u = users.select(col("user_id")).distinct()
+      .join(model.userVecs, Seq("user_id"))
+    graft.sim.Retrieval.topKAnn(u, "user_id", "vec", index, "item_id", "vec",
+        cents, k, nprobe,
+        seen = excludeSeen.map(_.select(col("user_id"), col("item_id"))))
+      .select(col("user_id"), col("rk"),
+        col("item_id").cast(iType).as("item_id"),
+        col("score").cast("float").as("score"))
   }
 
   /** The reference's hyperparameter grid: batch sizes × learning rates

@@ -184,21 +184,90 @@ object RecsTable {
       }
       .start()
 
+  /** The per-batch seen set, PRUNED BEFORE THE UNION (round-11 verdict
+    * task 7): both legs — the static history snapshot and the accumulated
+    * stream log — are left-semi-joined down to the batch's active users
+    * FIRST, so the per-batch scan is O(active × their history) in I/O
+    * and shuffle alike; a union of the full tables would re-read the
+    * whole log every batch as it grows (the semi-join inside the kernel's
+    * seen aggregation prunes rows, not input scans). Plan shape pinned in
+    * RecsTableSpec: the semi-joins sit BELOW the union. */
+  private[serve] def activeSeen(history: DataFrame, streamed: DataFrame,
+      active: DataFrame): DataFrame =
+    history.select(col("user_id"), col("item_id"))
+      .join(active, Seq("user_id"), "left_semi")
+      .unionByName(streamed.select(col("user_id"), col("item_id"))
+        .join(active, Seq("user_id"), "left_semi"))
+
   /** Dense-model counterpart of [[streamRefresh]] (round 11): per
     * micro-batch, re-serve ONLY the users with new activity by scoring
     * their tower/factor vectors against the item catalog through the
-    * fused retrieval kernel (`sim.Retrieval.topKDot`) — base history plus
-    * the accumulated stream log is excluded ROW-LOCALLY inside the
-    * kernel, so a refresh costs |active| × catalog fused dots with zero
-    * candidate materialization and no history rescans outside the seen
-    * aggregation. The model is DATA (two (id, vec) frames): a hot-swapped
-    * model takes effect on the next batch without restarting the query.
+    * fused retrieval kernel (`sim.Retrieval.topKDotWith`) — base history
+    * plus the accumulated stream log (both pruned to the active users
+    * BEFORE their union) is excluded ROW-LOCALLY inside the kernel, so a
+    * refresh costs |active| × catalog fused dots with zero candidate
+    * materialization and no history rescans outside the seen
+    * aggregation. The model is DATA: `userVecs` is a supplier re-read
+    * per batch, and the item catalog rides a
+    * [[graft.sim.Retrieval.CatalogCache]] — collected, flattened and
+    * broadcast ONCE PER MODEL GENERATION (round-11 verdict task 5), not
+    * once per batch; a hot-swap (the supplier returning a NEW frame)
+    * takes effect on the next batch without restarting the query.
     * A catalog past the kernel's float budget fails the batch LOUDLY —
-    * streaming serve at that scale belongs to the ANN index refresh path
-    * (streaming/VectorIngest), not a silent fallback to a candidate
-    * blowup inside foreachBatch. */
+    * streaming serve at that scale is [[streamAnnRefresh]], not a silent
+    * fallback to a candidate blowup inside foreachBatch. */
+  def streamDenseRefresh(stream: DataFrame, history: DataFrame,
+      userVecs: () => DataFrame, itemCatalog: graft.sim.Retrieval.CatalogCache,
+      k: Int, put: Iterator[(String, String)] => Unit, streamLogDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("user_id"), col("item_id"))
+        b.write.mode("append").parquet(streamLogDir)
+        val active = b.select(col("user_id")).distinct()
+        val seen = activeSeen(history, spark.read.parquet(streamLogDir), active)
+        val q = active.join(userVecs(), Seq("user_id"))
+        val bc = itemCatalog.get().getOrElse(throw new IllegalStateException(
+          "item catalog exceeds the fused-kernel budget; refresh through " +
+            "streamAnnRefresh (the ANN index path) instead"))
+        val recs = graft.sim.Retrieval.topKDotWith(q, "user_id", "vec",
+          bc, k, seen = Some(seen))
+        val lists = recLists(recs)
+          .select(col("user_id").cast("string").as("user_id"), col("recs"))
+        kvSink(lists, put)
+        ()
+      }
+      .start()
+
+  /** Fixed-model convenience form of [[streamDenseRefresh]]: both model
+    * frames constant for the stream's lifetime (one catalog collect
+    * total). */
   def streamDenseRefresh(stream: DataFrame, history: DataFrame,
       userVecs: DataFrame, itemVecs: DataFrame, k: Int,
+      put: Iterator[(String, String)] => Unit, streamLogDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamDenseRefresh(stream, history, () => userVecs,
+      new graft.sim.Retrieval.CatalogCache(() => itemVecs, "item_id", "vec"),
+      k, put, streamLogDir)
+
+  /** The ANN-served streaming leg (round-11 verdict task 2) — the same
+    * recs/KV contract as [[streamDenseRefresh]] at catalog sizes the
+    * dense kernel's float budget refuses: per micro-batch, the active
+    * users' vectors probe their `nprobe` nearest IVF cells and score only
+    * those cells' rows through `sim.Retrieval.topKAnn` (exact dot within
+    * probed cells, map-side k-bounded heap, seen ids — history ∪ log,
+    * pruned to active users before the union — excluded row-locally).
+    * The index is DATA: `itemIndex` supplies the (item_id, cid, vec)
+    * frame ([[graft.sim.Retrieval.annIndex]], typically parquet
+    * partitioned by cid so probes prune files), and a refreshed index +
+    * centroids take effect on the next batch. Recall vs the dense kernel
+    * is governed by nprobe/nlist (spec-pinned floor in RetrievalSpec);
+    * per-batch cost is O(active × nprobe/nlist × catalog) candidate rows,
+    * never the full catalog per user. */
+  def streamAnnRefresh(stream: DataFrame, history: DataFrame,
+      userVecs: () => DataFrame, itemIndex: () => DataFrame,
+      centroids: () => Array[Array[Float]], k: Int, nprobe: Int,
       put: Iterator[(String, String)] => Unit, streamLogDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream.outputMode("append")
@@ -207,14 +276,11 @@ object RecsTable {
         val b = batch.select(col("user_id"), col("item_id"))
         b.write.mode("append").parquet(streamLogDir)
         val active = b.select(col("user_id")).distinct()
-        val seen = history.select(col("user_id"), col("item_id"))
-          .unionByName(spark.read.parquet(streamLogDir))
-        val q = active.join(userVecs, Seq("user_id"))
-        val recs = graft.sim.Retrieval.topKDot(q, "user_id", "vec",
-            itemVecs, "item_id", "vec", k, seen = Some(seen))
-          .getOrElse(throw new IllegalStateException(
-            "item catalog exceeds the fused-kernel budget; refresh through " +
-              "the ANN index path instead"))
+        val seen = activeSeen(history, spark.read.parquet(streamLogDir), active)
+        val q = active.join(userVecs(), Seq("user_id"))
+        val recs = graft.sim.Retrieval.topKAnn(q, "user_id", "vec",
+          itemIndex(), "item_id", "vec", centroids(), k, nprobe,
+          seen = Some(seen))
         val lists = recLists(recs)
           .select(col("user_id").cast("string").as("user_id"), col("recs"))
         kvSink(lists, put)

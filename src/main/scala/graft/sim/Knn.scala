@@ -18,28 +18,55 @@ import graft.operators.Relational
   */
 object Knn {
 
+  /** The default scoring kernel: the codegen DotF32-composed cosine
+    * (bit-identical to the HOF fold — DotF32Spec — so oracle rows
+    * replaying the HOF arithmetic are unaffected). Held as ONE val so
+    * [[bruteForceTopK]] can recognize it by reference and dispatch the
+    * fused path. */
+  val defaultSim: (Column, Column) => Column = graft.sql.GraftFunctions.cosineF32
+
   /** Exact brute-force top-k by cosine. `queries` must be small (broadcast).
-    * simFn lets callers pick the scoring kernel; the default is the
-    * codegen DotF32-composed cosine (bit-identical to the HOF fold —
-    * DotF32Spec — so oracle rows replaying the HOF arithmetic are
-    * unaffected; pass VectorOps.cosine explicitly for a kernel-free
-    * plan).
+    * simFn lets callers pick the scoring kernel; pass VectorOps.cosine
+    * explicitly for a kernel-free plan.
     *
-    * Scale shape (round-10): the scored stream is |Q|×|C| candidate rows
-    * for a |Q|×k output — exactly TopKAggF's case — so when the id is
-    * integral and the score float/double (both round-trip the aggregate's
-    * long/double state exactly), the cut is the map-side k-bounded heap
-    * and the one exchange carries |Q|×k survivors instead of every
-    * candidate. Row-set is dispatch-invariant (TopKAggSpec/KnnSpec):
-    * since round 11 topKPerGroupBest drops null-score/null-id rows in
-    * BOTH its forms, so a group with fewer than k non-null cosines
-    * (e.g. null embeddings) returns the same shorter row-set whichever
-    * path the types select. Other id/score types keep the (pre-filtered)
-    * window form. */
+    * Scale shape (round-12, verdict task 3): under the default cosine
+    * with integral ids and a catalog inside `fusedCatalogFloatLimit`,
+    * the whole |Q|×|C| candidate stream is FUSED into sim.Retrieval's
+    * broadcast-catalog kernel — candidates never exist as rows, the
+    * self-exclusion is a row-local id test, and the cosine arithmetic is
+    * bit-equal to cosineF32's composition, so the row-set (and the q41 /
+    * q143 oracle hashes) is dispatch-invariant (KnnSpec). Catalogs past
+    * the budget, non-integral ids, or a custom simFn take the unfused
+    * plan below: |Q|×|C| candidate rows through a broadcast nested-loop
+    * join, cut by the map-side k-bounded heap when types allow
+    * (topKPerGroupBest — the one exchange carries |Q|×k survivors), the
+    * (pre-filtered) window form otherwise. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int,
-      simFn: (Column, Column) => Column = graft.sql.GraftFunctions.cosineF32): DataFrame = {
+      simFn: (Column, Column) => Column = defaultSim,
+      fusedCatalogFloatLimit: Long = 64000000L): DataFrame = {
     graft.sql.GraftFunctions.register(queries.sparkSession)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = candidates.schema(idCol).dataType
+    val integralIds = Seq(queries.schema(idCol).dataType, idType).forall {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if ((simFn eq defaultSim) && integralIds && fusedCatalogFloatLimit > 0) {
+      val fused = Retrieval.topKDot(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
+        "query_id", "__qv",
+        candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        "neighbor_id", "__cv", k,
+        catalogFloatLimit = fusedCatalogFloatLimit,
+        cosine = true, excludeSelf = true)
+      fused match {
+        case Some(r) => return r.select(col("query_id"),
+          col("neighbor_id").cast(idType).as("neighbor_id"),
+          col("score").as("cos"), col("rk"))
+        case None => () // catalog past the budget — unfused plan below
+      }
+    }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))

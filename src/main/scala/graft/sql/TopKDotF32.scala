@@ -1,5 +1,7 @@
 package graft.sql
 
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -8,10 +10,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
 
 /** Fused brute-force top-k retrieval against a held item catalog: for one
   * user/query vector, score EVERY catalog item with the DotF32 dot product
-  * (identical float-product/double-sum arithmetic — bit-equal scores),
-  * skip ids present in the row's `seen` array, and return the k best
-  * (score desc, item_id asc) as array<struct<item_id,score>> best-first
-  * (reference analog: the serving-side user·item ranking,
+  * (identical float-product/double-sum arithmetic — bit-equal scores), or
+  * with the cosineF32 composition when `cosine` is set (dot / (‖q‖·‖c‖),
+  * same sqrt/multiply/divide association — bit-equal to the unfused
+  * cosine), skip ids present in the row's `seen` array, and return the k
+  * best (score desc, item_id asc) as array<struct<item_id,score>>
+  * best-first (reference analog: the serving-side user·item ranking,
   * my_merlin_flow.py:536-556 / pred_inspector.py:103-108).
   *
   * This collapses the serving plan `users crossJoin broadcast(items) →
@@ -23,52 +27,44 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * the row's own bounded history, and the only exchange in the whole plan
   * is the small seen-set aggregation. Same (score desc, id asc) order and
   * Double.compare total order as sql.TopKAggF, so output is row-identical
-  * to the unfused plan (spec-pinned in TwoTowerSpec).
+  * to the unfused plan (spec-pinned in TwoTowerSpec/KnnSpec).
   *
-  * The catalog rides as ONE flattened float[] reference object (data, not
-  * code — the IvfProbeF32 pattern): generated code is a fixed call, plan
-  * size is O(1) in catalog size, and whole-stage codegen never falls
-  * back. The matrix is serialized once per stage into the task binary —
-  * the same bytes the unfused plan ships as its item-vector broadcast.
-  * Catalogs past the caller's float budget (TwoTower.recommend guards at
-  * ~64M floats ≈ 256 MB) belong to the ANN stack (IVF/PQ), not this
-  * kernel.
+  * The catalog ships as a [[TopKDotF32.FlatCatalog]] — ids sorted
+  * ascending, vectors flattened row-major, per-row norms precomputed when
+  * cosine-scored — behind a `sparkContext.broadcast` HANDLE (round-12
+  * advice): executors store the matrix ONCE in their block manager and
+  * every task reads the same copy, unlike the previous
+  * reference-object form, which deserialized a private copy per running
+  * task from the task binary and then flattened a second copy per
+  * instance (~2× catalog bytes × concurrent tasks). The expression itself
+  * serializes to a few bytes; plan size stays O(1) in catalog size and
+  * whole-stage codegen never falls back. The broadcast is reclaimed by
+  * the ContextCleaner once the plan holding the handle is garbage —
+  * callers that cache catalogs across queries manage their own handle
+  * (sim.Retrieval.CatalogCache). Catalogs past the caller's float budget
+  * (TwoTower.recommend guards at ~64M floats ≈ 256 MB) belong to the ANN
+  * stack (IVF/IVFADC), not this kernel.
   *
   * Inputs: left = query vector array<float>; right = seen ids array<long>
   * (callers coalesce a missing history to the empty array — a NULL seen
   * set nulls the whole row out under BinaryExpression semantics, which
-  * recommend's posexplode then drops).
+  * the callers' posexplode then drops).
   */
 case class TopKDotF32(left: Expression, right: Expression,
-    itemIds: Array[Long], items: Array[Array[Float]], k: Int)
+    catalog: Broadcast[TopKDotF32.FlatCatalog], k: Int, cosine: Boolean)
     extends BinaryExpression {
 
-  require(itemIds.length == items.length,
-    s"ids (${itemIds.length}) and vectors (${items.length}) must align")
-  require(itemIds.nonEmpty, "TopKDotF32 requires a non-empty catalog")
   require(k >= 1, s"k must be >= 1, got $k")
 
-  private val n = itemIds.length
-  private val dim = items(0).length
+  // Read once driver-side at construction (the broadcast value is local
+  // there); serialized as plain ints so executor copies and toString never
+  // touch catalog.value for metadata.
+  private val n = catalog.value.n
+  private val dim = catalog.value.dim
+  require(n > 0, "TopKDotF32 requires a non-empty catalog")
+  require(!cosine || catalog.value.norms != null,
+    "cosine scoring needs a FlatCatalog flattened with cosine=true")
   private val kept = math.min(k, n)
-
-  /** Catalog flattened row-major, visited in id-ascending order (equal
-    * scores then admit the smaller id first; the insertion comparator
-    * enforces the same order regardless). Rebuilt per-JVM after
-    * serialization. */
-  @transient private lazy val (sortedIds: Array[Long], flat: Array[Float]) = {
-    val order = itemIds.indices.sortBy(itemIds(_)).toArray
-    val ids = new Array[Long](n)
-    val f = new Array[Float](n * dim)
-    var i = 0
-    while (i < n) {
-      val src = order(i)
-      ids(i) = itemIds(src)
-      System.arraycopy(items(src), 0, f, i * dim, math.min(items(src).length, dim))
-      i += 1
-    }
-    (ids, f)
-  }
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -88,34 +84,44 @@ case class TopKDotF32(left: Expression, right: Expression,
 
   // O(catalog) toString would undo the plan-size win in explain output.
   override def toString: String =
-    s"$prettyName($left, $right, n=$n, dim=$dim, k=$k)"
+    s"$prettyName($left, $right, bcast=${catalog.id}, n=$n, dim=$dim, k=$k" +
+      (if (cosine) ", cosine" else "") + ")"
 
-  // Content-based equality: Array fields compare by reference in case-class
-  // equals, which would defeat Catalyst CSE across the posexplode's
-  // generator references to the same kernel.
+  // Identity = the broadcast id (one broadcast per published catalog), so
+  // Catalyst CSE across the caller's posexplode references stays cheap:
+  // no O(catalog) content hash per canonicalization pass (round-12
+  // advice — the content-based form made planning cost scale with
+  // catalog size).
   override def equals(o: Any): Boolean = o match {
     case that: TopKDotF32 =>
       left == that.left && right == that.right && k == that.k &&
-        java.util.Arrays.equals(itemIds, that.itemIds) &&
-        items.length == that.items.length &&
-        items.indices.forall(i => java.util.Arrays.equals(items(i), that.items(i)))
+        cosine == that.cosine && catalog.id == that.catalog.id
     case _ => false
   }
 
-  override def hashCode: Int = {
-    var h = (left.hashCode * 31 + right.hashCode) * 31 + k
-    h = h * 31 + java.util.Arrays.hashCode(itemIds)
-    var i = 0
-    while (i < items.length) { h = h * 31 + java.util.Arrays.hashCode(items(i)); i += 1 }
-    h
-  }
+  override def hashCode: Int =
+    ((left.hashCode * 31 + right.hashCode) * 31 + k) * 31 +
+      java.lang.Long.hashCode(catalog.id) + (if (cosine) 1 else 0)
 
   /** Shared by eval and generated code (via reference object). */
   def topk(v: ArrayData, seen: ArrayData): ArrayData = {
+    val cat = catalog.value
+    val sortedIds = cat.ids
+    val flat = cat.flat
+    val norms = cat.norms
     val vn = math.min(v.numElements(), dim)
     val va = new Array[Float](vn)
     var j = 0
     while (j < vn) { va(j) = v.getFloat(j); j += 1 }
+    // query norm once per row, same association as cosineF32's
+    // sqrt(dotF32(a, a)) — float products summed as double, then sqrt
+    var qNorm = 0.0
+    if (cosine) {
+      var qq = 0.0
+      var i = 0
+      while (i < vn) { qq += va(i).toDouble * va(i).toDouble; i += 1 }
+      qNorm = math.sqrt(qq)
+    }
     // the row's own history, sorted once for binary-search membership
     val s = seen.toLongArray()
     java.util.Arrays.sort(s)
@@ -130,6 +136,8 @@ case class TopKDotF32(left: Expression, right: Expression,
         var i = 0
         val base = c * dim
         while (i < vn) { acc += va(i).toDouble * flat(base + i).toDouble; i += 1 }
+        // cosineF32 association: dot / (sqrt(q·q) * sqrt(c·c))
+        if (cosine) acc = acc / (qNorm * norms(c))
         // admit iff (acc, id) ranks strictly above the worst kept entry
         // under (score desc, id asc); Double.compare = Spark total order
         if (filled < kept || {
@@ -171,8 +179,67 @@ case class TopKDotF32(left: Expression, right: Expression,
 
 object TopKDotF32 {
 
-  /** Registry-style builder: ids, vectors, and k must be foldable (typedLit
-    * arrays and a lit int). */
+  /** The broadcast payload: catalog ids ASCENDING (equal scores admit the
+    * smaller id first; the kernel's insertion comparator enforces the
+    * order regardless — ascending visit just makes ties cheap), vectors
+    * flattened row-major in the same order, and — when built for cosine
+    * scoring — per-row L2 norms with DotF32's exact association
+    * (sqrt of float products summed as double). */
+  final class FlatCatalog(val ids: Array[Long], val flat: Array[Float],
+      val norms: Array[Double], val dim: Int) extends Serializable {
+    def n: Int = ids.length
+    def floats: Long = flat.length.toLong
+  }
+
+  /** Flatten (ids, vectors) into the broadcast payload. Rows whose vector
+    * is shorter than `dim` are zero-padded (DotF32 semantics: the fold
+    * runs over min(len, dim) terms). Done ONCE, driver-side, BEFORE the
+    * broadcast — executors never re-flatten (round-12 advice). */
+  def flatten(ids: Array[Long], vecs: Array[Array[Float]],
+      cosine: Boolean): FlatCatalog = {
+    require(ids.length == vecs.length,
+      s"ids (${ids.length}) and vectors (${vecs.length}) must align")
+    require(ids.nonEmpty, "empty catalog")
+    val n = ids.length
+    val dim = vecs(0).length
+    val order = ids.indices.sortBy(ids(_)).toArray
+    val sorted = new Array[Long](n)
+    val flat = new Array[Float](n * dim)
+    val norms = if (cosine) new Array[Double](n) else null
+    var i = 0
+    while (i < n) {
+      val src = order(i)
+      sorted(i) = ids(src)
+      val v = vecs(src)
+      val m = math.min(v.length, dim)
+      System.arraycopy(v, 0, flat, i * dim, m)
+      if (cosine) {
+        var cc = 0.0
+        var j = 0
+        while (j < m) { cc += v(j).toDouble * v(j).toDouble; j += 1 }
+        norms(i) = math.sqrt(cc)
+      }
+      i += 1
+    }
+    new FlatCatalog(sorted, flat, norms, dim)
+  }
+
+  /** Column builder over a published (broadcast) catalog — the form every
+    * caller with a SparkContext should use; the catalog is stored once
+    * per executor. */
+  def fused(vec: Column, seen: Column, catalog: Broadcast[FlatCatalog],
+      k: Int, cosine: Boolean = false): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      TopKDotF32(
+        org.apache.spark.sql.graft.ColumnBridge.expression(vec),
+        org.apache.spark.sql.graft.ColumnBridge.expression(seen),
+        catalog, k, cosine))
+
+  /** Registry-style builder (the SQL surface `graft_topk_dot_f32`): ids,
+    * vectors, and k must be foldable (typedLit arrays and a lit int).
+    * Broadcasts the flattened catalog through the active session — same
+    * executor-shared storage as [[fused]]; the literal children are
+    * discarded after this resolution-time eval. */
   def fromExprs(vec: Expression, seen: Expression, idsExpr: Expression,
       itemsExpr: Expression, kExpr: Expression): TopKDotF32 = {
     require(idsExpr.foldable && itemsExpr.foldable && kExpr.foldable,
@@ -180,6 +247,8 @@ object TopKDotF32 {
     val ids = idsExpr.eval().asInstanceOf[ArrayData].toLongArray()
     val rows = itemsExpr.eval().asInstanceOf[ArrayData]
     val m = (0 until rows.numElements()).map(i => rows.getArray(i).toFloatArray()).toArray
-    TopKDotF32(vec, seen, ids, m, kExpr.eval().asInstanceOf[Int])
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext
+      .broadcast(flatten(ids, m, cosine = false))
+    TopKDotF32(vec, seen, bc, kExpr.eval().asInstanceOf[Int], cosine = false)
   }
 }

@@ -123,6 +123,107 @@ class RecsTableSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamDenseRefresh collects the catalog once per model generation (round-12)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    InMemoryKv.store.clear()
+    val itemVecsA = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(0.5f, 0.5f)))
+      .toDF("item_id", "vec")
+    // hot-swap generation: item 3 re-embedded to dominate dim 1
+    val itemVecsB = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(2f, 0f)))
+      .toDF("item_id", "vec")
+    val userVecs = Seq((1L, Seq(1f, 0.1f))).toDF("user_id", "vec")
+    val history = Seq((9L, 1L)).toDF("user_id", "item_id")
+    @volatile var current = itemVecsA
+    val cache = new graft.sim.Retrieval.CatalogCache(() => current,
+      "item_id", "vec")
+    val in = MemoryStream[(Long, Long)]
+    val logDir = java.nio.file.Files.createTempDirectory("graft_cachelog").toString
+    val q = RecsTable.streamDenseRefresh(
+      in.toDF().toDF("user_id", "item_id"), history, () => userVecs, cache,
+      k = 1, InMemoryKv.putBatch, s"$logDir/log")
+    try {
+      in.addData((1L, 99L)); q.processAllAvailable()
+      in.addData((1L, 98L)); q.processAllAvailable()
+      in.addData((1L, 97L)); q.processAllAvailable()
+      assert(cache.collects == 1,
+        s"stable model collected ${cache.collects}x over 3 batches")
+      assert(InMemoryKv.store.get("1") == "[\"1\"]",
+        s"payload ${InMemoryKv.store.get("1")}")
+      current = itemVecsB // hot-swap: next batch must re-collect and re-rank
+      in.addData((1L, 96L)); q.processAllAvailable()
+      assert(cache.collects == 2, "hot-swap did not re-collect")
+      assert(InMemoryKv.store.get("1") == "[\"3\"]",
+        s"payload after swap ${InMemoryKv.store.get("1")}")
+    } finally q.stop()
+  }
+
+  test("per-batch seen set semi-prunes BOTH legs below the union (round-12)") {
+    val history = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("user_id", "item_id")
+    val log = Seq((1L, 4L), (4L, 5L)).toDF("user_id", "item_id")
+    val active = Seq(Tuple1(1L)).toDF("user_id")
+    val seen = RecsTable.activeSeen(history, log, active)
+    // semantics: only the active user's rows survive, from both legs
+    assert(seen.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 1L), (1L, 4L)))
+    // plan: the optimized plan's Union must sit ABOVE the two semi-joins
+    // (each leg pruned before the union reads it — O(active × history)
+    // I/O per batch, not O(log))
+    val plan = seen.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Union}
+    val unions = plan.collect { case u: Union => u }
+    assert(unions.nonEmpty, s"no Union in:\n$plan")
+    val semisBelowUnion = unions.head.children.flatMap(_.collect {
+      case j: Join if j.joinType.sql == "LEFT SEMI" => j
+    })
+    assert(semisBelowUnion.size == 2,
+      s"expected a semi-join under EACH union leg, got ${semisBelowUnion.size} in:\n$plan")
+  }
+
+  test("streamAnnRefresh serves the recs contract through the IVF index (round-12)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    InMemoryKv.store.clear()
+    // same fixture as the dense test so the expected lists match it:
+    // with nprobe = nlist the ANN leg is exhaustive
+    val itemVecs = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1f, 0f)), (4L, Seq(0f, 0f, 0f, 1f)))
+      .toDF("item_id", "vec")
+    val userVecs = Seq(
+      (1L, Seq(0.9f, 0.7f, 0.5f, 0.3f)),
+      (2L, Seq(0.3f, 0.5f, 0.7f, 0.9f)))
+      .toDF("user_id", "vec")
+    val history = Seq((1L, 1L)).toDF("user_id", "item_id")
+    val cents = graft.sim.Ivf.fitCentroids(itemVecs, "item_id", "vec",
+      nlist = 2, iters = 2)
+    val index = graft.sim.Retrieval.annIndex(itemVecs, "item_id", "vec", cents)
+      .localCheckpoint()
+    val in = MemoryStream[(Long, Long)]
+    val logDir = java.nio.file.Files.createTempDirectory("graft_annlog").toString
+    val q = RecsTable.streamAnnRefresh(
+      in.toDF().toDF("user_id", "item_id"), history, () => userVecs,
+      () => index, () => cents, k = 2, nprobe = 2,
+      InMemoryKv.putBatch, s"$logDir/log")
+    try {
+      in.addData((1L, 4L))
+      q.processAllAvailable()
+      assert(InMemoryKv.store.containsKey("1"), "active user refreshed")
+      assert(!InMemoryKv.store.containsKey("2"), "inactive user NOT recomputed")
+      assert(InMemoryKv.store.get("1") == "[\"2\",\"3\"]",
+        s"payload ${InMemoryKv.store.get("1")}")
+      in.addData((2L, 4L), (1L, 2L))
+      q.processAllAvailable()
+      assert(InMemoryKv.store.get("2") == "[\"3\",\"2\"]",
+        s"payload ${InMemoryKv.store.get("2")}")
+      // cross-batch memory holds through the ANN leg too
+      assert(InMemoryKv.store.get("1") == "[\"3\"]",
+        s"payload ${InMemoryKv.store.get("1")}")
+    } finally q.stop()
+  }
+
   test("streamTopKServe maintains per-user top-k KV state across micro-batches (round-11)") {
     // round-10 verdict task 7: the StreamingTopKSpec heap composed with
     // the serving contract — cross-batch displacement must reach the KV

@@ -77,4 +77,103 @@ class RetrievalSpec extends SparkSpecBase {
     assert(fused.rdd.getNumPartitions > 1,
       s"scoring stage collapsed to ${fused.rdd.getNumPartitions} partition(s)")
   }
+
+  test("null catalog ids / vectors are filtered, not NPE'd (round-12 advice)") {
+    val dirty = catalog.select($"item_id", $"cv")
+      .unionByName(catalog.limit(1)
+        .select(lit(200L).as("item_id"),
+          lit(null).cast("array<float>").as("cv")))
+      .unionByName(catalog.limit(1)
+        .select(lit(null).cast("long").as("item_id"), $"cv"))
+    val fused = Retrieval.topKDot(queries, "q_id", "qv",
+      dirty, "item_id", "cv", 5).get
+    val clean = Retrieval.topKDot(queries, "q_id", "qv",
+      catalog, "item_id", "cv", 5).get
+    assert(fused.exceptAll(clean).isEmpty && clean.exceptAll(fused).isEmpty,
+      "null catalog rows changed the result instead of being dropped")
+  }
+
+  test("CatalogCache collects once per model generation and re-collects on hot-swap") {
+    val gen1 = catalog
+    val gen2 = catalog.limit(60)
+    var current = gen1
+    val cache = new Retrieval.CatalogCache(() => current, "item_id", "cv")
+    val b1 = cache.get().get
+    val b2 = cache.get().get
+    val b3 = cache.get().get
+    assert(cache.collects == 1, s"stable model re-collected (${cache.collects})")
+    assert((b1 eq b2) && (b2 eq b3), "stable model handed out a new broadcast")
+    current = gen2 // hot-swap: the supplier returns a NEW frame
+    val b4 = cache.get().get
+    assert(cache.collects == 2, "hot-swap did not re-collect")
+    assert(!(b4 eq b1) && b4.value.n == 60)
+  }
+
+  // --- the ANN-served leg (round-11 verdict task 2) --------------------
+
+  private def centroidsFor(nlist: Int) =
+    Ivf.fitCentroids(catalog, "item_id", "cv", nlist, iters = 2)
+
+  test("topKAnn with nprobe = nlist reproduces the dense kernel's rows exactly") {
+    val cents = centroidsFor(4)
+    val index = Retrieval.annIndex(catalog, "item_id", "cv", cents)
+    val ann = Retrieval.topKAnn(queries, "q_id", "qv", index, "item_id",
+      "cv", cents, k = 5, nprobe = 4, seen = Some(seen))
+    val dense = Retrieval.topKDot(queries, "q_id", "qv",
+      catalog, "item_id", "cv", 5, seen = Some(seen)).get
+    assert(ann.exceptAll(dense).isEmpty && dense.exceptAll(ann).isEmpty,
+      "full-probe ANN diverged from the exact kernel")
+  }
+
+  test("topKAnn at nprobe < nlist holds a recall floor vs the exact kernel") {
+    val cents = centroidsFor(8)
+    val index = Retrieval.annIndex(catalog, "item_id", "cv", cents)
+    val ann = Retrieval.topKAnn(queries, "q_id", "qv", index, "item_id",
+        "cv", cents, k = 5, nprobe = 4)
+      .select($"q_id", $"item_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = Retrieval.topKDot(queries, "q_id", "qv",
+        catalog, "item_id", "cv", 5).get
+      .select($"q_id", $"item_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recalls = exact.map { case (q, ids) =>
+      ids.intersect(ann.getOrElse(q, Set.empty)).size.toDouble / ids.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, f"recall@5 vs exact = $mean%.2f < 0.5 at nprobe=nlist/2")
+  }
+
+  test("topKAnnPq reranks exactly: returned scores equal full-width dots") {
+    val model = IvfPq.fit(catalog, "item_id", "cv", nlist = 4, m = 4, k = 16,
+      iters = 2)
+    val encoded = IvfPq.index(catalog, "item_id", "cv", model)
+    val out = Retrieval.topKAnnPq(queries, "q_id", "qv", encoded, "item_id",
+      model, catalog, "cv", k = 3, nprobe = 4, overfetch = 4,
+      seen = Some(seen))
+    // every returned score must be the EXACT dot of the full-width pair —
+    // quantization may pick the longlist but never the emitted score
+    graft.sql.GraftFunctions.register(spark)
+    val joined = out
+      .join(queries.select($"q_id", $"qv"), Seq("q_id"))
+      .join(catalog.select($"item_id", $"cv"), Seq("item_id"))
+      .select($"score",
+        graft.sql.GraftFunctions.dotF32($"qv".cast("array<float>"),
+          $"cv".cast("array<float>")).as("exact"))
+      .collect()
+    assert(joined.nonEmpty && joined.forall(r => r.getDouble(0) == r.getDouble(1)),
+      "an ADC score leaked into the reranked output")
+    // seen exclusion holds through the coded path
+    val viol = out.join(seen, Seq("q_id", "item_id"), "left_semi").count()
+    assert(viol == 0, s"$viol seen pairs in the ANN output")
+    // and the reranked set holds a recall floor vs exact
+    val annSets = out.select($"q_id", $"item_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = Retrieval.topKDot(queries, "q_id", "qv",
+        catalog, "item_id", "cv", 3, seen = Some(seen)).get
+      .select($"q_id", $"item_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recalls = exact.map { case (q, ids) =>
+      ids.intersect(annSets.getOrElse(q, Set.empty)).size.toDouble / ids.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, f"IVFADC recall@3 vs exact = $mean%.2f < 0.5")
+  }
 }

@@ -26,18 +26,20 @@ SCALE_TMPL = """# SCALE (synthetic)
 
 
 def run_case(name, actual, drift, expect_exit, expect_substr=None,
-             floor=None):
+             floor=None, probes=None):
     with tempfile.TemporaryDirectory() as d:
         with open(os.path.join(d, "SCALE.md"), "w") as f:
             f.write(SCALE_TMPL)
+        # default probes read exactly the reference medians -> factor 1.0,
+        # so the normalized ratio IS the raw ratio and each case isolates
+        # one gate; pass probes=(start, mid, end) to exercise the
+        # per-position band
+        s, m, e = probes if probes else (1.0, 1.0, 1.0)
         art = {
             "queries": {"q01_test": actual},
-            # probes read exactly the reference medians -> factor 1.0,
-            # so the normalized ratio IS the raw ratio and each case
-            # isolates one gate
-            "calibration": {"start": 1.0, "mid": 1.0, "end": 1.0,
+            "calibration": {"start": s, "mid": m, "end": e,
                             "drift_x": drift},
-            "shuffle_cal": {"start": 1.0, "mid": 1.0, "end": 1.0,
+            "shuffle_cal": {"start": s, "mid": m, "end": e,
                             "drift_x": drift},
         }
         if floor is not None:
@@ -81,6 +83,22 @@ def main():
         # floor present but ALSO out of band (real regression): fail
         run_case("out-of-band floor -> still FAIL", 30.0, 1.0, 1, "FAIL",
                  floor=22.0),
+        # round-12 (verdict task 1): the box drifted 1.4x mid-run
+        # (below the WARN hatch) and the query read 16.5s — 1.65x the
+        # run-START speed but within 1.5x of the MID/END speed the
+        # probes recorded; the per-position band passes it (the r11
+        # q155/q156/q165 regime)
+        run_case("mid-run slowdown inside the probe band -> pass",
+                 16.5, 1.4, 0, probes=(1.0, 1.4, 1.4)),
+        # same probes, 25.0s (2.5x raw, outside even the end-position
+        # band's 1.5x): still convicted
+        run_case("gap past the probe band -> FAIL", 25.0, 1.4, 1, "FAIL",
+                 probes=(1.0, 1.4, 1.4)),
+        # round-12 advice: an in-band floor (one fast rep) no longer
+        # exempts a median past MED_HARD (4x) — the sometimes-slow
+        # regression regime
+        run_case("4x+ median with an in-band floor -> FAIL", 45.0, 1.0, 1,
+                 "FAIL", floor=10.5),
     ]
     if all(results):
         print(f"all {len(results)} lint cases behave")
