@@ -42,14 +42,21 @@ object BitextMine {
   def mine(src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
       k: Int = 4, minMargin: Double = Double.NegativeInfinity): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    // Materialize both sides ONCE (round 12): each side's lineage (for
+    // q143, a documents⋈embeddings join) is otherwise re-executed by the
+    // two k-NN legs, the k-NN dispatch's bounded query-count probe, and
+    // the meanK joins — six replays of the same upstream plan. The
+    // materialized frames are |side| × (id, vec) rows, corpus-bounded.
+    val s = src.select(col(idCol), col(vecCol)).localCheckpoint()
+    val t = tgt.select(col(idCol), col(vecCol)).localCheckpoint()
     // fwd feeds TWO consumers (the meanK aggregate and the margin join).
     // Its output is k-bounded (|src| × k rows), so materialize it ONCE:
     // when the k-NN leg dispatches to the fused kernel (round 12) the
     // expensive Generate sits ABOVE the plan's only exchange and would
     // otherwise re-execute per consumer (the lshTopK convention). bwd has
     // one consumer and stays lazy.
-    val fwd = Knn.bruteForceTopK(src, tgt, idCol, vecCol, k).localCheckpoint()
-    val bwd = Knn.bruteForceTopK(tgt, src, idCol, vecCol, k)
+    val fwd = Knn.bruteForceTopK(s, t, idCol, vecCol, k).localCheckpoint()
+    val bwd = Knn.bruteForceTopK(t, s, idCol, vecCol, k)
     val mSrc = fwd.groupBy(col("query_id")).agg(dmean(col("cos")).as("m_src"))
     val mTgt = bwd.groupBy(col("query_id")).agg(dmean(col("cos")).as("m_tgt"))
       .withColumnRenamed("query_id", "neighbor_id")

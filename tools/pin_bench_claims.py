@@ -38,7 +38,24 @@ CANDIDATES = [
     # round-10 additions: the TopKAggF-routed exact-KNN shapes + the
     # native aggregate's own entry
     "q41_knn_exact", "q143_bitext_margin", "q178_topk_agg",
+    # round-12 additions: the fit-once two-tower serving forms (verdict
+    # task 8 — the fused dense kernel and the ANN leg on the same model)
+    "q63ts_twotower_served", "q63ta_twotower_ann",
 ]
+
+# Evidence-widened pins (round 12, verdict task 1): queries whose DRIVER
+# readings repeatedly sit above the local A/B geomean because of box
+# phases the probes under-represent. The pin is the geomean of (local
+# floor geomean, driver floor / end-position factor) — see SCALE.md's
+# round-12 reconciliation note — and a fresh A/B pair must not SHRINK it
+# back into the band edge the driver already contradicted. The low side
+# stays safe: the lint's floor substitution + per-position band keep a
+# fast local run inside tolerance down to pin/1.5 at factor 1.0.
+OVERRIDES = {
+    "q155_triangles": 8.10,
+    "q156_kcore": 1.75,
+    "q165_random_walks": 7.80,
+}
 
 
 def geomean(xs):
@@ -80,10 +97,12 @@ def main(a_path, b_path, driver_path):
             dropped.append((q, "errored in a local run"))
             continue
         spread = max(a, b) / min(a, b)
-        if spread > MARGIN:
+        if spread > MARGIN and q not in OVERRIDES:
+            # an OVERRIDES row is pinned from pooled multi-run evidence,
+            # not this pair — one noisy leg must not silently drop it
             dropped.append((q, f"A/B spread {spread:.2f}x > {MARGIN}"))
             continue
-        claim = geomean([a, b])
+        claim = max(geomean([a, b]), OVERRIDES.get(q, 0.0))
         if q in qd and qd[q] > 0:
             pred = qd[q] / (claim * factor_d)
             if pred > MARGIN or pred < 1 / MARGIN:
