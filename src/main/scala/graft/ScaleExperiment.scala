@@ -146,7 +146,13 @@ object ScaleExperiment {
       val evalUsers = te.select(col("user_id")).distinct()
         .filter(pmod(col("user_id"), lit(7)) === 0).localCheckpoint()
       val seen = tr.select(col("user_id"), col("item_id"))
-      for (rep <- 1 to 2; fused <- Seq(false, true)) {
+      // "r11fused_fast" re-measures only the fused legs (the unfused
+      // baseline is already pinned in SCALE.md; round 12 re-confirms the
+      // broadcast-catalog kernel form without re-paying the 6-minute
+      // candidate blowup)
+      val variants =
+        if (only.contains("fast")) Seq(true) else Seq(false, true)
+      for (rep <- 1 to 2; fused <- variants) {
         val t0 = System.nanoTime()
         TwoTower.recommend(model, evalUsers, 10, excludeSeen = Some(seen),
             fusedCatalogFloatLimit = if (fused) 64000000L else 0L)

@@ -103,10 +103,14 @@ def main(a_path, b_path, driver_path):
             dropped.append((q, f"A/B spread {spread:.2f}x > {MARGIN}"))
             continue
         claim = max(geomean([a, b]), OVERRIDES.get(q, 0.0))
-        if q in qd and qd[q] > 0:
+        if q in qd and qd[q] > 0 and q not in OVERRIDES:
+            # OVERRIDES rows already pooled the driver signal into their
+            # pin (driver floor / end-position factor — SCALE.md round-12
+            # note); this single-median-factor prediction is stricter than
+            # the lint's per-position band and must not re-drop them
             pred = qd[q] / (claim * factor_d)
             if pred > MARGIN or pred < 1 / MARGIN:
-                dropped.append((q, f"driver r07 ratio {pred:.2f}x after "
+                dropped.append((q, f"driver ratio {pred:.2f}x after "
                                    f"factor {factor_d:.2f}"))
                 continue
         kept.append((q, claim))
