@@ -262,6 +262,28 @@ object VectorQueries {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // The ANN-served retrieval leg end-to-end (sim.Retrieval.topKAnn,
+    // round 12): 48 query vectors probe their 2 nearest of 16 synthetic
+    // cells, score ONLY those cells' rows with the raw DotF32 dot, and
+    // exclude a deterministic (q+c)%11 "seen" set row-locally — q180's
+    // serving contract through the IVF index instead of the dense
+    // kernel. The oracle replays cell assignment (exact-double argmin,
+    // ties → lower cid, the q47 technique), the probe set, the seen
+    // predicate, and the (score desc, id asc) ranking.
+    "q181_ann_retrieval" -> { (s, d) =>
+      val emb = table(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 48)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val seen = queries.select(col("q_id"))
+        .crossJoin(emb.select(col("vec_id")))
+        .filter((col("q_id") + col("vec_id")) % 11 === 0)
+      val index = graft.sim.Retrieval.annIndex(emb, "vec_id", "embedding",
+        ivfCentroids)
+      graft.sim.Retrieval.topKAnn(queries, "q_id", "qv", index, "vec_id",
+          "embedding", ivfCentroids, k = 5, nprobe = 2, seen = Some(seen))
+        .orderBy(col("q_id"), col("rk"))
+    },
+
     // Multi-table SRP-LSH ANN top-5 — fully oracle-checked: the ±1
     // hyperplane coefficients are plan-time constants embedded in BOTH the
     // Spark plan and the DuckDB oracle SQL, so the bucketing (and thus the
@@ -481,6 +503,35 @@ object VectorQueries {
             FROM scored)
           SELECT q_id, rk, vec_id, score FROM ranked WHERE rk <= 5
           ORDER BY q_id, rk""",
+    "q181_ann_retrieval" -> {
+      val cvals = ivfCentroids.zipWithIndex.map { case (cv, i) =>
+        s"($i, ${cv.map(_.toDouble.toString).mkString("[", ", ", "]")})"
+      }.mkString(",\n              ")
+      s"""WITH c(cid, cv) AS (VALUES
+              $cvals),
+          dist AS (SELECT e.vec_id, c.cid,
+              CAST(list_sum(list_transform(c.cv, x -> x * x)) AS DOUBLE)
+                - 2 * ${dot("e.embedding", "c.cv")} AS dd
+            FROM embeddings e CROSS JOIN c),
+          rankedc AS (SELECT vec_id, cid,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cid) rn FROM dist),
+          assigned AS (SELECT vec_id, cid FROM rankedc WHERE rn = 1),
+          probes AS (SELECT vec_id q_id, cid FROM rankedc
+            WHERE rn <= 2 AND vec_id < 48),
+          cand AS (SELECT p.q_id, a.vec_id
+            FROM probes p JOIN assigned a USING (cid)
+            WHERE (p.q_id + a.vec_id) % 11 <> 0),
+          scored AS (SELECT cand.q_id, cand.vec_id,
+              ${dot("qe.embedding", "ne.embedding")} AS score
+            FROM cand JOIN embeddings qe ON qe.vec_id = cand.q_id
+                      JOIN embeddings ne ON ne.vec_id = cand.vec_id),
+          ranked AS (SELECT q_id, vec_id, score,
+              CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY score DESC, vec_id) AS INT) AS rk
+            FROM scored)
+          SELECT q_id, rk, vec_id, score FROM ranked WHERE rk <= 5
+          ORDER BY q_id, rk"""
+    },
     "q41_knn_exact" ->
       s"""WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 32),
           scored AS (

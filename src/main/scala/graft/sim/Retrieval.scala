@@ -159,28 +159,85 @@ object Retrieval {
   // catalog never rides the plan or a broadcast.
   // ------------------------------------------------------------------
 
+  /** Collect + group + broadcast a cell-assigned index (id, cid, vec)
+    * into the fused IVF kernel's payload (sql.TopKDotIvfF32.CellCatalog).
+    * None = over the float budget or empty — past that seam the join
+    * plan of [[topKAnn]] is the only option. */
+  def publishCellCatalog(index: DataFrame, cId: String, cVec: String,
+      centroids: Array[Array[Float]],
+      indexFloatLimit: Long = 64000000L)
+      : Option[Broadcast[graft.sql.TopKDotIvfF32.CellCatalog]] = {
+    if (indexFloatLimit <= 0 || centroids.isEmpty) return None
+    val dim = centroids(0).length
+    if (dim <= 0) return None
+    val maxRows = math.min(indexFloatLimit / dim, (Int.MaxValue - 1).toLong).toInt
+    val rows = index
+      .select(col(cId).cast("long").as("__id"), col("cid").cast("int").as("__c"),
+        col(cVec).cast("array<float>").as("__v"))
+      .filter(col("__id").isNotNull && col("__c").isNotNull && col("__v").isNotNull)
+      .limit(maxRows + 1).collect()
+    if (rows.length > maxRows || rows.isEmpty) return None
+    Some(index.sparkSession.sparkContext.broadcast(
+      graft.sql.TopKDotIvfF32.group(
+        rows.map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray)),
+        centroids)))
+  }
+
+  /** The fused IVF plan against an already-published cell catalog: probe
+    * selection, probed-cell scan, seen exclusion and the k-heap all in
+    * ONE expression eval per query — candidates never exist as rows
+    * (see sql.TopKDotIvfF32; row-identical to the join plan). */
+  def topKAnnWith(queries: DataFrame, qId: String, qVec: String,
+      catalog: Broadcast[graft.sql.TopKDotIvfF32.CellCatalog], k: Int,
+      nprobe: Int, seen: Option[DataFrame] = None,
+      seenIdCol: String = "item_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = withSeen(queries, qId, seen, seenIdCol)
+    val slices = base.sparkSession.sparkContext.defaultParallelism
+    base.repartition(slices)
+      .select(col(qId), posexplode(
+        graft.sql.TopKDotIvfF32.fused(col(qVec).cast("array<float>"),
+          coalesce(col("__seen"), typedLit(Seq.empty[Long])), catalog, k,
+          nprobe)))
+      .select(col(qId), (col("pos") + 1).cast("int").as("rk"),
+        col("col.item_id").as(seenIdCol), col("col.score").as("score"))
+  }
+
   /** IVF-probed top-k with EXACT in-cell scoring: the mid-scale ANN form
-    * (full-width vectors kept, storage uncompressed). Plan: one codegen
-    * probe expression per query row (O(1) plan size in nlist), explode to
-    * (query, cid), ONE equi-join on cid against the cell-assigned catalog
-    * — at 100 TB the index side is written `partitionBy("cid")`/bucketed
-    * so the join reads only probed cells and ships no catalog shuffle —
-    * then DotF32 scores and the map-side k-bounded heap cuts candidates
-    * to queries × k before the final exchange. Seen ids are excluded
-    * row-locally (the seen array rides each candidate row's query side —
-    * bounded history, no (query, item) anti-join shuffle). Recall is
-    * governed by nprobe/nlist exactly as Ivf.topK (IvfSpec); with
-    * nprobe = nlist the output EQUALS the dense kernel's rows
-    * (spec-pinned in RetrievalSpec).
+    * (full-width vectors kept, storage uncompressed). Two plans behind
+    * one contract (round 12):
+    *  - index INSIDE `fusedIndexFloatLimit` → the FUSED kernel
+    *    (sql.TopKDotIvfF32): probe + probed-cell scan + heap in one
+    *    expression per query, candidates never materialized, seen
+    *    excluded by row-local binary search; the only exchanges are the
+    *    seen aggregation and the row-count repartition.
+    *  - index PAST the budget → one codegen probe expression per query
+    *    row (O(1) plan size in nlist), explode to (query, cid), ONE
+    *    equi-join on cid against the cell-assigned catalog — at 100 TB
+    *    the index side is written `partitionBy("cid")`/bucketed so the
+    *    join reads only probed cells and ships no catalog shuffle — then
+    *    DotF32 scores and the map-side k-bounded heap cuts candidates to
+    *    queries × k before the final exchange, seen ids excluded
+    *    row-locally on the candidate stream.
+    * Both emit IDENTICAL rows (same probe arithmetic, same dots, same
+    * (score desc, id asc) order — spec-pinned in RetrievalSpec). Recall
+    * is governed by nprobe/nlist exactly as Ivf.topK (IvfSpec); with
+    * nprobe = nlist the output EQUALS the dense kernel's rows.
     *
     * `index` = (cId, "cid", cVec) — build with [[annIndex]] or persist
     * IvfPq-style. Output: (qId, rk, cId long, score double). */
   def topKAnn(queries: DataFrame, qId: String, qVec: String,
       index: DataFrame, cId: String, cVec: String,
       centroids: Array[Array[Float]], k: Int, nprobe: Int = 8,
-      seen: Option[DataFrame] = None): DataFrame = {
+      seen: Option[DataFrame] = None,
+      fusedIndexFloatLimit: Long = 64000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     graft.sql.GraftFunctions.register(queries.sparkSession)
+    publishCellCatalog(index, cId, cVec, centroids, fusedIndexFloatLimit) match {
+      case Some(bc) =>
+        return topKAnnWith(queries, qId, qVec, bc, k, nprobe, seen, cId)
+      case None => () // index past the budget — join plan below
+    }
     val q = withSeen(queries, qId, seen, cId)
       .select(col(qId), col(qVec).cast("array<float>").as("__qv"),
         coalesce(col("__seen"), typedLit(Seq.empty[Long])).as("__sn"))

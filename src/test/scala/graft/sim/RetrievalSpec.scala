@@ -114,6 +114,33 @@ class RetrievalSpec extends SparkSpecBase {
   private def centroidsFor(nlist: Int) =
     Ivf.fitCentroids(catalog, "item_id", "cv", nlist, iters = 2)
 
+  test("fused IVF kernel is row-identical to the join plan, with plan shapes pinned") {
+    val cents = centroidsFor(6)
+    val index = Retrieval.annIndex(catalog, "item_id", "cv", cents)
+    for (sn <- Seq(None, Some(seen)); np <- Seq(2, 6)) {
+      val fused = Retrieval.topKAnn(queries, "q_id", "qv", index, "item_id",
+        "cv", cents, k = 4, nprobe = np, seen = sn)
+      val joined = Retrieval.topKAnn(queries, "q_id", "qv", index, "item_id",
+        "cv", cents, k = 4, nprobe = np, seen = sn,
+        fusedIndexFloatLimit = 0L)
+      assert(fused.exceptAll(joined).isEmpty && joined.exceptAll(fused).isEmpty,
+        s"fused/join ANN plans diverge (seen=${sn.isDefined}, nprobe=$np)")
+    }
+    val fusedPlan = Retrieval.topKAnn(queries, "q_id", "qv", index, "item_id",
+        "cv", cents, k = 4, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(fusedPlan.contains("graft_topk_dot_ivf_f32"),
+      s"fused IVF kernel missing:\n$fusedPlan")
+    assert(!fusedPlan.contains("BroadcastHashJoin") || !fusedPlan.contains("cid"),
+      s"candidate cid join leaked into the fused plan:\n$fusedPlan")
+    val joinPlan = Retrieval.topKAnn(queries, "q_id", "qv", index, "item_id",
+        "cv", cents, k = 4, nprobe = 2, fusedIndexFloatLimit = 0L)
+      .queryExecution.executedPlan.toString
+    assert(!joinPlan.contains("graft_topk_dot_ivf_f32")
+      && joinPlan.contains("graft_topk"),
+      s"expected the probe-join + heap plan past the budget:\n$joinPlan")
+  }
+
   test("topKAnn with nprobe = nlist reproduces the dense kernel's rows exactly") {
     val cents = centroidsFor(4)
     val index = Retrieval.annIndex(catalog, "item_id", "cv", cents)
