@@ -133,6 +133,49 @@ object ScaleExperiment {
     // else identical — so the delta is purely the candidate
     // materialization + anti-join probe the fused kernel removes. Inputs
     // are localCheckpointed so neither side pays the star-join lineage.
+    // Round-12 serving ladder at fixture scale: the SAME fit-once model
+    // and full-user serve through (a) the dense fused kernel and (b) the
+    // fused IVF kernel (nlist sized ~sqrt-ish of the catalog, nprobe 8) —
+    // the crossover the q63ts/q63ta bench rows track at sf0.1, measured
+    // where users × catalog dots actually bite. Full-probe row-parity is
+    // RetrievalSpec's job; this measures the wall only.
+    if (on("r12ladder")) {
+      import graft.rank._
+      val (tr0, _) = Interactions.splitByTime(
+        Interactions.fromStar(spark, dir), "2000-01-01")
+      val tr = tr0.localCheckpoint()
+      val model = TwoTower.fit(
+        Interactions.recentN(tr, 12).select("user_id", "item_id"),
+        TwoTower.Config(embDim = 16, hiddenDim = 8, steps = 12,
+          batchRows = 4096, seed = "tt8", stepsPerJob = 6))
+      val users = model.userVecs.select(col("user_id")).localCheckpoint()
+      val seen = tr.select(col("user_id"), col("item_id"))
+      val nItems = model.itemVecs.count()
+      val nlist = math.max(16, math.min(1024,
+        math.ceil(math.sqrt(nItems.toDouble) * 2).toInt))
+      val cents = graft.sim.Ivf.fitCentroids(model.itemVecs, "item_id",
+        "vec", nlist, iters = 2)
+      println(f"r12ladder users=${users.count()} items=$nItems nlist=$nlist")
+      for (rep <- 1 to 2) {
+        var t0 = System.nanoTime()
+        TwoTower.recommend(model, users, 10, excludeSeen = Some(seen))
+          .write.format("noop").mode("overwrite").save()
+        println(f"r12ladder_rep${rep}_dense  ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+        t0 = System.nanoTime()
+        TwoTower.recommendAnn(model, users, 10, excludeSeen = Some(seen),
+            nprobe = 8, centroids = Some(cents))
+          .write.format("noop").mode("overwrite").save()
+        println(f"r12ladder_rep${rep}_ivf    ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+        // attribution leg: the same IVF serve WITHOUT the seen exclusion
+        // isolates the per-user seen-set aggregation's share of the wall
+        t0 = System.nanoTime()
+        TwoTower.recommendAnn(model, users, 10, excludeSeen = None,
+            nprobe = 8, centroids = Some(cents))
+          .write.format("noop").mode("overwrite").save()
+        println(f"r12ladder_rep${rep}_ivfns  ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+      }
+    }
+
     if (on("r11fused")) {
       import graft.rank._
       val (tr0, te0) = Interactions.splitByTime(
