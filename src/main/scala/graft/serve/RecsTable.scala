@@ -269,7 +269,13 @@ object RecsTable {
       userVecs: () => DataFrame, itemIndex: () => DataFrame,
       centroids: () => Array[Array[Float]], k: Int, nprobe: Int,
       put: Iterator[(String, String)] => Unit, streamLogDir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // one published cell catalog per index generation (the task-5
+    // treatment applied to the ANN leg): in-budget indexes fuse through
+    // the cached broadcast; a past-budget generation (cache returns
+    // None) serves each batch through the cid-join plan instead
+    val cache = new graft.sim.Retrieval.CellCatalogCache(
+      itemIndex, "item_id", "vec", centroids)
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         val spark = batch.sparkSession
@@ -278,13 +284,18 @@ object RecsTable {
         val active = b.select(col("user_id")).distinct()
         val seen = activeSeen(history, spark.read.parquet(streamLogDir), active)
         val q = active.join(userVecs(), Seq("user_id"))
-        val recs = graft.sim.Retrieval.topKAnn(q, "user_id", "vec",
-          itemIndex(), "item_id", "vec", centroids(), k, nprobe,
-          seen = Some(seen))
+        val recs = cache.get() match {
+          case Some(bc) => graft.sim.Retrieval.topKAnnWith(q, "user_id",
+            "vec", bc, k, nprobe, seen = Some(seen), seenIdCol = "item_id")
+          case None => graft.sim.Retrieval.topKAnn(q, "user_id", "vec",
+            itemIndex(), "item_id", "vec", centroids(), k, nprobe,
+            seen = Some(seen), fusedIndexFloatLimit = 0L)
+        }
         val lists = recLists(recs)
           .select(col("user_id").cast("string").as("user_id"), col("recs"))
         kvSink(lists, put)
         ()
       }
       .start()
+  }
 }

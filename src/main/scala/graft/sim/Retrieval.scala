@@ -183,6 +183,31 @@ object Retrieval {
         centroids)))
   }
 
+  /** [[CatalogCache]]'s IVF counterpart (round 12): one published cell
+    * catalog per INDEX GENERATION for streaming ANN serves — keyed on the
+    * supplier's returned frame identity, re-collected (and re-grouped
+    * under the possibly-new quantizer) only when the supplier hands back
+    * a new frame; the superseded broadcast is unpersisted. None = over
+    * budget (the join plan's regime — the stream caller decides). */
+  final class CellCatalogCache(supplier: () => DataFrame, cId: String,
+      cVec: String, centroids: () => Array[Array[Float]],
+      indexFloatLimit: Long = 64000000L) {
+    @volatile private var keyFrame: DataFrame = null
+    @volatile private var cached: Option[Broadcast[graft.sql.TopKDotIvfF32.CellCatalog]] = None
+    @volatile var collects: Int = 0
+
+    def get(): Option[Broadcast[graft.sql.TopKDotIvfF32.CellCatalog]] = synchronized {
+      val frame = supplier()
+      if (!(frame eq keyFrame)) {
+        cached.foreach(_.unpersist(blocking = false))
+        cached = publishCellCatalog(frame, cId, cVec, centroids(), indexFloatLimit)
+        keyFrame = frame
+        collects += 1
+      }
+      cached
+    }
+  }
+
   /** The fused IVF plan against an already-published cell catalog: probe
     * selection, probed-cell scan, seen exclusion and the k-heap all in
     * ONE expression eval per query — candidates never exist as rows

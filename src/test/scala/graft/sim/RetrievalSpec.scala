@@ -114,6 +114,27 @@ class RetrievalSpec extends SparkSpecBase {
   private def centroidsFor(nlist: Int) =
     Ivf.fitCentroids(catalog, "item_id", "cv", nlist, iters = 2)
 
+  test("CellCatalogCache publishes once per index generation; None past budget") {
+    val cents = centroidsFor(4)
+    val gen1 = Retrieval.annIndex(catalog, "item_id", "cv", cents)
+    val gen2 = Retrieval.annIndex(catalog.limit(60), "item_id", "cv", cents)
+    var current = gen1
+    val cache = new Retrieval.CellCatalogCache(() => current, "item_id",
+      "cv", () => cents)
+    val b1 = cache.get().get
+    val b2 = cache.get().get
+    assert(cache.collects == 1 && (b1 eq b2),
+      s"stable index re-published (${cache.collects})")
+    current = gen2
+    val b3 = cache.get().get
+    assert(cache.collects == 2 && !(b3 eq b1) && b3.value.ids.length == 60)
+    // a generation past the budget parks the cache at None (the stream
+    // falls back to the join plan) without re-collecting per call
+    val tiny = new Retrieval.CellCatalogCache(() => gen1, "item_id", "cv",
+      () => cents, indexFloatLimit = 10L)
+    assert(tiny.get().isEmpty && tiny.get().isEmpty && tiny.collects == 1)
+  }
+
   test("fused IVF kernel is row-identical to the join plan, with plan shapes pinned") {
     val cents = centroidsFor(6)
     val index = Retrieval.annIndex(catalog, "item_id", "cv", cents)
