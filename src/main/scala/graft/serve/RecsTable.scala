@@ -268,14 +268,15 @@ object RecsTable {
   def streamAnnRefresh(stream: DataFrame, history: DataFrame,
       userVecs: () => DataFrame, itemIndex: () => DataFrame,
       centroids: () => Array[Array[Float]], k: Int, nprobe: Int,
-      put: Iterator[(String, String)] => Unit, streamLogDir: String)
+      put: Iterator[(String, String)] => Unit, streamLogDir: String,
+      fusedIndexFloatLimit: Long = 64000000L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // one published cell catalog per index generation (the task-5
     // treatment applied to the ANN leg): in-budget indexes fuse through
     // the cached broadcast; a past-budget generation (cache returns
     // None) serves each batch through the cid-join plan instead
     val cache = new graft.sim.Retrieval.CellCatalogCache(
-      itemIndex, "item_id", "vec", centroids)
+      itemIndex, "item_id", "vec", centroids, fusedIndexFloatLimit)
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         val spark = batch.sparkSession

@@ -201,27 +201,35 @@ class RecsTableSpec extends SparkSpecBase {
       nlist = 2, iters = 2)
     val index = graft.sim.Retrieval.annIndex(itemVecs, "item_id", "vec", cents)
       .localCheckpoint()
-    val in = MemoryStream[(Long, Long)]
-    val logDir = java.nio.file.Files.createTempDirectory("graft_annlog").toString
-    val q = RecsTable.streamAnnRefresh(
-      in.toDF().toDF("user_id", "item_id"), history, () => userVecs,
-      () => index, () => cents, k = 2, nprobe = 2,
-      InMemoryKv.putBatch, s"$logDir/log")
-    try {
-      in.addData((1L, 4L))
-      q.processAllAvailable()
-      assert(InMemoryKv.store.containsKey("1"), "active user refreshed")
-      assert(!InMemoryKv.store.containsKey("2"), "inactive user NOT recomputed")
-      assert(InMemoryKv.store.get("1") == "[\"2\",\"3\"]",
-        s"payload ${InMemoryKv.store.get("1")}")
-      in.addData((2L, 4L), (1L, 2L))
-      q.processAllAvailable()
-      assert(InMemoryKv.store.get("2") == "[\"3\",\"2\"]",
-        s"payload ${InMemoryKv.store.get("2")}")
-      // cross-batch memory holds through the ANN leg too
-      assert(InMemoryKv.store.get("1") == "[\"3\"]",
-        s"payload ${InMemoryKv.store.get("1")}")
-    } finally q.stop()
+    // both serving plans end-to-end: the fused cell kernel (default
+    // budget) and the past-budget cid-join fallback (budget 10 floats)
+    // must produce identical KV state batch for batch; a FRESH
+    // MemoryStream per plan (a reused one would replay the first plan's
+    // rows as one merged batch)
+    for (budget <- Seq(64000000L, 10L)) {
+      val in = MemoryStream[(Long, Long)]
+      InMemoryKv.store.clear()
+      val dir = java.nio.file.Files.createTempDirectory("graft_annlog").toString
+      val q = RecsTable.streamAnnRefresh(
+        in.toDF().toDF("user_id", "item_id"), history, () => userVecs,
+        () => index, () => cents, k = 2, nprobe = 2,
+        InMemoryKv.putBatch, s"$dir/log", fusedIndexFloatLimit = budget)
+      try {
+        in.addData((1L, 4L))
+        q.processAllAvailable()
+        assert(InMemoryKv.store.containsKey("1"), "active user refreshed")
+        assert(!InMemoryKv.store.containsKey("2"), "inactive user NOT recomputed")
+        assert(InMemoryKv.store.get("1") == "[\"2\",\"3\"]",
+          s"payload ${InMemoryKv.store.get("1")} (budget $budget)")
+        in.addData((2L, 4L), (1L, 2L))
+        q.processAllAvailable()
+        assert(InMemoryKv.store.get("2") == "[\"3\",\"2\"]",
+          s"payload ${InMemoryKv.store.get("2")} (budget $budget)")
+        // cross-batch memory holds through the ANN leg too
+        assert(InMemoryKv.store.get("1") == "[\"3\"]",
+          s"payload ${InMemoryKv.store.get("1")} (budget $budget)")
+      } finally q.stop()
+    }
   }
 
   test("streamTopKServe maintains per-user top-k KV state across micro-batches (round-11)") {
