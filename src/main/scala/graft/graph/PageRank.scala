@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Distributed PageRank over an edge list — the graph-centrality signal a
   * crawl pipeline uses for domain/page authority (CommonCrawl publishes
@@ -174,6 +175,178 @@ object PageRank {
     }
     ranks
   }
+
+  private def integral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Collect the multi-edge list grouped by dst (in-adjacency, with
+    * multiplicity) under an edge budget — probed with a distributed
+    * aggregate BEFORE any driver collect, the walksFused convention.
+    * Returns (inAdj, outdeg, nodeType) or None past the budget / for
+    * non-integral id types. */
+  private def collectGraph(edges: DataFrame, maxEdges: Long):
+      Option[(java.util.HashMap[Long, Array[Long]],
+        java.util.HashMap[Long, Long], DataType)] = {
+    val srcT = edges.schema("src").dataType
+    val dstT = edges.schema("dst").dataType
+    if (!integral(srcT) || srcT != dstT || maxEdges <= 0) return None
+    val grouped = edges
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .groupBy(col("v"))
+      .agg(collect_list(col("u")).as("ins"), count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val probe = grouped.agg(coalesce(sum(size(col("ins"))), lit(0L)),
+      coalesce(sum(col("cnt")), lit(0L)),
+      coalesce(sum(when(col("v").isNull, 1L).otherwise(0L)), lit(0L))).head()
+    val m = probe.getLong(0)
+    // null endpoints (collect_list would silently drop a null src; a null
+    // dst is a degenerate group) keep run()'s exact — if odd — semantics
+    // by refusing the fused form entirely
+    if (m == 0L || m > maxEdges || m != probe.getLong(1)
+        || probe.getLong(2) != 0L) {
+      graft.operators.Checkpoints.free(grouped)
+      return None
+    }
+    val rows = grouped.collect()
+    graft.operators.Checkpoints.free(grouped)
+    val inAdj = new java.util.HashMap[Long, Array[Long]](rows.length * 2)
+    val outdeg = new java.util.HashMap[Long, Long](rows.length * 4)
+    rows.foreach { r =>
+      val v = r.getLong(0)
+      val ins = r.getSeq[Long](1).toArray
+      inAdj.put(v, ins)
+      ins.foreach(u => outdeg.merge(u, 1L, (a, b) => a + b))
+    }
+    Some((inAdj, outdeg, srcT))
+  }
+
+  /** The exact damped sweep over driver-held maps — bit-identical longs to
+    * [[run]]'s per-iteration plan (floor divisions on non-negative longs,
+    * addition exact and order-free). */
+  private def sweep(inAdj: java.util.HashMap[Long, Array[Long]],
+      outdeg: java.util.HashMap[Long, Long],
+      ranks: java.util.HashMap[Long, Long], iters: Int,
+      teleportOf: Long => Long, seedCount: Long, uniform: Boolean,
+      dampNum: Long, dampDen: Long, n: Long): Unit = {
+    var it = 0
+    while (it < iters) {
+      var dang = 0L
+      ranks.forEach((node, r) => if (!outdeg.containsKey(node)) dang += r)
+      val prev = new java.util.HashMap[Long, Long](ranks)
+      ranks.replaceAll { (node, _) =>
+        var in = 0L
+        val ins = inAdj.get(node)
+        if (ins != null) {
+          var i = 0
+          while (i < ins.length) {
+            in += prev.get(ins(i)) / outdeg.get(ins(i)); i += 1
+          }
+        }
+        val num =
+          if (uniform)
+            (dampDen - dampNum) * teleportOf(node) +
+              dampNum * (in + dang / n)
+          else {
+            val t = teleportOf(node)
+            (if (t > 0L) (dampDen - dampNum) * t + dampNum * (dang / seedCount)
+             else 0L) + dampNum * in
+          }
+        num / dampDen
+      }
+      it += 1
+    }
+  }
+
+  /** Budget-fused [[run]]: when the multi-edge list fits `maxEdges`, the
+    * graph is a BOUNDED ARTIFACT (the IVF-index/codebook collect class) —
+    * the whole damped iteration is iters·O(m) exact long arithmetic, the
+    * same order of work as one collect of the graph, so the per-sweep
+    * join+checkpoint scaffolding (which dominated the wall ~100×) is pure
+    * overhead at this size. Probed distributed-first; bit-identical ranks
+    * (spec-pinned); None past the budget or for non-integral ids — the
+    * 100 TB plan stays [[run]]'s shuffled sweeps. */
+  def runFused(edges: DataFrame, iters: Int, dampNum: Long = 85L,
+      dampDen: Long = 100L, scale: Long = Scale,
+      maxEdges: Long = 16000000L): Option[DataFrame] = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
+      s"damping must be a fraction in [0,1]: $dampNum/$dampDen")
+    collectGraph(edges, maxEdges).map { case (inAdj, outdeg, nodeT) =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val ranks = new java.util.HashMap[Long, Long]()
+      inAdj.forEach((v, _) => ranks.put(v, 0L))
+      outdeg.forEach((u, _) => ranks.put(u, 0L))
+      val n = ranks.size.toLong
+      val teleport = scale / n
+      ranks.replaceAll((_, _) => teleport)
+      sweep(inAdj, outdeg, ranks, iters, _ => teleport, n, uniform = true,
+        dampNum, dampDen, n)
+      val b = Seq.newBuilder[(Long, Long)]
+      ranks.forEach((node, r) => b += ((node, r)))
+      spark.createDataset(b.result()).toDF("node", "rank_fp")
+        .select(col("node").cast(nodeT).as("node"), col("rank_fp"))
+    }
+  }
+
+  /** Budget dispatcher for [[run]]. */
+  def runAuto(edges: DataFrame, iters: Int, dampNum: Long = 85L,
+      dampDen: Long = 100L, scale: Long = Scale,
+      maxEdges: Long = 16000000L): DataFrame =
+    runFused(edges, iters, dampNum, dampDen, scale, maxEdges)
+      .getOrElse(run(edges, iters, dampNum, dampDen, scale))
+
+  /** Budget-fused [[personalized]] — same seam, seed-concentrated
+    * teleport/dangling. The seed set rides the same budget (it is at most
+    * node-sized in any sane call; a seed frame the driver cannot hold
+    * falls back). Seeds absent from the graph still count toward |S|
+    * (exactly [[personalized]]'s semantics). */
+  def personalizedFused(edges: DataFrame, seeds: DataFrame, iters: Int,
+      dampNum: Long = 85L, dampDen: Long = 100L, scale: Long = Scale,
+      maxEdges: Long = 16000000L): Option[DataFrame] = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
+      s"damping must be a fraction in [0,1]: $dampNum/$dampDen")
+    val seedT = seeds.schema("node").dataType
+    if (!integral(seedT)) return None
+    collectGraph(edges, maxEdges).flatMap { case (inAdj, outdeg, nodeT) =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val sDistinct = seeds.select(col("node").cast("long").as("node")).distinct()
+      val nS = sDistinct.limit((math.min(maxEdges, (Int.MaxValue - 2).toLong)
+        .toInt) + 1).count()
+      if (nS == 0L || nS > maxEdges) None
+      else {
+        // |S| counts every distinct seed row, including a null (which can
+        // never match a graph node) — exactly personalized()'s s.count()
+        val seedRows = sDistinct.collect()
+        val seedSet = new java.util.HashSet[Long]()
+        seedRows.foreach(r => if (!r.isNullAt(0)) seedSet.add(r.getLong(0)))
+        val teleport = scale / seedRows.length
+        val ranks = new java.util.HashMap[Long, Long]()
+        inAdj.forEach((v, _) => ranks.put(v, 0L))
+        outdeg.forEach((u, _) => ranks.put(u, 0L))
+        ranks.replaceAll((node, _) => if (seedSet.contains(node)) teleport else 0L)
+        sweep(inAdj, outdeg, ranks, iters,
+          node => if (seedSet.contains(node)) teleport else 0L,
+          seedRows.length.toLong, uniform = false, dampNum, dampDen,
+          ranks.size.toLong)
+        val b = Seq.newBuilder[(Long, Long)]
+        ranks.forEach((node, r) => b += ((node, r)))
+        Some(spark.createDataset(b.result()).toDF("node", "rank_fp")
+          .select(col("node").cast(nodeT).as("node"), col("rank_fp")))
+      }
+    }
+  }
+
+  /** Budget dispatcher for [[personalized]]. */
+  def personalizedAuto(edges: DataFrame, seeds: DataFrame, iters: Int,
+      dampNum: Long = 85L, dampDen: Long = 100L, scale: Long = Scale,
+      maxEdges: Long = 16000000L): DataFrame =
+    personalizedFused(edges, seeds, iters, dampNum, dampDen, scale, maxEdges)
+      .getOrElse(personalized(edges, seeds, iters, dampNum, dampDen, scale))
 
   /** Total |rank−rank'| between two rank frames (fixed-point units) — the
     * L1 convergence gap, one aggregate. */

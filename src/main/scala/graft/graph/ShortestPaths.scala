@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Single-source shortest paths by fixed-round Bellman–Ford relaxation —
   * the BSP min-plus iteration every distributed graph engine ships
@@ -51,4 +52,89 @@ object ShortestPaths {
     }
     dist
   }
+
+  private def integral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Budget-fused [[run]]: under `maxEdges` the weighted multi-edge list
+    * is a BOUNDED ARTIFACT (one map-side-grouped shuffle, budget-probed
+    * distributed-first, collected once) and the whole R-round min-plus
+    * relaxation is rounds·O(m) exact long arithmetic — the same order of
+    * work as one collect of the graph, so the per-round join+checkpoint
+    * scaffolding is pure overhead at this size. Bit-identical distances
+    * (min/+ on longs are order-free); None past the budget, for
+    * non-integral or mismatched id types, or when any endpoint/weight is
+    * null (the join plan's null semantics are kept by falling back). */
+  def runFused(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, source: Long, rounds: Int,
+      maxEdges: Long = 16000000L): Option[DataFrame] = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val srcT = edges.schema(srcCol).dataType
+    val dstT = edges.schema(dstCol).dataType
+    if (!integral(srcT) || srcT != dstT || maxEdges <= 0) return None
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val grouped = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy(col("u"))
+      .agg(collect_list(struct(col("v"), col("w"))).as("out"),
+        count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val probe = grouped.agg(coalesce(sum(size(col("out"))), lit(0L)),
+      coalesce(sum(col("cnt")), lit(0L)),
+      coalesce(sum(when(col("u").isNull, 1L).otherwise(0L)), lit(0L))).head()
+    val m = probe.getLong(0)
+    if (m == 0L || m > maxEdges || m != probe.getLong(1)
+        || probe.getLong(2) != 0L) {
+      graft.operators.Checkpoints.free(grouped)
+      return None
+    }
+    val rows = grouped.collect()
+    graft.operators.Checkpoints.free(grouped)
+    // a null v or w inside a struct survives collect_list — detect and refuse
+    val adj = new java.util.HashMap[Long, Array[(Long, Long)]](rows.length * 2)
+    var nullInner = false
+    rows.foreach { r =>
+      val out = r.getSeq[org.apache.spark.sql.Row](1).map { e =>
+        if (e.isNullAt(0) || e.isNullAt(1)) { nullInner = true; (0L, 0L) }
+        else (e.getLong(0), e.getLong(1))
+      }.toArray
+      adj.put(r.getLong(0), out)
+    }
+    if (nullInner) return None
+    val dist = new java.util.HashMap[Long, Long]()
+    dist.put(source, 0L)
+    var r = 0
+    while (r < rounds) {
+      val prev = new java.util.HashMap[Long, Long](dist)
+      prev.forEach { (node, d) =>
+        val out = adj.get(node)
+        if (out != null) {
+          var i = 0
+          while (i < out.length) {
+            val cand = d + out(i)._2
+            // containsKey, not get: a missing boxed-Long key would unbox
+            // null to 0L and silently refuse every relaxation
+            if (!dist.containsKey(out(i)._1) || cand < dist.get(out(i)._1))
+              dist.put(out(i)._1, cand)
+            i += 1
+          }
+        }
+      }
+      r += 1
+    }
+    val b = Seq.newBuilder[(Long, Long)]
+    dist.forEach((node, d) => b += ((node, d)))
+    Some(spark.createDataset(b.result()).toDF("node", "dist"))
+  }
+
+  /** Budget dispatcher for [[run]]. */
+  def runAuto(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, source: Long, rounds: Int,
+      maxEdges: Long = 16000000L): DataFrame =
+    runFused(edges, srcCol, dstCol, weightCol, source, rounds, maxEdges)
+      .getOrElse(run(edges, srcCol, dstCol, weightCol, source, rounds))
 }

@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Exact triangle counting + local clustering coefficients over an
   * undirected graph — the degree-ordered orientation algorithm (the
@@ -17,47 +18,192 @@ import org.apache.spark.sql.functions._
   * feasible at 100 TB; the naive wedge join is Σ deg² and dies on the
   * first hub.
   *
-  * Dataflow: canonicalize (distinct min/max pairs, self-loops dropped) →
-  * degree table → orient → one self-join on the wedge apex (the two
-  * sides share the exchange) → one closing join against the oriented
-  * edges → explode each triangle to its 3 corners → per-node count. All
-  * counts exact longs; the coefficient is one guarded IEEE division.
+  * Two plans behind one budget seam (the serving-ladder convention):
+  *  - FUSED (graph fits the edge budget): the oriented adjacency is built
+  *    driver-side from ONE map-side-deduped shuffle, broadcast, and each
+  *    apex's wedges close as sorted-array intersections inside a
+  *    mapPartitions loop — the O(m^1.5) wedge set NEVER materializes as
+  *    rows (the TopKDotF32 lesson: a materialized candidate row costs
+  *    ~25× the arithmetic it carries). Same counts, bit-for-bit.
+  *  - COMPOSED (past the budget, or non-integral node ids): canonicalize
+  *    (distinct min/max pairs, self-loops dropped) → degree table →
+  *    orient → one self-join on the wedge apex (the two sides share the
+  *    exchange) → one closing join against the oriented edges — itself
+  *    broadcast under the budget so the wedge rows at least close
+  *    map-side — → explode corners → per-node count.
+  * All counts exact longs; the coefficient is one guarded IEEE division.
   */
 object Triangles {
 
   private def lexLess(d1: Column, n1: Column, d2: Column, n2: Column): Column =
     d1 < d2 || (d1 === d2 && n1 < n2)
 
+  private def integral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
   /** Per-node triangle participation and local clustering coefficient.
     * Input edges may be directed/duplicated/self-looped — canonicalized
     * here. Output: (node, degree, triangles, coeff) with
-    * coeff = 2·triangles / (degree·(degree−1)), NULL below degree 2. */
-  def perNode(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    * coeff = 2·triangles / (degree·(degree−1)), NULL below degree 2.
+    * Dispatches fused ↔ composed on `edgeLimit` (distinct undirected
+    * edges; default 8M ≈ a couple hundred MB of broadcast adjacency). */
+  def perNode(edges: DataFrame, srcCol: String, dstCol: String,
+      edgeLimit: Long = 8000000L): DataFrame =
+    perNodeFused(edges, srcCol, dstCol, edgeLimit)
+      .getOrElse(perNodeComposed(edges, srcCol, dstCol, edgeLimit))
+
+  /** The fused plan: one shuffle (groupBy collect_set — map-side deduped),
+    * one budget aggregate BEFORE any driver collect, one bounded driver
+    * artifact (the oriented adjacency, ≤ `maxEdges` longs in id-sorted
+    * arrays — the IVF-index/codebook class of collect, never unbounded),
+    * one broadcast; then every apex intersects its out-neighborhood
+    * against each out-neighbor's in a distributed loop with per-partition
+    * count pre-aggregation, so the only remaining exchanges are |V| apex
+    * ids out and ≤|V| partial counts back. Returns None — callers fall
+    * back to the composed plan — past the budget or when the id columns
+    * are not one shared integral type (the driver orientation keys and
+    * ranks by long). */
+  def perNodeFused(edges: DataFrame, srcCol: String, dstCol: String,
+      maxEdges: Long = 8000000L): Option[DataFrame] = {
+    val srcT = edges.schema(srcCol).dataType
+    val dstT = edges.schema(dstCol).dataType
+    if (!integral(srcT) || srcT != dstT || maxEdges <= 0) return None
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // half-adjacency over canonical pairs: collect_set dedups map-side, so
+    // the composed plan's distinct + degree-join double exchange is one
+    // partial-aggregated shuffle keyed by the lower endpoint
+    val grouped = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .groupBy(col("u")).agg(collect_set(col("v")).as("nbrs"))
+      .localCheckpoint()
+    val m = grouped.agg(coalesce(sum(size(col("nbrs"))), lit(0L)))
+      .head().getLong(0)
+    if (m == 0L || m > maxEdges) {
+      graft.operators.Checkpoints.free(grouped)
+      return None
+    }
+    val rows = grouped.collect()
+    graft.operators.Checkpoints.free(grouped)
+    // driver: exact degrees, then the (deg, id)-orientation — the same
+    // lexLess the composed plan evaluates per row
+    val deg = new java.util.HashMap[Long, Long](rows.length * 4)
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      r.getSeq[Long](1).foreach { v =>
+        deg.merge(u, 1L, (a, b) => a + b)
+        deg.merge(v, 1L, (a, b) => a + b)
+      }
+    }
+    val nplus = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+    rows.foreach { r =>
+      val u = r.getLong(0); val du = deg.get(u)
+      r.getSeq[Long](1).foreach { v =>
+        val dv = deg.get(v)
+        val (lo, hi) =
+          if (du < dv || (du == dv && u < v)) (u, v) else (v, u)
+        nplus.computeIfAbsent(lo,
+          _ => scala.collection.mutable.ArrayBuffer[Long]()) += hi
+      }
+    }
+    // id-sorted out-neighbor arrays: set intersection needs one shared
+    // order, and plain id order is it (the rank order only decided the
+    // edge DIRECTIONS above)
+    val adj = new java.util.HashMap[Long, Array[Long]](nplus.size * 2)
+    nplus.forEach((k, buf) => adj.put(k, buf.toArray.sorted))
+    val bc = spark.sparkContext.broadcast(adj)
+    val slices = spark.sparkContext.defaultParallelism
+    val apexes = spark.createDataset(
+      adj.keySet().toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq)
+      .repartition(slices)
+    val partials = apexes.mapPartitions { it =>
+      val a = bc.value
+      val counts = new java.util.HashMap[Long, Long]()
+      def bump(n: Long): Unit = counts.merge(n, 1L, (x, y) => x + y)
+      it.foreach { x =>
+        val na = a.get(x)
+        var i = 0
+        while (i < na.length) {
+          val y = na(i)
+          val nb = a.get(y)
+          if (nb != null) {
+            // two-pointer merge: common out-neighbors of x and y each
+            // close one triangle {x, y, c}, charged to all three corners
+            var p = 0; var q = 0
+            while (p < na.length && q < nb.length) {
+              if (na(p) < nb(q)) p += 1
+              else if (na(p) > nb(q)) q += 1
+              else { bump(x); bump(y); bump(na(p)); p += 1; q += 1 }
+            }
+          }
+          i += 1
+        }
+      }
+      val out = new Array[(Long, Long)](counts.size)
+      var j = 0
+      counts.forEach((n, c) => { out(j) = (n, c); j += 1 })
+      out.iterator
+    }.toDF("n", "__tri")
+      .groupBy(col("n")).agg(sum(col("__tri")).as("triangles"))
+    val degDf = spark.createDataset(
+      { val b = Seq.newBuilder[(Long, Long)]
+        deg.forEach((n, d) => b += ((n, d))); b.result() })
+      .toDF("n", "degree")
+    Some(degDf.join(partials, Seq("n"), "left")
+      .select(col("n").cast(srcT).as("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2L,
+          (coalesce(col("triangles"), lit(0L)) * 2L).cast("double")
+            / (col("degree") * (col("degree") - 1L))).as("coeff")))
+  }
+
+  /** The composed (all-DataFrame) plan — any id type, any graph size. */
+  def perNodeComposed(edges: DataFrame, srcCol: String, dstCol: String,
+      broadcastEdgeLimit: Long = 8000000L): DataFrame = {
+    // materialize the canonical edge set ONCE: deg, the orientation join,
+    // and (via `oriented`) three join branches all read it, and `edges` is
+    // often an expensive upstream join (q155's co-purchase self-join)
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
+      .distinct().localCheckpoint()
+    val m = und.count() // one long: drives the closing-join regime gate
     val deg = und.select(col("u").as("n"))
       .unionAll(und.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("degree"))
     val withDeg = und
       .join(deg.select(col("n").as("u"), col("degree").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("degree").as("dv")), Seq("v"))
-    // orient lo-(deg, id) -> hi; carry the head's rank for the wedge order
+    // orient lo-(deg, id) -> hi; carry the head's rank for the wedge order.
+    // Checkpointed: e1/e2 share one exchange on the apex, but the closing
+    // side keys on (b-pair) — without the cut the whole distinct+deg+orient
+    // lineage would run again for it.
     val lo = lexLess(col("du"), col("u"), col("dv"), col("v"))
     val oriented = withDeg.select(
       when(lo, col("u")).otherwise(col("v")).as("a"),
       when(lo, col("v")).otherwise(col("u")).as("b"),
       when(lo, col("dv")).otherwise(col("du")).as("db"))
+      .localCheckpoint()
     // wedges at apex a: unordered out-neighbor pairs, ranked b1 < b2
-    val tri = oriented.as("e1")
+    val wedges = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.a") === col("e2.a") &&
           lexLess(col("e1.db"), col("e1.b"), col("e2.db"), col("e2.b")))
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-      .join(oriented.as("e3").select(col("a").as("y"), col("b").as("z")),
-        Seq("y", "z"))
+    // closing join: the wedge side is O(m^1.5) ROWS — the plan's dominant
+    // exchange — while the edge side is O(m). Under the budget, broadcast
+    // the edges so the wedge set closes map-side and never shuffles; past
+    // it, the shuffled equi-join (both at 100 TB: a graph whose edge list
+    // alone exceeds executor memory shuffles, everything else shouldn't).
+    val closingEdges = oriented.select(col("a").as("y"), col("b").as("z"))
+    val tri = wedges.join(
+      if (m <= broadcastEdgeLimit) broadcast(closingEdges) else closingEdges,
+      Seq("y", "z"))
     val corners = tri
       .select(explode(array(col("x"), col("y"), col("z"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("triangles"))
@@ -70,7 +216,8 @@ object Triangles {
   }
 
   /** Global triangle count (one row) — the corners sum / 3. */
-  def globalCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
-    perNode(edges, srcCol, dstCol)
+  def globalCount(edges: DataFrame, srcCol: String, dstCol: String,
+      edgeLimit: Long = 8000000L): DataFrame =
+    perNode(edges, srcCol, dstCol, edgeLimit)
       .agg((sum(col("triangles")) / 3L).cast("long").as("n_triangles"))
 }

@@ -47,7 +47,7 @@ object StarQueries {
         .select(col("src"),
           regexp_extract(col("url"), "^https?://([^/]+)", 1).as("dst"))
         .distinct()
-      graft.graph.PageRank.run(links, iters = 3)
+      graft.graph.PageRank.runAuto(links, iters = 3)
         .select(col("node").as("host"), col("rank_fp").as("rank_e12"))
         .orderBy(col("host"))
     },
@@ -88,11 +88,8 @@ object StarQueries {
     // Traces feed skip-gram statistics (Cooccurrence.glove) downstream.
     "q165_random_walks" -> { (s, d) =>
       val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey")
-            && col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      graft.graph.RandomWalks.walks(edges, "src", "dst",
+      val edges = copurchasePairs(li, "l_orderkey", "l_partkey")
+      graft.graph.RandomWalks.walksAuto(edges, "src", "dst",
           numWalks = 2, length = 4, salt = "rw")
         .orderBy(col("walk_id"), col("step"))
     },
@@ -109,11 +106,8 @@ object StarQueries {
       val li = table(s, d, "lineitem")
         .filter(col("l_partkey") < 500)
         .select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey")
-            && col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      val traces = graft.graph.RandomWalks.walks(edges, "src", "dst",
+      val edges = copurchasePairs(li, "l_orderkey", "l_partkey")
+      val traces = graft.graph.RandomWalks.walksAuto(edges, "src", "dst",
         numWalks = 2, length = 4, salt = "rw")
       val seqs = traces.groupBy(col("walk_id"))
         .agg(array_sort(collect_list(struct(col("step"), col("node")))).as("__s"))
@@ -132,14 +126,11 @@ object StarQueries {
     // (symmetric graph -> dangling identically 0 on both sides).
     "q176_ppr_related" -> { (s, d) =>
       val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey")
-            && col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      val edges = copurchasePairs(li, "l_orderkey", "l_partkey")
         .distinct()
       val seeds = edges.select(col("src").as("node")).distinct()
         .filter(col("node") % 40 === 0)
-      graft.graph.PageRank.personalized(edges, seeds, iters = 3)
+      graft.graph.PageRank.personalizedAuto(edges, seeds, iters = 3)
         .orderBy(col("node"))
     },
 
@@ -153,10 +144,7 @@ object StarQueries {
     "q173_communities" -> { (s, d) =>
       val li = table(s, d, "lineitem").filter(col("l_partkey") < 300)
         .select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey")
-            && col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      val edges = copurchasePairs(li, "l_orderkey", "l_partkey")
       graft.graph.LabelPropagation.run(edges, "src", "dst", rounds = 3)
         .orderBy(col("node"))
     },
@@ -168,14 +156,12 @@ object StarQueries {
     // distance hash-replays.
     "q160_sssp" -> { (s, d) =>
       val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey")
-            && col("a.l_partkey") =!= col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      val pairs = copurchasePairs(li, "l_orderkey", "l_partkey")
+        .groupBy(col("src").as("u"), col("dst").as("v"))
         .agg(count(lit(1)).as("c"))
       val edges = pairs.select(col("u"), col("v"),
         expr("1 + (1000000 div c)").as("w"))
-      graft.graph.ShortestPaths.run(edges, "u", "v", "w", source = 0L, rounds = 4)
+      graft.graph.ShortestPaths.runAuto(edges, "u", "v", "w", source = 0L, rounds = 4)
         .orderBy(col("node"))
     },
 
@@ -188,10 +174,7 @@ object StarQueries {
     // must agree bit-for-bit.
     "q155_triangles" -> { (s, d) =>
       val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey")
-            && col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      val edges = copurchasePairs(li, "l_orderkey", "l_partkey")
       graft.graph.Triangles.perNode(edges, "src", "dst")
         .orderBy(col("node"))
     },
@@ -204,12 +187,9 @@ object StarQueries {
     // makes an iterative 100 TB job replayable (see graph/PageRank).
     "q134_copurchase_rank" -> { (s, d) =>
       val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey")
-            && col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      val edges = copurchasePairs(li, "l_orderkey", "l_partkey")
         .distinct()
-      graft.graph.PageRank.run(edges, iters = 3)
+      graft.graph.PageRank.runAuto(edges, iters = 3)
         .select(col("node").as("part_id"), col("rank_fp").as("rank_e12"))
         .orderBy(col("part_id"))
     },

@@ -131,4 +131,56 @@ class PageRankSpec extends SparkSpecBase {
     val d4 = PageRank.massDelta(PageRank.run(df, 4), PageRank.run(df, 5))
     assert(d4 < d1)
   }
+
+  test("fused sweep is bit-identical to the join plan (multi-edges, dangling, 0..5 iters)") {
+    val multi = g ++ Seq((1L, 2L), (4L, 2L)) // parallel edges count twice
+    for (iters <- Seq(0, 1, 3, 5)) {
+      val fused = PageRank.runFused(multi.toDF("src", "dst"), iters)
+      assert(fused.isDefined)
+      val fm = fused.get.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val jm = PageRank.run(multi.toDF("src", "dst"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fm === jm, s"iters=$iters")
+    }
+  }
+
+  test("fused PPR is bit-identical, including seeds absent from the graph") {
+    // seed 99 is not a node: it dilutes teleport (|S|=3) but gets no row
+    val seeds = Seq(1L, 2L, 99L)
+    for (iters <- Seq(1, 3)) {
+      val fused = PageRank.personalizedFused(
+        g.toDF("src", "dst"), seeds.toDF("node"), iters)
+      assert(fused.isDefined)
+      val fm = fused.get.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val jm = PageRank.personalized(
+        g.toDF("src", "dst"), seeds.toDF("node"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fm === jm, s"iters=$iters")
+    }
+  }
+
+  test("fused refuses past the budget / non-integral ids / null endpoints; Auto falls back") {
+    val df = g.toDF("src", "dst")
+    assert(PageRank.runFused(df, 2, maxEdges = 3L).isEmpty)
+    val strs = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    assert(PageRank.runFused(strs, 2).isEmpty)
+    val withNull = df.unionByName(
+      Seq((Option.empty[Long], Option(2L))).toDF("src", "dst"))
+    assert(PageRank.runFused(withNull, 2).isEmpty,
+      "null endpoints must fall back to the join plan's semantics")
+    // dispatchers serve all three through the join plan
+    assert(PageRank.runAuto(df, 2, maxEdges = 3L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === run(g, 2))
+    assert(PageRank.runAuto(strs, 1).count() == 2)
+  }
+
+  test("fused output keeps the input id type (int edges -> int nodes)") {
+    val gi = Seq((1, 2), (2, 3), (3, 1)).toDF("src", "dst")
+    val fused = PageRank.runFused(gi, 2).get
+    val joined = PageRank.run(gi, 2)
+    assert(fused.schema.map(f => (f.name, f.dataType))
+      == joined.schema.map(f => (f.name, f.dataType)))
+    assert(fused.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      == joined.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+  }
 }

@@ -52,4 +52,42 @@ class RandomWalksSpec extends SparkSpecBase {
     assert(t1 == t2)
     assert(t1 != t3, "salt must change the trace set")
   }
+
+  test("fused broadcast walker is bit-identical to the join plan (dead ends, multi-walk)") {
+    // chain with a dead end (4), a hub (1), and parallel-edge noise
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 1L), (2L, 4L), (3L, 1L),
+      (3L, 2L), (1L, 2L)).toDF("src", "dst")
+    val joined = RandomWalks.walks(g, "src", "dst", 2, 5, "fz")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val fused = RandomWalks.walksFused(g, "src", "dst", 2, 5, "fz")
+    assert(fused.isDefined)
+    val fusedSet = fused.get
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fusedSet == joined)
+    // names and types match the join plan (nullability is plan-dependent)
+    assert(fused.get.schema.map(f => (f.name, f.dataType))
+      == RandomWalks.walks(g, "src", "dst", 2, 5, "fz")
+        .schema.map(f => (f.name, f.dataType)))
+  }
+
+  test("fused walker falls back past the edge budget and on non-rankable id types") {
+    val g = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    assert(RandomWalks.walksFused(g, "src", "dst", 1, 2, "s", maxEdges = 2L).isEmpty)
+    val gs = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    assert(RandomWalks.walksFused(gs, "src", "dst", 1, 2, "s").isEmpty,
+      "string ids rank lexicographically — the long-keyed map must refuse")
+    // walksAuto serves the join plan in both refusal cases
+    assert(RandomWalks.walksAuto(g, "src", "dst", 1, 2, "s", maxEdges = 2L)
+      .count() > 0)
+  }
+
+  test("walksAuto at integer id type preserves the join plan's column types") {
+    val g = Seq((1, 2), (2, 1), (1, 3)).toDF("src", "dst") // IntegerType ids
+    val auto = RandomWalks.walksAuto(g, "src", "dst", 1, 2, "s")
+    val joined = RandomWalks.walks(g, "src", "dst", 1, 2, "s")
+    assert(auto.schema.map(f => (f.name, f.dataType))
+      == joined.schema.map(f => (f.name, f.dataType)))
+    assert(auto.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      == joined.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet)
+  }
 }

@@ -44,4 +44,25 @@ class ShortestPathsSpec extends SparkSpecBase {
     val b = ShortestPaths.run(g.repartition(7), "u", "v", "w", 1L, 4).collect().toSet
     assert(a == b)
   }
+
+  test("fused relaxation is bit-identical to the join plan (multi-edges, every round count)") {
+    // add a parallel cheaper edge and an unreachable component
+    val multi = g.union(Seq((2L, 4L, 2L), (8L, 9L, 1L)).toDF("u", "v", "w"))
+    for (r <- 1 to 5) {
+      val fused = ShortestPaths.runFused(multi, "u", "v", "w", 1L, r)
+      assert(fused.isDefined)
+      assert(fused.get.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+        == ShortestPaths.run(multi, "u", "v", "w", 1L, r)
+          .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap, s"rounds=$r")
+    }
+  }
+
+  test("fused refuses past the budget and on string ids; Auto falls back") {
+    assert(ShortestPaths.runFused(g, "u", "v", "w", 1L, 2, maxEdges = 2L).isEmpty)
+    val gs = Seq(("a", "b", 1L)).toDF("u", "v", "w")
+    assert(ShortestPaths.runFused(gs, "u", "v", "w", 1L, 2).isEmpty)
+    val auto = ShortestPaths.runAuto(g, "u", "v", "w", 1L, 4, maxEdges = 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(auto == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
 }

@@ -64,11 +64,70 @@ class TrianglesSpec extends SparkSpecBase {
     assert(got == brute)
   }
 
-  test("the wedge self-join shares one exchange (ReusedExchange)") {
-    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
-      val p = Triangles.perNode(square, "src", "dst")
+  test("the wedge self-join shares one exchange (ReusedExchange) in the shuffled regime") {
+    // pin the big-graph plan shape: broadcast gate off AND the optimizer's
+    // size-based broadcast off (the checkpointed edge set carries accurate
+    // stats, so a toy graph would otherwise broadcast the wedge join too —
+    // which is the desired SMALL-graph plan, covered by the budget test)
+    withSQLConf("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = Triangles.perNodeComposed(square, "src", "dst",
+          broadcastEdgeLimit = 0L)
         .queryExecution.executedPlan.toString
       assert(p.contains("ReusedExchange"), s"wedge join must reuse:\n$p")
     }
+  }
+
+  test("closing join broadcasts under the edge budget, shuffles past it — same census") {
+    withSQLConf("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val bcast = Triangles.perNodeComposed(square, "src", "dst")
+      val shuf = Triangles.perNodeComposed(square, "src", "dst",
+        broadcastEdgeLimit = 0L)
+      val pb = bcast.queryExecution.executedPlan.toString
+      val ps = shuf.queryExecution.executedPlan.toString
+      // the explicit gate, not the optimizer's size estimate, picks the form
+      assert(pb.contains("BroadcastHashJoin"),
+        s"under budget the wedge set must close map-side:\n$pb")
+      assert(!ps.contains("BroadcastHashJoin"),
+        s"past budget the closing join must not broadcast:\n$ps")
+      assert(bcast.collect().toSet == shuf.collect().toSet)
+    }
+  }
+
+  test("fused intersection kernel matches the composed plan row-for-row") {
+    // the pseudo-random graph again, plus noise: reversed copies, dups,
+    // a self-loop, and a degree-1 pendant
+    val n = 40
+    val edges = (for {
+      i <- 0 until n; j <- i + 1 until n
+      if java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$j".getBytes("UTF-8"))(0) % 4 == 0
+    } yield (i, j)) ++ Seq((5, 5), (0, 99), (3, 2), (2, 3))
+    val g = edges.toDF("src", "dst")
+    val fused = Triangles.perNodeFused(g, "src", "dst")
+    assert(fused.isDefined, "40-node graph must be under the default budget")
+    val a = fused.get.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+    val b = Triangles.perNodeComposed(g, "src", "dst").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+    assert(a == b)
+    assert(fused.get.schema.map(f => (f.name, f.dataType))
+      == Triangles.perNodeComposed(g, "src", "dst")
+        .schema.map(f => (f.name, f.dataType)))
+  }
+
+  test("fused kernel refuses past the budget and on non-integral ids") {
+    assert(Triangles.perNodeFused(square, "src", "dst", maxEdges = 2L).isEmpty)
+    val gs = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    assert(Triangles.perNodeFused(gs, "src", "dst").isEmpty)
+    // the dispatcher still serves both through the composed plan
+    assert(Triangles.perNode(square, "src", "dst", edgeLimit = 2L)
+      .collect().length == 4)
+    val strTri = Triangles.perNode(gs, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(strTri == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
   }
 }
