@@ -176,6 +176,78 @@ object ScaleExperiment {
       }
     }
 
+    // round-12 graph ladder at 10×: the fused regime (budget raised to
+    // admit the 10× graph), the composed middle rung (broadcast closing /
+    // join sweeps), and the all-shuffle plans — one box, one session.
+    // The 10× co-purchase graph is ~24M directed edges (10 disjoint
+    // key-offset copies), past the DEFAULT gates — so defaults take the
+    // composed path at this size and the raised-budget legs here measure
+    // what admitting the graph buys. Run with SPARK_DRIVER_MEM=24g.
+    if (on("r12graph")) {
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val wideBudget = 64000000L
+      // edge builder: one-shuffle basket explode vs the two-side self-join
+      def selfJoinPairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      // the one-shuffle basket-explode form (groupBy collect_list + two
+      // in-row explodes, exact multiset parity with the self-join): wins
+      // ~1.6x at sf0.1 but LOSES ~2x at 10x — measured here and therefore
+      // NOT the production builder (the queries keep the self-join)
+      def basketPairs = li
+        .groupBy(col("l_orderkey"))
+        .agg(collect_list(col("l_partkey")).as("__ps"))
+        .select(explode(col("__ps")).as("src"), col("__ps"))
+        .select(col("src"), explode(col("__ps")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      timed("r12g_edges_selfjoin_distinct")(selfJoinPairs.distinct())
+      timed("r12g_edges_basket_distinct")(basketPairs.distinct())
+      // triangles: fused intersections vs composed broadcast-closing vs
+      // composed all-shuffle
+      timed("r12g_tri_fused")(graft.graph.Triangles
+        .perNodeFused(basketPairs, "src", "dst", wideBudget).get)
+      timed("r12g_tri_composed_bcast")(graft.graph.Triangles
+        .perNodeComposed(basketPairs, "src", "dst", wideBudget))
+      timed("r12g_tri_composed_shuffle")(graft.graph.Triangles
+        .perNodeComposed(basketPairs, "src", "dst", 0L))
+      // walks: fused broadcast walker vs per-step joins
+      timed("r12g_walks_fused")(graft.graph.RandomWalks
+        .walksFused(basketPairs, "src", "dst", 2, 4, "rw", wideBudget).get)
+      timed("r12g_walks_join")(graft.graph.RandomWalks
+        .walks(basketPairs, "src", "dst", 2, 4, "rw"))
+      // pagerank + sssp: driver sweep vs per-iteration joins
+      def dedges = basketPairs.distinct()
+      timed("r12g_pr_fused")(graft.graph.PageRank
+        .runFused(dedges, 3, maxEdges = wideBudget).get)
+      timed("r12g_pr_join")(graft.graph.PageRank.run(dedges, 3))
+      def wedges12 = basketPairs
+        .groupBy(col("src").as("u"), col("dst").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("u"), col("v"), expr("1 + (1000000 div c)").as("w"))
+      timed("r12g_sssp_fused")(graft.graph.ShortestPaths
+        .runFused(wedges12, "u", "v", "w", 0L, 4, wideBudget).get)
+      timed("r12g_sssp_join")(graft.graph.ShortestPaths
+        .run(wedges12, "u", "v", "w", 0L, 4))
+    }
+
+    // connected components at 10×: union-find sweep vs pointer-jumping
+    // joins on the ~12M-edge canonical co-purchase pair graph (one giant
+    // component — the worst case for per-iteration join plans)
+    if (on("r12cc")) {
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      def ccEdges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("a"), col("b.l_partkey").as("b"))
+        .distinct()
+      timed("r12cc_fused")(graft.dedup.ConnectedComponents
+        .runFused(ccEdges, maxEdges = 64000000L).get)
+      timed("r12cc_join")(graft.dedup.ConnectedComponents.run(ccEdges))
+    }
+
     if (on("r11fused")) {
       import graft.rank._
       val (tr0, te0) = Interactions.splitByTime(

@@ -278,7 +278,7 @@ object TextDedup {
       quality: Column, numHashes: Int = 16, rowsPerBand: Int = 2,
       threshold: Double = 0.7): DataFrame = {
     val pairs = nearDupPairs(df, idCol, shingles, numHashes, rowsPerBand, threshold)
-    clusterKeepBest(df, idCol, ConnectedComponents.run(pairs), quality)
+    clusterKeepBest(df, idCol, ConnectedComponents.runAuto(pairs), quality)
   }
 
   /** 64-bit SimHash over a token multiset: per-token xxhash64, each bit

@@ -269,7 +269,7 @@ object PageRank {
     * 100 TB plan stays [[run]]'s shuffled sweeps. */
   def runFused(edges: DataFrame, iters: Int, dampNum: Long = 85L,
       dampDen: Long = 100L, scale: Long = Scale,
-      maxEdges: Long = 16000000L): Option[DataFrame] = {
+      maxEdges: Long = 4000000L): Option[DataFrame] = {
     require(iters >= 0, s"iters must be >= 0: $iters")
     require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
       s"damping must be a fraction in [0,1]: $dampNum/$dampDen")
@@ -294,7 +294,7 @@ object PageRank {
   /** Budget dispatcher for [[run]]. */
   def runAuto(edges: DataFrame, iters: Int, dampNum: Long = 85L,
       dampDen: Long = 100L, scale: Long = Scale,
-      maxEdges: Long = 16000000L): DataFrame =
+      maxEdges: Long = 4000000L): DataFrame =
     runFused(edges, iters, dampNum, dampDen, scale, maxEdges)
       .getOrElse(run(edges, iters, dampNum, dampDen, scale))
 
@@ -305,7 +305,7 @@ object PageRank {
     * (exactly [[personalized]]'s semantics). */
   def personalizedFused(edges: DataFrame, seeds: DataFrame, iters: Int,
       dampNum: Long = 85L, dampDen: Long = 100L, scale: Long = Scale,
-      maxEdges: Long = 16000000L): Option[DataFrame] = {
+      maxEdges: Long = 4000000L): Option[DataFrame] = {
     require(iters >= 0, s"iters must be >= 0: $iters")
     require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
       s"damping must be a fraction in [0,1]: $dampNum/$dampDen")
@@ -344,7 +344,7 @@ object PageRank {
   /** Budget dispatcher for [[personalized]]. */
   def personalizedAuto(edges: DataFrame, seeds: DataFrame, iters: Int,
       dampNum: Long = 85L, dampDen: Long = 100L, scale: Long = Scale,
-      maxEdges: Long = 16000000L): DataFrame =
+      maxEdges: Long = 4000000L): DataFrame =
     personalizedFused(edges, seeds, iters, dampNum, dampDen, scale, maxEdges)
       .getOrElse(personalized(edges, seeds, iters, dampNum, dampDen, scale))
 

@@ -69,7 +69,7 @@ object ShortestPaths {
     * null (the join plan's null semantics are kept by falling back). */
   def runFused(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, source: Long, rounds: Int,
-      maxEdges: Long = 16000000L): Option[DataFrame] = {
+      maxEdges: Long = 4000000L): Option[DataFrame] = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val srcT = edges.schema(srcCol).dataType
     val dstT = edges.schema(dstCol).dataType
@@ -134,7 +134,7 @@ object ShortestPaths {
   /** Budget dispatcher for [[run]]. */
   def runAuto(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, source: Long, rounds: Int,
-      maxEdges: Long = 16000000L): DataFrame =
+      maxEdges: Long = 4000000L): DataFrame =
     runFused(edges, srcCol, dstCol, weightCol, source, rounds, maxEdges)
       .getOrElse(run(edges, srcCol, dstCol, weightCol, source, rounds))
 }

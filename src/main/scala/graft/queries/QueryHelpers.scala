@@ -38,26 +38,6 @@ object QueryHelpers {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
-  /** Directed co-purchase pair stream — the edge builder every graph query
-    * shares (PageRank/PPR/SSSP/walks/triangles/label-prop all rank the
-    * "parts that share an order" graph). Semantically IDENTICAL to the
-    * lineitem self-join `a ⋈ b ON a.key = b.key AND a.part <> b.part`
-    * (exact multiset parity, duplicate-part rows included — spec-pinned),
-    * but built as groupBy collect_list + two in-row explodes: ONE shuffle
-    * of the bare (key, part) pairs instead of shuffling BOTH self-join
-    * sides and running join machinery over them, and the O(k²) per-basket
-    * pair fan-out happens map-side after the exchange. Warm sf0.1:
-    * 3.3 s → 2.0 s for the canonical-distinct consumer, and the gain
-    * rides every downstream graph query. At 100 TB the shuffled bytes
-    * halve and a viral basket degrades into one long map task instead of
-    * a skewed join key. */
-  def copurchasePairs(li: DataFrame, keyCol: String, partCol: String): DataFrame =
-    li.groupBy(col(keyCol))
-      .agg(collect_list(col(partCol)).as("__ps"))
-      .select(explode(col("__ps")).as("src"), col("__ps"))
-      .select(col("src"), explode(col("__ps")).as("dst"))
-      .filter(col("src") =!= col("dst"))
-
   /** Collision-free tmp-fixture key for a data directory: the sanitized
     * FULL path (not a 32-bit hashCode, which can collide across sfDirs and
     * silently reuse another dir's committed fixture). Distinct sfDir

@@ -88,7 +88,10 @@ object StarQueries {
     // Traces feed skip-gram statistics (Cooccurrence.glove) downstream.
     "q165_random_walks" -> { (s, d) =>
       val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val edges = copurchasePairs(li, "l_orderkey", "l_partkey")
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       graft.graph.RandomWalks.walksAuto(edges, "src", "dst",
           numWalks = 2, length = 4, salt = "rw")
         .orderBy(col("walk_id"), col("step"))
@@ -106,7 +109,10 @@ object StarQueries {
       val li = table(s, d, "lineitem")
         .filter(col("l_partkey") < 500)
         .select(col("l_orderkey"), col("l_partkey"))
-      val edges = copurchasePairs(li, "l_orderkey", "l_partkey")
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       val traces = graft.graph.RandomWalks.walksAuto(edges, "src", "dst",
         numWalks = 2, length = 4, salt = "rw")
       val seqs = traces.groupBy(col("walk_id"))
@@ -126,7 +132,10 @@ object StarQueries {
     // (symmetric graph -> dangling identically 0 on both sides).
     "q176_ppr_related" -> { (s, d) =>
       val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val edges = copurchasePairs(li, "l_orderkey", "l_partkey")
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
         .distinct()
       val seeds = edges.select(col("src").as("node")).distinct()
         .filter(col("node") % 40 === 0)
@@ -144,7 +153,10 @@ object StarQueries {
     "q173_communities" -> { (s, d) =>
       val li = table(s, d, "lineitem").filter(col("l_partkey") < 300)
         .select(col("l_orderkey"), col("l_partkey"))
-      val edges = copurchasePairs(li, "l_orderkey", "l_partkey")
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       graft.graph.LabelPropagation.run(edges, "src", "dst", rounds = 3)
         .orderBy(col("node"))
     },
@@ -156,8 +168,10 @@ object StarQueries {
     // distance hash-replays.
     "q160_sssp" -> { (s, d) =>
       val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val pairs = copurchasePairs(li, "l_orderkey", "l_partkey")
-        .groupBy(col("src").as("u"), col("dst").as("v"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") =!= col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
         .agg(count(lit(1)).as("c"))
       val edges = pairs.select(col("u"), col("v"),
         expr("1 + (1000000 div c)").as("w"))
@@ -174,7 +188,10 @@ object StarQueries {
     // must agree bit-for-bit.
     "q155_triangles" -> { (s, d) =>
       val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val edges = copurchasePairs(li, "l_orderkey", "l_partkey")
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       graft.graph.Triangles.perNode(edges, "src", "dst")
         .orderBy(col("node"))
     },
@@ -187,7 +204,10 @@ object StarQueries {
     // makes an iterative 100 TB job replayable (see graph/PageRank).
     "q134_copurchase_rank" -> { (s, d) =>
       val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val edges = copurchasePairs(li, "l_orderkey", "l_partkey")
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
         .distinct()
       graft.graph.PageRank.runAuto(edges, iters = 3)
         .select(col("node").as("part_id"), col("rank_fp").as("rank_e12"))

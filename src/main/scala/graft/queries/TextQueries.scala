@@ -249,7 +249,7 @@ object TextQueries {
       val docs = tokenized(s, d, shingleN)
       val shingles = TextOps.wordShingles(col("__toks"), shingleN)
       val pairs = TextDedup.nearDupPairs(docs, "doc_id", shingles, 16, 2, 0.5)
-      graft.dedup.ConnectedComponents.run(pairs)
+      graft.dedup.ConnectedComponents.runAuto(pairs)
         .orderBy(col("node"))
     },
 
@@ -262,7 +262,7 @@ object TextQueries {
       val docs = tokenized(s, d, shingleN)
       val shingles = TextOps.wordShingles(col("__toks"), shingleN)
       val pairs = TextDedup.nearDupPairs(docs, "doc_id", shingles, 16, 2, 0.5)
-      graft.dedup.ConnectedComponents.run(pairs)
+      graft.dedup.ConnectedComponents.runAuto(pairs)
         .groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
         .orderBy(col("cluster_size"))
@@ -483,7 +483,7 @@ object TextQueries {
       val shingles = TextOps.wordShingles(col("__toks"), shingleN)
       val pairs = TextDedup.nearDupPairs(docs, "doc_id", shingles, 16, 2, 0.5)
       TextDedup.clusterKeepBest(table(s, d, "documents"), "doc_id",
-          graft.dedup.ConnectedComponents.run(pairs), col("n_chars"))
+          graft.dedup.ConnectedComponents.runAuto(pairs), col("n_chars"))
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
     },
@@ -999,7 +999,7 @@ object TextQueries {
       val edges = table(s, d, "documents")
         .select(col("doc_id").as("a"), lag(col("doc_id"), 1).over(w).as("b"))
         .filter(col("b").isNotNull)
-      graft.dedup.ConnectedComponents.run(edges, maxIter = 30)
+      graft.dedup.ConnectedComponents.runAuto(edges, maxIter = 30)
         .orderBy(col("node"))
     },
 

@@ -81,4 +81,40 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     assert(kept == Set(1L, 4L, 5L, 7L, 8L),
       "component minima survive; chain member 3 dies even though (1,3) was never a pair")
   }
+
+  test("fused union-find matches the iterative plan on random graphs and deep chains") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(80)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("a", "b")
+    val fused = ConnectedComponents.runFused(df)
+    assert(fused.isDefined)
+    assert(fused.get.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == ConnectedComponents.run(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // a 5000-node path: past the iterative plan's default maxIter ABORT
+    // territory (composed needs pointer jumping); union-find has no
+    // diameter term at all
+    val path = (0L until 4999L).map(i => (i, i + 1)).toDF("a", "b")
+    val labs = ConnectedComponents.runFused(path).get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labs.size == 5000 && labs.values.forall(_ == 0L))
+  }
+
+  test("fused refuses past the budget / string ids; runAuto falls back; null edges drop") {
+    val df = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    assert(ConnectedComponents.runFused(df, maxEdges = 1L).isEmpty)
+    assert(ConnectedComponents
+      .runFused(Seq(("x", "y")).toDF("a", "b")).isEmpty)
+    assert(ConnectedComponents.runAuto(df, maxEdges = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    // a null endpoint vanishes in BOTH plans (the x =!= y filter)
+    val withNull = df.unionByName(
+      Seq((Option.empty[Long], Option(9L))).toDF("a", "b"))
+    assert(ConnectedComponents.runFused(withNull).get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == ConnectedComponents.run(withNull).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
 }
