@@ -132,11 +132,13 @@ object StarQueries {
     // (symmetric graph -> dangling identically 0 on both sides).
     "q176_ppr_related" -> { (s, d) =>
       val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      // checkpointed: the seed derivation AND the rank sweep both read the
+      // edge set — without the cut the co-purchase self-join runs twice
       val edges = li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey")
             && col("a.l_partkey") =!= col("b.l_partkey"))
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
+        .distinct().localCheckpoint()
       val seeds = edges.select(col("src").as("node")).distinct()
         .filter(col("node") % 40 === 0)
       graft.graph.PageRank.personalizedAuto(edges, seeds, iters = 3)

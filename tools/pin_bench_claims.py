@@ -51,10 +51,29 @@ CANDIDATES = [
 # back into the band edge the driver already contradicted. The low side
 # stays safe: the lint's floor substitution + per-position band keep a
 # fast local run inside tolerance down to pin/1.5 at factor 1.0.
+#
+# An override is EVIDENCE ABOUT SPECIFIC CODE, not a floor forever: it is
+# removed in the same round the pinned plan changes with a named
+# mechanism. Round-12 second half removed q155_triangles (fused
+# intersection kernel — the wedge rows the old pin measured no longer
+# materialize) and q165_random_walks (fused broadcast walker replaced the
+# per-step joins); their fresh pins come from the close pair like any
+# other row. q156_kcore is untouched code and keeps its pooled pin.
 OVERRIDES = {
-    "q155_triangles": 8.10,
     "q156_kcore": 1.75,
-    "q165_random_walks": 7.80,
+}
+
+# Rows whose PLAN changed this round with a named mechanism (SCALE.md):
+# the last driver artifact measured code that no longer exists, so the
+# driver-prediction veto is evidence about the WRONG plan for them — they
+# pin from the A/B pair alone (exactly the q63ta precedent: a row absent
+# from the driver artifact pins without a prediction). The set is
+# emptied when the round's driver artifact lands.
+CHANGED_THIS_ROUND = {
+    "q155_triangles",      # fused intersection kernel (wedge rows gone)
+    "q165_random_walks",   # fused broadcast walker
+    "q172_walk_glove",     # rides the fused walker
+    "q134_copurchase_rank",  # fused fixed-point sweep
 }
 
 
@@ -103,7 +122,8 @@ def main(a_path, b_path, driver_path):
             dropped.append((q, f"A/B spread {spread:.2f}x > {MARGIN}"))
             continue
         claim = max(geomean([a, b]), OVERRIDES.get(q, 0.0))
-        if q in qd and qd[q] > 0 and q not in OVERRIDES:
+        if (q in qd and qd[q] > 0 and q not in OVERRIDES
+                and q not in CHANGED_THIS_ROUND):
             # OVERRIDES rows already pooled the driver signal into their
             # pin (driver floor / end-position factor — SCALE.md round-12
             # note); this single-median-factor prediction is stricter than
@@ -128,6 +148,10 @@ def main(a_path, b_path, driver_path):
           f"(factor vs r07 driver: {factor_d:.2f}):")
     for q, why in dropped:
         print(f"#   {q}: {why}")
+    skipped = [q for q, _ in kept if q in CHANGED_THIS_ROUND and q in qd]
+    if skipped:
+        print("# driver prediction skipped (plan changed this round): "
+              + ", ".join(skipped))
 
 
 if __name__ == "__main__":
