@@ -29,6 +29,20 @@ object RankQueries {
         .orderBy(col("user_id"), col("rk"))
     },
 
+    // The FUSED serve of the same exact ranker (round 12): the bounded
+    // co-occurrence model broadcasts and each user's scores accumulate
+    // row-locally over their grouped history — the |history|×M candidate
+    // rows of q50's join plan never exist (sql.TopKDotF32's lesson
+    // applied to exact counts; Cooccur.recommendFused). Same oracle SQL
+    // as q50: the fused plan must replay the join plan row-for-row.
+    "q182_topk_fused" -> { (s, d) =>
+      val (tr, _) = Interactions.splitByTime(Interactions.fromStar(s, d), b1)
+      val nb = Cooccur.itemNeighbors(tr, neighborCap)
+      Cooccur.recommendAuto(tr, nb, k)
+        .filter(col("user_id") < 200)
+        .orderBy(col("user_id"), col("rk"))
+    },
+
     // Ranking eval: per-user recall@10 / NDCG@10 of the q50 recommender
     // against the held-out test window (reference: my_merlin_flow.py:
     // 318,324,446-450). DCG discounts are plan-time literals (see
@@ -158,6 +172,20 @@ object RankQueries {
         .filter(col("user_id") < 200)
         .orderBy(col("user_id"), col("rk"))
     },
+    // The fused co-occurrence serve at the FULL serving shape (every
+    // user — the q52s candidate volume without the assemble/JSON tail):
+    // the broadcast-model plan (q182's path) against the join plan's
+    // pinned wall. Unpinned this round. Deliberately NOT offered at the
+    // user-filtered q50s shape: a filter above the fused mapPartitions
+    // cannot push below it, while the all-Catalyst join plan pushes
+    // user_id < 200 down to the scan and wins 2x there (measured) — the
+    // dispatcher is for full-population serves.
+    "q52f_recs_fused" -> { (s, _) =>
+      val tr = s.read.parquet(s"$serveModelDir/tr")
+      val nb = graft.rank.RetrievalPipeline.loadModel(s, s"$serveModelDir/cooccur")
+      Cooccur.recommendAuto(tr, nb, k)
+        .orderBy(col("user_id"), col("rk"))
+    },
     "q51s_eval_served" -> { (s, _) =>
       val tr = s.read.parquet(s"$serveModelDir/tr")
       val te = s.read.parquet(s"$serveModelDir/te")
@@ -271,6 +299,12 @@ object RankQueries {
           WHERE rk <= 5 ORDER BY user_id, rk"""
     },
     "q50_topk_retrieval" ->
+      s"""WITH ${recsCtes(neighborCap)}
+          SELECT u AS user_id, rk, ib AS item_id, s AS score FROM recs
+          WHERE rk <= $k AND u < 200 ORDER BY user_id, rk""",
+    // identical text to q50 by design: the fused plan's contract is
+    // row-identity with the join plan, adjudicated by the same replay
+    "q182_topk_fused" ->
       s"""WITH ${recsCtes(neighborCap)}
           SELECT u AS user_id, rk, ib AS item_id, s AS score FROM recs
           WHERE rk <= $k AND u < 200 ORDER BY user_id, rk""",

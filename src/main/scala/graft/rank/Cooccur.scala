@@ -169,4 +169,147 @@ object Cooccur {
           col("item_b").as("item_id"), col("score"))
     }.reduce(_ unionByName _)
   }
+
+  private def integral(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case org.apache.spark.sql.types.ByteType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
+  /** Budget-fused [[recommend]] — the TopKDotF32 lesson applied to the
+    * EXACT co-occurrence ranker. The round-11 serving audit (SCALE.md
+    * r11serve) proved the join plan's candidate shuffle is the
+    * exact-semantics floor FOR A JOIN PLAN: a candidate's (user, item_b)
+    * duplicates originate in different item_a partitions, so no map-side
+    * combine exists. But the model itself is BOUNDED (items × maxNeighbors
+    * rows, capped by construction) — under `maxModelRows` it broadcasts,
+    * and each user's scores accumulate ROW-LOCALLY over their grouped
+    * history: the |history|×M candidate rows never exist, and the only
+    * exchanges are the two user-keyed groupings (seen set + capped
+    * basket, co-partitioned for their join). Scores are sums of longs
+    * (order-free) and the cut replays (score desc, item asc), so the
+    * output is row-identical to [[recommend]] — spec-pinned at cap 0 and
+    * capped, with ties.
+    *
+    * None — callers fall back to the join plan — past the model budget,
+    * for non-integral/mismatched id types, or when interactions carry a
+    * null user/item (detected with the collect_set-size device before
+    * anything is collected): 100 TB of interactions stream through this
+    * plan fine (they are never collected), but a model past executor
+    * memory belongs to the join. */
+  def recommendFused(inter: DataFrame, neighbors: DataFrame, k: Int = 10,
+      maxBasket: Int = 0,
+      maxModelRows: Long = 16000000L): Option[DataFrame] = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val uT = inter.schema("user_id").dataType
+    val iT = inter.schema("item_id").dataType
+    val aT = neighbors.schema("item_a").dataType
+    val bT = neighbors.schema("item_b").dataType
+    if (!integral(uT) || !integral(iT) || aT != iT || bT != iT
+        || maxModelRows <= 0) return None
+    val spark = inter.sparkSession
+    import spark.implicits._
+    // model: grouped neighbor lists, budget-probed distributed-first
+    val nbG = neighbors
+      .select(col("item_a").cast("long").as("ia"),
+        struct(col("item_b").cast("long").as("ib"),
+          col("c").cast("long").as("c")).as("nb"))
+      .groupBy(col("ia")).agg(collect_list(col("nb")).as("nbs"))
+      .localCheckpoint()
+    val mProbe = nbG.agg(coalesce(sum(size(col("nbs"))), lit(0L)),
+      coalesce(sum(when(col("ia").isNull, 1L).otherwise(0L)), lit(0L))).head()
+    if (mProbe.getLong(0) == 0L || mProbe.getLong(0) > maxModelRows
+        || mProbe.getLong(1) != 0L) {
+      graft.operators.Checkpoints.free(nbG)
+      return None
+    }
+    val nbRows = nbG.collect()
+    graft.operators.Checkpoints.free(nbG)
+    val model = new java.util.HashMap[Long, (Array[Long], Array[Long])](
+      nbRows.length * 2)
+    var nullInner = false
+    nbRows.foreach { r =>
+      val nbs = r.getSeq[org.apache.spark.sql.Row](1)
+      val items = new Array[Long](nbs.length)
+      val counts = new Array[Long](nbs.length)
+      var j = 0
+      nbs.foreach { e =>
+        if (e.isNullAt(0) || e.isNullAt(1)) nullInner = true
+        else { items(j) = e.getLong(0); counts(j) = e.getLong(1) }
+        j += 1
+      }
+      model.put(r.getLong(0), (items, counts))
+    }
+    if (nullInner) return None
+    val bc = spark.sparkContext.broadcast(model)
+    // per-user frames: full-history seen set (+ the collect_set-size null
+    // device: t is distinct, so size(set) == count(1) iff no null item)
+    val t = inter.select(col("user_id").cast("long").as("u"),
+        col("item_id").cast("long").as("i"))
+      .distinct()
+    val seenG = t.groupBy(col("u"))
+      .agg(collect_set(col("i")).as("__seen"), count(lit(1)).as("__cnt"))
+      .localCheckpoint()
+    val sProbe = seenG.agg(
+      coalesce(sum(when(size(col("__seen")) =!= col("__cnt"), 1L)
+        .otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("u").isNull, 1L).otherwise(0L)), lit(0L))).head()
+    if (sProbe.getLong(0) != 0L || sProbe.getLong(1) != 0L) {
+      graft.operators.Checkpoints.free(seenG)
+      return None
+    }
+    val both =
+      if (maxBasket > 0) {
+        val histG = Interactions.recentN(
+            inter.select(col("user_id").cast("long").as("user_id"),
+              col("item_id").cast("long").as("item_id"), col("ts")),
+            maxBasket)
+          .groupBy(col("user_id").as("u"))
+          .agg(collect_list(col("item_id")).as("__hist"))
+        histG.join(seenG, Seq("u"))
+      } else seenG.withColumn("__hist", col("__seen"))
+    val slices = spark.sparkContext.defaultParallelism
+    val out = both
+      .select(col("u"), col("__hist").cast("array<bigint>"),
+        col("__seen").cast("array<bigint>"))
+      .repartition(slices)
+      .as[(Long, Seq[Long], Seq[Long])]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.flatMap { case (u, hist, seen) =>
+          val scores = new java.util.HashMap[Long, Long]()
+          hist.foreach { h =>
+            val nb = m.get(h)
+            if (nb != null) {
+              var j = 0
+              while (j < nb._1.length) {
+                scores.merge(nb._1(j), nb._2(j), (a: Long, b: Long) => a + b)
+                j += 1
+              }
+            }
+          }
+          val seenSet = new java.util.HashSet[Long](seen.length * 2)
+          seen.foreach(seenSet.add)
+          val cand = Seq.newBuilder[(Long, Long)]
+          scores.forEach((item, s) =>
+            if (!seenSet.contains(item)) cand += ((item, s)))
+          cand.result()
+            .sortBy { case (item, s) => (-s, item) } // (score desc, id asc)
+            .take(k).zipWithIndex
+            .map { case ((item, s), idx) => (u, idx + 1, item, s) }
+        }
+      }.toDF("user_id", "rk", "item_id", "score")
+    Some(out.select(col("user_id").cast(uT).as("user_id"),
+      col("rk").cast("int").as("rk"),
+      col("item_id").cast(iT).as("item_id"), col("score")))
+  }
+
+  /** Budget dispatcher for [[recommend]]. */
+  def recommendAuto(inter: DataFrame, neighbors: DataFrame, k: Int = 10,
+      maxBasket: Int = 0, maxModelRows: Long = 16000000L): DataFrame =
+    recommendFused(inter, neighbors, k, maxBasket, maxModelRows)
+      .getOrElse(recommend(inter, neighbors, k, maxBasket))
 }
