@@ -232,6 +232,22 @@ object ScaleExperiment {
         .run(wedges12, "u", "v", "w", 0L, 4))
     }
 
+    // round-12 second half: the fused co-occurrence serve at 10× — the
+    // broadcast-model rung (Cooccur.recommendFused) vs the exact join
+    // plan at the full-population serving shape (~1.5M users, ~10M-row
+    // neighbor model, candidates ×10 the sf0.1 audit's 22.8M)
+    if (on("r12serve")) {
+      import graft.rank._
+      val (tr0, _) = Interactions.splitByTime(
+        Interactions.fromStar(spark, dir), "2000-01-01")
+      val tr = tr0.localCheckpoint()
+      val nb = Cooccur.itemNeighbors(tr, 50).localCheckpoint()
+      println("r12serve model rows = " + nb.count())
+      timed("r12serve_fused")(Cooccur
+        .recommendFused(tr, nb, 10, maxModelRows = 64000000L).get)
+      timed("r12serve_join")(Cooccur.recommend(tr, nb, 10))
+    }
+
     // connected components at 10×: union-find sweep vs pointer-jumping
     // joins on the ~12M-edge canonical co-purchase pair graph (one giant
     // component — the worst case for per-iteration join plans)

@@ -199,10 +199,15 @@ object Cooccur {
     * null user/item (detected with the collect_set-size device before
     * anything is collected): 100 TB of interactions stream through this
     * plan fine (they are never collected), but a model past executor
-    * memory belongs to the join. */
+    * memory belongs to the join. The default budget is a MEASURED
+    * crossover, not a heap bound (SCALE.md r12serve): fused wins 2.2×
+    * at a 1M-row model / 150k users (3.30 vs 7.13 s) and LOSES 1.2× at
+    * a 10M-row model / 1.5M users (85.4 vs 71.0 s — the model collect
+    * and per-user map merges overtake the candidate shuffle), so the
+    * gate sits at 4M rows inside the win decade. */
   def recommendFused(inter: DataFrame, neighbors: DataFrame, k: Int = 10,
       maxBasket: Int = 0,
-      maxModelRows: Long = 16000000L): Option[DataFrame] = {
+      maxModelRows: Long = 4000000L): Option[DataFrame] = {
     require(k >= 1, s"k must be >= 1: $k")
     val uT = inter.schema("user_id").dataType
     val iT = inter.schema("item_id").dataType
@@ -309,7 +314,7 @@ object Cooccur {
 
   /** Budget dispatcher for [[recommend]]. */
   def recommendAuto(inter: DataFrame, neighbors: DataFrame, k: Int = 10,
-      maxBasket: Int = 0, maxModelRows: Long = 16000000L): DataFrame =
+      maxBasket: Int = 0, maxModelRows: Long = 4000000L): DataFrame =
     recommendFused(inter, neighbors, k, maxBasket, maxModelRows)
       .getOrElse(recommend(inter, neighbors, k, maxBasket))
 }
