@@ -42,6 +42,14 @@ object SparkEntry {
     DagQueries.benchSetup(spark, sfDir)
   }
 
+  /** Untimed scalar quality gauges Bench evaluates once per suite (after
+    * benchSetup) and carries in the artifact beside the walls, so a
+    * speed/quality trade (nlist/nprobe changes moving ANN recall) is
+    * visible in the same place as the wall it bought (round-12 verdict
+    * task 6). */
+  def benchGauges: Map[String, (SparkSession, String) => Double] = Map(
+    "ann_recall_at10" -> RankQueries.annRecallAt10)
+
   /** Oracle queries whose bench duty moved to a decomposed/production
     * benchOnly form (Verify still runs every `queries` entry — correctness
     * rows are untouched; only who carries the wall-clock number changes):
@@ -75,6 +83,11 @@ object SparkEntry {
     "q36_langid", "q43_knn_lsh", "q50_topk_retrieval",
     "q134_copurchase_rank", "q155_triangles", "q165_random_walks",
     "q176_ppr_related", "q175_setsim_join",
+    // round-13 (verdict task 1): the two round-12 fused-serve entries
+    // shipped un-isolated and their driver medians read 35x the builder's
+    // clean-JVM walls (q52f 115 s vs 3.0, q182 67.9 vs 5.8 — accumulated
+    // JVM state, the exact class this set exists for)
+    "q52f_recs_fused", "q182_topk_fused",
     // round-9 additions (verdict task 2): every row whose official
     // driver-suite median read >2x the committed builder A/B geomean in
     // r8 with no code change behind it — pure suite-position noise
@@ -97,7 +110,8 @@ object SparkEntry {
     // — q134 4.5/8.1, q148 3.0/4.5, q141 2.0/3.5, q130 1.3/2.6,
     // q154 2.0/2.6 with in-run rep warming, q94 2.8/2.2) — the same
     // suite-position class isolation stabilized for q158k and the r9 set
-    "q134_copurchase_rank", "q148_overlap_sketch", "q141_deep_components",
+    // (q134 already isolated above — round-9 set)
+    "q148_overlap_sketch", "q141_deep_components",
     "q130_data_card", "q154_assoc_rules", "q94_span_dedup")
 
   /** Fit-heavy entries: an iterative model fit (ALS sweeps, k-means) is

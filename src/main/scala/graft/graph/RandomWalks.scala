@@ -122,7 +122,11 @@ object RandomWalks {
     * hundreds of MB with per-node array overhead), or when the id columns
     * are not integral types sharing one type (the broadcast map keys and
     * ranks by long; a string id's lexicographic rank would diverge from
-    * the join plan's ORDER BY). */
+    * the join plan's ORDER BY), or when any edge endpoint is null (the
+    * join plan ranks a null dst first and counts it in outdeg, and a null
+    * src is a start — semantics the long-keyed map cannot hold, so
+    * null-bearing graphs refuse and keep the join plan's behavior — the
+    * PageRank collectGraph convention). */
   def walksFused(edges: DataFrame, srcCol: String, dstCol: String,
       numWalks: Int, length: Int, salt: String,
       maxEdges: Long = 16000000L): Option[DataFrame] = {
@@ -139,18 +143,31 @@ object RandomWalks {
     // Materialized once: the budget probe, the driver collect, and the
     // start frame all read it, and `edges` is often an expensive join
     // (q165's lineitem self-join) that must not run 3×.
+    // Null endpoints are PROBED, not filtered (round-12 advice): the join
+    // plan keeps them (a null dst sorts first in the rank window and counts
+    // in outdeg; a null src node is a start), so a silently-filtered fused
+    // trace would diverge from walks() — the collectGraph convention is to
+    // refuse and fall back instead. collect_set drops a null v, so the
+    // per-group count-vs-size device detects it; a null u is its own group.
     val grouped = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-      .filter(col("u").isNotNull && col("v").isNotNull)
       .groupBy(col("u"))
-      .agg(sort_array(collect_set(col("v"))).as("nbrs"))
+      .agg(sort_array(collect_set(col("v"))).as("nbrs"),
+        max(when(col("v").isNull, 1L).otherwise(0L)).as("__nullv"))
       .localCheckpoint()
-    // budget probe BEFORE any driver collect: one bounded aggregate over
-    // the checkpointed blocks — an over-budget graph is refused while it
-    // is still distributed, never after it lands on the driver
-    val edgeCount = grouped.agg(coalesce(sum(size(col("nbrs"))), lit(0L)))
-      .head().getLong(0)
-    if (edgeCount == 0L || edgeCount > maxEdges) {
+    // budget + null probe BEFORE any driver collect: one bounded aggregate
+    // over the checkpointed blocks — an over-budget or null-bearing graph
+    // is refused while it is still distributed, never after it lands on
+    // the driver (same pass, no second scan of the possibly-expensive
+    // `edges` lineage).
+    val probe = grouped.agg(
+      coalesce(sum(size(col("nbrs"))), lit(0L)),
+      coalesce(sum(when(col("u").isNull, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(col("__nullv")), lit(0L)))
+      .head()
+    val edgeCount = probe.getLong(0)
+    if (edgeCount == 0L || edgeCount > maxEdges || probe.getLong(1) != 0L
+        || probe.getLong(2) != 0L) {
       graft.operators.Checkpoints.free(grouped)
       return None
     }

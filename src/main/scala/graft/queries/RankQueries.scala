@@ -35,11 +35,17 @@ object RankQueries {
     // rows of q50's join plan never exist (sql.TopKDotF32's lesson
     // applied to exact counts; Cooccur.recommendFused). Same oracle SQL
     // as q50: the fused plan must replay the join plan row-for-row.
+    // Round 13 (verdict task 3): the consumer's filter arrives as a
+    // `users` SUBSET, not a post-filter — a predicate above the fused
+    // mapPartitions cannot push below it, so the old shape paid a
+    // full-population serve to answer a 200-user question; the subset
+    // semi-joins the history frames before the grouped aggregates
+    // (spec-pinned ≡ post-filtered in CooccurSpec).
     "q182_topk_fused" -> { (s, d) =>
       val (tr, _) = Interactions.splitByTime(Interactions.fromStar(s, d), b1)
       val nb = Cooccur.itemNeighbors(tr, neighborCap)
-      Cooccur.recommendAuto(tr, nb, k)
-        .filter(col("user_id") < 200)
+      val users = tr.select(col("user_id")).filter(col("user_id") < 200).distinct()
+      Cooccur.recommendAuto(tr, nb, k, users = Some(users))
         .orderBy(col("user_id"), col("rk"))
     },
 
@@ -232,6 +238,24 @@ object RankQueries {
           nprobe = 8, centroids = Some(cents))
         .orderBy(col("user_id"), col("rk"))
     })
+
+  /** Recall@10 of the IVF-served ANN leg (q63ta) against the exact dense
+    * serve (q63ts) on the SAME fit-once model — the probe/recall trade the
+    * bench artifact carries beside the walls (round-12 verdict task 6;
+    * reference eval protocol: recall@10, my_merlin_flow.py:318). Both
+    * serves emit top-10 per user, so recall = |ann ∩ exact| / |exact|.
+    * Requires serveSetup to have run (Bench calls it untimed after
+    * benchSetup). */
+  def annRecallAt10(s: org.apache.spark.sql.SparkSession, d: String): Double = {
+    val exact = serveDefs("q63ts_twotower_served")(s, d)
+      .select(col("user_id"), col("item_id")).localCheckpoint()
+    val ann = serveDefs("q63ta_twotower_ann")(s, d)
+      .select(col("user_id"), col("item_id"))
+    val denom = exact.count()
+    if (denom == 0L) 0.0
+    else ann.join(exact, Seq("user_id", "item_id"), "left_semi")
+      .count().toDouble / denom
+  }
 
   private def interSql(cmp: String): String =
     s"""SELECT DISTINCT o_custkey u, l_partkey i FROM orders

@@ -195,28 +195,50 @@ object Cooccur {
     * capped, with ties.
     *
     * None — callers fall back to the join plan — past the model budget,
-    * for non-integral/mismatched id types, or when interactions carry a
-    * null user/item (detected with the collect_set-size device before
-    * anything is collected): 100 TB of interactions stream through this
-    * plan fine (they are never collected), but a model past executor
-    * memory belongs to the join. The default budget is a MEASURED
-    * crossover, not a heap bound (SCALE.md r12serve): fused wins 2.2×
-    * at a 1M-row model / 150k users (3.30 vs 7.13 s) and LOSES 1.2× at
-    * a 10M-row model / 1.5M users (85.4 vs 71.0 s — the model collect
-    * and per-user map merges overtake the candidate shuffle), so the
-    * gate sits at 4M rows inside the win decade. */
+    * for non-integral/mismatched id types or a non-integral score column
+    * (the fused path casts `c` to long, which would silently truncate a
+    * double where recommend() sums it exactly — round-12 advice), or when
+    * interactions carry a null user/item (detected with the
+    * collect_set-size device before anything is collected): 100 TB of
+    * interactions stream through this plan fine (they are never
+    * collected), but a model past executor memory belongs to the join.
+    * The default budget is a MEASURED crossover, not a heap bound
+    * (SCALE.md r12serve): fused wins 2.2× at a 1M-row model / 150k users
+    * (3.30 vs 7.13 s) and LOSES 1.2× at a 10M-row model / 1.5M users
+    * (85.4 vs 71.0 s — the model collect and per-user map merges
+    * overtake the candidate shuffle), so the gate sits at 4M rows inside
+    * the win decade.
+    *
+    * `users` (round-12 verdict task 3 — the TwoTower.recommend pattern):
+    * when given, only those users are scored — the history/seen frames
+    * semi-join on the user set BEFORE the grouped aggregates, so a
+    * filtered consumer (q182's `user_id < 200` shape) stops paying a
+    * full-population serve. Row-identical to
+    * `recommend(...).join(users, Seq("user_id"), "left_semi")` (per-user
+    * scores are independent, so restricting the input users restricts
+    * nothing else) — spec-pinned. A users frame with a non-matching id
+    * type refuses; null user rows can never match a semi-join and are
+    * dropped on both plans. */
   def recommendFused(inter: DataFrame, neighbors: DataFrame, k: Int = 10,
       maxBasket: Int = 0,
-      maxModelRows: Long = 4000000L): Option[DataFrame] = {
+      maxModelRows: Long = 4000000L,
+      users: Option[DataFrame] = None): Option[DataFrame] = {
     require(k >= 1, s"k must be >= 1: $k")
     val uT = inter.schema("user_id").dataType
     val iT = inter.schema("item_id").dataType
     val aT = neighbors.schema("item_a").dataType
     val bT = neighbors.schema("item_b").dataType
     if (!integral(uT) || !integral(iT) || aT != iT || bT != iT
+        || !integral(neighbors.schema("c").dataType)
         || maxModelRows <= 0) return None
+    if (users.exists(u => u.schema("user_id").dataType != uT)) return None
     val spark = inter.sparkSession
     import spark.implicits._
+    // the subset frame is read twice (seen-set grouping + capped-history
+    // grouping) — materialize it once; long-cast so the semi-joins below
+    // are co-typed with the cast frames they prune
+    val uSub = users.map(_.select(col("user_id").cast("long").as("u"))
+      .filter(col("u").isNotNull).distinct().localCheckpoint())
     // model: grouped neighbor lists, budget-probed distributed-first
     val nbG = neighbors
       .select(col("item_a").cast("long").as("ia"),
@@ -249,12 +271,15 @@ object Cooccur {
       model.put(r.getLong(0), (items, counts))
     }
     if (nullInner) return None
-    val bc = spark.sparkContext.broadcast(model)
     // per-user frames: full-history seen set (+ the collect_set-size null
-    // device: t is distinct, so size(set) == count(1) iff no null item)
-    val t = inter.select(col("user_id").cast("long").as("u"),
+    // device: t is distinct, so size(set) == count(1) iff no null item).
+    // With a `users` subset, the semi-join prunes BEFORE the grouped
+    // aggregate — non-subset users never shuffle, the q50 join plan's
+    // pushed-down-filter economics on this plan's one exchange.
+    val t0 = inter.select(col("user_id").cast("long").as("u"),
         col("item_id").cast("long").as("i"))
       .distinct()
+    val t = uSub.map(s => t0.join(s, Seq("u"), "left_semi")).getOrElse(t0)
     val seenG = t.groupBy(col("u"))
       .agg(collect_set(col("i")).as("__seen"), count(lit(1)).as("__cnt"))
       .localCheckpoint()
@@ -266,12 +291,18 @@ object Cooccur {
       graft.operators.Checkpoints.free(seenG)
       return None
     }
+    // broadcast AFTER the last refusal path (round-12 advice: a broadcast
+    // created before the seenG probe leaked one executor-resident model
+    // per refused call until the ContextCleaner ran)
+    val bc = spark.sparkContext.broadcast(model)
     val both =
       if (maxBasket > 0) {
-        val histG = Interactions.recentN(
-            inter.select(col("user_id").cast("long").as("user_id"),
-              col("item_id").cast("long").as("item_id"), col("ts")),
-            maxBasket)
+        val capped = inter.select(col("user_id").cast("long").as("user_id"),
+          col("item_id").cast("long").as("item_id"), col("ts"))
+        val cappedSub = uSub.map(s => capped.join(
+            s.withColumnRenamed("u", "user_id"), Seq("user_id"), "left_semi"))
+          .getOrElse(capped)
+        val histG = Interactions.recentN(cappedSub, maxBasket)
           .groupBy(col("user_id").as("u"))
           .agg(collect_list(col("item_id")).as("__hist"))
         histG.join(seenG, Seq("u"))
@@ -312,9 +343,19 @@ object Cooccur {
       col("item_id").cast(iT).as("item_id"), col("score")))
   }
 
-  /** Budget dispatcher for [[recommend]]. */
+  /** Budget dispatcher for [[recommend]]. With a `users` subset, the fused
+    * plan scores only those users; the join-plan fallback appends a
+    * left-semi join that Catalyst's PushDownLeftSemiAntiJoin pushes below
+    * the top-k window and the score aggregate to the history scans — both
+    * routes serve the subset without a full-population pass. */
   def recommendAuto(inter: DataFrame, neighbors: DataFrame, k: Int = 10,
-      maxBasket: Int = 0, maxModelRows: Long = 4000000L): DataFrame =
-    recommendFused(inter, neighbors, k, maxBasket, maxModelRows)
-      .getOrElse(recommend(inter, neighbors, k, maxBasket))
+      maxBasket: Int = 0, maxModelRows: Long = 4000000L,
+      users: Option[DataFrame] = None): DataFrame =
+    recommendFused(inter, neighbors, k, maxBasket, maxModelRows, users)
+      .getOrElse {
+        val r = recommend(inter, neighbors, k, maxBasket)
+        users.map(u => r.join(u.select(col("user_id")).distinct(),
+            Seq("user_id"), "left_semi"))
+          .getOrElse(r)
+      }
 }

@@ -81,6 +81,29 @@ class RandomWalksSpec extends SparkSpecBase {
       .count() > 0)
   }
 
+  test("fused walker refuses null endpoints (join plan keeps them — round-12 advice)") {
+    // a null dst ranks at idx 0 in the join plan's ascending window and
+    // counts in outdeg; a null src node is a start — the long-keyed fused
+    // map cannot hold either, so null-bearing graphs must fall back
+    val nullDst = Seq((Option(1L), Option(2L)), (Option(1L), Option.empty[Long]),
+      (Option(2L), Option(1L))).toDF("src", "dst")
+    assert(RandomWalks.walksFused(nullDst, "src", "dst", 1, 3, "s").isEmpty,
+      "null dst must refuse the fused form")
+    val nullSrc = Seq((Option(1L), Option(2L)), (Option.empty[Long], Option(2L)),
+      (Option(2L), Option(1L))).toDF("src", "dst")
+    assert(RandomWalks.walksFused(nullSrc, "src", "dst", 1, 3, "s").isEmpty,
+      "null src must refuse the fused form")
+    // walksAuto serves null-bearing graphs through the join plan, and the
+    // traces match the join plan's own (nulls included in its semantics)
+    val auto = RandomWalks.walksAuto(nullDst, "src", "dst", 1, 3, "s")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) Long.MinValue else r.getLong(2))).toSet
+    val joined = RandomWalks.walks(nullDst, "src", "dst", 1, 3, "s")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) Long.MinValue else r.getLong(2))).toSet
+    assert(auto == joined)
+  }
+
   test("walksAuto at integer id type preserves the join plan's column types") {
     val g = Seq((1, 2), (2, 1), (1, 3)).toDF("src", "dst") // IntegerType ids
     val auto = RandomWalks.walksAuto(g, "src", "dst", 1, 2, "s")
