@@ -181,14 +181,33 @@ object PageRank {
     case _ => false
   }
 
+  /** Dense CSR image of a collected graph (round-13, verdict task 7): the
+    * round-12 fused sweep iterated a boxed `HashMap[Long, Long]`
+    * single-threaded, which measured 1.3-1.5× SLOWER than the join plan at
+    * 24M edges and capped the gate at 4M. Primitive arrays + a dense id
+    * remap make each sweep a cache-linear pass, and disjoint node ranges
+    * let it parallelize with zero synchronization (every write is to the
+    * owner's slot; long adds are exact in any order, so bit-identity to
+    * the shuffled plan is preserved by construction).
+    *
+    *  - `nodes`: sorted distinct node ids; position = dense id
+    *  - `inOff`/`inIdx`: in-adjacency with multiplicity in CSR form
+    *    (in-neighbors of dense id v sit at inIdx[inOff(v) until inOff(v+1)))
+    *  - `outdeg`: per dense id, 0 = dangling */
+  private[graph] final class CsrGraph(
+      val nodes: Array[Long], val inOff: Array[Int],
+      val inIdx: Array[Int], val outdeg: Array[Long]) {
+    def n: Int = nodes.length
+    def denseIdOf(id: Long): Int = java.util.Arrays.binarySearch(nodes, id)
+  }
+
   /** Collect the multi-edge list grouped by dst (in-adjacency, with
     * multiplicity) under an edge budget — probed with a distributed
-    * aggregate BEFORE any driver collect, the walksFused convention.
-    * Returns (inAdj, outdeg, nodeType) or None past the budget / for
-    * non-integral id types. */
+    * aggregate BEFORE any driver collect, the walksFused convention —
+    * and build the CSR image. Returns (csr, nodeType) or None past the
+    * budget / for non-integral id types / null endpoints. */
   private def collectGraph(edges: DataFrame, maxEdges: Long):
-      Option[(java.util.HashMap[Long, Array[Long]],
-        java.util.HashMap[Long, Long], DataType)] = {
+      Option[(CsrGraph, DataType)] = {
     val srcT = edges.schema("src").dataType
     val dstT = edges.schema("dst").dataType
     if (!integral(srcT) || srcT != dstT || maxEdges <= 0) return None
@@ -211,52 +230,128 @@ object PageRank {
     }
     val rows = grouped.collect()
     graft.operators.Checkpoints.free(grouped)
-    val inAdj = new java.util.HashMap[Long, Array[Long]](rows.length * 2)
-    val outdeg = new java.util.HashMap[Long, Long](rows.length * 4)
-    rows.foreach { r =>
-      val v = r.getLong(0)
-      val ins = r.getSeq[Long](1).toArray
-      inAdj.put(v, ins)
-      ins.foreach(u => outdeg.merge(u, 1L, (a, b) => a + b))
+    // one boxed pass Row -> primitive arrays, then everything is unboxed
+    val vs = new Array[Long](rows.length)
+    val inss = new Array[Array[Long]](rows.length)
+    var total = 0L
+    var i = 0
+    while (i < rows.length) {
+      vs(i) = rows(i).getLong(0)
+      inss(i) = rows(i).getSeq[Long](1).toArray
+      total += inss(i).length
+      i += 1
     }
-    Some((inAdj, outdeg, srcT))
+    // node universe: every dst group key + every in-neighbor, sorted+deduped
+    val ids = new Array[Long](vs.length + total.toInt)
+    var p = 0
+    i = 0
+    while (i < vs.length) {
+      ids(p) = vs(i); p += 1
+      val ins = inss(i)
+      var j = 0
+      while (j < ins.length) { ids(p) = ins(j); p += 1; j += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(ids)
+    var n = 0
+    i = 0
+    while (i < ids.length) {
+      if (n == 0 || ids(n - 1) != ids(i)) { ids(n) = ids(i); n += 1 }
+      i += 1
+    }
+    val nodes = java.util.Arrays.copyOf(ids, n)
+    def dense(id: Long): Int = java.util.Arrays.binarySearch(nodes, id)
+    val inOff = new Array[Int](n + 1)
+    i = 0
+    while (i < vs.length) { inOff(dense(vs(i)) + 1) = inss(i).length; i += 1 }
+    i = 1
+    while (i <= n) { inOff(i) += inOff(i - 1); i += 1 }
+    val inIdx = new Array[Int](total.toInt)
+    val outdeg = new Array[Long](n)
+    i = 0
+    while (i < vs.length) {
+      var o = inOff(dense(vs(i)))
+      val ins = inss(i)
+      var j = 0
+      while (j < ins.length) {
+        val u = dense(ins(j))
+        inIdx(o) = u
+        outdeg(u) += 1L
+        o += 1; j += 1
+      }
+      i += 1
+    }
+    Some((new CsrGraph(nodes, inOff, inIdx, outdeg), srcT))
   }
 
-  /** The exact damped sweep over driver-held maps — bit-identical longs to
+  /** The exact damped sweep over the CSR image — bit-identical longs to
     * [[run]]'s per-iteration plan (floor divisions on non-negative longs,
-    * addition exact and order-free). */
-  private def sweep(inAdj: java.util.HashMap[Long, Array[Long]],
-      outdeg: java.util.HashMap[Long, Long],
-      ranks: java.util.HashMap[Long, Long], iters: Int,
-      teleportOf: Long => Long, seedCount: Long, uniform: Boolean,
-      dampNum: Long, dampDen: Long, n: Long): Unit = {
-    var it = 0
-    while (it < iters) {
-      var dang = 0L
-      ranks.forEach((node, r) => if (!outdeg.containsKey(node)) dang += r)
-      val prev = new java.util.HashMap[Long, Long](ranks)
-      ranks.replaceAll { (node, _) =>
-        var in = 0L
-        val ins = inAdj.get(node)
-        if (ins != null) {
-          var i = 0
-          while (i < ins.length) {
-            in += prev.get(ins(i)) / outdeg.get(ins(i)); i += 1
+    * addition exact and order-free, so the range-parallel execution below
+    * cannot change one bit). Two barriers per iteration: shares+dangling
+    * (dang feeds every node's formula), then the gather. `teleportOf` maps
+    * a DENSE id to its teleport mass. Returns the final rank array. */
+  private def sweepCsr(g: CsrGraph, init: Array[Long], iters: Int,
+      teleportOf: Int => Long, seedCount: Long, uniform: Boolean,
+      dampNum: Long, dampDen: Long, n: Long, parallelism: Int): Array[Long] = {
+    val size = g.n
+    var cur = init
+    var next = new Array[Long](size)
+    val shares = new Array[Long](size)
+    val threads = math.max(1, math.min(parallelism, size))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val bounds = (0 to threads).map(t => (t.toLong * size / threads).toInt)
+      def inParallel(body: (Int, Int, Int) => Unit): Unit = {
+        val tasks = new java.util.ArrayList[java.util.concurrent.Callable[Unit]]()
+        (0 until threads).foreach { t =>
+          tasks.add(() => body(t, bounds(t), bounds(t + 1)))
+        }
+        val fs = pool.invokeAll(tasks)
+        fs.forEach(_.get()) // surface worker exceptions
+      }
+      val dangParts = new Array[Long](threads)
+      var it = 0
+      while (it < iters) {
+        val c = cur
+        inParallel { (t, lo, hi) =>
+          var d = 0L
+          var v = lo
+          while (v < hi) {
+            val od = g.outdeg(v)
+            if (od > 0L) shares(v) = c(v) / od else { shares(v) = 0L; d += c(v) }
+            v += 1
+          }
+          dangParts(t) = d
+        }
+        var dang = 0L
+        var t = 0
+        while (t < threads) { dang += dangParts(t); t += 1 }
+        val nx = next
+        inParallel { (_, lo, hi) =>
+          var v = lo
+          while (v < hi) {
+            var in = 0L
+            var e = g.inOff(v)
+            val end = g.inOff(v + 1)
+            while (e < end) { in += shares(g.inIdx(e)); e += 1 }
+            val num =
+              if (uniform)
+                (dampDen - dampNum) * teleportOf(v) + dampNum * (in + dang / n)
+              else {
+                val tp = teleportOf(v)
+                (if (tp > 0L)
+                   (dampDen - dampNum) * tp + dampNum * (dang / seedCount)
+                 else 0L) + dampNum * in
+              }
+            nx(v) = num / dampDen
+            v += 1
           }
         }
-        val num =
-          if (uniform)
-            (dampDen - dampNum) * teleportOf(node) +
-              dampNum * (in + dang / n)
-          else {
-            val t = teleportOf(node)
-            (if (t > 0L) (dampDen - dampNum) * t + dampNum * (dang / seedCount)
-             else 0L) + dampNum * in
-          }
-        num / dampDen
+        val tmp = cur; cur = next; next = tmp
+        it += 1
       }
-      it += 1
-    }
+      cur
+    } finally pool.shutdown()
   }
 
   /** Budget-fused [[run]]: when the multi-edge list fits `maxEdges`, the
@@ -266,26 +361,29 @@ object PageRank {
     * join+checkpoint scaffolding (which dominated the wall ~100×) is pure
     * overhead at this size. Probed distributed-first; bit-identical ranks
     * (spec-pinned); None past the budget or for non-integral ids — the
-    * 100 TB plan stays [[run]]'s shuffled sweeps. */
+    * 100 TB plan stays [[run]]'s shuffled sweeps. Round 13: the sweep runs
+    * over the primitive CSR image, range-parallel across
+    * defaultParallelism threads (see [[CsrGraph]]) — the round-12 boxed
+    * single-thread map lost to the join plan at 24M edges; the measured
+    * crossover sets the default gate (SCALE.md r13graph). */
   def runFused(edges: DataFrame, iters: Int, dampNum: Long = 85L,
       dampDen: Long = 100L, scale: Long = Scale,
       maxEdges: Long = 4000000L): Option[DataFrame] = {
     require(iters >= 0, s"iters must be >= 0: $iters")
     require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
       s"damping must be a fraction in [0,1]: $dampNum/$dampDen")
-    collectGraph(edges, maxEdges).map { case (inAdj, outdeg, nodeT) =>
+    collectGraph(edges, maxEdges).map { case (g, nodeT) =>
       val spark = edges.sparkSession
       import spark.implicits._
-      val ranks = new java.util.HashMap[Long, Long]()
-      inAdj.forEach((v, _) => ranks.put(v, 0L))
-      outdeg.forEach((u, _) => ranks.put(u, 0L))
-      val n = ranks.size.toLong
+      val n = g.n.toLong
       val teleport = scale / n
-      ranks.replaceAll((_, _) => teleport)
-      sweep(inAdj, outdeg, ranks, iters, _ => teleport, n, uniform = true,
-        dampNum, dampDen, n)
+      val init = new Array[Long](g.n)
+      java.util.Arrays.fill(init, teleport)
+      val ranks = sweepCsr(g, init, iters, _ => teleport, n, uniform = true,
+        dampNum, dampDen, n, spark.sparkContext.defaultParallelism)
       val b = Seq.newBuilder[(Long, Long)]
-      ranks.forEach((node, r) => b += ((node, r)))
+      var i = 0
+      while (i < g.n) { b += ((g.nodes(i), ranks(i))); i += 1 }
       spark.createDataset(b.result()).toDF("node", "rank_fp")
         .select(col("node").cast(nodeT).as("node"), col("rank_fp"))
     }
@@ -311,7 +409,7 @@ object PageRank {
       s"damping must be a fraction in [0,1]: $dampNum/$dampDen")
     val seedT = seeds.schema("node").dataType
     if (!integral(seedT)) return None
-    collectGraph(edges, maxEdges).flatMap { case (inAdj, outdeg, nodeT) =>
+    collectGraph(edges, maxEdges).flatMap { case (g, nodeT) =>
       val spark = edges.sparkSession
       import spark.implicits._
       val sDistinct = seeds.select(col("node").cast("long").as("node")).distinct()
@@ -325,16 +423,19 @@ object PageRank {
         val seedSet = new java.util.HashSet[Long]()
         seedRows.foreach(r => if (!r.isNullAt(0)) seedSet.add(r.getLong(0)))
         val teleport = scale / seedRows.length
-        val ranks = new java.util.HashMap[Long, Long]()
-        inAdj.forEach((v, _) => ranks.put(v, 0L))
-        outdeg.forEach((u, _) => ranks.put(u, 0L))
-        ranks.replaceAll((node, _) => if (seedSet.contains(node)) teleport else 0L)
-        sweep(inAdj, outdeg, ranks, iters,
-          node => if (seedSet.contains(node)) teleport else 0L,
+        // dense teleport image: one lookup per node per sweep, 0 = non-seed
+        val tel = new Array[Long](g.n)
+        var i = 0
+        while (i < g.n) {
+          if (seedSet.contains(g.nodes(i))) tel(i) = teleport
+          i += 1
+        }
+        val ranks = sweepCsr(g, tel.clone(), iters, v => tel(v),
           seedRows.length.toLong, uniform = false, dampNum, dampDen,
-          ranks.size.toLong)
+          g.n.toLong, spark.sparkContext.defaultParallelism)
         val b = Seq.newBuilder[(Long, Long)]
-        ranks.forEach((node, r) => b += ((node, r)))
+        i = 0
+        while (i < g.n) { b += ((g.nodes(i), ranks(i))); i += 1 }
         Some(spark.createDataset(b.result()).toDF("node", "rank_fp")
           .select(col("node").cast(nodeT).as("node"), col("rank_fp")))
       }

@@ -66,7 +66,16 @@ object ShortestPaths {
     * scaffolding is pure overhead at this size. Bit-identical distances
     * (min/+ on longs are order-free); None past the budget, for
     * non-integral or mismatched id types, or when any endpoint/weight is
-    * null (the join plan's null semantics are kept by falling back). */
+    * null (the join plan's null semantics are kept by falling back).
+    *
+    * Round 13 (verdict task 7): the relaxation runs over a primitive CSR
+    * image grouped by DST — next(v) = min(cur(v), min over in-edges
+    * (u,w) of cur(u)+w) — so disjoint node ranges parallelize across
+    * defaultParallelism threads with zero synchronization (each thread
+    * owns its v slots; min is order-free, so bit-identity to the BSP
+    * join plan is preserved by construction). The round-12 form iterated
+    * a boxed map single-threaded and LOST to the join plan at 24M edges;
+    * the measured crossover sets the gate (SCALE.md r13graph). */
   def runFused(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, source: Long, rounds: Int,
       maxEdges: Long = 4000000L): Option[DataFrame] = {
@@ -76,58 +85,130 @@ object ShortestPaths {
     if (!integral(srcT) || srcT != dstT || maxEdges <= 0) return None
     val spark = edges.sparkSession
     import spark.implicits._
+    // grouped by dst (the CSR gather side); inner nulls (src/weight) are
+    // counted IN the same aggregate so the refusal happens before any
+    // driver collect — the round-12 form scanned the collected rows for
+    // them after the fact
     val grouped = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"),
         col(weightCol).cast("long").as("w"))
-      .groupBy(col("u"))
-      .agg(collect_list(struct(col("v"), col("w"))).as("out"),
-        count(lit(1)).as("cnt"))
+      .groupBy(col("v"))
+      .agg(collect_list(struct(col("u"), col("w"))).as("in"),
+        count(lit(1)).as("cnt"),
+        sum(when(col("u").isNull || col("w").isNull, 1L).otherwise(0L))
+          .as("__nullin"))
       .localCheckpoint()
-    val probe = grouped.agg(coalesce(sum(size(col("out"))), lit(0L)),
+    val probe = grouped.agg(coalesce(sum(size(col("in"))), lit(0L)),
       coalesce(sum(col("cnt")), lit(0L)),
-      coalesce(sum(when(col("u").isNull, 1L).otherwise(0L)), lit(0L))).head()
+      coalesce(sum(when(col("v").isNull, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(col("__nullin")), lit(0L))).head()
     val m = probe.getLong(0)
     if (m == 0L || m > maxEdges || m != probe.getLong(1)
-        || probe.getLong(2) != 0L) {
+        || probe.getLong(2) != 0L || probe.getLong(3) != 0L) {
       graft.operators.Checkpoints.free(grouped)
       return None
     }
     val rows = grouped.collect()
     graft.operators.Checkpoints.free(grouped)
-    // a null v or w inside a struct survives collect_list — detect and refuse
-    val adj = new java.util.HashMap[Long, Array[(Long, Long)]](rows.length * 2)
-    var nullInner = false
-    rows.foreach { r =>
-      val out = r.getSeq[org.apache.spark.sql.Row](1).map { e =>
-        if (e.isNullAt(0) || e.isNullAt(1)) { nullInner = true; (0L, 0L) }
-        else (e.getLong(0), e.getLong(1))
-      }.toArray
-      adj.put(r.getLong(0), out)
+    // Row -> primitive CSR (node universe = dst group keys + in-neighbors
+    // + the source, so the unreached-source case keeps its {source: 0} row)
+    val vs = new Array[Long](rows.length)
+    val inss = new Array[Array[org.apache.spark.sql.Row]](rows.length)
+    var total = 0L
+    var i = 0
+    while (i < rows.length) {
+      vs(i) = rows(i).getLong(0)
+      inss(i) = rows(i).getSeq[org.apache.spark.sql.Row](1).toArray
+      total += inss(i).length
+      i += 1
     }
-    if (nullInner) return None
-    val dist = new java.util.HashMap[Long, Long]()
-    dist.put(source, 0L)
-    var r = 0
-    while (r < rounds) {
-      val prev = new java.util.HashMap[Long, Long](dist)
-      prev.forEach { (node, d) =>
-        val out = adj.get(node)
-        if (out != null) {
-          var i = 0
-          while (i < out.length) {
-            val cand = d + out(i)._2
-            // containsKey, not get: a missing boxed-Long key would unbox
-            // null to 0L and silently refuse every relaxation
-            if (!dist.containsKey(out(i)._1) || cand < dist.get(out(i)._1))
-              dist.put(out(i)._1, cand)
-            i += 1
+    val ids = new Array[Long](vs.length + total.toInt + 1)
+    var p = 0
+    ids(p) = source; p += 1
+    i = 0
+    while (i < vs.length) {
+      ids(p) = vs(i); p += 1
+      val ins = inss(i)
+      var j = 0
+      while (j < ins.length) { ids(p) = ins(j).getLong(0); p += 1; j += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(ids)
+    var n = 0
+    i = 0
+    while (i < ids.length) {
+      if (n == 0 || ids(n - 1) != ids(i)) { ids(n) = ids(i); n += 1 }
+      i += 1
+    }
+    val nodes = java.util.Arrays.copyOf(ids, n)
+    def dense(id: Long): Int = java.util.Arrays.binarySearch(nodes, id)
+    val inOff = new Array[Int](n + 1)
+    i = 0
+    while (i < vs.length) { inOff(dense(vs(i)) + 1) = inss(i).length; i += 1 }
+    i = 1
+    while (i <= n) { inOff(i) += inOff(i - 1); i += 1 }
+    val inSrc = new Array[Int](total.toInt)
+    val inW = new Array[Long](total.toInt)
+    i = 0
+    while (i < vs.length) {
+      var o = inOff(dense(vs(i)))
+      val ins = inss(i)
+      var j = 0
+      while (j < ins.length) {
+        inSrc(o) = dense(ins(j).getLong(0))
+        inW(o) = ins(j).getLong(1)
+        o += 1; j += 1
+      }
+      i += 1
+    }
+    val INF = Long.MaxValue
+    var cur = new Array[Long](n)
+    java.util.Arrays.fill(cur, INF)
+    cur(dense(source)) = 0L
+    var next = new Array[Long](n)
+    val threads = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, n))
+    val bounds = (0 to threads).map(t => (t.toLong * n / threads).toInt)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      var r = 0
+      while (r < rounds) {
+        val c = cur
+        val nx = next
+        val tasks = new java.util.ArrayList[java.util.concurrent.Callable[Unit]]()
+        (0 until threads).foreach { t =>
+          tasks.add { () =>
+            var v = bounds(t)
+            val hi = bounds(t + 1)
+            while (v < hi) {
+              var best = c(v)
+              var e = inOff(v)
+              val end = inOff(v + 1)
+              while (e < end) {
+                val du = c(inSrc(e))
+                // only reached nodes relax — the join plan's inner join
+                if (du != INF) {
+                  val cand = du + inW(e)
+                  if (cand < best) best = cand
+                }
+                e += 1
+              }
+              nx(v) = best
+              v += 1
+            }
           }
         }
+        pool.invokeAll(tasks).forEach(_.get())
+        val tmp = cur; cur = next; next = tmp
+        r += 1
       }
-      r += 1
-    }
+    } finally pool.shutdown()
     val b = Seq.newBuilder[(Long, Long)]
-    dist.forEach((node, d) => b += ((node, d)))
+    i = 0
+    while (i < n) {
+      if (cur(i) != INF) b += ((nodes(i), cur(i)))
+      i += 1
+    }
     Some(spark.createDataset(b.result()).toDF("node", "dist"))
   }
 
