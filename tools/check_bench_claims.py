@@ -60,6 +60,29 @@ code (r11 q155: floor 11.38 vs median 20.39) on top of raw gaps <= 3.2x,
 so 4.0 sits above every honest artifact and below a sustained 4x+
 regression.
 
+Round-13 (verdict task 2 — the hole round 12 fell through): a bench
+entry with no pin used to be INVISIBLE to this lint, so the two new
+fused-serve rows shipped unpinned and read 35x in the driver artifact
+with no red gate. The lint now also enforces COVERAGE against any
+full-shape artifact (one that carries the complete queries map +
+volatile list, i.e. bench_full.json / the committed local artifacts):
+every timed query must be (a) pinned in BENCH_CLAIMS, (b) listed in the
+artifact's `volatile` set (fit walls breathe by design and are excluded
+from core_total), or (c) declared in SCALE.md's BENCH_UNPINNED block
+
+    <!-- BENCH_UNPINNED round=13 -->
+    | query | round_added | reason |
+    |---|---|---|
+    | q182_topk_fused | 13 | new this round, awaiting A/B pair |
+    <!-- /BENCH_UNPINNED -->
+
+with ONE round of grace: an entry whose round_added is more than one
+round behind the block's `round` attribute fails — ship it pinned or
+explain why it left the suite. Deleting a pin without adding an
+UNPINNED row turns the lint red on the next full-shape artifact.
+Tail-shaped artifacts (driver wrappers, truncated stdout) skip the
+coverage check — they don't carry the full query list.
+
 Exit 0 = claims match the signal; exit 1 = a claim the signal contradicts.
 """
 import json
@@ -162,6 +185,52 @@ def load_floors(path):
     return floors
 
 
+def load_volatile(path):
+    """The artifact's `volatile` list (fit-heavy entries excluded from
+    core_total) — present in full-shape artifacts only."""
+    art = json.load(open(path))
+    if isinstance(art, dict) and isinstance(art.get("volatile"), list):
+        return set(art["volatile"])
+    return None
+
+
+def check_coverage(queries, volatile, pinned, doc, artifact_path):
+    """Round-13 ratchet (see module docstring): every timed query in a
+    full-shape artifact must be pinned, volatile, or declared UNPINNED
+    within the one-round grace window. Returns a list of failures."""
+    m = re.search(
+        r"<!-- BENCH_UNPINNED round=(\d+)\s*-->(.*?)<!-- /BENCH_UNPINNED -->",
+        doc, re.S)
+    current_round = int(m.group(1)) if m else None
+    unpinned = {}
+    if m:
+        for name, rnd in re.findall(
+                r"\|\s*(q[0-9][\w]*)\s*\|\s*(\d+)\s*\|", m.group(2)):
+            unpinned[name] = int(rnd)
+    failures = []
+    for name in sorted(queries):
+        if name in pinned or name in volatile:
+            continue
+        if name in unpinned:
+            if current_round is not None \
+                    and current_round - unpinned[name] > 1:
+                failures.append(
+                    f"{name}: UNPINNED since round {unpinned[name]} — grace "
+                    f"expired at round {current_round} (pin it from an A/B "
+                    f"pair or document why it left the suite)")
+            continue
+        failures.append(
+            f"{name}: timed bench entry with neither a BENCH_CLAIMS pin nor "
+            f"a BENCH_UNPINNED declaration (the round-12 q52f/q182 hole)")
+    # stale UNPINNED rows for queries that no longer exist are noise, not
+    # failures — but report them so the block gets pruned
+    stale = [n for n in unpinned if n not in queries and n not in pinned]
+    if stale:
+        print(f"note: BENCH_UNPINNED rows absent from {artifact_path} "
+              f"(prune when intentional): " + ", ".join(sorted(stale)))
+    return failures
+
+
 def main(artifact_path):
     queries, cal, shuf, shape = load_queries(artifact_path)
     floors = load_floors(artifact_path)
@@ -178,6 +247,17 @@ def main(artifact_path):
     if not claims:
         print("BENCH_CLAIMS block present but empty — nothing to lint")
         return 0
+
+    # coverage ratchet (round-13): full-shape artifacts carry the complete
+    # timed-query list — every entry must be pinned, volatile, or declared
+    # UNPINNED within grace. Not drift-excusable: coverage is a property
+    # of the doc, not of the box.
+    coverage_failures = []
+    if shape == "full":
+        volatile = load_volatile(artifact_path)
+        if volatile is not None:
+            coverage_failures = check_coverage(
+                queries, volatile, {n for n, _ in claims}, doc, artifact_path)
 
     # box-speed normalization: one factor PER PROBE POSITION (round-12,
     # verdict task 1) — geomean of the probes' start readings, of their
@@ -288,6 +368,12 @@ def main(artifact_path):
         print(f"note: {len(unchecked)} claims absent from the truncated "
               f"artifact (below its char budget — not contradicted): "
               + ", ".join(unchecked))
+    if coverage_failures:
+        print(f"FAIL: {len(coverage_failures)} bench entries escape "
+              f"adjudication (pin, mark volatile, or declare UNPINNED):")
+        for f in coverage_failures:
+            print(f"  {f}")
+        return 1
     print(f"checked {len(claims) - len(unchecked)} bench claims against "
           f"{artifact_path}{norm}: "
           f"{len(claims) - len(unchecked) - len(bad)} within {tol}x"

@@ -60,6 +60,47 @@ def run_case(name, actual, drift, expect_exit, expect_substr=None,
         return ok
 
 
+def run_coverage_case(name, extra_doc, expect_exit, volatile=None,
+                      expect_substr=None):
+    """Round-13 ratchet: artifact carries the full query map + volatile
+    list; q01_test is pinned, q02_new is not — its fate depends on the
+    BENCH_UNPINNED block in extra_doc."""
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "SCALE.md"), "w") as f:
+            f.write(SCALE_TMPL + extra_doc)
+        art = {
+            "queries": {"q01_test": 10.0, "q02_new": 5.0},
+            "volatile": volatile or [],
+            "calibration": {"start": 1.0, "mid": 1.0, "end": 1.0,
+                            "drift_x": 1.0},
+            "shuffle_cal": {"start": 1.0, "mid": 1.0, "end": 1.0,
+                            "drift_x": 1.0},
+        }
+        apath = os.path.join(d, "bench.json")
+        with open(apath, "w") as f:
+            json.dump(art, f)
+        p = subprocess.run([sys.executable, LINT, apath], cwd=d,
+                           capture_output=True, text=True)
+        out = p.stdout + p.stderr
+        ok = p.returncode == expect_exit and \
+            (expect_substr is None or expect_substr in out)
+        status = "ok  " if ok else "FAIL"
+        print(f"{status} {name}: exit {p.returncode} (want {expect_exit})")
+        if not ok:
+            print("  --- lint output ---")
+            print("  " + out.replace("\n", "\n  "))
+        return ok
+
+
+UNPINNED_TMPL = """
+<!-- BENCH_UNPINNED round=13 -->
+| query | round_added | reason |
+|---|---|---|
+| q02_new | %d | synthetic |
+<!-- /BENCH_UNPINNED -->
+"""
+
+
 def main():
     results = [
         # claim 10.0s, artifact 11.0s, calm box: within 1.5x -> pass
@@ -99,6 +140,23 @@ def main():
         # regression regime
         run_case("4x+ median with an in-band floor -> FAIL", 45.0, 1.0, 1,
                  "FAIL", floor=10.5),
+        # round-13 coverage ratchet: a timed entry with neither a pin nor
+        # an UNPINNED declaration fails on a full-shape artifact (the
+        # r12 q52f/q182 hole)
+        run_coverage_case("unpinned entry, no declaration -> FAIL",
+                          "", 1, expect_substr="escape adjudication"),
+        # declared UNPINNED this round: one round of grace
+        run_coverage_case("UNPINNED declared this round -> pass",
+                          UNPINNED_TMPL % 13, 0),
+        # declared in the previous round: still inside grace
+        run_coverage_case("UNPINNED one round old -> pass (grace)",
+                          UNPINNED_TMPL % 12, 0),
+        # two rounds old: grace expired
+        run_coverage_case("UNPINNED two rounds old -> FAIL",
+                          UNPINNED_TMPL % 11, 1, expect_substr="grace"),
+        # volatile entries are exempt by design (fit walls breathe)
+        run_coverage_case("volatile entry -> exempt",
+                          "", 0, volatile=["q02_new"]),
     ]
     if all(results):
         print(f"all {len(results)} lint cases behave")
