@@ -232,6 +232,47 @@ object ScaleExperiment {
         .run(wedges12, "u", "v", "w", 0L, 4))
     }
 
+    // round-13 (verdict task 7): the CSR range-parallel sweep vs the join
+    // plans at 10× (~24M directed edges) — the round-12 boxed
+    // single-thread sweep LOST 1.3-1.5x here, which is what capped the
+    // PR/PPR/SSSP gates at 4M. Two reps per case (A/B) so the crossover
+    // read isn't one box phase. Run with SPARK_DRIVER_MEM=24g.
+    if (on("r13graph")) {
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val wideBudget = 64000000L
+      // edge frames materialized ONCE: the operators' crossover is what
+      // sets the gates, and the shared self-join build (identical in both
+      // plans) would otherwise add a common ~15 s term that biases every
+      // ratio toward 1 — the serving shape reads edges from a table anyway
+      def pairs13 = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      val dedges13 = pairs13.distinct().localCheckpoint()
+      val wedges13 = pairs13
+        .groupBy(col("src").as("u"), col("dst").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("u"), col("v"), expr("1 + (1000000 div c)").as("w"))
+        .localCheckpoint()
+      val seeds13 = dedges13.select(col("src").as("node")).distinct()
+        .filter(col("node") % 100 === 0).localCheckpoint()
+      println(s"r13graph edges=${dedges13.count()} weighted=${wedges13.count()}")
+      for (rep <- 1 to 2) {
+        timed(s"r13g_pr_fused_$rep")(graft.graph.PageRank
+          .runFused(dedges13, 3, maxEdges = wideBudget).get)
+        timed(s"r13g_pr_join_$rep")(graft.graph.PageRank.run(dedges13, 3))
+        timed(s"r13g_ppr_fused_$rep")(graft.graph.PageRank
+          .personalizedFused(dedges13, seeds13, 3, maxEdges = wideBudget).get)
+        timed(s"r13g_ppr_join_$rep")(graft.graph.PageRank
+          .personalized(dedges13, seeds13, 3))
+        timed(s"r13g_sssp_fused_$rep")(graft.graph.ShortestPaths
+          .runFused(wedges13, "u", "v", "w", 0L, 4, wideBudget).get)
+        timed(s"r13g_sssp_join_$rep")(graft.graph.ShortestPaths
+          .run(wedges13, "u", "v", "w", 0L, 4))
+      }
+    }
+
     // round-12 second half: the fused co-occurrence serve at 10× — the
     // broadcast-model rung (Cooccur.recommendFused) vs the exact join
     // plan at the full-population serving shape (~1.5M users, ~10M-row

@@ -201,87 +201,123 @@ object PageRank {
     def denseIdOf(id: Long): Int = java.util.Arrays.binarySearch(nodes, id)
   }
 
-  /** Collect the multi-edge list grouped by dst (in-adjacency, with
-    * multiplicity) under an edge budget — probed with a distributed
-    * aggregate BEFORE any driver collect, the walksFused convention —
-    * and build the CSR image. Returns (csr, nodeType) or None past the
-    * budget / for non-integral id types / null endpoints. */
+  /** Collect the multi-edge list under an edge budget — probed with a
+    * distributed aggregate BEFORE any driver collect, the walksFused
+    * convention — and build the CSR image. The transfer is PACKED
+    * PRIMITIVE CHUNKS, not rows: each partition emits one long[] of
+    * (src, dst) pairs through the primitive Array[Long] encoder, so no
+    * shuffle happens at all (the round-12 form paid a groupBy exchange)
+    * and the driver never sees a boxed Row — the 10× measurement showed
+    * the boxed collect, not the sweep, dominating the fused wall.
+    * Returns (csr, nodeType) or None past the budget / for non-integral
+    * id types / null endpoints. */
   private def collectGraph(edges: DataFrame, maxEdges: Long):
       Option[(CsrGraph, DataType)] = {
     val srcT = edges.schema("src").dataType
     val dstT = edges.schema("dst").dataType
     if (!integral(srcT) || srcT != dstT || maxEdges <= 0) return None
-    val grouped = edges
+    val e = edges
       .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
-      .groupBy(col("v"))
-      .agg(collect_list(col("u")).as("ins"), count(lit(1)).as("cnt"))
       .localCheckpoint()
-    val probe = grouped.agg(coalesce(sum(size(col("ins"))), lit(0L)),
-      coalesce(sum(col("cnt")), lit(0L)),
-      coalesce(sum(when(col("v").isNull, 1L).otherwise(0L)), lit(0L))).head()
+    // budget + null probe in one aggregate over the checkpointed blocks —
+    // an over-budget or null-bearing graph (run() keeps nulls' exact — if
+    // odd — semantics) is refused while it is still distributed
+    val probe = e.agg(count(lit(1)),
+      coalesce(sum(when(col("u").isNull || col("v").isNull, 1L)
+        .otherwise(0L)), lit(0L))).head()
     val m = probe.getLong(0)
-    // null endpoints (collect_list would silently drop a null src; a null
-    // dst is a degenerate group) keep run()'s exact — if odd — semantics
-    // by refusing the fused form entirely
-    if (m == 0L || m > maxEdges || m != probe.getLong(1)
-        || probe.getLong(2) != 0L) {
-      graft.operators.Checkpoints.free(grouped)
+    if (m == 0L || m > maxEdges || probe.getLong(1) != 0L) {
+      graft.operators.Checkpoints.free(e)
       return None
     }
-    val rows = grouped.collect()
-    graft.operators.Checkpoints.free(grouped)
-    // one boxed pass Row -> primitive arrays, then everything is unboxed
-    val vs = new Array[Long](rows.length)
-    val inss = new Array[Array[Long]](rows.length)
-    var total = 0L
-    var i = 0
-    while (i < rows.length) {
-      vs(i) = rows(i).getLong(0)
-      inss(i) = rows(i).getSeq[Long](1).toArray
-      total += inss(i).length
-      i += 1
-    }
-    // node universe: every dst group key + every in-neighbor, sorted+deduped
-    val ids = new Array[Long](vs.length + total.toInt)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val chunks = e.as[(Long, Long)].mapPartitions { it =>
+      val b = new scala.collection.mutable.ArrayBuilder.ofLong
+      it.foreach { case (u, v) => b += u; b += v }
+      Iterator.single(b.result())
+    }.collect()
+    graft.operators.Checkpoints.free(e)
+    Some((buildCsr(chunks, m.toInt), srcT))
+  }
+
+  /** CSR from packed (src, dst) chunks — every O(m) phase parallel (the
+    * first CSR cut kept a serial binary-search fill, which became the
+    * fused wall at 24M edges):
+    *
+    *  1. node remap: copy ids (parallel arraycopy per chunk), parallelSort,
+    *     serial dedup (O(2m) sequential scan, branch-predictable);
+    *  2. dense-map: each thread maps its chunk slice to packed
+    *     (denseV << 32 | denseU) longs at precomputed disjoint offsets,
+    *     and counts out-degrees into an AtomicLongArray (adds commute);
+    *  3. parallelSort the packed array — after it, every in-edge's final
+    *     CSR position is its sort position: inIdx is a parallel unpack of
+    *     the low words, inOff a boundary scan of the high words.
+    *
+    * Determinism: sorting and counting are data-determined; the only
+    * thread-order-dependent thing is the relative order of EQUAL packed
+    * entries, which are identical values — the built structure is
+    * byte-identical at any parallelism. */
+  private[graph] def buildCsr(chunks: Array[Array[Long]], m: Int): CsrGraph = {
+    val ids = new Array[Long](2 * m)
     var p = 0
-    i = 0
-    while (i < vs.length) {
-      ids(p) = vs(i); p += 1
-      val ins = inss(i)
-      var j = 0
-      while (j < ins.length) { ids(p) = ins(j); p += 1; j += 1 }
-      i += 1
+    chunks.foreach { c =>
+      System.arraycopy(c, 0, ids, p, c.length); p += c.length
     }
-    java.util.Arrays.sort(ids)
+    java.util.Arrays.parallelSort(ids)
     var n = 0
-    i = 0
+    var i = 0
     while (i < ids.length) {
       if (n == 0 || ids(n - 1) != ids(i)) { ids(n) = ids(i); n += 1 }
       i += 1
     }
     val nodes = java.util.Arrays.copyOf(ids, n)
-    def dense(id: Long): Int = java.util.Arrays.binarySearch(nodes, id)
+    // chunk start offsets into the packed edge array (disjoint per thread)
+    val offs = new Array[Int](chunks.length + 1)
+    i = 0
+    while (i < chunks.length) { offs(i + 1) = offs(i) + chunks(i).length / 2
+      i += 1 }
+    val packed = new Array[Long](m)
+    val outdegA = new java.util.concurrent.atomic.AtomicLongArray(n)
+    val pool = java.util.concurrent.ForkJoinPool.commonPool()
+    val tasks = new java.util.ArrayList[java.util.concurrent.Callable[Unit]]()
+    chunks.indices.foreach { ci =>
+      tasks.add { () =>
+        val c = chunks(ci)
+        var o = offs(ci)
+        var j = 0
+        while (j < c.length) {
+          val u = java.util.Arrays.binarySearch(nodes, c(j))
+          val v = java.util.Arrays.binarySearch(nodes, c(j + 1))
+          packed(o) = (v.toLong << 32) | (u.toLong & 0xffffffffL)
+          outdegA.getAndAdd(u, 1L)
+          o += 1; j += 2
+        }
+      }
+    }
+    pool.invokeAll(tasks).forEach(_.get())
+    java.util.Arrays.parallelSort(packed)
+    val inIdx = new Array[Int](m)
+    val unpack = new java.util.ArrayList[java.util.concurrent.Callable[Unit]]()
+    val threads = math.max(1, math.min(
+      Runtime.getRuntime.availableProcessors(), math.max(1, m / 65536)))
+    (0 until threads).foreach { t =>
+      unpack.add { () =>
+        var j = (t.toLong * m / threads).toInt
+        val hi = ((t + 1).toLong * m / threads).toInt
+        while (j < hi) { inIdx(j) = packed(j).toInt; j += 1 }
+      }
+    }
+    pool.invokeAll(unpack).forEach(_.get())
     val inOff = new Array[Int](n + 1)
     i = 0
-    while (i < vs.length) { inOff(dense(vs(i)) + 1) = inss(i).length; i += 1 }
+    while (i < m) { inOff((packed(i) >>> 32).toInt + 1) += 1; i += 1 }
     i = 1
     while (i <= n) { inOff(i) += inOff(i - 1); i += 1 }
-    val inIdx = new Array[Int](total.toInt)
     val outdeg = new Array[Long](n)
     i = 0
-    while (i < vs.length) {
-      var o = inOff(dense(vs(i)))
-      val ins = inss(i)
-      var j = 0
-      while (j < ins.length) {
-        val u = dense(ins(j))
-        inIdx(o) = u
-        outdeg(u) += 1L
-        o += 1; j += 1
-      }
-      i += 1
-    }
-    Some((new CsrGraph(nodes, inOff, inIdx, outdeg), srcT))
+    while (i < n) { outdeg(i) = outdegA.get(i); i += 1 }
+    new CsrGraph(nodes, inOff, inIdx, outdeg)
   }
 
   /** The exact damped sweep over the CSR image — bit-identical longs to
@@ -364,11 +400,14 @@ object PageRank {
     * 100 TB plan stays [[run]]'s shuffled sweeps. Round 13: the sweep runs
     * over the primitive CSR image, range-parallel across
     * defaultParallelism threads (see [[CsrGraph]]) — the round-12 boxed
-    * single-thread map lost to the join plan at 24M edges; the measured
-    * crossover sets the default gate (SCALE.md r13graph). */
+    * single-thread map lost to the join plan at 24M edges; the parallel
+    * form MEASURED 2.2× faster than the join plan there warm and ~par on
+    * a cold JVM (SCALE.md r13graph), so the 16M default is a DRIVER-HEAP
+    * conservatism bound inside the win decade (the walksFused
+    * convention) — raise it with driver memory. */
   def runFused(edges: DataFrame, iters: Int, dampNum: Long = 85L,
       dampDen: Long = 100L, scale: Long = Scale,
-      maxEdges: Long = 4000000L): Option[DataFrame] = {
+      maxEdges: Long = 16000000L): Option[DataFrame] = {
     require(iters >= 0, s"iters must be >= 0: $iters")
     require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
       s"damping must be a fraction in [0,1]: $dampNum/$dampDen")
@@ -392,7 +431,7 @@ object PageRank {
   /** Budget dispatcher for [[run]]. */
   def runAuto(edges: DataFrame, iters: Int, dampNum: Long = 85L,
       dampDen: Long = 100L, scale: Long = Scale,
-      maxEdges: Long = 4000000L): DataFrame =
+      maxEdges: Long = 16000000L): DataFrame =
     runFused(edges, iters, dampNum, dampDen, scale, maxEdges)
       .getOrElse(run(edges, iters, dampNum, dampDen, scale))
 
@@ -403,7 +442,7 @@ object PageRank {
     * (exactly [[personalized]]'s semantics). */
   def personalizedFused(edges: DataFrame, seeds: DataFrame, iters: Int,
       dampNum: Long = 85L, dampDen: Long = 100L, scale: Long = Scale,
-      maxEdges: Long = 4000000L): Option[DataFrame] = {
+      maxEdges: Long = 16000000L): Option[DataFrame] = {
     require(iters >= 0, s"iters must be >= 0: $iters")
     require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
       s"damping must be a fraction in [0,1]: $dampNum/$dampDen")
@@ -445,7 +484,7 @@ object PageRank {
   /** Budget dispatcher for [[personalized]]. */
   def personalizedAuto(edges: DataFrame, seeds: DataFrame, iters: Int,
       dampNum: Long = 85L, dampDen: Long = 100L, scale: Long = Scale,
-      maxEdges: Long = 4000000L): DataFrame =
+      maxEdges: Long = 16000000L): DataFrame =
     personalizedFused(edges, seeds, iters, dampNum, dampDen, scale, maxEdges)
       .getOrElse(personalized(edges, seeds, iters, dampNum, dampDen, scale))
 

@@ -75,96 +75,119 @@ object ShortestPaths {
     * owns its v slots; min is order-free, so bit-identity to the BSP
     * join plan is preserved by construction). The round-12 form iterated
     * a boxed map single-threaded and LOST to the join plan at 24M edges;
-    * the measured crossover sets the gate (SCALE.md r13graph). */
+    * the parallel CSR form measured 1.6× FASTER there warm and ~par cold
+    * (SCALE.md r13graph), so the 16M default is a driver-heap
+    * conservatism bound inside the win decade (the walksFused
+    * convention) — raise it with driver memory. */
   def runFused(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, source: Long, rounds: Int,
-      maxEdges: Long = 4000000L): Option[DataFrame] = {
+      maxEdges: Long = 16000000L): Option[DataFrame] = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val srcT = edges.schema(srcCol).dataType
     val dstT = edges.schema(dstCol).dataType
     if (!integral(srcT) || srcT != dstT || maxEdges <= 0) return None
     val spark = edges.sparkSession
     import spark.implicits._
-    // grouped by dst (the CSR gather side); inner nulls (src/weight) are
-    // counted IN the same aggregate so the refusal happens before any
-    // driver collect — the round-12 form scanned the collected rows for
-    // them after the fact
-    val grouped = edges
+    // budget + null probe in one aggregate over the checkpointed blocks,
+    // then PACKED PRIMITIVE CHUNKS to the driver — one long[] of
+    // (u, v, w) triples per partition through the primitive Array[Long]
+    // encoder: no shuffle at all and no boxed rows (the round-12 grouped
+    // form paid an exchange and a 24M-struct boxed collect that dominated
+    // the fused wall at 10×)
+    val e = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"),
         col(weightCol).cast("long").as("w"))
-      .groupBy(col("v"))
-      .agg(collect_list(struct(col("u"), col("w"))).as("in"),
-        count(lit(1)).as("cnt"),
-        sum(when(col("u").isNull || col("w").isNull, 1L).otherwise(0L))
-          .as("__nullin"))
       .localCheckpoint()
-    val probe = grouped.agg(coalesce(sum(size(col("in"))), lit(0L)),
-      coalesce(sum(col("cnt")), lit(0L)),
-      coalesce(sum(when(col("v").isNull, 1L).otherwise(0L)), lit(0L)),
-      coalesce(sum(col("__nullin")), lit(0L))).head()
+    val probe = e.agg(count(lit(1)),
+      coalesce(sum(when(col("u").isNull || col("v").isNull
+        || col("w").isNull, 1L).otherwise(0L)), lit(0L))).head()
     val m = probe.getLong(0)
-    if (m == 0L || m > maxEdges || m != probe.getLong(1)
-        || probe.getLong(2) != 0L || probe.getLong(3) != 0L) {
-      graft.operators.Checkpoints.free(grouped)
+    if (m == 0L || m > maxEdges || probe.getLong(1) != 0L) {
+      graft.operators.Checkpoints.free(e)
       return None
     }
-    val rows = grouped.collect()
-    graft.operators.Checkpoints.free(grouped)
-    // Row -> primitive CSR (node universe = dst group keys + in-neighbors
-    // + the source, so the unreached-source case keeps its {source: 0} row)
-    val vs = new Array[Long](rows.length)
-    val inss = new Array[Array[org.apache.spark.sql.Row]](rows.length)
-    var total = 0L
-    var i = 0
-    while (i < rows.length) {
-      vs(i) = rows(i).getLong(0)
-      inss(i) = rows(i).getSeq[org.apache.spark.sql.Row](1).toArray
-      total += inss(i).length
-      i += 1
-    }
-    val ids = new Array[Long](vs.length + total.toInt + 1)
+    val chunks = e.as[(Long, Long, Long)].mapPartitions { it =>
+      val b = new scala.collection.mutable.ArrayBuilder.ofLong
+      it.foreach { case (u, v, w) => b += u; b += v; b += w }
+      Iterator.single(b.result())
+    }.collect()
+    graft.operators.Checkpoints.free(e)
+    // CSR grouped by dst (the gather side); node universe = every endpoint
+    // + the source, so the unreached-source case keeps its {source: 0}
+    // row. Build phases are parallel like PageRank.buildCsr: dense-map at
+    // disjoint offsets, one parallelSort on (denseV << 32 | flatIndex)
+    // keys (the flat index carries the weight through the sort), parallel
+    // gather — deterministic at any parallelism (equal keys impossible:
+    // the low word is unique).
+    val mi = m.toInt
+    val ids = new Array[Long](2 * mi + 1)
     var p = 0
     ids(p) = source; p += 1
-    i = 0
-    while (i < vs.length) {
-      ids(p) = vs(i); p += 1
-      val ins = inss(i)
-      var j = 0
-      while (j < ins.length) { ids(p) = ins(j).getLong(0); p += 1; j += 1 }
-      i += 1
+    chunks.foreach { c =>
+      var i = 0
+      while (i < c.length) { ids(p) = c(i); ids(p + 1) = c(i + 1); p += 2
+        i += 3 }
     }
-    java.util.Arrays.sort(ids)
+    java.util.Arrays.parallelSort(ids)
     var n = 0
-    i = 0
+    var i = 0
     while (i < ids.length) {
       if (n == 0 || ids(n - 1) != ids(i)) { ids(n) = ids(i); n += 1 }
       i += 1
     }
     val nodes = java.util.Arrays.copyOf(ids, n)
-    def dense(id: Long): Int = java.util.Arrays.binarySearch(nodes, id)
+    val offs = new Array[Int](chunks.length + 1)
+    i = 0
+    while (i < chunks.length) { offs(i + 1) = offs(i) + chunks(i).length / 3
+      i += 1 }
+    val us = new Array[Int](mi)
+    val ws = new Array[Long](mi)
+    val keys = new Array[Long](mi)
+    val fjp = java.util.concurrent.ForkJoinPool.commonPool()
+    val mapTasks = new java.util.ArrayList[java.util.concurrent.Callable[Unit]]()
+    chunks.indices.foreach { ci =>
+      mapTasks.add { () =>
+        val c = chunks(ci)
+        var o = offs(ci)
+        var j = 0
+        while (j < c.length) {
+          us(o) = java.util.Arrays.binarySearch(nodes, c(j))
+          ws(o) = c(j + 2)
+          keys(o) = (java.util.Arrays.binarySearch(nodes, c(j + 1)).toLong
+            << 32) | o.toLong
+          o += 1; j += 3
+        }
+      }
+    }
+    fjp.invokeAll(mapTasks).forEach(_.get())
+    java.util.Arrays.parallelSort(keys)
+    val inSrc = new Array[Int](mi)
+    val inW = new Array[Long](mi)
+    val gatherThreads = math.max(1, math.min(
+      Runtime.getRuntime.availableProcessors(), math.max(1, mi / 65536)))
+    val gatherTasks = new java.util.ArrayList[java.util.concurrent.Callable[Unit]]()
+    (0 until gatherThreads).foreach { t =>
+      gatherTasks.add { () =>
+        var j = (t.toLong * mi / gatherThreads).toInt
+        val hi = ((t + 1).toLong * mi / gatherThreads).toInt
+        while (j < hi) {
+          val fi = keys(j).toInt
+          inSrc(j) = us(fi)
+          inW(j) = ws(fi)
+          j += 1
+        }
+      }
+    }
+    fjp.invokeAll(gatherTasks).forEach(_.get())
     val inOff = new Array[Int](n + 1)
     i = 0
-    while (i < vs.length) { inOff(dense(vs(i)) + 1) = inss(i).length; i += 1 }
+    while (i < mi) { inOff((keys(i) >>> 32).toInt + 1) += 1; i += 1 }
     i = 1
     while (i <= n) { inOff(i) += inOff(i - 1); i += 1 }
-    val inSrc = new Array[Int](total.toInt)
-    val inW = new Array[Long](total.toInt)
-    i = 0
-    while (i < vs.length) {
-      var o = inOff(dense(vs(i)))
-      val ins = inss(i)
-      var j = 0
-      while (j < ins.length) {
-        inSrc(o) = dense(ins(j).getLong(0))
-        inW(o) = ins(j).getLong(1)
-        o += 1; j += 1
-      }
-      i += 1
-    }
     val INF = Long.MaxValue
     var cur = new Array[Long](n)
     java.util.Arrays.fill(cur, INF)
-    cur(dense(source)) = 0L
+    cur(java.util.Arrays.binarySearch(nodes, source)) = 0L
     var next = new Array[Long](n)
     val threads = math.max(1, math.min(
       spark.sparkContext.defaultParallelism, n))
@@ -215,7 +238,7 @@ object ShortestPaths {
   /** Budget dispatcher for [[run]]. */
   def runAuto(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, source: Long, rounds: Int,
-      maxEdges: Long = 4000000L): DataFrame =
+      maxEdges: Long = 16000000L): DataFrame =
     runFused(edges, srcCol, dstCol, weightCol, source, rounds, maxEdges)
       .getOrElse(run(edges, srcCol, dstCol, weightCol, source, rounds))
 }
