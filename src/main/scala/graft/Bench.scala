@@ -39,6 +39,16 @@ import org.apache.spark.sql.SparkSession
   *    artifact, and `core_total` sums everything else: the number to
   *    compare across rounds. `value` stays the all-queries total for
   *    continuity with earlier rounds.
+  *
+  * Round-13 additions (verdict tasks 4 and 6):
+  *  - contended-start self-correction: when the suite-start probes read
+  *    > 2x the mid/end points (the r12 driver box was 14-28x contended for
+  *    its first half), the first-half queries get one more timed pass at
+  *    suite end; both passes ship and the rerun folds into the floors the
+  *    claims lint adjudicates — the artifact carries its own correction;
+  *  - untimed scalar `gauges` (SparkEntry.benchGauges — currently ANN
+  *    serving recall@10 vs the exact dense serve on the same model), so a
+  *    wall bought by a quality trade is visible beside the wall.
   */
 object Bench {
 
@@ -108,6 +118,20 @@ object Bench {
     catch { case e: Throwable =>
       errors("benchSetup") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
     }
+    // Untimed scalar gauges (ANN recall etc. — round-12 verdict task 6):
+    // evaluated once, carried in the artifact beside the walls. Skipped in
+    // dev-filtered runs (they read the fit-once artifacts benchSetup wrote
+    // and cost a few serve passes).
+    val gauges: Seq[(String, Double)] =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) Seq.empty
+      else SparkEntry.benchGauges.toSeq.sortBy(_._1).flatMap { case (n, f) =>
+        try Some(n -> f(spark, sfDir))
+        catch { case e: Throwable =>
+          errors(s"gauge:$n") =
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          None
+        }
+      }
     val all = (SparkEntry.queries -- SparkEntry.benchSkip) ++ SparkEntry.benchOnly
     val isolate = SparkEntry.benchIsolate
     // Dev-iteration filter (comma-separated name prefixes), mirroring
@@ -166,6 +190,35 @@ object Bench {
     val res2 = secondHalf.map { case (n, f) => runOne(n, f) }
     val calEnd = calPoint(); val shufEnd = shufPoint()
     val results = res1 ++ res2
+    // Contended-start correction (round-12 verdict task 4): the r12 driver
+    // box ran its first half 14-28x contended (cal start 8.02 vs mid 0.72,
+    // shuffle 69.35 vs 2.50) — the probes detected it and nothing acted,
+    // leaving every first-half median garbage. When the start probes read
+    // > 2x the later points, the first-half queries get ONE more timed
+    // pass here at suite end (the box's clean window); both passes ship
+    // (`queries` keeps the original medians, `queries_rerun` the late
+    // pass) and the rerun folds into the per-query floors the claims lint
+    // adjudicates, so the artifact carries its own correction.
+    def lateLow(mid: Double, end: Double): Double = {
+      val good = Seq(mid, end).filter(_ > 0)
+      if (good.isEmpty) -1.0 else good.min
+    }
+    val calLate = lateLow(calMid, calEnd)
+    val shufLate = lateLow(shufMid, shufEnd)
+    val contendedStart =
+      (calStart > 0 && calLate > 0 && calStart > 2.0 * calLate) ||
+      (shufStart > 0 && shufLate > 0 && shufStart > 2.0 * shufLate)
+    val rerun: Map[String, Double] =
+      if (!contendedStart) Map.empty
+      else firstHalf.map { case (name, fn) =>
+        if (isolate(name)) { System.gc(); Thread.sleep(settleMs) }
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        name -> (if (ok) dt else -dt)
+      }.toMap
     def driftOf(pts: Seq[Double]): Double = {
       val good = pts.filter(_ > 0)
       if (good.isEmpty) -1.0 else good.max / good.min
@@ -213,17 +266,20 @@ object Bench {
     // round-over-round number. core_floor sums the floors of the
     // non-volatile queries — the suite total with per-rep noise removed.
     val floors = results.collect { case (k, med, ts) if med > 0 =>
-      k -> ts.filter(_ > 0).min
+      // the contended-start rerun pass (above) is one more honest rep of
+      // the same code on the same box — it participates in the floor
+      k -> (ts.filter(_ > 0) ++ rerun.get(k).filter(_ > 0)).min
     }.toMap
     val coreFloor = floors.collect {
       case (k, v) if !SparkEntry.benchVolatile(k) => v
     }.sum
-    // ~400 chars of fixed fields (incl. both calibration blocks) + the
-    // [info] prefix leave ~1600 for the per-query maps inside the driver's
-    // 2000-char tail; qfloor gets its own slice, prioritized by how much
-    // noise it removes (median - floor), and only rows where the floor
-    // actually disagrees (min < 0.85 x median) spend budget
-    val qBudget = 1050
+    // ~460 chars of fixed fields (incl. both calibration blocks, the
+    // contended_start flag and the gauges map) + the [info] prefix leave
+    // ~1540 for the per-query maps inside the driver's 2000-char tail;
+    // qfloor gets its own slice, prioritized by how much noise it removes
+    // (median - floor), and only rows where the floor actually disagrees
+    // (min < 0.85 x median) spend budget
+    val qBudget = 990
     val kept = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     var used = 0
     byCost.foreach { case (k, v, _) =>
@@ -261,16 +317,20 @@ object Bench {
     val errCompact = errors.take(5)
       .map { case (k, v) => jstr(k) + ":" + jstr(v.take(40)) }
       .mkString("{", ",", "}")
+    val gaugesJson = gauges.map { case (k, v) => jstr(k) + ":" + f3(v) }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","core_total":${f3(coreTotal)},"core_floor":${f3(coreFloor)},"n_queries":${results.size},"calibration":$calCompact,"shuffle_cal":$shufCompact,"queries":$qsCompact,"qfloor":$qfloorCompact,"omitted":${omitted.size},"omitted_total":${f3(omittedTotal)},"n_errors":${errors.size},"errors":$errCompact,"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","core_total":${f3(coreTotal)},"core_floor":${f3(coreFloor)},"n_queries":${results.size},"contended_start":$contendedStart,"gauges":$gaugesJson,"calibration":$calCompact,"shuffle_cal":$shufCompact,"queries":$qsCompact,"qfloor":$qfloorCompact,"omitted":${omitted.size},"omitted_total":${f3(omittedTotal)},"n_errors":${errors.size},"errors":$errCompact,"sf":"$sfDir","reps":$reps}"""
     val repsJson = results.map { case (k, _, ts) =>
       jstr(k) + ":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val isolateJson = isolate.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val qfloorJson = floors.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val rerunJson = rerun.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","core_total":$coreTotal,"core_floor":$coreFloor,"calibration":$calJson,"shuffle_cal":$shufJson,"volatile":$volatileJson,"isolated":$isolateJson,"queries":$qs,"qfloor":$qfloorJson,"rep_times":$repsJson,"errors":$errJson,"sf":"$sfDir","reps":$reps,"cpus":$cpus}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","core_total":$coreTotal,"core_floor":$coreFloor,"contended_start":$contendedStart,"gauges":$gaugesJson,"calibration":$calJson,"shuffle_cal":$shufJson,"volatile":$volatileJson,"isolated":$isolateJson,"queries":$qs,"qfloor":$qfloorJson,"queries_rerun":$rerunJson,"rep_times":$repsJson,"errors":$errJson,"sf":"$sfDir","reps":$reps,"cpus":$cpus}"""
     try {
       // a dev-filtered run must not clobber the full artifact the bench
       // claims lint reads (measured mistake: two ONLY=q134 A/B runs left

@@ -56,7 +56,7 @@ object RankQueries {
     "q51_rank_eval" -> { (s, d) =>
       val (tr, te) = Interactions.splitByTime(Interactions.fromStar(s, d), b1)
       val nb = Cooccur.itemNeighbors(tr, neighborCap)
-      val recs = Cooccur.recommend(tr, nb, k)
+      val recs = Cooccur.recommendAuto(tr, nb, k)
       RankingEval.perUser(recs, te, k)
         .orderBy(col("user_id"))
     },
@@ -67,7 +67,7 @@ object RankQueries {
     "q52_recs_table" -> { (s, d) =>
       val (tr, te) = Interactions.splitByTime(Interactions.fromStar(s, d), b1)
       val nb = Cooccur.itemNeighbors(tr, neighborCap)
-      val recs = Cooccur.recommend(tr, nb, k)
+      val recs = Cooccur.recommendAuto(tr, nb, k)
       val targets = RecsTable.firstTargetPerUser(te, Seq(col("ts").asc, col("item_id").asc))
       RecsTable.assemble(recs, targets, RecsTable.popularFallback(tr, k))
         .select(col("user_id"), to_json(col("recs")).as("recs_json"), col("target"))
@@ -179,13 +179,14 @@ object RankQueries {
         .orderBy(col("user_id"), col("rk"))
     },
     // The fused co-occurrence serve at the FULL serving shape (every
-    // user — the q52s candidate volume without the assemble/JSON tail):
-    // the broadcast-model plan (q182's path) against the join plan's
-    // pinned wall. Unpinned this round. Deliberately NOT offered at the
-    // user-filtered q50s shape: a filter above the fused mapPartitions
-    // cannot push below it, while the all-Catalyst join plan pushes
-    // user_id < 200 down to the scan and wins 2x there (measured) — the
-    // dispatcher is for full-population serves.
+    // user — the q52s candidate volume without the assemble/JSON tail).
+    // Round 13: this measured 3.14 vs the join plan's 6.78 s
+    // (median-of-3, isolated) — the 2x hold that flipped q51s/q52s/q51/
+    // q52 to recommendAuto per SCALE.md's round-12 promise; this entry
+    // stays as the serve-only wall of the now-default path. The
+    // user-FILTERED q50s shape stays on the join plan: Catalyst pushes
+    // user_id < 200 to the scan there (1.06 s), below the fused form's
+    // fixed model-prep cost.
     "q52f_recs_fused" -> { (s, _) =>
       val tr = s.read.parquet(s"$serveModelDir/tr")
       val nb = graft.rank.RetrievalPipeline.loadModel(s, s"$serveModelDir/cooccur")
@@ -196,14 +197,14 @@ object RankQueries {
       val tr = s.read.parquet(s"$serveModelDir/tr")
       val te = s.read.parquet(s"$serveModelDir/te")
       val nb = graft.rank.RetrievalPipeline.loadModel(s, s"$serveModelDir/cooccur")
-      RankingEval.perUser(Cooccur.recommend(tr, nb, k), te, k)
+      RankingEval.perUser(Cooccur.recommendAuto(tr, nb, k), te, k)
         .orderBy(col("user_id"))
     },
     "q52s_recs_served" -> { (s, _) =>
       val tr = s.read.parquet(s"$serveModelDir/tr")
       val te = s.read.parquet(s"$serveModelDir/te")
       val nb = graft.rank.RetrievalPipeline.loadModel(s, s"$serveModelDir/cooccur")
-      val recs = Cooccur.recommend(tr, nb, k)
+      val recs = Cooccur.recommendAuto(tr, nb, k)
       val targets = RecsTable.firstTargetPerUser(te, Seq(col("ts").asc, col("item_id").asc))
       RecsTable.assemble(recs, targets, RecsTable.popularFallback(tr, k))
         .select(col("user_id"), to_json(col("recs")).as("recs_json"), col("target"))
