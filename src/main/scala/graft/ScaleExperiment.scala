@@ -153,8 +153,7 @@ object ScaleExperiment {
       val nItems = model.itemVecs.count()
       val nlist = math.max(16, math.min(1024,
         math.ceil(math.sqrt(nItems.toDouble) * 2).toInt))
-      val cents = graft.sim.Ivf.fitCentroids(model.itemVecs, "item_id",
-        "vec", nlist, iters = 2)
+      val cents = TwoTower.annCentroids(model, nlist, iters = 2)
       println(f"r12ladder users=${users.count()} items=$nItems nlist=$nlist")
       for (rep <- 1 to 2) {
         var t0 = System.nanoTime()
@@ -230,6 +229,15 @@ object ScaleExperiment {
         .runFused(wedges12, "u", "v", "w", 0L, 4, wideBudget).get)
       timed("r12g_sssp_join")(graft.graph.ShortestPaths
         .run(wedges12, "u", "v", "w", 0L, 4))
+    }
+
+    // round-13: ANN serving recall@10 vs the exact dense serve on the
+    // fit-once q63 model — the bench gauge's number, runnable standalone
+    // (fast iteration on the MIPS-augmentation fix without a full suite)
+    if (on("r13recall")) {
+      graft.SparkEntry.benchSetup(spark, dir)
+      println(f"r13recall ann_recall_at10 = " +
+        f"${graft.queries.RankQueries.annRecallAt10(spark, dir)}%.3f")
     }
 
     // round-13 (verdict task 7): the CSR range-parallel sweep vs the join

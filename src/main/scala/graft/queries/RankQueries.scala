@@ -164,9 +164,11 @@ object RankQueries {
       TwoTower.Config(embDim = 16, hiddenDim = 8, steps = 12,
         batchRows = 4096, seed = "tt8", stepsPerJob = 6))
     ttModel.save(s"$serveModelDir/twotower")
+    // quantizer fit in the MIPS-augmented space (TwoTower.annCentroids —
+    // round-13: the recall gauge read 0.18 @ nprobe 8/64 on raw-vector
+    // centroids, the classic inner-product/L2 mismatch)
     graft.sim.Ivf.saveCentroids(s,
-      graft.sim.Ivf.fitCentroids(ttModel.itemVecs, "item_id", "vec",
-        nlist = 64, iters = 3),
+      TwoTower.annCentroids(ttModel, nlist = 64, iters = 3),
       s"$serveModelDir/tt_centroids")
   }
 

@@ -964,6 +964,35 @@ object TwoTower {
           col("item_id"), col("score"))
   }
 
+  /** MIPS→L2 reduction of the item catalog (Bachrach et al., RecSys 2014;
+    * Neyshabur & Srebro 2015): append sqrt(M² − ‖i‖²) to every item
+    * vector (M = max item norm) and a literal 0 to query vectors. Dot
+    * products are UNCHANGED — the augmented item coordinate multiplies
+    * the query's 0 — but L2 proximity in the augmented space now ORDERS
+    * BY INNER PRODUCT, so an IVF probe of L2-nearest cells stops missing
+    * high-norm items that sit far from the query direction. Round 13:
+    * the new bench recall gauge read 0.18 @ nprobe 8/64 on the raw
+    * vectors — the classic MIPS/L2 mismatch (two-tower item norms vary),
+    * fixed here by construction rather than by probing more cells. */
+  private def augmentItems(itemVecs: DataFrame): DataFrame = {
+    graft.sql.GraftFunctions.register(itemVecs.sparkSession)
+    // max ‖i‖² in one bounded aggregate (max is order-free → deterministic)
+    val m2 = itemVecs.agg(max(
+      graft.sql.GraftFunctions.dotF32(col("vec"), col("vec")))).head().getDouble(0)
+    itemVecs.select(col("item_id"),
+      concat(col("vec"), array(
+        sqrt(greatest(lit(m2) - graft.sql.GraftFunctions.dotF32(col("vec"),
+          col("vec")), lit(0.0))).cast("float"))).as("vec"))
+  }
+
+  /** Fit the ANN quantizer on the MIPS-augmented catalog — the centroids
+    * [[recommendAnn]] probes MUST come from here (or be refit per model
+    * refresh through it): they live in the (dim+1)-augmented space. */
+  def annCentroids(model: Model, nlist: Int = 64,
+      iters: Int = 3): Array[Array[Float]] =
+    graft.sim.Ivf.fitCentroids(augmentItems(model.itemVecs), "item_id", "vec",
+      nlist, iters)
+
   /** ANN-served recommend (round-11 verdict task 2): the same output
     * contract as [[recommend]] at catalog sizes PAST the fused kernel's
     * float budget — per-user top-k through the IVF probe with exact
@@ -972,10 +1001,13 @@ object TwoTower {
     * are scored (one cid equi-join — at 100 TB the index is parquet
     * `partitionBy("cid")` and probes prune files), the seen exclusion is
     * row-local, and the map-side heap cuts candidates to users × k.
-    * Recall vs [[recommend]] is nprobe/nlist-governed; with
-    * nprobe = nlist the rows EQUAL the exact kernel's (spec-pinned in
-    * TwoTowerSpec, with a recall floor at nprobe < nlist). Pass prebuilt
-    * `centroids` (Ivf.loadCentroids) to skip the quantizer fit — the
+    * Probing runs in the MIPS-augmented space (see [[augmentItems]] —
+    * scores are bit-identical to the raw dot, the probe ranking is not),
+    * so recall vs [[recommend]] is nprobe/nlist-governed WITHOUT the
+    * inner-product blind spot; with nprobe = nlist the rows EQUAL the
+    * exact kernel's (spec-pinned in TwoTowerSpec, with a recall floor at
+    * nprobe < nlist). Pass prebuilt `centroids` from [[annCentroids]]
+    * (persist via Ivf.saveCentroids) to skip the quantizer fit — the
     * production serve fits on the model-refresh cadence, not per
     * request. */
   def recommendAnn(model: Model, users: DataFrame, k: Int = 10,
@@ -984,11 +1016,18 @@ object TwoTower {
       centroids: Option[Array[Array[Float]]] = None): DataFrame = {
     graft.sql.GraftFunctions.register(model.userVecs.sparkSession)
     val iType = model.itemVecs.schema("item_id").dataType
-    val cents = centroids.getOrElse(
-      graft.sim.Ivf.fitCentroids(model.itemVecs, "item_id", "vec", nlist, iters))
-    val index = graft.sim.Retrieval.annIndex(model.itemVecs, "item_id", "vec", cents)
+    val itemsAug = augmentItems(model.itemVecs)
+    val cents = centroids.getOrElse(annCentroids(model, nlist, iters))
+    val embDim = model.itemVecs.select(size(col("vec"))).head().getInt(0)
+    require(cents.headOption.forall(_.length == embDim + 1),
+      s"centroids must be fit in the MIPS-augmented space (dim ${embDim + 1}" +
+        s", got ${cents.headOption.map(_.length).getOrElse(0)}) — " +
+        "use TwoTower.annCentroids")
+    val index = graft.sim.Retrieval.annIndex(itemsAug, "item_id", "vec", cents)
     val u = users.select(col("user_id")).distinct()
       .join(model.userVecs, Seq("user_id"))
+      .select(col("user_id"),
+        concat(col("vec"), array(lit(0.0f))).as("vec"))
     graft.sim.Retrieval.topKAnn(u, "user_id", "vec", index, "item_id", "vec",
         cents, k, nprobe,
         seen = excludeSeen.map(_.select(col("user_id"), col("item_id"))))

@@ -264,7 +264,12 @@ object RecsTable {
     * centroids take effect on the next batch. Recall vs the dense kernel
     * is governed by nprobe/nlist (spec-pinned floor in RetrievalSpec);
     * per-batch cost is O(active × nprobe/nlist × catalog) candidate rows,
-    * never the full catalog per user. */
+    * never the full catalog per user. For an INNER-PRODUCT catalog
+    * (two-tower model vectors), build the index and centroids in the
+    * MIPS-augmented space at model-refresh time — `TwoTower.annCentroids`
+    * + the augmented item frame, with query vectors 0-extended — or the
+    * L2 probe misses high-norm items (the round-13 recall-gauge finding:
+    * 0.18 @ nprobe 8/64 on raw vectors). */
   def streamAnnRefresh(stream: DataFrame, history: DataFrame,
       userVecs: () => DataFrame, itemIndex: () => DataFrame,
       centroids: () => Array[Array[Float]], k: Int, nprobe: Int,

@@ -277,8 +277,9 @@ class TwoTowerSpec extends SparkSpecBase {
     // output is k rows per user with a recall floor vs exact.
     val users = testRows.map(_._1).distinct.toDF("user_id")
     val seen = trainRows.toDF("user_id", "item_id")
-    val cents = graft.sim.Ivf.fitCentroids(fitted._1.itemVecs, "item_id",
-      "vec", nlist = 4, iters = 2)
+    // centroids live in the MIPS-augmented space (round 13) — fit through
+    // the model helper, not raw Ivf.fitCentroids
+    val cents = TwoTower.annCentroids(fitted._1, nlist = 4, iters = 2)
     def dump(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("user_id", "rk").collect().map(_.toString).toSeq
     val exact = TwoTower.recommend(fitted._1, users, 5, Some(seen))
