@@ -73,6 +73,14 @@ CHANGED_THIS_ROUND = {
     # r12 driver run (115 s of accumulated JVM state) — both adjudicate
     # from this round's isolated A/B pair
     "q182_topk_fused", "q52f_recs_fused",
+    # the full-population serving default flipped to the fused plan after
+    # its 2x A/B hold (3.14 vs 6.78 s) — the r12 pins describe the join
+    # plan these rows no longer run
+    "q51s_eval_served", "q52s_recs_served",
+    # MIPS-augmented probing (recall 0.18 -> 0.81) changed the ANN serve's
+    # plan mid-round: it pins from the post-fix C/D pair, and the pre-fix
+    # A/B legs read red on it BY DESIGN (the r12 q63ta precedent)
+    "q63ta_twotower_ann",
 }
 
 
