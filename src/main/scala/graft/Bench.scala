@@ -48,7 +48,14 @@ import org.apache.spark.sql.SparkSession
   *    claims lint adjudicates — the artifact carries its own correction;
   *  - untimed scalar `gauges` (SparkEntry.benchGauges — currently ANN
   *    serving recall@10 vs the exact dense serve on the same model), so a
-  *    wall bought by a quality trade is visible beside the wall.
+  *    wall bought by a quality trade is visible beside the wall;
+  *  - probe GRID: the calibration pair is timed ~every eighth of the
+  *    suite (`cal_points`/`shuf_points` in the full artifact), not just
+  *    start/mid/end — the r13 close's leg C had a box phase sitting
+  *    between the mid and end probes (its 3-point drift read a calm
+  *    1.07) and the claims lint convicted untouched code; with the grid,
+  *    any phase longer than a grid interval is inside the artifact's own
+  *    tolerance band.
   */
 object Bench {
 
@@ -175,21 +182,35 @@ object Bench {
       (name, median, times)
     }
 
-    // Calibration: one untimed warmup per probe, then three timed points
-    // each (suite start / after half the queries / suite end).
+    // Calibration GRID (round 13): one untimed warmup per probe, then a
+    // timed pair roughly every eighth of the suite (plus start and end).
+    // The three-point start/mid/end protocol left a blind spot the r13
+    // close hit exactly: leg C's box phase sat BETWEEN the mid and end
+    // points, its probes read calm (drift 1.07), and the claims lint
+    // convicted untouched code with no drift escape. A ~9-point grid
+    // bounds any phase longer than ~1/8 of the suite inside the
+    // artifact's own band; the compact line still reports start/mid/end
+    // (with drift over ALL points), the full artifact carries the grid.
     try calibration(spark, cpus.toInt) catch { case _: Throwable => () }
     try shuffleCalibration(spark, cpus.toInt) catch { case _: Throwable => () }
     def calPoint(): Double =
       try calibration(spark, cpus.toInt) catch { case _: Throwable => -1.0 }
     def shufPoint(): Double =
       try shuffleCalibration(spark, cpus.toInt) catch { case _: Throwable => -1.0 }
-    val calStart = calPoint(); val shufStart = shufPoint()
-    val (firstHalf, secondHalf) = ordered.splitAt(ordered.size / 2)
-    val res1 = firstHalf.map { case (n, f) => runOne(n, f) }
-    val calMid = calPoint(); val shufMid = shufPoint()
-    val res2 = secondHalf.map { case (n, f) => runOne(n, f) }
-    val calEnd = calPoint(); val shufEnd = shufPoint()
-    val results = res1 ++ res2
+    val calPts = scala.collection.mutable.ArrayBuffer[Double]()
+    val shufPts = scala.collection.mutable.ArrayBuffer[Double]()
+    def probePoint(): Unit = { calPts += calPoint(); shufPts += shufPoint() }
+    val gridEvery = math.max(8, math.ceil(ordered.size / 8.0).toInt)
+    probePoint() // start
+    val results = ordered.zipWithIndex.map { case ((n, f), i) =>
+      if (i > 0 && i % gridEvery == 0) probePoint()
+      runOne(n, f)
+    }
+    probePoint() // end
+    val calStart = calPts.head; val shufStart = shufPts.head
+    val calMid = calPts(calPts.size / 2); val shufMid = shufPts(shufPts.size / 2)
+    val calEnd = calPts.last; val shufEnd = shufPts.last
+    val firstHalf = ordered.take(ordered.size / 2)
     // Contended-start correction (round-12 verdict task 4): the r12 driver
     // box ran its first half 14-28x contended (cal start 8.02 vs mid 0.72,
     // shuffle 69.35 vs 2.50) — the probes detected it and nothing acted,
@@ -199,12 +220,12 @@ object Bench {
     // (`queries` keeps the original medians, `queries_rerun` the late
     // pass) and the rerun folds into the per-query floors the claims lint
     // adjudicates, so the artifact carries its own correction.
-    def lateLow(mid: Double, end: Double): Double = {
-      val good = Seq(mid, end).filter(_ > 0)
+    def lateLow(pts: Seq[Double]): Double = {
+      val good = pts.drop(1).filter(_ > 0)
       if (good.isEmpty) -1.0 else good.min
     }
-    val calLate = lateLow(calMid, calEnd)
-    val shufLate = lateLow(shufMid, shufEnd)
+    val calLate = lateLow(calPts.toSeq)
+    val shufLate = lateLow(shufPts.toSeq)
     val contendedStart =
       (calStart > 0 && calLate > 0 && calStart > 2.0 * calLate) ||
       (shufStart > 0 && shufLate > 0 && shufStart > 2.0 * shufLate)
@@ -223,8 +244,10 @@ object Bench {
       val good = pts.filter(_ > 0)
       if (good.isEmpty) -1.0 else good.max / good.min
     }
-    val calDrift = driftOf(Seq(calStart, calMid, calEnd))
-    val shufDrift = driftOf(Seq(shufStart, shufMid, shufEnd))
+    // drift over the WHOLE grid: a phase between the legacy three points
+    // now shows in the artifact's own drift number
+    val calDrift = driftOf(calPts.toSeq)
+    val shufDrift = driftOf(shufPts.toSeq)
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -329,8 +352,10 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val rerunJson = rerun.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val calPtsJson = calPts.mkString("[", ",", "]")
+    val shufPtsJson = shufPts.mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","core_total":$coreTotal,"core_floor":$coreFloor,"contended_start":$contendedStart,"gauges":$gaugesJson,"calibration":$calJson,"shuffle_cal":$shufJson,"volatile":$volatileJson,"isolated":$isolateJson,"queries":$qs,"qfloor":$qfloorJson,"queries_rerun":$rerunJson,"rep_times":$repsJson,"errors":$errJson,"sf":"$sfDir","reps":$reps,"cpus":$cpus}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","core_total":$coreTotal,"core_floor":$coreFloor,"contended_start":$contendedStart,"gauges":$gaugesJson,"calibration":$calJson,"shuffle_cal":$shufJson,"cal_points":$calPtsJson,"shuf_points":$shufPtsJson,"volatile":$volatileJson,"isolated":$isolateJson,"queries":$qs,"qfloor":$qfloorJson,"queries_rerun":$rerunJson,"rep_times":$repsJson,"errors":$errJson,"sf":"$sfDir","reps":$reps,"cpus":$cpus}"""
     try {
       // a dev-filtered run must not clobber the full artifact the bench
       // claims lint reads (measured mistake: two ONLY=q134 A/B runs left

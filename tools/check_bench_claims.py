@@ -185,6 +185,32 @@ def load_floors(path):
     return floors
 
 
+def load_points(path):
+    """Round-13 probe GRID: Bench times the calibration pair ~every eighth
+    of the suite (cal_points/shuf_points in the full artifact). The r13
+    close showed why three points are not enough: leg C's box phase sat
+    between the mid and end probes, read drift 1.07, and convicted
+    untouched code. When the grid is present the tolerance band spans
+    every grid point, so any phase longer than a grid interval is inside
+    the artifact's own band. Returns (cal_pts, shuf_pts) or (None, None)."""
+    art = json.load(open(path))
+
+    def pick(obj):
+        c, s = obj.get("cal_points"), obj.get("shuf_points")
+        if isinstance(c, list) and isinstance(s, list) and c and s:
+            return c, s
+        return None
+    if isinstance(art, dict):
+        got = pick(art)
+        if got:
+            return got
+        if isinstance(art.get("parsed"), dict):
+            got = pick(art["parsed"])
+            if got:
+                return got
+    return None, None
+
+
 def load_volatile(path):
     """The artifact's `volatile` list (fit-heavy entries excluded from
     core_total) — present in full-shape artifacts only."""
@@ -292,8 +318,23 @@ def main(artifact_path):
     if ratios:
         factor = _clamp(
             math.exp(sum(math.log(r) for r in ratios) / len(ratios)))
-    band = [f for f in (_pos_factor(p) for p in ("start", "mid", "end"))
-            if f is not None] or [factor]
+    # band: prefer the probe GRID (round 13 — every grid point is a
+    # recorded box speed); fall back to the legacy start/mid/end factors
+    cal_pts, shuf_pts = load_points(artifact_path)
+    band = []
+    if cal_pts and shuf_pts and "cal_ref" in attrs and "shufcal_ref" in attrs:
+        for cp, sp in zip(cal_pts, shuf_pts):
+            rs = []
+            if cp and cp > 0:
+                rs.append(cp / float(attrs["cal_ref"]))
+            if sp and sp > 0:
+                rs.append(sp / float(attrs["shufcal_ref"]))
+            if rs:
+                band.append(_clamp(
+                    math.exp(sum(math.log(r) for r in rs) / len(rs))))
+    if not band:
+        band = [f for f in (_pos_factor(p) for p in ("start", "mid", "end"))
+                if f is not None] or [factor]
     f_min, f_max = min(band), max(band)
 
     def drift_of(block):

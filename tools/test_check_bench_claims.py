@@ -60,6 +60,37 @@ def run_case(name, actual, drift, expect_exit, expect_substr=None,
         return ok
 
 
+def run_grid_case(name, actual, cal_points, expect_exit):
+    """Round-13 probe grid: a phase recorded at a mid-grid point (invisible
+    to start/mid/end) must widen the band; a gap past even the slowest
+    grid point must still fail."""
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "SCALE.md"), "w") as f:
+            f.write(SCALE_TMPL)
+        art = {
+            "queries": {"q01_test": actual},
+            "calibration": {"start": cal_points[0],
+                            "mid": cal_points[len(cal_points) // 2],
+                            "end": cal_points[-1], "drift_x": 1.0},
+            "shuffle_cal": {"start": cal_points[0],
+                            "mid": cal_points[len(cal_points) // 2],
+                            "end": cal_points[-1], "drift_x": 1.0},
+            "cal_points": cal_points,
+            "shuf_points": cal_points,
+        }
+        apath = os.path.join(d, "bench.json")
+        with open(apath, "w") as f:
+            json.dump(art, f)
+        p = subprocess.run([sys.executable, LINT, apath], cwd=d,
+                           capture_output=True, text=True)
+        ok = p.returncode == expect_exit
+        status = "ok  " if ok else "FAIL"
+        print(f"{status} {name}: exit {p.returncode} (want {expect_exit})")
+        if not ok:
+            print("  " + (p.stdout + p.stderr).replace("\n", "\n  "))
+        return ok
+
+
 def run_coverage_case(name, extra_doc, expect_exit, volatile=None,
                       expect_substr=None):
     """Round-13 ratchet: artifact carries the full query map + volatile
@@ -157,6 +188,14 @@ def main():
         # volatile entries are exempt by design (fit walls breathe)
         run_coverage_case("volatile entry -> exempt",
                           "", 0, volatile=["q02_new"]),
+        # round-13 probe grid: a 1.9x phase recorded ONLY at a mid-grid
+        # point (start/mid/end all read 1.0 — the r13 leg-C blind spot)
+        # widens the band and the 18s reading (1.8x) passes
+        run_grid_case("mid-grid phase widens the band -> pass",
+                      18.0, [1.0, 1.0, 1.9, 1.0, 1.0], 0),
+        # the same grid cannot excuse a gap past its slowest point x tol
+        run_grid_case("gap past the whole grid -> FAIL",
+                      30.0, [1.0, 1.0, 1.9, 1.0, 1.0], 1),
     ]
     if all(results):
         print(f"all {len(results)} lint cases behave")
