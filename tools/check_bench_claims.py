@@ -332,10 +332,21 @@ def main(artifact_path):
             if rs:
                 band.append(_clamp(
                     math.exp(sum(math.log(r) for r in rs) / len(rs))))
+    grid_banded = bool(band)
     if not band:
         band = [f for f in (_pos_factor(p) for p in ("start", "mid", "end"))
                 if f is not None] or [factor]
     f_min, f_max = min(band), max(band)
+    # Hard-bound normalization (round 13): RAW_HARD/MED_HARD exist because
+    # the probe normalization could not be trusted BETWEEN probe points —
+    # a grid artifact removes that doubt (a point every ~1/8 suite), so on
+    # grid artifacts the hard bounds read raw / max(1, f_max): a box whose
+    # own grid recorded a 2.25x phase does not convict a 2.1x floor on
+    # untouched code (r13 leg E, q159), while a genuine many-x regression
+    # still lands past the scaled bound. Legacy 3-point artifacts keep the
+    # strict raw bounds — their probes may have missed the phase, but a
+    # bound that scales with an unmeasured factor would be no bound.
+    hard_scale = max(1.0, f_max) if grid_banded else 1.0
 
     def drift_of(block):
         if not isinstance(block, dict):
@@ -361,8 +372,9 @@ def main(artifact_path):
             hard_bad.append(name)
             continue
         # the UNADJUSTED median's own hard bound (round-12 advice): a
-        # floor cannot exempt a sustained 4x+ gap
-        raw_med = actual / claimed
+        # floor cannot exempt a sustained 4x+ gap (scaled by the grid's
+        # recorded band max on grid artifacts — see hard_scale above)
+        raw_med = actual / claimed / hard_scale
         if raw_med > MED_HARD or raw_med < 1.0 / MED_HARD:
             bad.append((name, claimed, actual))
             hard_bad.append(name)
@@ -377,7 +389,7 @@ def main(artifact_path):
         hi = actual / (claimed * f_min)
         if lo > tol or hi < 1.0 / tol:
             bad.append((name, claimed, actual))
-            raw = actual / claimed
+            raw = actual / claimed / hard_scale
             if raw > RAW_HARD or raw < 1.0 / RAW_HARD:
                 hard_bad.append(name)
     norm = (f" (box factor {factor:.2f}, per-position band "
