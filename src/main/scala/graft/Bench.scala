@@ -296,13 +296,13 @@ object Bench {
     val coreFloor = floors.collect {
       case (k, v) if !SparkEntry.benchVolatile(k) => v
     }.sum
-    // ~460 chars of fixed fields (incl. both calibration blocks, the
-    // contended_start flag and the gauges map) + the [info] prefix leave
-    // ~1540 for the per-query maps inside the driver's 2000-char tail;
-    // qfloor gets its own slice, prioritized by how much noise it removes
-    // (median - floor), and only rows where the floor actually disagrees
-    // (min < 0.85 x median) spend budget
-    val qBudget = 990
+    // ~570 chars of fixed fields (incl. both calibration blocks, the
+    // compact probe grids, the contended_start flag and the gauges map)
+    // + the [info] prefix leave ~1430 for the per-query maps inside the
+    // driver's 2000-char tail; qfloor gets its own slice, prioritized by
+    // how much noise it removes (median - floor), and only rows where
+    // the floor actually disagrees (min < 0.85 x median) spend budget
+    val qBudget = 880
     val kept = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     var used = 0
     byCost.foreach { case (k, v, _) =>
@@ -342,8 +342,14 @@ object Bench {
       .mkString("{", ",", "}")
     val gaugesJson = gauges.map { case (k, v) => jstr(k) + ":" + f3(v) }
       .mkString("{", ",", "}")
+    // the probe grid rides the compact line too (~110 chars at 9 points):
+    // the DRIVER's artifact is the truncated stdout tail, and the grid
+    // matters most exactly there — the per-point band is what keeps a
+    // mid-suite box phase from convicting untouched code
+    val calPtsCompact = calPts.map(r2).mkString("[", ",", "]")
+    val shufPtsCompact = shufPts.map(r2).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","core_total":${f3(coreTotal)},"core_floor":${f3(coreFloor)},"n_queries":${results.size},"contended_start":$contendedStart,"gauges":$gaugesJson,"calibration":$calCompact,"shuffle_cal":$shufCompact,"queries":$qsCompact,"qfloor":$qfloorCompact,"omitted":${omitted.size},"omitted_total":${f3(omittedTotal)},"n_errors":${errors.size},"errors":$errCompact,"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","core_total":${f3(coreTotal)},"core_floor":${f3(coreFloor)},"n_queries":${results.size},"contended_start":$contendedStart,"gauges":$gaugesJson,"calibration":$calCompact,"shuffle_cal":$shufCompact,"cal_pts":$calPtsCompact,"shuf_pts":$shufPtsCompact,"queries":$qsCompact,"qfloor":$qfloorCompact,"omitted":${omitted.size},"omitted_total":${f3(omittedTotal)},"n_errors":${errors.size},"errors":$errCompact,"sf":"$sfDir","reps":$reps}"""
     val repsJson = results.map { case (k, _, ts) =>
       jstr(k) + ":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")

@@ -196,9 +196,13 @@ def load_points(path):
     art = json.load(open(path))
 
     def pick(obj):
-        c, s = obj.get("cal_points"), obj.get("shuf_points")
-        if isinstance(c, list) and isinstance(s, list) and c and s:
-            return c, s
+        # full artifact carries cal_points/shuf_points; the compact stdout
+        # line (and the driver wrapper parsed from it) carries cal_pts/
+        # shuf_pts — same grid, shorter keys for the tail char budget
+        for ck, sk in (("cal_points", "shuf_points"), ("cal_pts", "shuf_pts")):
+            c, s = obj.get(ck), obj.get(sk)
+            if isinstance(c, list) and isinstance(s, list) and c and s:
+                return c, s
         return None
     if isinstance(art, dict):
         got = pick(art)
@@ -208,6 +212,17 @@ def load_points(path):
             got = pick(art["parsed"])
             if got:
                 return got
+        if isinstance(art.get("tail"), str):
+            def scavenge(key):
+                m = re.search(r'"%s":\[([0-9.,\-]*)\]' % key, art["tail"])
+                if not m or not m.group(1):
+                    return None
+                return [float(x) for x in m.group(1).split(",")]
+            for ck, sk in (("cal_points", "shuf_points"),
+                           ("cal_pts", "shuf_pts")):
+                c, s = scavenge(ck), scavenge(sk)
+                if c and s:
+                    return c, s
     return None, None
 
 
