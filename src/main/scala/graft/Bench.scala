@@ -56,6 +56,32 @@ import org.apache.spark.sql.SparkSession
   *    1.07) and the claims lint convicted untouched code; with the grid,
   *    any phase longer than a grid interval is inside the artifact's own
   *    tolerance band.
+  *
+  * Round-14 additions (verdict task 1 — BENCH_r13.json was rc 124 with a
+  * tail of Spark startup logs: the ONE end-of-suite line was the whole
+  * stdout contract, so a driver timeout zeroed the round's official
+  * artifact):
+  *  - STREAMING results: every query prints a one-line compact record as
+  *    it completes (`{"qNN_name":med[,"~qNN_name":floor]}`), in exactly
+  *    the key shapes the claims lint's tail scavenge already reads, and
+  *    every probe-grid point prints the cumulative `cal_pts`/`shuf_pts`
+  *    arrays plus the gauges — a run killed at ANY point leaves the last
+  *    ~30 queries' walls, the box-speed band up to the kill, and the
+  *    quality gauges inside the driver's 2000-char tail. The final
+  *    compact line is unchanged and still printed LAST (a completed run
+  *    reads as before); stage markers (`{"bstage":...}`) date the
+  *    startup/setup phases so a kill before the first query is
+  *    attributable;
+  *  - volatile entries default to ONE timed rep
+  *    (SPARK_GRAFT_BENCH_VOLATILE_REPS): their fit-dominated walls are
+  *    excluded from core_total and declared breathing, so the 2nd/3rd
+  *    reps bought ~2 min of suite wall and no adjudicated signal —
+  *    exactly the margin the r13 driver run ran out of;
+  *  - SPARK_GRAFT_BENCH_FIRST / SPARK_GRAFT_BENCH_LAST (comma-separated
+  *    names) move the named queries to the head/tail of the otherwise
+  *    alphabetical order: the position-controlled A/B instrument for
+  *    suite-position JVM-state hypotheses (the q52f/q52s serving-block
+  *    contradiction) — same code, same box, opposite suite positions.
   */
 object Bench {
 
@@ -101,6 +127,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val volReps = math.min(reps, math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_VOLATILE_REPS", "1").toInt))
     val settleMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS", "400").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -113,11 +141,26 @@ object Bench {
     // all documented) ate ~700 chars of that window — truncating the JSON
     // line's tail and leaving cheap queries' numbers unverifiable.
     spark.sparkContext.setLogLevel("ERROR")
+    // ---- formatting helpers (used by BOTH the streaming per-query lines
+    // and the end-of-suite artifact) ----
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(v))
+    def r2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // Streamed line (round-14 task 1): flushed immediately so a killed
+    // run's pipe carries everything printed before the kill.
+    def emit(s: String): Unit = { println(s); Console.out.flush() }
+    emit("""{"bstage":"session_up"}""")
     // Untimed JVM warmup (JIT + codegen compiler + parquet reader init) on
     // the tiny sf0.001 flagship so the first measured query isn't charged
     // ~8 s of one-time session cost.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    emit("""{"bstage":"warmup_done"}""")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Untimed fit-once setup: materializes the artifacts the *_served
     // queries read, so their numbers isolate the serving path.
@@ -125,6 +168,7 @@ object Bench {
     catch { case e: Throwable =>
       errors("benchSetup") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
     }
+    emit("""{"bstage":"setup_done"}""")
     // Untimed scalar gauges (ANN recall etc. — round-12 verdict task 6):
     // evaluated once, carried in the artifact beside the walls. Skipped in
     // dev-filtered runs (they read the fit-once artifacts benchSetup wrote
@@ -139,6 +183,9 @@ object Bench {
           None
         }
       }
+    val gaugesJson = gauges.map { case (k, v) => jstr(k) + ":" + f3(v) }
+      .mkString("{", ",", "}")
+    emit(s"""{"bstage":"gauges_done","gauges":$gaugesJson}""")
     val all = (SparkEntry.queries -- SparkEntry.benchSkip) ++ SparkEntry.benchOnly
     val isolate = SparkEntry.benchIsolate
     // Dev-iteration filter (comma-separated name prefixes), mirroring
@@ -148,7 +195,22 @@ object Bench {
       case Some(p) => val ps = p.split(","); name => ps.exists(name.startsWith)
       case None => _ => true
     }
-    val ordered = all.toSeq.filter(kv => keep(kv._1)).sortBy(_._1)
+    // Position-controlled ordering (round-14 task 2): FIRST/LAST lists
+    // move the named queries to the suite's head/tail; everything else
+    // keeps the alphabetical order. Unknown names are ignored.
+    def envList(name: String): Seq[String] =
+      sys.env.get(name).map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Seq.empty)
+    val posFirst = envList("SPARK_GRAFT_BENCH_FIRST")
+    val posLast = envList("SPARK_GRAFT_BENCH_LAST")
+    val alpha = all.toSeq.filter(kv => keep(kv._1)).sortBy(_._1)
+    val ordered =
+      alpha.filter(kv => posFirst.contains(kv._1))
+          .sortBy(kv => posFirst.indexOf(kv._1)) ++
+        alpha.filterNot(kv =>
+          posFirst.contains(kv._1) || posLast.contains(kv._1)) ++
+        alpha.filter(kv => posLast.contains(kv._1))
+          .sortBy(kv => posLast.indexOf(kv._1))
 
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (String, Double, Seq[Double]) = {
@@ -162,7 +224,11 @@ object Bench {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
-      val times = (1 to reps).map { _ =>
+      // volatile entries (fit walls, excluded from core_total) take one
+      // timed rep by default — their extra reps bought suite wall, not
+      // adjudicated signal (round-14 task 1: the r13 driver run timed out)
+      val nReps = if (SparkEntry.benchVolatile(name)) volReps else reps
+      val times = (1 to nReps).map { _ =>
         if (isolate(name)) { System.gc(); Thread.sleep(settleMs) }
         val t0 = System.nanoTime()
         val ok =
@@ -199,14 +265,38 @@ object Bench {
       try shuffleCalibration(spark, cpus.toInt) catch { case _: Throwable => -1.0 }
     val calPts = scala.collection.mutable.ArrayBuffer[Double]()
     val shufPts = scala.collection.mutable.ArrayBuffer[Double]()
-    def probePoint(): Unit = { calPts += calPoint(); shufPts += shufPoint() }
-    val gridEvery = math.max(8, math.ceil(ordered.size / 8.0).toInt)
-    probePoint() // start
-    val results = ordered.zipWithIndex.map { case ((n, f), i) =>
-      if (i > 0 && i % gridEvery == 0) probePoint()
-      runOne(n, f)
+    // each probe point streams the CUMULATIVE grid + the gauges: a killed
+    // run's tail then carries the box-speed band up to the kill (the
+    // claims lint normalizes by these arrays) and the quality gauges,
+    // whatever the kill point. The `done` count dates the point.
+    def probePoint(done: Int): Unit = {
+      calPts += calPoint(); shufPts += shufPoint()
+      emit(s"""{"cal_pts":${calPts.map(r2).mkString("[", ",", "]")},""" +
+        s""""shuf_pts":${shufPts.map(r2).mkString("[", ",", "]")},""" +
+        s""""done":$done,"gauges":$gaugesJson}""")
     }
-    probePoint() // end
+    // per-query streamed record, in the exact key shapes the claims
+    // lint's tail scavenge reads: `"qNN_name":median` plus, when a floor
+    // would change adjudication, `"~qNN_name":floor` (the `~` prefix
+    // keeps it out of the flat median scavenge). Errors stream as
+    // `qerr` (no q[0-9] key — the scavenge regex never sees them).
+    def emitQuery(name: String, med: Double, ts: Seq[Double]): Unit =
+      if (med <= 0) emit(s"""{"qerr":${jstr(name)}}""")
+      else {
+        val fl = ts.filter(_ > 0).min
+        val flPart =
+          if (fl < 0.95 * med) "," + jstr("~" + name) + ":" + f3(fl) else ""
+        emit("{" + jstr(name) + ":" + f3(med) + flPart + "}")
+      }
+    val gridEvery = math.max(8, math.ceil(ordered.size / 8.0).toInt)
+    probePoint(0) // start
+    val results = ordered.zipWithIndex.map { case ((n, f), i) =>
+      if (i > 0 && i % gridEvery == 0) probePoint(i)
+      val r = runOne(n, f)
+      emitQuery(r._1, r._2, r._3)
+      r
+    }
+    probePoint(ordered.size) // end
     val calStart = calPts.head; val shufStart = shufPts.head
     val calMid = calPts(calPts.size / 2); val shufMid = shufPts(shufPts.size / 2)
     val calEnd = calPts.last; val shufEnd = shufPts.last
@@ -229,6 +319,9 @@ object Bench {
     val contendedStart =
       (calStart > 0 && calLate > 0 && calStart > 2.0 * calLate) ||
       (shufStart > 0 && shufLate > 0 && shufStart > 2.0 * shufLate)
+    val repFloorOf: Map[String, Double] = results.collect {
+      case (k, med, ts) if med > 0 => k -> ts.filter(_ > 0).min
+    }.toMap
     val rerun: Map[String, Double] =
       if (!contendedStart) Map.empty
       else firstHalf.map { case (name, fn) =>
@@ -238,6 +331,10 @@ object Bench {
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
+        // stream an improved floor (tail scavenge is last-match-wins, so
+        // only emit when the rerun actually lowers the query's floor)
+        if (ok && repFloorOf.get(name).exists(dt < _))
+          emit("{" + jstr("~" + name) + ":" + f3(dt) + "}")
         name -> (if (ok) dt else -dt)
       }.toMap
     def driftOf(pts: Seq[Double]): Double = {
@@ -249,11 +346,6 @@ object Bench {
     val calDrift = driftOf(calPts.toSeq)
     val shufDrift = driftOf(shufPts.toSeq)
 
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
     val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v > 0 => v }.sum
@@ -266,7 +358,6 @@ object Bench {
       s"""{"start":$shufStart,"mid":$shufMid,"end":$shufEnd,"drift_x":$shufDrift}"""
     val volatileJson =
       SparkEntry.benchVolatile.toSeq.sorted.map(jstr).mkString("[", ",", "]")
-    def r2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val calCompact =
       s"""{"start":${r2(calStart)},"mid":${r2(calMid)},"end":${r2(calEnd)},"drift_x":${r2(calDrift)}}"""
     val shufCompact =
@@ -278,8 +369,6 @@ object Bench {
     // The printed line therefore carries the totals + the slowest queries
     // up to a strict char budget, with the rest summarized under
     // omitted/omitted_total; target/bench_full.json keeps everything.
-    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
-      Double.box(v))
     val byCost = results.filter(_._2 > 0).sortBy(-_._2)
     // Per-query FLOOR = min of the positive timed reps. The round-8..10
     // A/B pairs showed the floor is the stable cross-run statistic on a
@@ -340,8 +429,6 @@ object Bench {
     val errCompact = errors.take(5)
       .map { case (k, v) => jstr(k) + ":" + jstr(v.take(40)) }
       .mkString("{", ",", "}")
-    val gaugesJson = gauges.map { case (k, v) => jstr(k) + ":" + f3(v) }
-      .mkString("{", ",", "}")
     // the probe grid rides the compact line too (~110 chars at 9 points):
     // the DRIVER's artifact is the truncated stdout tail, and the grid
     // matters most exactly there — the per-point band is what keeps a
@@ -372,7 +459,7 @@ object Bench {
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, full.getBytes("UTF-8"))
     } catch { case _: Throwable => () } // file dump is best-effort; stdout line is the contract
-    println(line)
+    emit(line)
     spark.stop()
   }
 }

@@ -143,10 +143,12 @@ def load_queries(path):
               for k, v in re.findall(r'"(q[0-9][^"]*)":([0-9.]+)', art["tail"])}
 
         def scavenge(name):
-            m = re.search(r'"%s":\{([^}]*)\}' % name, art["tail"])
-            if not m:
+            # LAST occurrence: Bench streams cumulative records as the
+            # suite runs (round 14), so earlier matches are partial
+            ms = re.findall(r'"%s":\{([^}]*)\}' % name, art["tail"])
+            if not ms:
                 return None
-            kv = dict(re.findall(r'"(\w+)":(-?[0-9.]+)', m.group(1)))
+            kv = dict(re.findall(r'"(\w+)":(-?[0-9.]+)', ms[-1]))
             return {k: float(v) for k, v in kv.items()}
         return qs, scavenge("calibration"), scavenge("shuffle_cal"), "tail"
     raise SystemExit(f"unrecognized artifact shape: {path}")
@@ -214,10 +216,14 @@ def load_points(path):
                 return got
         if isinstance(art.get("tail"), str):
             def scavenge(key):
-                m = re.search(r'"%s":\[([0-9.,\-]*)\]' % key, art["tail"])
-                if not m or not m.group(1):
+                # LAST occurrence: Bench streams the cumulative grid at
+                # every probe point (round 14) — the final match is the
+                # most complete one the kill left in the tail
+                ms = re.findall(r'"%s":\[([0-9.,\-]*)\]' % key, art["tail"])
+                ms = [m for m in ms if m]
+                if not ms:
                     return None
-                return [float(x) for x in m.group(1).split(",")]
+                return [float(x) for x in ms[-1].split(",")]
             for ck, sk in (("cal_points", "shuf_points"),
                            ("cal_pts", "shuf_pts")):
                 c, s = scavenge(ck), scavenge(sk)

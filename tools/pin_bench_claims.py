@@ -64,24 +64,16 @@ OVERRIDES = {
 # from the driver artifact pins without a prediction). The set is
 # emptied when the round's driver artifact lands.
 CHANGED_THIS_ROUND = {
-    # round-13: the CSR range-parallel sweep replaced the boxed
-    # single-thread maps in every fused PageRank/PPR/SSSP consumer
-    "q160_sssp", "q170_link_rank", "q176_ppr_related",
-    "q134_copurchase_rank",
-    # q182 serves the user subset through the fused plan now (it paid a
-    # full-population serve in r12); q52f was measured UN-isolated in the
-    # r12 driver run (115 s of accumulated JVM state) — both adjudicate
-    # from this round's isolated A/B pair
-    "q182_topk_fused", "q52f_recs_fused",
-    # the full-population serving default flipped to the fused plan after
-    # its 2x A/B hold (3.14 vs 6.78 s) — the r12 pins describe the join
-    # plan these rows no longer run
-    "q51s_eval_served", "q52s_recs_served",
-    # MIPS-augmented probing (recall 0.18 -> 0.81) changed the ANN serve's
-    # plan mid-round: it pins from the post-fix C/D pair, and the pre-fix
-    # A/B legs read red on it BY DESIGN (the r12 q63ta precedent)
-    "q63ta_twotower_ann",
+    # round-14: the |users| regime gate routes q182's 200-user shape to
+    # the join plan (Cooccur.recommendAuto minFusedUsers — verdict task
+    # 4); its r13 pin measured the fused route that shape no longer runs.
+    # q183 is new this round (the forced-fused twin).
+    "q182_topk_fused", "q183_topk_fused_subset",
 }
+# (The round-13 set — the CSR-sweep and serving-flip rows — emptied per
+# protocol; note the r13 driver artifact carried no per-query signal at
+# all (rc 124, startup-log tail), so the prediction veto against it is
+# vacuous for every row regardless.)
 
 
 def geomean(xs):

@@ -132,6 +132,45 @@ UNPINNED_TMPL = """
 """
 
 
+def run_tail_case(name, tail, expect_exit, expect_substr=None):
+    """Round-14: a driver wrapper whose run was KILLED mid-suite — no
+    final compact line, only Bench's streamed per-query / probe-grid
+    records in the 2000-char tail. The scavenge must still adjudicate."""
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "SCALE.md"), "w") as f:
+            f.write(SCALE_TMPL)
+        apath = os.path.join(d, "bench.json")
+        with open(apath, "w") as f:
+            json.dump({"n": 14, "rc": 124, "tail": tail}, f)
+        p = subprocess.run([sys.executable, LINT, apath], cwd=d,
+                           capture_output=True, text=True)
+        out = p.stdout + p.stderr
+        ok = p.returncode == expect_exit and \
+            (expect_substr is None or expect_substr in out)
+        status = "ok  " if ok else "FAIL"
+        print(f"{status} {name}: exit {p.returncode} (want {expect_exit})")
+        if not ok:
+            print("  --- lint output ---")
+            print("  " + out.replace("\n", "\n  "))
+        return ok
+
+
+# what a timed-out round-14 driver tail looks like: stage markers gone
+# off the top, a cumulative probe-grid line, then per-query streamed
+# records (one truncated at the front, as the 2000-char window cuts
+# mid-line), no final compact line
+STREAMED_TAIL_IN_BAND = (
+    '_other":0.4\n'
+    '{"cal_pts":[1.00,1.05],"shuf_pts":[1.00,1.10],"done":24,'
+    '"gauges":{"ann_recall_at10":0.813}}\n'
+    '{"q01_test":11.000,"~q01_test":10.400}\n'
+    '{"q09_other":0.512}\n')
+STREAMED_TAIL_REGRESSED = (
+    '{"cal_pts":[1.00,1.05],"shuf_pts":[1.00,1.10],"done":24,'
+    '"gauges":{"ann_recall_at10":0.813}}\n'
+    '{"q01_test":25.000}\n')
+
+
 def main():
     results = [
         # claim 10.0s, artifact 11.0s, calm box: within 1.5x -> pass
@@ -196,6 +235,15 @@ def main():
         # the same grid cannot excuse a gap past its slowest point x tol
         run_grid_case("gap past the whole grid -> FAIL",
                       30.0, [1.0, 1.0, 1.9, 1.0, 1.0], 1),
+        # round-14: a mid-suite kill leaves only streamed records in the
+        # tail — the claim adjudicates from them (floor 10.4 in band,
+        # probe grid scavenged from the cumulative line)
+        run_tail_case("killed run, streamed records in band -> pass",
+                      STREAMED_TAIL_IN_BAND, 0),
+        # same kill shape, but the streamed wall reads 2.5x: convicted
+        # from the partial tail alone (the signal BENCH_r13.json lacked)
+        run_tail_case("killed run, streamed regression -> FAIL",
+                      STREAMED_TAIL_REGRESSED, 1, "FAIL"),
     ]
     if all(results):
         print(f"all {len(results)} lint cases behave")
