@@ -48,7 +48,10 @@ object SparkEntry {
     * visible in the same place as the wall it bought (round-12 verdict
     * task 6). */
   def benchGauges: Map[String, (SparkSession, String) => Double] = Map(
-    "ann_recall_at10" -> RankQueries.annRecallAt10)
+    "ann_recall_at10" -> RankQueries.annRecallAt10,
+    // round-13 verdict task 5: the PQ/IVFADC serving leg's recall beside
+    // the IVF leg's — codebook/overfetch changes now price themselves
+    "ann_pq_recall_at10" -> VectorQueries.annPqRecallAt10)
 
   /** Oracle queries whose bench duty moved to a decomposed/production
     * benchOnly form (Verify still runs every `queries` entry — correctness
@@ -88,6 +91,9 @@ object SparkEntry {
     // clean-JVM walls (q52f 115 s vs 3.0, q182 67.9 vs 5.8 — accumulated
     // JVM state, the exact class this set exists for)
     "q52f_recs_fused", "q182_topk_fused",
+    // round-14: the forced-fused twin of q182 — same model-prep-heavy
+    // shape, same JVM-state sensitivity
+    "q183_topk_fused_subset",
     // round-9 additions (verdict task 2): every row whose official
     // driver-suite median read >2x the committed builder A/B geomean in
     // r8 with no code change behind it — pure suite-position noise

@@ -45,7 +45,29 @@ object RankQueries {
       val (tr, _) = Interactions.splitByTime(Interactions.fromStar(s, d), b1)
       val nb = Cooccur.itemNeighbors(tr, neighborCap)
       val users = tr.select(col("user_id")).filter(col("user_id") < 200).distinct()
+      // round-14: under the |users| regime gate this subset (< the
+      // minFusedUsers default) routes through the JOIN plan — the
+      // production dispatch for a 200-user request (the fused plan's
+      // fixed model prep doesn't amortize; r13 measured 4.76 s fused vs
+      // ~4 s join at this shape). The FUSED route on the same shape is
+      // q183's row: both replay the same oracle, so route-invariance is
+      // driver-adjudicated, not just spec-pinned.
       Cooccur.recommendAuto(tr, nb, k, users = Some(users))
+        .orderBy(col("user_id"), col("rk"))
+    },
+
+    // The fused kernel FORCED onto the small subset (minFusedUsers = 1):
+    // same rows as q182 by the dispatch-invariance contract — this row
+    // keeps the fused-with-subset path under the DuckDB oracle now that
+    // the dispatcher routes q182's shape to the join plan.
+    "q183_topk_fused_subset" -> { (s, d) =>
+      val (tr, _) = Interactions.splitByTime(Interactions.fromStar(s, d), b1)
+      val nb = Cooccur.itemNeighbors(tr, neighborCap)
+      val users = tr.select(col("user_id")).filter(col("user_id") < 200).distinct()
+      Cooccur.recommendFused(tr, nb, k, users = Some(users),
+          minFusedUsers = 1L)
+        .getOrElse(throw new IllegalStateException(
+          "fused path unexpectedly refused the q183 fixture"))
         .orderBy(col("user_id"), col("rk"))
     },
 
@@ -255,9 +277,15 @@ object RankQueries {
     val ann = serveDefs("q63ta_twotower_ann")(s, d)
       .select(col("user_id"), col("item_id"))
     val denom = exact.count()
-    if (denom == 0L) 0.0
-    else ann.join(exact, Seq("user_id", "item_id"), "left_semi")
-      .count().toDouble / denom
+    val recall =
+      if (denom == 0L) 0.0
+      else ann.join(exact, Seq("user_id", "item_id"), "left_semi")
+        .count().toDouble / denom
+    // both counts are materialized — the checkpointed blocks are
+    // scaffolding now (round-13 advice: each gauge evaluation left them
+    // resident for the session)
+    graft.operators.Checkpoints.free(exact)
+    recall
   }
 
   private def interSql(cmp: String): String =
@@ -332,6 +360,13 @@ object RankQueries {
     // identical text to q50 by design: the fused plan's contract is
     // row-identity with the join plan, adjudicated by the same replay
     "q182_topk_fused" ->
+      s"""WITH ${recsCtes(neighborCap)}
+          SELECT u AS user_id, rk, ib AS item_id, s AS score FROM recs
+          WHERE rk <= $k AND u < 200 ORDER BY user_id, rk""",
+    // q183 = the same oracle text again, replayed against the FORCED
+    // fused route (q182 now dispatches this shape to the join plan):
+    // the driver hash-checks both routes against one truth
+    "q183_topk_fused_subset" ->
       s"""WITH ${recsCtes(neighborCap)}
           SELECT u AS user_id, rk, ib AS item_id, s AS score FROM recs
           WHERE rk <= $k AND u < 200 ORDER BY user_id, rk""",

@@ -218,11 +218,23 @@ object Cooccur {
     * scores are independent, so restricting the input users restricts
     * nothing else) — spec-pinned. A users frame with a non-matching id
     * type refuses; null user rows can never match a semi-join and are
-    * dropped on both plans. */
+    * dropped on both plans.
+    *
+    * `minFusedUsers` (round-13 verdict task 4 — sim.Knn's
+    * minFusedQueries lesson applied here): a SMALL user subset refuses
+    * the fused path. The fused plan's fixed cost (model groupBy +
+    * collect + broadcast) is paid regardless of |users|, while the
+    * join-plan fallback's cost SCALES with the subset (Catalyst pushes
+    * the semi-join below the score aggregate to the history scans), so
+    * a 200-user request was pinning ABOVE the join plan (r13: q182
+    * 4.76 s fused vs ~4 s join). The subset count is probed on the
+    * already-checkpointed distinct frame — one bounded aggregate, no
+    * extra scan of `inter`. */
   def recommendFused(inter: DataFrame, neighbors: DataFrame, k: Int = 10,
       maxBasket: Int = 0,
       maxModelRows: Long = 4000000L,
-      users: Option[DataFrame] = None): Option[DataFrame] = {
+      users: Option[DataFrame] = None,
+      minFusedUsers: Long = 4096L): Option[DataFrame] = {
     require(k >= 1, s"k must be >= 1: $k")
     val uT = inter.schema("user_id").dataType
     val iT = inter.schema("item_id").dataType
@@ -239,6 +251,16 @@ object Cooccur {
     // are co-typed with the cast frames they prune
     val uSub = users.map(_.select(col("user_id").cast("long").as("u"))
       .filter(col("u").isNotNull).distinct().localCheckpoint())
+    // free the subset checkpoint on every refusal path (round-13 advice:
+    // the three refusals below freed nbG/seenG but leaked uSub's cached
+    // blocks per refused call)
+    def refuse(): Option[DataFrame] = {
+      uSub.foreach(graft.operators.Checkpoints.free)
+      None
+    }
+    // |users| regime gate (see the doc): the count reads the checkpointed
+    // blocks — bounded, no recompute
+    if (uSub.exists(_.count() < minFusedUsers)) return refuse()
     // model: grouped neighbor lists, budget-probed distributed-first
     val nbG = neighbors
       .select(col("item_a").cast("long").as("ia"),
@@ -251,7 +273,7 @@ object Cooccur {
     if (mProbe.getLong(0) == 0L || mProbe.getLong(0) > maxModelRows
         || mProbe.getLong(1) != 0L) {
       graft.operators.Checkpoints.free(nbG)
-      return None
+      return refuse()
     }
     val nbRows = nbG.collect()
     graft.operators.Checkpoints.free(nbG)
@@ -270,7 +292,7 @@ object Cooccur {
       }
       model.put(r.getLong(0), (items, counts))
     }
-    if (nullInner) return None
+    if (nullInner) return refuse()
     // per-user frames: full-history seen set (+ the collect_set-size null
     // device: t is distinct, so size(set) == count(1) iff no null item).
     // With a `users` subset, the semi-join prunes BEFORE the grouped
@@ -289,7 +311,7 @@ object Cooccur {
       coalesce(sum(when(col("u").isNull, 1L).otherwise(0L)), lit(0L))).head()
     if (sProbe.getLong(0) != 0L || sProbe.getLong(1) != 0L) {
       graft.operators.Checkpoints.free(seenG)
-      return None
+      return refuse()
     }
     // broadcast AFTER the last refusal path (round-12 advice: a broadcast
     // created before the seenG probe leaked one executor-resident model
@@ -344,14 +366,18 @@ object Cooccur {
   }
 
   /** Budget dispatcher for [[recommend]]. With a `users` subset, the fused
-    * plan scores only those users; the join-plan fallback appends a
-    * left-semi join that Catalyst's PushDownLeftSemiAntiJoin pushes below
-    * the top-k window and the score aggregate to the history scans — both
-    * routes serve the subset without a full-population pass. */
+    * plan scores only those users — and only when the subset is large
+    * enough to amortize the fused plan's fixed model prep
+    * (`minFusedUsers`); the join-plan fallback appends a left-semi join
+    * that Catalyst's PushDownLeftSemiAntiJoin pushes below the top-k
+    * window and the score aggregate to the history scans — both routes
+    * serve the subset without a full-population pass. */
   def recommendAuto(inter: DataFrame, neighbors: DataFrame, k: Int = 10,
       maxBasket: Int = 0, maxModelRows: Long = 4000000L,
-      users: Option[DataFrame] = None): DataFrame =
-    recommendFused(inter, neighbors, k, maxBasket, maxModelRows, users)
+      users: Option[DataFrame] = None,
+      minFusedUsers: Long = 4096L): DataFrame =
+    recommendFused(inter, neighbors, k, maxBasket, maxModelRows, users,
+        minFusedUsers)
       .getOrElse {
         val r = recommend(inter, neighbors, k, maxBasket)
         users.map(u => r.join(u.select(col("user_id")).distinct(),
