@@ -226,7 +226,12 @@ object PageRank {
       coalesce(sum(when(col("u").isNull || col("v").isNull, 1L)
         .otherwise(0L)), lit(0L))).head()
     val m = probe.getLong(0)
-    if (m == 0L || m > maxEdges || probe.getLong(1) != 0L) {
+    // csrCap (round-13 advice): buildCsr packs the edge image into a
+    // long[2m] with Int-indexed offsets — a maxEdges raised past
+    // ~1.07B would wrap m.toInt into a negative allocation instead of
+    // falling back to the join plan
+    val csrCap = (Int.MaxValue / 2 - 8).toLong
+    if (m == 0L || m > math.min(maxEdges, csrCap) || probe.getLong(1) != 0L) {
       graft.operators.Checkpoints.free(e)
       return None
     }

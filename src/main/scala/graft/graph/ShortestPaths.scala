@@ -100,9 +100,27 @@ object ShortestPaths {
       .localCheckpoint()
     val probe = e.agg(count(lit(1)),
       coalesce(sum(when(col("u").isNull || col("v").isNull
-        || col("w").isNull, 1L).otherwise(0L)), lit(0L))).head()
+        || col("w").isNull, 1L).otherwise(0L)), lit(0L)),
+      coalesce(min(col("w")), lit(0L)), coalesce(max(col("w")), lit(0L))).head()
     val m = probe.getLong(0)
-    if (m == 0L || m > maxEdges || probe.getLong(1) != 0L) {
+    // csrCap (round-13 advice): the node-id image is a long[2m+1] and the
+    // sort keys pack (denseV << 32 | flatIndex) into Int-indexed arrays —
+    // a budget raised past ~1.07B edges would wrap m.toInt into a negative
+    // allocation instead of falling back to the join plan
+    val csrCap = (Int.MaxValue / 2 - 8).toLong
+    if (m == 0L || m > math.min(maxEdges, csrCap) || probe.getLong(1) != 0L) {
+      graft.operators.Checkpoints.free(e)
+      return None
+    }
+    // sentinel-collision guard (round-13 advice): INF = Long.MaxValue is
+    // both the unreached marker and a representable distance. A fused
+    // distance is a sum of <= rounds edge weights, so bounding
+    // rounds·maxW strictly below the sentinel makes a collision (or a
+    // silent wrap — run()'s ANSI long arithmetic would throw instead)
+    // impossible; negative weights refuse for the same wrap reason.
+    val maxW = probe.getLong(3)
+    if (probe.getLong(2) < 0L
+        || (maxW > 0L && maxW > (Long.MaxValue - 1L) / math.max(1, rounds))) {
       graft.operators.Checkpoints.free(e)
       return None
     }

@@ -65,4 +65,25 @@ class ShortestPathsSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(auto == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
   }
+
+  test("fused refuses weights that could reach the INF sentinel (round-13 advice)") {
+    // INF = Long.MaxValue doubles as the unreached sentinel: a computed
+    // distance landing on it would be dropped from output and stop
+    // relaxing, silently diverging from the join plan. The guard bounds
+    // rounds·max(w) strictly below the sentinel — a graph whose weights
+    // could get there must fall back to the join plan.
+    val big = Seq((1L, 2L, Long.MaxValue / 2), (2L, 3L, Long.MaxValue / 2))
+      .toDF("u", "v", "w")
+    assert(ShortestPaths.runFused(big, "u", "v", "w", 1L, rounds = 3).isEmpty,
+      "3 rounds x Long.MaxValue/2 can overflow past the sentinel")
+    // the same weights are safe at rounds = 1 (one hop cannot reach INF)
+    val one = ShortestPaths.runFused(big, "u", "v", "w", 1L, rounds = 1)
+    assert(one.isDefined)
+    assert(one.get.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 0L, 2L -> Long.MaxValue / 2))
+    // negative weights: the fused long adds would wrap where the join
+    // plan's ANSI arithmetic throws — refuse, never diverge
+    val neg = Seq((1L, 2L, -5L)).toDF("u", "v", "w")
+    assert(ShortestPaths.runFused(neg, "u", "v", "w", 1L, rounds = 2).isEmpty)
+  }
 }
