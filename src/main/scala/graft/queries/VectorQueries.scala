@@ -692,4 +692,44 @@ object VectorQueries {
             $codeJoins
           ORDER BY v.vec_id"""
     })
+
+  /** Recall@10 of the PQ/IVFADC serving leg (`Retrieval.topKAnnPq` — the
+    * storage-scale ANN path: probed cells, ADC longlist, exact rerank)
+    * against the exact dense kernel on the same corpus — the round-13
+    * verdict task-5 gauge, carried in every bench artifact beside
+    * `ann_recall_at10` so codebook-width / nprobe / overfetch changes
+    * show their recall price next to the wall they buy. Model is FIT
+    * here (deterministic k-means), at a deliberately coarse code width
+    * (m=4 × 16 codewords over dim 64) so the gauge sits on the sloped
+    * part of the recall curve: a quantizer this coarse makes ADC
+    * ordering errors common enough that overfetch genuinely decides
+    * what the rerank can recover — a production-width code (q83's
+    * m=16/k=256) reads ~1.0 on this corpus and would hide regressions.
+    * Queries are a deterministic 1-in-17 id sample. */
+  def annPqRecallAt10(s: org.apache.spark.sql.SparkSession, d: String): Double = {
+    graft.sql.GraftFunctions.register(s)
+    val emb = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val q = emb.filter(pmod(col("vec_id"), lit(17)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val model = graft.sim.IvfPq.fit(emb, "vec_id", "embedding",
+      nlist = 16, m = 4, k = 16, iters = 3)
+    val encoded = graft.sim.IvfPq.index(emb, "vec_id", "embedding", model)
+    val served = graft.sim.Retrieval.topKAnnPq(q, "qid", "embedding",
+        encoded, "vec_id", model, rerank = emb, rVec = "embedding",
+        k = 10, nprobe = 8, overfetch = 4)
+      .select(col("qid"), col("vec_id"))
+    val exact = graft.sim.Retrieval.topKDot(q, "qid", "embedding",
+        emb, "vec_id", "embedding", k = 10)
+      .getOrElse(throw new IllegalStateException(
+        "embeddings corpus exceeds the dense kernel's float budget — " +
+          "resize the gauge's exact baseline"))
+      .select(col("qid"), col("vec_id")).localCheckpoint()
+    val denom = exact.count()
+    val recall =
+      if (denom == 0L) 0.0
+      else served.join(exact, Seq("qid", "vec_id"), "left_semi")
+        .count().toDouble / denom
+    graft.operators.Checkpoints.free(exact)
+    recall
+  }
 }

@@ -993,6 +993,40 @@ object TwoTower {
     graft.sim.Ivf.fitCentroids(augmentItems(model.itemVecs), "item_id", "vec",
       nlist, iters)
 
+  /** Matched ANN serving artifacts (round-13 verdict task 6): the IVF
+    * index and the centroids it was bucketed by, produced TOGETHER in the
+    * MIPS-augmented space — the only way to construct the value
+    * `RecsTable.streamAnnRefresh`'s typed overload accepts. The
+    * constructor is package-private ON PURPOSE: [[recommendAnn]] enforces
+    * the augmented-space contract by dimension check, but the generic
+    * streaming seam cannot (a raw-space index + raw-space centroids are
+    * self-consistent and would silently serve at ~0.18 recall — the
+    * round-13 gauge finding); a value of this type certifies the pair
+    * came through [[annServeArtifacts]]'s check. */
+  final case class AnnServeArtifacts private[rank] (
+      index: DataFrame, centroids: Array[Array[Float]], augDim: Int)
+
+  /** Build matched serving artifacts for [[graft.serve.RecsTable]]'s
+    * streaming ANN leg: augmented index + centroids as ONE value. Pass
+    * persisted `centroids` (from [[annCentroids]] via Ivf.saveCentroids /
+    * loadCentroids) to skip the quantizer fit — they are dimension-checked
+    * against the model's augmented space, so a raw-space artifact REFUSES
+    * LOUDLY here instead of silently mis-probing per batch. */
+  def annServeArtifacts(model: Model, nlist: Int = 64, iters: Int = 3,
+      centroids: Option[Array[Array[Float]]] = None): AnnServeArtifacts = {
+    val embDim = model.itemVecs.select(size(col("vec"))).head().getInt(0)
+    val cents = centroids.getOrElse(annCentroids(model, nlist, iters))
+    require(cents.nonEmpty && cents.forall(_.length == embDim + 1),
+      s"centroids must be fit in the MIPS-augmented space (dim ${embDim + 1}" +
+        s", got ${cents.headOption.map(_.length).getOrElse(0)}) — " +
+        "use TwoTower.annCentroids / annServeArtifacts, not raw-space " +
+        "Ivf.fitCentroids output")
+    AnnServeArtifacts(
+      graft.sim.Retrieval.annIndex(augmentItems(model.itemVecs), "item_id",
+        "vec", cents),
+      cents, embDim + 1)
+  }
+
   /** ANN-served recommend (round-11 verdict task 2): the same output
     * contract as [[recommend]] at catalog sizes PAST the fused kernel's
     * float budget — per-user top-k through the IVF probe with exact

@@ -304,4 +304,29 @@ object RecsTable {
       }
       .start()
   }
+
+  /** Typed [[streamAnnRefresh]] for INNER-PRODUCT catalogs (two-tower
+    * model vectors) — round-13 verdict task 6. The generic seam above
+    * documents the MIPS-augmented-space requirement but cannot enforce it
+    * (a raw index + raw centroids are self-consistent; the mismatch shows
+    * only as ~0.18 recall). This overload accepts ONLY
+    * [[graft.rank.TwoTower.AnnServeArtifacts]] — constructible solely
+    * through `TwoTower.annServeArtifacts`, which dimension-checks the
+    * pair at build time — and 0-extends the user vectors itself, so
+    * neither half of the augmentation contract is left to the caller.
+    * The supplier should return a STABLE value per index generation (the
+    * same contract as the generic seam's `itemIndex`): the cell-catalog
+    * cache keys on the index frame's identity, so a supplier that
+    * rebuilds per call re-collects per batch. */
+  def streamAnnRefresh(stream: DataFrame, history: DataFrame,
+      userVecs: () => DataFrame,
+      artifacts: () => graft.rank.TwoTower.AnnServeArtifacts, k: Int,
+      nprobe: Int, put: Iterator[(String, String)] => Unit,
+      streamLogDir: String, fusedIndexFloatLimit: Long)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamAnnRefresh(stream, history,
+      () => userVecs().select(col("user_id"),
+        concat(col("vec"), array(lit(0.0f))).as("vec")),
+      () => artifacts().index, () => artifacts().centroids, k, nprobe,
+      put, streamLogDir, fusedIndexFloatLimit)
 }

@@ -232,6 +232,57 @@ class RecsTableSpec extends SparkSpecBase {
     }
   }
 
+  test("typed streamAnnRefresh artifacts refuse raw-space centroids loudly (round-13 task 6)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // same fixture as the generic ANN test; varied norms make the MIPS
+    // augmentation non-degenerate (the pad coordinate is nonzero)
+    val itemVecs = Seq(
+      (1L, Seq(2f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1f, 0f)), (4L, Seq(0f, 0f, 0f, 1f)))
+      .toDF("item_id", "vec")
+    val userVecs = Seq(
+      (1L, Seq(0.9f, 0.7f, 0.5f, 0.3f)),
+      (2L, Seq(0.3f, 0.5f, 0.7f, 0.9f)))
+      .toDF("user_id", "vec")
+    val model = graft.rank.TwoTower.Model(userVecs, itemVecs,
+      graft.rank.TwoTower.Config(embDim = 4))
+    // a RAW-SPACE quantizer (dim 4, not 5): the exact artifact that served
+    // at 0.18 recall through the generic seam — must refuse AT BUILD TIME
+    val raw = graft.sim.Ivf.fitCentroids(itemVecs, "item_id", "vec",
+      nlist = 2, iters = 2)
+    val e = intercept[IllegalArgumentException] {
+      graft.rank.TwoTower.annServeArtifacts(model, centroids = Some(raw))
+    }
+    assert(e.getMessage.contains("MIPS-augmented"),
+      s"refusal must name the contract: ${e.getMessage}")
+    // the matched constructor carries the pair through the typed overload:
+    // user vectors 0-extended by the seam, index+centroids both augmented
+    val arts = graft.rank.TwoTower.annServeArtifacts(model, nlist = 2,
+      iters = 2)
+    assert(arts.augDim == 5)
+    assert(arts.index.select(org.apache.spark.sql.functions.size($"vec"))
+      .head().getInt(0) == 5, "index rows live in the augmented space")
+    val artsCk = arts.copy(index = arts.index.localCheckpoint())
+    val history = Seq((1L, 1L)).toDF("user_id", "item_id")
+    val in = MemoryStream[(Long, Long)]
+    InMemoryKv.store.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft_annlog2").toString
+    val q = RecsTable.streamAnnRefresh(
+      in.toDF().toDF("user_id", "item_id"), history, () => userVecs,
+      () => artsCk, k = 2, nprobe = 2, InMemoryKv.putBatch, s"$dir/log",
+      fusedIndexFloatLimit = 64000000L)
+    try {
+      in.addData((1L, 4L))
+      q.processAllAvailable()
+      // user 1 has seen {1, 4}; nprobe = nlist = 2 is exhaustive, so the
+      // serve is the exact dense ranking over the unseen {2, 3}:
+      // dot(u1, i2) = 0.7 > dot(u1, i3) = 0.5
+      assert(InMemoryKv.store.get("1") == "[\"2\",\"3\"]",
+        s"payload ${InMemoryKv.store.get("1")}")
+    } finally q.stop()
+  }
+
   test("streamTopKServe maintains per-user top-k KV state across micro-batches (round-11)") {
     // round-10 verdict task 7: the StreamingTopKSpec heap composed with
     // the serving contract — cross-batch displacement must reach the KV
