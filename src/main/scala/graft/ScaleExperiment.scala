@@ -245,6 +245,39 @@ object ScaleExperiment {
     // single-thread sweep LOST 1.3-1.5x here, which is what capped the
     // PR/PPR/SSSP gates at 4M. Two reps per case (A/B) so the crossover
     // read isn't one box phase. Run with SPARK_DRIVER_MEM=24g.
+    // round-14 (verdict task 7): the NEXT decade for the fused graph
+    // kernels — a ≥100M-edge graph, measured BEFORE any gate move. The
+    // 10× co-purchase fixture tops out at ~24M edges, so this leg builds
+    // a deterministic synthetic multigraph at the target size instead:
+    // src/dst are independent xxhash64 streams over a range (uniform
+    // ~m/n out-degree — the sweep cost is governed by m, n and locality,
+    // not by edge semantics), materialized to checkpoint blocks so both
+    // plans read identical bytes. SPARK_DRIVER_MEM=24g: the packed-chunk
+    // collect + CSR image is ~44 B/edge transient (~5.5 GB at 120M).
+    if (on("r14graph")) {
+      val m14 = sys.env.getOrElse("SPARK_GRAFT_R14_EDGES", "120000000").toLong
+      val n14 = m14 / 15 // co-purchase-like density (avg out-degree 15)
+      val wideBudget14 = 1000000000L
+      val dedges14 = spark.range(0L, m14, 1L, cpus.toInt)
+        .select(pmod(xxhash64(col("id")), lit(n14)).as("src"),
+          pmod(xxhash64(col("id"), lit(1)), lit(n14)).as("dst"))
+        .localCheckpoint()
+      val wedges14 = dedges14
+        .select(col("src").as("u"), col("dst").as("v"),
+          (pmod(xxhash64(col("src"), col("dst")), lit(1000L)) + 1L).as("w"))
+        .localCheckpoint()
+      println(s"r14graph edges=${dedges14.count()} nodes<=$n14")
+      for (rep <- 1 to 2) {
+        timed(s"r14g_pr_fused_$rep")(graft.graph.PageRank
+          .runFused(dedges14, 3, maxEdges = wideBudget14).get)
+        timed(s"r14g_pr_join_$rep")(graft.graph.PageRank.run(dedges14, 3))
+        timed(s"r14g_sssp_fused_$rep")(graft.graph.ShortestPaths
+          .runFused(wedges14, "u", "v", "w", 0L, 4, wideBudget14).get)
+        timed(s"r14g_sssp_join_$rep")(graft.graph.ShortestPaths
+          .run(wedges14, "u", "v", "w", 0L, 4))
+      }
+    }
+
     if (on("r13graph")) {
       val li = Tables.load(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
