@@ -80,26 +80,40 @@ def geomean(xs):
     return math.exp(sum(math.log(x) for x in xs) / len(xs))
 
 
-def main(a_path, b_path, driver_path):
-    qa, cala, shufa, _ = load_queries(a_path)
-    qb, calb, shufb, _ = load_queries(b_path)
+def main(*paths):
+    """Legs = paths[:-1] (2 or more back-to-back full-suite runs), driver
+    artifact = paths[-1]. Round-14 extension: with THREE legs the claim
+    for each query is the geomean of its two CLOSEST legs (the same
+    spread rule applied to the best pair) — one phase-struck leg per row
+    no longer drops it, while a row noisy across ALL legs still drops.
+    The rule is uniform per row (always the closest pair), the probe refs
+    pool over every leg, and the claims lint still validates the final
+    table against each artifact independently."""
+    leg_paths, driver_path = list(paths[:-1]), paths[-1]
+    legs = []
+    cal_meds, shuf_meds = [], []
+    for p in leg_paths:
+        ql, call, shufl, _ = load_queries(p)
+        # round-11 (SURVEY §8 floor protocol): pin from each run's
+        # EFFECTIVE wall min(median, floor) — the statistic the lint
+        # adjudicates. A query that warms downward across reps would
+        # otherwise get a median pin the lint later convicts LOW against
+        # its own floor.
+        for q, fl in load_floors(p).items():
+            if q in ql and 0 < fl < ql[q]:
+                ql[q] = fl
+        legs.append(ql)
+        if _cal_median(call):
+            cal_meds.append(_cal_median(call))
+        if _cal_median(shufl):
+            shuf_meds.append(_cal_median(shufl))
+    qa = legs[0]
     qd, cald, shufd, _ = load_queries(driver_path)
-    # round-11 (SURVEY §8 floor protocol): pin from each run's EFFECTIVE
-    # wall min(median, floor) — the statistic the lint adjudicates. A
-    # query that warms downward across reps would otherwise get a median
-    # pin the lint later convicts LOW against its own floor.
-    for q, fl in load_floors(a_path).items():
-        if q in qa and 0 < fl < qa[q]:
-            qa[q] = fl
-    for q, fl in load_floors(b_path).items():
-        if q in qb and 0 < fl < qb[q]:
-            qb[q] = fl
     for q, fl in load_floors(driver_path).items():
         if q in qd and 0 < fl < qd[q]:
             qd[q] = fl
-    cal_ref = geomean([x for x in (_cal_median(cala), _cal_median(calb)) if x])
-    shuf_ms = [x for x in (_cal_median(shufa), _cal_median(shufb)) if x]
-    shuf_ref = geomean(shuf_ms) if shuf_ms else None
+    cal_ref = geomean(cal_meds)
+    shuf_ref = geomean(shuf_meds) if shuf_meds else None
     # predicted normalization factor a FUTURE driver run would apply,
     # estimated from the r7 driver artifact's cpu probe (it has no
     # shuffle probe yet)
@@ -121,19 +135,22 @@ def main(a_path, b_path, driver_path):
         print(f"# driver artifact drifted {max(d_drifts):.1f}x in-run — "
               f"prediction veto disabled, pins come from the A/B pair")
     kept, dropped = [], []
-    for q in candidates_of(a_path):
-        if q not in qa or q not in qb:
-            dropped.append((q, "absent from a local run"))
+    for q in candidates_of(leg_paths[0]):
+        walls = [l[q] for l in legs if q in l and l[q] > 0]
+        if len(walls) < 2:
+            dropped.append((q, "absent/errored in all but one local run"))
             continue
-        a, b = qa[q], qb[q]
-        if a <= 0 or b <= 0:
-            dropped.append((q, "errored in a local run"))
-            continue
-        spread = max(a, b) / min(a, b)
+        # closest pair among the legs (with 2 legs this IS the pair)
+        walls.sort()
+        best = min(((walls[i + 1] / walls[i], walls[i], walls[i + 1])
+                    for i in range(len(walls) - 1)), key=lambda t: t[0])
+        spread, a, b = best
         if spread > MARGIN and q not in OVERRIDES:
             # an OVERRIDES row is pinned from pooled multi-run evidence,
             # not this pair — one noisy leg must not silently drop it
-            dropped.append((q, f"A/B spread {spread:.2f}x > {MARGIN}"))
+            dropped.append(
+                (q, f"closest-pair spread {spread:.2f}x > {MARGIN} "
+                    f"(walls {', '.join(f'{w:.2f}' for w in walls)})"))
             continue
         claim = max(geomean([a, b]), OVERRIDES.get(q, 0.0))
         if (driver_vetoes and q in qd and qd[q] > 0 and q not in OVERRIDES
@@ -169,4 +186,4 @@ def main(a_path, b_path, driver_path):
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:4])
+    main(*sys.argv[1:])
