@@ -699,24 +699,35 @@ object VectorQueries {
     * verdict task-5 gauge, carried in every bench artifact beside
     * `ann_recall_at10` so codebook-width / nprobe / overfetch changes
     * show their recall price next to the wall they buy. Model is FIT
-    * here (deterministic k-means), at a deliberately coarse code width
-    * (m=4 × 16 codewords over dim 64) so the gauge sits on the sloped
-    * part of the recall curve: a quantizer this coarse makes ADC
-    * ordering errors common enough that overfetch genuinely decides
-    * what the rerank can recover — a production-width code (q83's
-    * m=16/k=256) reads ~1.0 on this corpus and would hide regressions.
-    * Queries are a deterministic 1-in-17 id sample. */
-  def annPqRecallAt10(s: org.apache.spark.sql.SparkSession, d: String): Double = {
+    * here (deterministic k-means) at the PRODUCTION code width (q83's
+    * m=16 × 256 codewords over dim 64), nprobe 8/16: reads ~0.80 at
+    * sf0.1 — on the sloped part of BOTH axes (exhaustive probing lifts
+    * it to ~0.98, so probe misses carry ~0.17 and ADC ordering ~0.02;
+    * the round-14 decomposition sweep, SCALE.md). NOT a MIPS/L2 probe
+    * hole: widening nprobe at a coarse code moved recall 0.298→0.286 —
+    * unlike the two-tower catalog, this corpus's norms don't starve the
+    * L2 probe, and the gap was code width. Queries are a deterministic
+    * 1-in-17 id sample. */
+  def annPqRecallAt10(s: org.apache.spark.sql.SparkSession, d: String): Double =
+    pqServeRecall(s, d, nlist = 16, m = 16, k = 256, nprobe = 8, overfetch = 4)
+
+  /** The gauge's engine, parameterized so specs can read the recall curve
+    * along each axis (probe width / code width / overfetch) — the same
+    * decomposition that localized the round-13 TwoTower recall hole to
+    * the probe stage. */
+  private[queries] def pqServeRecall(s: org.apache.spark.sql.SparkSession,
+      d: String, nlist: Int, m: Int, k: Int, nprobe: Int,
+      overfetch: Int): Double = {
     graft.sql.GraftFunctions.register(s)
     val emb = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
     val q = emb.filter(pmod(col("vec_id"), lit(17)) === 0)
       .select(col("vec_id").as("qid"), col("embedding"))
     val model = graft.sim.IvfPq.fit(emb, "vec_id", "embedding",
-      nlist = 16, m = 4, k = 16, iters = 3)
+      nlist = nlist, m = m, k = k, iters = 3)
     val encoded = graft.sim.IvfPq.index(emb, "vec_id", "embedding", model)
     val served = graft.sim.Retrieval.topKAnnPq(q, "qid", "embedding",
         encoded, "vec_id", model, rerank = emb, rVec = "embedding",
-        k = 10, nprobe = 8, overfetch = 4)
+        k = 10, nprobe = nprobe, overfetch = overfetch)
       .select(col("qid"), col("vec_id"))
     val exact = graft.sim.Retrieval.topKDot(q, "qid", "embedding",
         emb, "vec_id", "embedding", k = 10)
