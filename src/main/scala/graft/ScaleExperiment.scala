@@ -53,6 +53,13 @@ object ScaleExperiment {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the fused graph kernels' packed-chunk collect is ~16-24 B/edge:
+      // past ~65M edges it crosses the 1g default maxResultSize long
+      // before the heap (found by r14graph's first 120M attempt) — a
+      // STATIC core conf, so it must be set at session build, and a
+      // production session raising the fused gates must raise it too
+      // (documented on PageRank.collectGraph / ShortestPaths.runFused)
+      .config("spark.driver.maxResultSize", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.sql.GraftFunctions.register(spark)
@@ -258,24 +265,37 @@ object ScaleExperiment {
       val m14 = sys.env.getOrElse("SPARK_GRAFT_R14_EDGES", "120000000").toLong
       val n14 = m14 / 15 // co-purchase-like density (avg out-degree 15)
       val wideBudget14 = 1000000000L
-      val dedges14 = spark.range(0L, m14, 1L, cpus.toInt)
+      // parquet staging, not localCheckpoint: at 120M edges the
+      // checkpoint blocks (~5 GB deserialized rows) fight the kernels'
+      // own driver arrays for the storage pool — the first attempt
+      // spilled at the second checkpoint and took the context down.
+      // Both plans scan identical parquet bytes (the serving shape reads
+      // edges from a table anyway), and the OS page cache warms them.
+      println(s"r14graph heap=${Runtime.getRuntime.maxMemory() / (1L << 20)}M")
+      val stage14 = java.nio.file.Files.createTempDirectory("graft_r14g").toString
+      spark.range(0L, m14, 1L, cpus.toInt)
         .select(pmod(xxhash64(col("id")), lit(n14)).as("src"),
           pmod(xxhash64(col("id"), lit(1)), lit(n14)).as("dst"))
-        .localCheckpoint()
-      val wedges14 = dedges14
+        .write.mode("overwrite").parquet(s"$stage14/dedges")
+      val dedges14 = spark.read.parquet(s"$stage14/dedges")
+      dedges14
         .select(col("src").as("u"), col("dst").as("v"),
           (pmod(xxhash64(col("src"), col("dst")), lit(1000L)) + 1L).as("w"))
-        .localCheckpoint()
+        .write.mode("overwrite").parquet(s"$stage14/wedges")
+      val wedges14 = spark.read.parquet(s"$stage14/wedges")
       println(s"r14graph edges=${dedges14.count()} nodes<=$n14")
-      for (rep <- 1 to 2) {
+      // fused twice (cold + warm — the warm wall is the claim), join once
+      // (its 10+ minute wall at this size is the point being measured,
+      // and it has no JIT-sensitive driver kernel to warm)
+      for (rep <- 1 to 2)
         timed(s"r14g_pr_fused_$rep")(graft.graph.PageRank
           .runFused(dedges14, 3, maxEdges = wideBudget14).get)
-        timed(s"r14g_pr_join_$rep")(graft.graph.PageRank.run(dedges14, 3))
+      timed("r14g_pr_join_1")(graft.graph.PageRank.run(dedges14, 3))
+      for (rep <- 1 to 2)
         timed(s"r14g_sssp_fused_$rep")(graft.graph.ShortestPaths
           .runFused(wedges14, "u", "v", "w", 0L, 4, wideBudget14).get)
-        timed(s"r14g_sssp_join_$rep")(graft.graph.ShortestPaths
-          .run(wedges14, "u", "v", "w", 0L, 4))
-      }
+      timed("r14g_sssp_join_1")(graft.graph.ShortestPaths
+        .run(wedges14, "u", "v", "w", 0L, 4))
     }
 
     if (on("r13graph")) {

@@ -210,7 +210,14 @@ object PageRank {
     * and the driver never sees a boxed Row — the 10× measurement showed
     * the boxed collect, not the sweep, dominating the fused wall.
     * Returns (csr, nodeType) or None past the budget / for non-integral
-    * id types / null endpoints. */
+    * id types / null endpoints.
+    *
+    * Raising `maxEdges` needs TWO session knobs, not one: driver heap
+    * (the CSR image is ~44 B/edge transient) AND
+    * `spark.driver.maxResultSize` — the packed chunks are ~16 B/edge of
+    * serialized task results, which crosses the 1g default near ~65M
+    * edges, long before the heap (the r14 120M measurement found this;
+    * it is a STATIC conf, set at session build). */
   private def collectGraph(edges: DataFrame, maxEdges: Long):
       Option[(CsrGraph, DataType)] = {
     val srcT = edges.schema("src").dataType
@@ -235,11 +242,16 @@ object PageRank {
       graft.operators.Checkpoints.free(e)
       return None
     }
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val chunks = e.as[(Long, Long)].mapPartitions { it =>
+    // InternalRow RDD, NOT the Dataset encoder (round 14): a Dataset
+    // collect of big primitive-array rows deserializes on the DRIVER
+    // through SafeProjection -> generic ArrayData.toLongArray — a
+    // per-element walk over a boxed array (measured at 120M edges:
+    // minutes of single-threaded driver CPU and ~GBs of Long garbage,
+    // dwarfing the sweep). The raw RDD path serializes each long[]
+    // chunk as a primitive array end to end — no row shell, no boxing.
+    val chunks = e.queryExecution.toRdd.mapPartitions { it =>
       val b = new scala.collection.mutable.ArrayBuilder.ofLong
-      it.foreach { case (u, v) => b += u; b += v }
+      it.foreach { r => b += r.getLong(0); b += r.getLong(1) }
       Iterator.single(b.result())
     }.collect()
     graft.operators.Checkpoints.free(e)

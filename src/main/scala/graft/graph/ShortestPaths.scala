@@ -78,7 +78,11 @@ object ShortestPaths {
     * the parallel CSR form measured 1.6× FASTER there warm and ~par cold
     * (SCALE.md r13graph), so the 16M default is a driver-heap
     * conservatism bound inside the win decade (the walksFused
-    * convention) — raise it with driver memory. */
+    * convention) — raise it with driver memory AND
+    * `spark.driver.maxResultSize`: the packed chunks are ~24 B/edge of
+    * serialized task results, which crosses the 1g default near ~45M
+    * edges, long before the heap (a STATIC conf, set at session build;
+    * the r14 120M measurement found this). */
   def runFused(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, source: Long, rounds: Int,
       maxEdges: Long = 16000000L): Option[DataFrame] = {
@@ -124,9 +128,12 @@ object ShortestPaths {
       graft.operators.Checkpoints.free(e)
       return None
     }
-    val chunks = e.as[(Long, Long, Long)].mapPartitions { it =>
+    // InternalRow RDD, not the Dataset encoder — see
+    // PageRank.collectGraph: the encoder's driver-side deserialize walks
+    // a boxed array per element and dominated the fused wall at 120M
+    val chunks = e.queryExecution.toRdd.mapPartitions { it =>
       val b = new scala.collection.mutable.ArrayBuilder.ofLong
-      it.foreach { case (u, v, w) => b += u; b += v; b += w }
+      it.foreach { r => b += r.getLong(0); b += r.getLong(1); b += r.getLong(2) }
       Iterator.single(b.result())
     }.collect()
     graft.operators.Checkpoints.free(e)
