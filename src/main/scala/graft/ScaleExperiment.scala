@@ -286,16 +286,24 @@ object ScaleExperiment {
       println(s"r14graph edges=${dedges14.count()} nodes<=$n14")
       // fused twice (cold + warm — the warm wall is the claim), join once
       // (its 10+ minute wall at this size is the point being measured,
-      // and it has no JIT-sensitive driver kernel to warm)
-      for (rep <- 1 to 2)
-        timed(s"r14g_pr_fused_$rep")(graft.graph.PageRank
-          .runFused(dedges14, 3, maxEdges = wideBudget14).get)
-      timed("r14g_pr_join_1")(graft.graph.PageRank.run(dedges14, 3))
-      for (rep <- 1 to 2)
-        timed(s"r14g_sssp_fused_$rep")(graft.graph.ShortestPaths
-          .runFused(wedges14, "u", "v", "w", 0L, 4, wideBudget14).get)
-      timed("r14g_sssp_join_1")(graft.graph.ShortestPaths
-        .run(wedges14, "u", "v", "w", 0L, 4))
+      // and it has no JIT-sensitive driver kernel to warm).
+      // SPARK_GRAFT_R14_CASES selects pr/sssp: at 120M each kernel wants
+      // a FRESH JVM — the PR join's 1000 s of shuffle history fragments
+      // a 24g heap enough that SSSP's 1.9 GB id image OOMs afterwards.
+      val cases14 = sys.env.getOrElse("SPARK_GRAFT_R14_CASES", "pr,sssp")
+      if (cases14.contains("pr")) {
+        for (rep <- 1 to 2)
+          timed(s"r14g_pr_fused_$rep")(graft.graph.PageRank
+            .runFused(dedges14, 3, maxEdges = wideBudget14).get)
+        timed("r14g_pr_join_1")(graft.graph.PageRank.run(dedges14, 3))
+      }
+      if (cases14.contains("sssp")) {
+        for (rep <- 1 to 2)
+          timed(s"r14g_sssp_fused_$rep")(graft.graph.ShortestPaths
+            .runFused(wedges14, "u", "v", "w", 0L, 4, wideBudget14).get)
+        timed("r14g_sssp_join_1")(graft.graph.ShortestPaths
+          .run(wedges14, "u", "v", "w", 0L, 4))
+      }
     }
 
     if (on("r13graph")) {

@@ -213,11 +213,17 @@ object PageRank {
     * id types / null endpoints.
     *
     * Raising `maxEdges` needs TWO session knobs, not one: driver heap
-    * (the CSR image is ~44 B/edge transient) AND
-    * `spark.driver.maxResultSize` — the packed chunks are ~16 B/edge of
-    * serialized task results, which crosses the 1g default near ~65M
-    * edges, long before the heap (the r14 120M measurement found this;
-    * it is a STATIC conf, set at session build). */
+    * (the CSR image is ~44 B/edge transient, guarded below at ~64 B to
+    * cover the sort workspaces) AND `spark.driver.maxResultSize` — the
+    * packed chunks are ~16 B/edge of serialized task results, which
+    * crosses the 1g default near ~65M edges, long before the heap (the
+    * r14 120M measurement found this; it is a STATIC conf, set at
+    * session build). Both are GUARDED, not just documented: the kernel
+    * reads the session's actual maxResultSize and the JVM's max heap
+    * and refuses — falls back to the join plan — when the measured edge
+    * count would cross either, so a raised `maxEdges` on an
+    * under-provisioned session degrades to the scale plan instead of a
+    * mid-job SparkException / OOM. */
   private def collectGraph(edges: DataFrame, maxEdges: Long):
       Option[(CsrGraph, DataType)] = {
     val srcT = edges.schema("src").dataType
@@ -238,7 +244,19 @@ object PageRank {
     // ~1.07B would wrap m.toInt into a negative allocation instead of
     // falling back to the join plan
     val csrCap = (Int.MaxValue / 2 - 8).toLong
-    if (m == 0L || m > math.min(maxEdges, csrCap) || probe.getLong(1) != 0L) {
+    // session-resource guards (round 14): the packed transfer is ~16
+    // B/edge of serialized task results and the CSR build peaks at ~64
+    // B/edge of driver arrays (image + sort workspaces) — refuse when
+    // the MEASURED m would cross 90% of the session's maxResultSize or
+    // 40% of the JVM's max heap, whatever maxEdges says
+    val maxResult = try edges.sparkSession.sparkContext.getConf
+      .getSizeAsBytes("spark.driver.maxResultSize", "1g")
+    catch { case _: Throwable => 1L << 30 }
+    val resourceCap = math.min(
+      if (maxResult <= 0) Long.MaxValue else maxResult * 9L / 10L / 16L,
+      Runtime.getRuntime.maxMemory() * 2L / 5L / 64L)
+    if (m == 0L || m > math.min(math.min(maxEdges, csrCap), resourceCap)
+        || probe.getLong(1) != 0L) {
       graft.operators.Checkpoints.free(e)
       return None
     }
@@ -418,13 +436,18 @@ object PageRank {
     * over the primitive CSR image, range-parallel across
     * defaultParallelism threads (see [[CsrGraph]]) — the round-12 boxed
     * single-thread map lost to the join plan at 24M edges; the parallel
-    * form MEASURED 2.2× faster than the join plan there warm and ~par on
-    * a cold JVM (SCALE.md r13graph), so the 16M default is a DRIVER-HEAP
-    * conservatism bound inside the win decade (the walksFused
-    * convention) — raise it with driver memory. */
+    * form MEASURED 2.2× faster than the join plan there warm (SCALE.md
+    * r13graph) and **8.9× at 120M edges** (115 vs 1028 s warm, 24 GB
+    * driver — SCALE.md r14graph, after the InternalRow-RDD chunk
+    * transfer fix). The 100M default sits inside that measured win
+    * decade; what actually bounds a session is the RESOURCE GUARDS in
+    * collectGraph (maxResultSize at ~16 B/edge, heap at ~64 B/edge),
+    * which refuse to the join plan on under-provisioned sessions — a
+    * default 1g-maxResultSize session auto-falls-back near ~60M edges
+    * regardless of maxEdges. */
   def runFused(edges: DataFrame, iters: Int, dampNum: Long = 85L,
       dampDen: Long = 100L, scale: Long = Scale,
-      maxEdges: Long = 16000000L): Option[DataFrame] = {
+      maxEdges: Long = 100000000L): Option[DataFrame] = {
     require(iters >= 0, s"iters must be >= 0: $iters")
     require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
       s"damping must be a fraction in [0,1]: $dampNum/$dampDen")
@@ -448,7 +471,7 @@ object PageRank {
   /** Budget dispatcher for [[run]]. */
   def runAuto(edges: DataFrame, iters: Int, dampNum: Long = 85L,
       dampDen: Long = 100L, scale: Long = Scale,
-      maxEdges: Long = 16000000L): DataFrame =
+      maxEdges: Long = 100000000L): DataFrame =
     runFused(edges, iters, dampNum, dampDen, scale, maxEdges)
       .getOrElse(run(edges, iters, dampNum, dampDen, scale))
 
@@ -459,7 +482,7 @@ object PageRank {
     * (exactly [[personalized]]'s semantics). */
   def personalizedFused(edges: DataFrame, seeds: DataFrame, iters: Int,
       dampNum: Long = 85L, dampDen: Long = 100L, scale: Long = Scale,
-      maxEdges: Long = 16000000L): Option[DataFrame] = {
+      maxEdges: Long = 100000000L): Option[DataFrame] = {
     require(iters >= 0, s"iters must be >= 0: $iters")
     require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
       s"damping must be a fraction in [0,1]: $dampNum/$dampDen")
@@ -501,7 +524,7 @@ object PageRank {
   /** Budget dispatcher for [[personalized]]. */
   def personalizedAuto(edges: DataFrame, seeds: DataFrame, iters: Int,
       dampNum: Long = 85L, dampDen: Long = 100L, scale: Long = Scale,
-      maxEdges: Long = 16000000L): DataFrame =
+      maxEdges: Long = 100000000L): DataFrame =
     personalizedFused(edges, seeds, iters, dampNum, dampDen, scale, maxEdges)
       .getOrElse(personalized(edges, seeds, iters, dampNum, dampDen, scale))
 

@@ -112,7 +112,25 @@ object ShortestPaths {
     // a budget raised past ~1.07B edges would wrap m.toInt into a negative
     // allocation instead of falling back to the join plan
     val csrCap = (Int.MaxValue / 2 - 8).toLong
-    if (m == 0L || m > math.min(maxEdges, csrCap) || probe.getLong(1) != 0L) {
+    // session-resource guards (round 14, mirrors PageRank.collectGraph):
+    // ~24 B/edge of serialized chunk results; the heap divisor is set
+    // from MEASURED FAILURE, not an array-size estimate — the r14 120M
+    // attempts died on BOTH a 24 GB driver (OOM in the id-image build)
+    // and a 48 GB driver (executor heartbeat suicide during the full-GC
+    // pauses the build's multi-GB sorts provoke), so the guard demands
+    // ~480 B of heap per edge (0.4 × heap / 192): a 48 GB session
+    // refuses 120M and falls back to the join sweeps — this kernel's
+    // weighted triples cost ~1.5× PageRank's image and its next decade
+    // belongs to the join plan (or a future executor-side
+    // broadcast-CSR sweep)
+    val maxResult = try edges.sparkSession.sparkContext.getConf
+      .getSizeAsBytes("spark.driver.maxResultSize", "1g")
+    catch { case _: Throwable => 1L << 30 }
+    val resourceCap = math.min(
+      if (maxResult <= 0) Long.MaxValue else maxResult * 9L / 10L / 24L,
+      Runtime.getRuntime.maxMemory() * 2L / 5L / 192L)
+    if (m == 0L || m > math.min(math.min(maxEdges, csrCap), resourceCap)
+        || probe.getLong(1) != 0L) {
       graft.operators.Checkpoints.free(e)
       return None
     }
