@@ -202,7 +202,12 @@ object Bench {
       sys.env.get(name).map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
         .getOrElse(Seq.empty)
     val posFirst = envList("SPARK_GRAFT_BENCH_FIRST")
-    val posLast = envList("SPARK_GRAFT_BENCH_LAST")
+    // ADVICE r14: a query named in BOTH lists matched the head filter
+    // AND the tail filter and ran twice, emitting duplicate keys in the
+    // streamed records and the artifact JSON — FIRST wins, the tail
+    // list drops names the head already consumed.
+    val posLast =
+      envList("SPARK_GRAFT_BENCH_LAST").filterNot(posFirst.contains)
     val alpha = all.toSeq.filter(kv => keep(kv._1)).sortBy(_._1)
     val ordered =
       alpha.filter(kv => posFirst.contains(kv._1))

@@ -33,6 +33,26 @@ object ScaleExperiment {
     println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
   }
 
+  /** [[timed]] for the Option-returning fused graph kernels (ADVICE
+    * r14): a session-resource-guard refusal (None) logs and returns
+    * false instead of `.get` throwing and aborting the whole leg before
+    * the join sweep it exists to measure. The refusal's probe cost is
+    * charged to nothing — a refused rep is not a measurement. */
+  private def timedOpt(name: String)(df: => Option[DataFrame]): Boolean = {
+    val t0 = System.nanoTime()
+    df match {
+      case Some(d) =>
+        d.write.format("noop").mode("overwrite").save()
+        println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+        true
+      case None =>
+        println(s"$name: fused kernel refused by the session-resource " +
+          "guards (under-provisioned session for this edge count); " +
+          "skipping fused reps — join sweep still runs")
+        false
+    }
+  }
+
   private def counted(name: String)(df: => DataFrame): Long = {
     val t0 = System.nanoTime()
     val n = df.count()
@@ -291,16 +311,25 @@ object ScaleExperiment {
       // a FRESH JVM — the PR join's 1000 s of shuffle history fragments
       // a 24g heap enough that SSSP's 1.9 GB id image OOMs afterwards.
       val cases14 = sys.env.getOrElse("SPARK_GRAFT_R14_CASES", "pr,sssp")
+      // ADVICE r14: runFused returns None when the session-resource
+      // guards refuse the CSR build (e.g. SSSP's ~192 B/edge heap bound
+      // refuses 120M edges on any driver under ~54 GiB, including the
+      // documented 24g/48g runs). `.get` here turned that measured
+      // refusal into a NoSuchElementException that aborted the leg
+      // BEFORE the join sweep it exists to record — log the refusal and
+      // skip the fused reps instead, so the join measurement always runs.
       if (cases14.contains("pr")) {
-        for (rep <- 1 to 2)
-          timed(s"r14g_pr_fused_$rep")(graft.graph.PageRank
-            .runFused(dedges14, 3, maxEdges = wideBudget14).get)
+        var go = true
+        for (rep <- 1 to 2 if go)
+          go = timedOpt(s"r14g_pr_fused_$rep")(graft.graph.PageRank
+            .runFused(dedges14, 3, maxEdges = wideBudget14))
         timed("r14g_pr_join_1")(graft.graph.PageRank.run(dedges14, 3))
       }
       if (cases14.contains("sssp")) {
-        for (rep <- 1 to 2)
-          timed(s"r14g_sssp_fused_$rep")(graft.graph.ShortestPaths
-            .runFused(wedges14, "u", "v", "w", 0L, 4, wideBudget14).get)
+        var go = true
+        for (rep <- 1 to 2 if go)
+          go = timedOpt(s"r14g_sssp_fused_$rep")(graft.graph.ShortestPaths
+            .runFused(wedges14, "u", "v", "w", 0L, 4, wideBudget14))
         timed("r14g_sssp_join_1")(graft.graph.ShortestPaths
           .run(wedges14, "u", "v", "w", 0L, 4))
       }

@@ -118,7 +118,16 @@ object SparkEntry {
     // suite-position class isolation stabilized for q158k and the r9 set
     // (q134 already isolated above — round-9 set)
     "q148_overlap_sketch", "q141_deep_components",
-    "q130_data_card", "q154_assoc_rules", "q94_span_dedup")
+    "q130_data_card", "q154_assoc_rules", "q94_span_dedup",
+    // round-15 (verdict task 2): BENCH_r14 read q91 at 92.0s median /
+    // 26.1s floor vs a 0.89s pin (raw 103x, past the lint's 2.0x hard
+    // bound), while HEAD re-benched alone reads 0.99s and all three r14
+    // local legs floored 0.54-0.97s — no code change behind it, and q92
+    // immediately after it sat in-band on the same driver run, so it is
+    // the single-row driver-environment anomaly class this set exists
+    // for (the q151/q56 r10 precedent). The BPE trainer's driver-side
+    // merge loop is heap-state-sensitive; GC + settle before its reps.
+    "q91_bpe_detok")
 
   /** Fit-heavy entries: an iterative model fit (ALS sweeps, k-means) is
     * most of their wall, and fit wall breathes with JVM state no matter how

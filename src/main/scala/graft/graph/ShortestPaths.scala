@@ -278,10 +278,177 @@ object ShortestPaths {
     Some(spark.createDataset(b.result()).toDF("node", "dist"))
   }
 
-  /** Budget dispatcher for [[run]]. */
+  /** Executor-side broadcast-CSR sweep (round 15, verdict task 5) — the
+    * decade [[runFused]] measured itself out of: the r14 120M-edge
+    * attempts died on BOTH a 24 GB driver (OOM in the id-image build)
+    * and a 48 GB one (full-GC heartbeat suicide), because the driver
+    * kernel's resource bound is ~192 B per EDGE. This sweep never
+    * collects the edges at all: they are dense-indexed ONCE against the
+    * broadcast node dictionary and cached as packed primitive chunks
+    * ACROSS THE EXECUTORS (memory-and-disk, so cache pressure spills
+    * instead of failing), and each Bellman–Ford round is
+    *   broadcast(dist) → per-partition relaxation into a local sparse
+    *   min-map (only IMPROVEMENTS vs the broadcast image are emitted)
+    *   → one reduceByKey(min) → one ≤ n-entry collect → driver apply.
+    * The driver's bound drops from O(edges) to O(NODES) (~24 B/node of
+    * arrays + an 8 B/node broadcast per round), which is the right
+    * asymmetry for co-occurrence graphs where m ≫ n; the per-round
+    * shuffle carries only improved nodes, a frontier that shrinks as
+    * rounds converge, and edges never reshuffle.
+    *
+    * Bit-identity with [[run]]/[[runFused]] holds by construction: the
+    * relaxation is min(long + long) — order-free — over the same fixed
+    * round count (spec-pinned in ShortestPathsSpec; the q184 driver row
+    * replays q160's DuckDB oracle through this route).
+    *
+    * Returns None (→ caller falls back to the join plan) for
+    * non-integral or mismatched id types, null endpoints/weights,
+    * negative weights, a rounds·maxW sum that could reach the
+    * Long.MaxValue unreached sentinel, or a node count past `maxNodes`
+    * or the session-resource guards (node-dictionary collect ~24 B/node
+    * against maxResultSize; driver arrays + per-round broadcast ~64
+    * B/node against heap). */
+  def runBroadcast(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, source: Long, rounds: Int,
+      maxNodes: Long = 64000000L): Option[DataFrame] = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val srcT = edges.schema(srcCol).dataType
+    val dstT = edges.schema(dstCol).dataType
+    if (!integral(srcT) || srcT != dstT || maxNodes <= 0) return None
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .localCheckpoint()
+    val probe = e.agg(count(lit(1)),
+      coalesce(sum(when(col("u").isNull || col("v").isNull
+        || col("w").isNull, 1L).otherwise(0L)), lit(0L)),
+      coalesce(min(col("w")), lit(0L)), coalesce(max(col("w")), lit(0L))).head()
+    val m = probe.getLong(0)
+    val maxW = probe.getLong(3)
+    if (m == 0L || probe.getLong(1) != 0L || probe.getLong(2) < 0L
+        || (maxW > 0L && maxW > (Long.MaxValue - 1L) / math.max(1, rounds))) {
+      graft.operators.Checkpoints.free(e)
+      return None
+    }
+    // node dictionary: distinct endpoints + the source, guarded by NODE
+    // count (the whole point: m never touches the driver). Same packed
+    // InternalRow-RDD transfer as the driver kernels — no boxed rows.
+    val nodesDf = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct().localCheckpoint()
+    val nDistinct = nodesDf.count()
+    val nodeCap = (Int.MaxValue / 2 - 8).toLong
+    val maxResult = try sc.getConf
+      .getSizeAsBytes("spark.driver.maxResultSize", "1g")
+    catch { case _: Throwable => 1L << 30 }
+    val resourceCap = math.min(
+      if (maxResult <= 0) Long.MaxValue else maxResult * 9L / 10L / 24L,
+      Runtime.getRuntime.maxMemory() * 2L / 5L / 64L)
+    if (nDistinct > math.min(math.min(maxNodes, nodeCap), resourceCap)) {
+      graft.operators.Checkpoints.free(nodesDf)
+      graft.operators.Checkpoints.free(e)
+      return None
+    }
+    val nodeChunks = nodesDf.queryExecution.toRdd.mapPartitions { it =>
+      val b = new scala.collection.mutable.ArrayBuilder.ofLong
+      it.foreach(r => b += r.getLong(0))
+      Iterator.single(b.result())
+    }.collect()
+    graft.operators.Checkpoints.free(nodesDf)
+    val ids = new Array[Long](nodeChunks.map(_.length).sum + 1)
+    ids(0) = source
+    var p = 1
+    nodeChunks.foreach { c =>
+      System.arraycopy(c, 0, ids, p, c.length); p += c.length
+    }
+    java.util.Arrays.parallelSort(ids)
+    var n = 0
+    var i = 0
+    while (i < ids.length) {
+      if (n == 0 || ids(n - 1) != ids(i)) { ids(n) = ids(i); n += 1 }
+      i += 1
+    }
+    val nodes = java.util.Arrays.copyOf(ids, n)
+    // dense-index the edges ONCE on the executors; the packed chunks
+    // (uIdx, vIdx, w) stay distributed for every round
+    val bcNodes = sc.broadcast(nodes)
+    val packed = e.queryExecution.toRdd.mapPartitions { it =>
+      val dict = bcNodes.value
+      val b = new scala.collection.mutable.ArrayBuilder.ofLong
+      it.foreach { r =>
+        b += java.util.Arrays.binarySearch(dict, r.getLong(0)).toLong
+        b += java.util.Arrays.binarySearch(dict, r.getLong(1)).toLong
+        b += r.getLong(2)
+      }
+      Iterator.single(b.result())
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    packed.count() // materialize so e's blocks can be freed now
+    graft.operators.Checkpoints.free(e)
+    val INF = Long.MaxValue
+    val cur = new Array[Long](n)
+    java.util.Arrays.fill(cur, INF)
+    cur(java.util.Arrays.binarySearch(nodes, source)) = 0L
+    try {
+      var r = 0
+      while (r < rounds) {
+        val bcDist = sc.broadcast(cur)
+        val ups = packed.mapPartitions { it =>
+          val d = bcDist.value
+          // sparse partition-local min-combine: only strict improvements
+          // over the broadcast image leave the partition
+          val best = new scala.collection.mutable.LongMap[Long]()
+          it.foreach { c =>
+            var j = 0
+            while (j < c.length) {
+              val du = d(c(j).toInt)
+              if (du != INF) {
+                val cand = du + c(j + 2)
+                val v = c(j + 1).toInt
+                if (cand < d(v)) {
+                  val prev = best.getOrElse(v.toLong, INF)
+                  if (cand < prev) best.update(v.toLong, cand)
+                }
+              }
+              j += 3
+            }
+          }
+          best.iterator
+        }.reduceByKey((a, b) => math.min(a, b)).collect()
+        bcDist.destroy()
+        ups.foreach { case (v, dvt) =>
+          val vi = v.toInt
+          if (dvt < cur(vi)) cur(vi) = dvt
+        }
+        r += 1
+      }
+    } finally {
+      packed.unpersist(blocking = false)
+      bcNodes.destroy()
+    }
+    val b = Seq.newBuilder[(Long, Long)]
+    i = 0
+    while (i < n) {
+      if (cur(i) != INF) b += ((nodes(i), cur(i)))
+      i += 1
+    }
+    // long node/dist, matching run()'s union-coerced schema and
+    // runFused's output exactly (bit-identity includes the schema)
+    Some(spark.createDataset(b.result()).toDF("node", "dist"))
+  }
+
+  /** Budget dispatcher for [[run]]: driver-CSR kernel under `maxEdges`,
+    * then the executor-side broadcast sweep under `maxNodes` (round 15
+    * — its driver bound is node-count, so it serves the m ≫ n decade
+    * the driver kernel's guards refuse), then the BSP join plan. All
+    * three routes are bit-identical by the min-plus order-free
+    * contract. */
   def runAuto(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, source: Long, rounds: Int,
-      maxEdges: Long = 16000000L): DataFrame =
+      maxEdges: Long = 16000000L, maxNodes: Long = 64000000L): DataFrame =
     runFused(edges, srcCol, dstCol, weightCol, source, rounds, maxEdges)
+      .orElse(runBroadcast(edges, srcCol, dstCol, weightCol, source,
+        rounds, maxNodes))
       .getOrElse(run(edges, srcCol, dstCol, weightCol, source, rounds))
 }

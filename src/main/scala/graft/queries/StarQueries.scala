@@ -181,6 +181,28 @@ object StarQueries {
         .orderBy(col("node"))
     },
 
+    // q184 = the executor-side broadcast-CSR sweep FORCED onto q160's
+    // shape (round 15, verdict tasks 5+7): edges stay distributed, the
+    // node-distance image broadcasts per round, one min-agg collects
+    // only improvements. Replays q160's DuckDB oracle verbatim, so
+    // route-invariance across all three SSSP plans (driver CSR / this
+    // sweep / BSP join) is driver-adjudicated, not just spec-pinned.
+    "q184_sssp_broadcast" -> { (s, d) =>
+      val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") =!= col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val edges = pairs.select(col("u"), col("v"),
+        expr("1 + (1000000 div c)").as("w"))
+      graft.graph.ShortestPaths.runBroadcast(edges, "u", "v", "w",
+          source = 0L, rounds = 4)
+        .getOrElse(throw new IllegalStateException(
+          "broadcast sweep unexpectedly refused the q184 fixture"))
+        .orderBy(col("node"))
+    },
+
     // Triangle census of the part co-purchase graph: per-node triangle
     // counts + local clustering coefficient via degree-ordered
     // orientation (wedge space O(m^1.5), hub-immune — the naive Σdeg²
@@ -610,6 +632,30 @@ object StarQueries {
             (15 * (1000000000000 // nn.c) + 85 * COALESCE(s$k.inf, 0)) // 100 AS r
           FROM nodes LEFT JOIN s$k USING (node), nn)"""
 
+  /** The 4-round Bellman–Ford oracle over the weighted co-purchase
+    * graph — shared verbatim by q160 (the dispatcher route) and q184
+    * (the forced executor-side broadcast sweep): both routes hash-check
+    * against the one unrolled-CTE truth. */
+  private def ssspOracleSql: String = {
+    val rounds = 4
+    val iters = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT node, MIN(dist) dist FROM (
+             SELECT node, dist FROM d${r - 1}
+             UNION ALL
+             SELECT e.v node, p.dist + e.w dist
+             FROM d${r - 1} p JOIN e ON e.u = p.node) GROUP BY node)"""
+    }.mkString(",\n         ")
+    s"""WITH p AS (SELECT a.l_partkey u, b.l_partkey v, COUNT(*) c
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+           GROUP BY a.l_partkey, b.l_partkey),
+         e AS (SELECT u, v, 1 + (1000000 // c) w FROM p),
+         d0 AS (SELECT CAST(0 AS BIGINT) node, CAST(0 AS BIGINT) dist),
+         $iters
+         SELECT node, CAST(dist AS BIGINT) AS dist FROM d$rounds
+         ORDER BY node"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q179_topk_str" ->
       """SELECT p_brand, CAST(rk AS INT) AS rk, p_name,
@@ -744,25 +790,10 @@ object StarQueries {
          SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pairs,
            CAST(SUM(wt) AS BIGINT) AS weight_scaled
          FROM p GROUP BY w1, w2 ORDER BY w1, w2""",
-    "q160_sssp" -> {
-      val rounds = 4
-      val iters = (1 to rounds).map { r =>
-        s"""d$r AS (SELECT node, MIN(dist) dist FROM (
-             SELECT node, dist FROM d${r - 1}
-             UNION ALL
-             SELECT e.v node, p.dist + e.w dist
-             FROM d${r - 1} p JOIN e ON e.u = p.node) GROUP BY node)"""
-      }.mkString(",\n         ")
-      s"""WITH p AS (SELECT a.l_partkey u, b.l_partkey v, COUNT(*) c
-           FROM lineitem a JOIN lineitem b
-             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-           GROUP BY a.l_partkey, b.l_partkey),
-         e AS (SELECT u, v, 1 + (1000000 // c) w FROM p),
-         d0 AS (SELECT CAST(0 AS BIGINT) node, CAST(0 AS BIGINT) dist),
-         $iters
-         SELECT node, CAST(dist AS BIGINT) AS dist FROM d$rounds
-         ORDER BY node"""
-    },
+    "q160_sssp" -> ssspOracleSql,
+    // identical text by design: q184 is the executor-side broadcast
+    // sweep on the same shape — one truth hash-checks both routes
+    "q184_sssp_broadcast" -> ssspOracleSql,
     "q155_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
          e AS (SELECT DISTINCT LEAST(a.p, b.p) u, GREATEST(a.p, b.p) v

@@ -323,10 +323,46 @@ object RecsTable {
       artifacts: () => graft.rank.TwoTower.AnnServeArtifacts, k: Int,
       nprobe: Int, put: Iterator[(String, String)] => Unit,
       streamLogDir: String, fusedIndexFloatLimit: Long)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val (idx, cents) = pairedArtifactThunks(artifacts)
     streamAnnRefresh(stream, history,
       () => userVecs().select(col("user_id"),
         concat(col("vec"), array(lit(0.0f))).as("vec")),
-      () => artifacts().index, () => artifacts().centroids, k, nprobe,
-      put, streamLogDir, fusedIndexFloatLimit)
+      idx, cents, k, nprobe, put, streamLogDir, fusedIndexFloatLimit)
+  }
+
+  /** Round-15 (ADVICE r14): the typed overload used to pass
+    * `() => artifacts().index` and `() => artifacts().centroids` as two
+    * INDEPENDENT thunks — each generation access invoked the supplier
+    * twice, and a supplier that swapped generations between the two
+    * calls served gen-N index with gen-N+1 centroids (the exact
+    * mismatched-pair failure the typed seam was built to forbid), while
+    * a non-memoized supplier paid the artifact build twice. This
+    * one-element cache restores the invariant: the INDEX thunk is the
+    * only place a new generation is fetched and pinned; the centroids
+    * thunk always serves the pinned instance's centroids, so the
+    * centroids handed to the seam ALWAYS belong to the index last
+    * served, regardless of supplier behavior or call interleaving (both
+    * consumption sites in the generic seam — CellCatalogCache.get and
+    * the past-budget join fallback — evaluate index before centroids).
+    * A new generation takes effect at the next index fetch, matching
+    * the generic seam's "next batch" contract. */
+  private[graft] def pairedArtifactThunks(
+      artifacts: () => graft.rank.TwoTower.AnnServeArtifacts)
+      : (() => DataFrame, () => Array[Array[Float]]) = {
+    val pinned =
+      new java.util.concurrent.atomic.AtomicReference[
+        graft.rank.TwoTower.AnnServeArtifacts]()
+    val idx = () => {
+      val a = artifacts()
+      pinned.set(a)
+      a.index
+    }
+    val cents = () => {
+      val p = pinned.get()
+      if (p != null) p.centroids
+      else { val a = artifacts(); pinned.compareAndSet(null, a); pinned.get().centroids }
+    }
+    (idx, cents)
+  }
 }

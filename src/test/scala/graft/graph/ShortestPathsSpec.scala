@@ -66,6 +66,67 @@ class ShortestPathsSpec extends SparkSpecBase {
     assert(auto == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
   }
 
+  test("broadcast sweep is bit-identical to the join plan (multi-edges, every round count)") {
+    // round 15 (verdict task 5): the executor-side route must replay the
+    // driver kernel's identity contract — same multi-edge + unreachable-
+    // component fixture, every round count, schema included
+    val multi = g.union(Seq((2L, 4L, 2L), (8L, 9L, 1L)).toDF("u", "v", "w"))
+    for (r <- 1 to 5) {
+      val bc = ShortestPaths.runBroadcast(multi, "u", "v", "w", 1L, r)
+      assert(bc.isDefined)
+      val join = ShortestPaths.run(multi, "u", "v", "w", 1L, r)
+      assert(bc.get.schema.map(f => (f.name, f.dataType))
+        == join.schema.map(f => (f.name, f.dataType)), s"schema rounds=$r")
+      assert(bc.get.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+        == join.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap,
+        s"rounds=$r")
+    }
+  }
+
+  test("broadcast sweep: partitioning-invariant, int ids, unreached source") {
+    // distances are exact long min-plus at any input partitioning
+    val a = ShortestPaths.runBroadcast(g, "u", "v", "w", 1L, 4).get
+      .collect().toSet
+    val b = ShortestPaths.runBroadcast(g.repartition(7), "u", "v", "w", 1L, 4)
+      .get.collect().toSet
+    assert(a == b)
+    // int ids coerce like the join plan's union does (long node out)
+    val gi = g.select(col("u").cast("int").as("u"),
+      col("v").cast("int").as("v"), col("w"))
+    assert(ShortestPaths.runBroadcast(gi, "u", "v", "w", 1L, 4).get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // a source with no edges keeps its {source: 0} row on every route
+    assert(ShortestPaths.runBroadcast(g, "u", "v", "w", 77L, 3).get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == Map(77L -> 0L))
+  }
+
+  test("broadcast sweep refuses what the driver kernel refuses; Auto dispatches through it") {
+    // node budget: the diamond has 4 nodes
+    assert(ShortestPaths.runBroadcast(g, "u", "v", "w", 1L, 2,
+      maxNodes = 3L).isEmpty)
+    // string ids / sentinel-reachable weights / negatives: same refusals
+    val gs = Seq(("a", "b", 1L)).toDF("u", "v", "w")
+    assert(ShortestPaths.runBroadcast(gs, "u", "v", "w", 1L, 2).isEmpty)
+    val big = Seq((1L, 2L, Long.MaxValue / 2), (2L, 3L, Long.MaxValue / 2))
+      .toDF("u", "v", "w")
+    assert(ShortestPaths.runBroadcast(big, "u", "v", "w", 1L, 3).isEmpty)
+    val neg = Seq((1L, 2L, -5L)).toDF("u", "v", "w")
+    assert(ShortestPaths.runBroadcast(neg, "u", "v", "w", 1L, 2).isEmpty)
+    // dispatcher: edge budget refuses the driver kernel, node budget
+    // admits the broadcast sweep — the middle tier serves the query
+    val viaBroadcast = ShortestPaths.runAuto(g, "u", "v", "w", 1L, 4,
+      maxEdges = 2L, maxNodes = 64L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaBroadcast == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // both budgets refused: the join plan still answers identically
+    val viaJoin = ShortestPaths.runAuto(g, "u", "v", "w", 1L, 4,
+      maxEdges = 2L, maxNodes = 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaJoin == viaBroadcast)
+  }
+
   test("fused refuses weights that could reach the INF sentinel (round-13 advice)") {
     // INF = Long.MaxValue doubles as the unreached sentinel: a computed
     // distance landing on it would be dropped from output and stop

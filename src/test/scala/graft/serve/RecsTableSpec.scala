@@ -283,6 +283,44 @@ class RecsTableSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("pairedArtifactThunks pins both halves to one generation (round-15, ADVICE r14)") {
+    // The r14 wiring passed `() => artifacts().index` and
+    // `() => artifacts().centroids` as independent thunks: each
+    // generation access invoked the supplier twice, and a supplier that
+    // swapped generations between the calls served gen-N index with
+    // gen-N+1 centroids. The paired thunks must (a) fetch ONCE per
+    // generation access and (b) always serve the centroids of the index
+    // generation last served, even against a swapping supplier.
+    val itemVecs = Seq(
+      (1L, Seq(2f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("item_id", "vec")
+    val userVecs = Seq((1L, Seq(0.9f, 0.7f, 0.5f, 0.3f)))
+      .toDF("user_id", "vec")
+    val model = graft.rank.TwoTower.Model(userVecs, itemVecs,
+      graft.rank.TwoTower.Config(embDim = 4))
+    val artsA = graft.rank.TwoTower.annServeArtifacts(model, nlist = 2,
+      iters = 2)
+    // a second generation: same content, DISTINCT index/centroid identity
+    val artsB = artsA.copy(index = artsA.index.select($"item_id", $"cid",
+      $"vec"), centroids = artsA.centroids.map(_.clone()))
+    var calls = 0
+    // worst case: a non-memoized supplier that swaps generations EVERY call
+    val supplier = () => { calls += 1; if (calls % 2 == 1) artsA else artsB }
+    val (idx, cents) = RecsTable.pairedArtifactThunks(supplier)
+    val i1 = idx()
+    assert(calls == 1, "index access fetches exactly once")
+    val c1 = cents()
+    assert(calls == 1, "centroids access must not re-invoke the supplier")
+    assert(i1 eq artsA.index)
+    assert(c1 eq artsA.centroids,
+      "centroids must belong to the index generation last served — the " +
+        "old wiring would have fetched artsB here")
+    val i2 = idx()
+    val c2 = cents()
+    assert(calls == 2 && (i2 eq artsB.index) && (c2 eq artsB.centroids),
+      "a new generation takes effect atomically at the next index fetch")
+  }
+
   test("streamTopKServe maintains per-user top-k KV state across micro-batches (round-11)") {
     // round-10 verdict task 7: the StreamingTopKSpec heap composed with
     // the serving contract — cross-batch displacement must reach the KV

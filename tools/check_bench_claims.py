@@ -286,6 +286,21 @@ def main(artifact_path):
         r"<!-- BENCH_CLAIMS sf=([0-9.]+) tolerance=([0-9.]+)([^>]*)-->(.*?)<!-- /BENCH_CLAIMS -->",
         doc, re.S)
     if not m:
+        # round-15 hardening: commit 70f29c5 deleted ONLY the opening
+        # marker, leaving the close marker + pin table behind — and the
+        # lint silently adjudicated nothing for a full round. An orphaned
+        # close marker (or a pin-table header with no open marker) means
+        # the block was damaged, not absent: fail loudly.
+        if "<!-- /BENCH_CLAIMS -->" in doc:
+            print("FAIL: SCALE.md has a /BENCH_CLAIMS close marker but no "
+                  "opening <!-- BENCH_CLAIMS ... --> marker — the block was "
+                  "damaged (opening line deleted?), refusing to no-op")
+            return 1
+        if re.search(r"\|\s*query\s*\|\s*claimed_sec\s*\|", doc):
+            print("FAIL: SCALE.md has a '| query | claimed_sec |' pin-table "
+                  "header but no BENCH_CLAIMS opening marker — the block was "
+                  "damaged, refusing to no-op")
+            return 1
         print("SCALE.md has no BENCH_CLAIMS block — nothing to lint")
         return 0
     tol = float(m.group(2))

@@ -89,6 +89,14 @@ def main(*paths):
     The rule is uniform per row (always the closest pair), the probe refs
     pool over every leg, and the claims lint still validates the final
     table against each artifact independently."""
+    # ADVICE r14: enforce arity — with one leg + a driver artifact
+    # (2 paths) the closest-pair rule degenerates and every query
+    # silently dropped as "absent/errored in all but one local run"
+    # instead of failing fast on the malformed invocation.
+    if len(paths) < 3:
+        sys.exit("usage: pin_bench_claims.py LEG_A LEG_B [LEG_C ...] "
+                 "DRIVER_ARTIFACT — need at least two local legs plus "
+                 f"the driver artifact, got {len(paths)} path(s)")
     leg_paths, driver_path = list(paths[:-1]), paths[-1]
     legs = []
     cal_meds, shuf_meds = [], []
@@ -107,7 +115,6 @@ def main(*paths):
             cal_meds.append(_cal_median(call))
         if _cal_median(shufl):
             shuf_meds.append(_cal_median(shufl))
-    qa = legs[0]
     qd, cald, shufd, _ = load_queries(driver_path)
     for q, fl in load_floors(driver_path).items():
         if q in qd and 0 < fl < qd[q]:

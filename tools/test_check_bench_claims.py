@@ -171,6 +171,37 @@ STREAMED_TAIL_REGRESSED = (
     '{"q01_test":25.000}\n')
 
 
+def run_doc_case(name, doc, expect_exit, expect_substr=None):
+    """Round-15 (verdict task 1): a damaged BENCH_CLAIMS block — the
+    opening marker deleted but the close marker / pin table left behind
+    (the 70f29c5 failure) — must FAIL loudly, never no-op to exit 0.
+    A doc with genuinely no block still no-ops."""
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "SCALE.md"), "w") as f:
+            f.write(doc)
+        art = {
+            "queries": {"q01_test": 10.0},
+            "calibration": {"start": 1.0, "mid": 1.0, "end": 1.0,
+                            "drift_x": 1.0},
+            "shuffle_cal": {"start": 1.0, "mid": 1.0, "end": 1.0,
+                            "drift_x": 1.0},
+        }
+        apath = os.path.join(d, "bench.json")
+        with open(apath, "w") as f:
+            json.dump(art, f)
+        p = subprocess.run([sys.executable, LINT, apath], cwd=d,
+                           capture_output=True, text=True)
+        out = p.stdout + p.stderr
+        ok = p.returncode == expect_exit and \
+            (expect_substr is None or expect_substr in out)
+        status = "ok  " if ok else "FAIL"
+        print(f"{status} {name}: exit {p.returncode} (want {expect_exit})")
+        if not ok:
+            print("  --- lint output ---")
+            print("  " + out.replace("\n", "\n  "))
+        return ok
+
+
 def main():
     results = [
         # claim 10.0s, artifact 11.0s, calm box: within 1.5x -> pass
@@ -244,6 +275,21 @@ def main():
         # from the partial tail alone (the signal BENCH_r13.json lacked)
         run_tail_case("killed run, streamed regression -> FAIL",
                       STREAMED_TAIL_REGRESSED, 1, "FAIL"),
+        # round-15 (verdict task 1): the 70f29c5 failure mode — opening
+        # marker deleted, close marker + table body left behind. The lint
+        # must refuse to no-op.
+        run_doc_case("orphaned close marker -> FAIL",
+                     SCALE_TMPL.replace(
+                         "<!-- BENCH_CLAIMS sf=0.1 tolerance=1.5 "
+                         "cal_ref=1.0 shufcal_ref=1.0 -->\n", ""),
+                     1, "damaged"),
+        # pin-table header present without either marker: also damaged
+        run_doc_case("headless pin table -> FAIL",
+                     "# SCALE\n| query | claimed_sec |\n|---|---|\n"
+                     "| q01_test | 10.0 |\n", 1, "damaged"),
+        # genuinely no block at all: the no-op path survives
+        run_doc_case("no block at all -> no-op pass",
+                     "# SCALE\nno pins yet\n", 0, "nothing to lint"),
     ]
     if all(results):
         print(f"all {len(results)} lint cases behave")
