@@ -335,6 +335,41 @@ object ScaleExperiment {
       }
     }
 
+    // round-15 (verdict task 5): SSSP's next decade through the
+    // EXECUTOR-SIDE broadcast sweep — the same deterministic 120M-edge
+    // weighted multigraph shape as r14graph, but the driver never holds
+    // an edge image, so the leg runs on a DEFAULT-provisioned session
+    // (8g heap, 1g maxResultSize): the exact sessions where the
+    // driver-CSR kernel measured itself to death (24g OOM, 48g
+    // heartbeat suicide). Also records the 120M join-plan wall the r14
+    // leg lost when SSSP's fused `.get` aborted it. Two broadcast reps
+    // (cold + warm: the first pays dictionary distinct + dense-index +
+    // executor cache build), join once.
+    if (on("r15graph")) {
+      val m15 = sys.env.getOrElse("SPARK_GRAFT_R15_EDGES", "120000000").toLong
+      val n15 = m15 / 15 // co-purchase-like density (avg out-degree 15)
+      println(s"r15graph heap=${Runtime.getRuntime.maxMemory() / (1L << 20)}M")
+      val stage15 = java.nio.file.Files.createTempDirectory("graft_r15g").toString
+      spark.range(0L, m15, 1L, cpus.toInt)
+        .select(pmod(xxhash64(col("id")), lit(n15)).as("u"),
+          pmod(xxhash64(col("id"), lit(1)), lit(n15)).as("v"),
+          (pmod(xxhash64(col("id"), lit(2)), lit(1000L)) + 1L).as("w"))
+        .write.mode("overwrite").parquet(s"$stage15/wedges")
+      val wedges15 = spark.read.parquet(s"$stage15/wedges")
+      println(s"r15graph edges=${wedges15.count()} nodes<=$n15")
+      val cases15 = sys.env.getOrElse("SPARK_GRAFT_R15_CASES", "bcast,join")
+      if (cases15.contains("bcast")) {
+        var go = true
+        for (rep <- 1 to 2 if go)
+          go = timedOpt(s"r15g_sssp_bcast_$rep")(graft.graph.ShortestPaths
+            .runBroadcast(wedges15, "u", "v", "w", 0L, 4,
+              maxNodes = 64000000L))
+      }
+      if (cases15.contains("join"))
+        timed("r15g_sssp_join_1")(graft.graph.ShortestPaths
+          .run(wedges15, "u", "v", "w", 0L, 4))
+    }
+
     if (on("r13graph")) {
       val li = Tables.load(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))

@@ -40,6 +40,7 @@ object SparkEntry {
   def benchSetup(spark: SparkSession, sfDir: String): Unit = {
     RankQueries.serveSetup(spark, sfDir)
     DagQueries.benchSetup(spark, sfDir)
+    GraphBench.benchSetup(spark, sfDir)
   }
 
   /** Untimed scalar quality gauges Bench evaluates once per suite (after
@@ -127,7 +128,15 @@ object SparkEntry {
     // the single-row driver-environment anomaly class this set exists
     // for (the q151/q56 r10 precedent). The BPE trainer's driver-side
     // merge loop is heap-state-sensitive; GC + settle before its reps.
-    "q91_bpe_detok")
+    "q91_bpe_detok",
+    // round-15 (verdict task 6): the new graph-kernel crossover rows —
+    // the fused leg holds a full driver CSR image (heap-state-sensitive
+    // like every bounded-artifact kernel in this set), and both legs
+    // should measure clean-JVM steady state, matching how SCALE.md's
+    // r12/r14 crossover numbers were taken. q184's broadcast sweep
+    // caches executor-side chunks + per-round broadcasts: same class.
+    "q185_pagerank_fused_bench", "q186_pagerank_join_bench",
+    "q184_sssp_broadcast")
 
   /** Fit-heavy entries: an iterative model fit (ALS sweeps, k-means) is
     * most of their wall, and fit wall breathes with JVM state no matter how
@@ -148,7 +157,8 @@ object SparkEntry {
     * RecsTableSpec). Run by Bench, not Verify.
     */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] =
-    RankQueries.serveDefs ++ DagQueries.benchDefs ++ Map(
+    RankQueries.serveDefs ++ DagQueries.benchDefs ++
+      GraphBench.benchDefs ++ Map(
     // Deflate compression-ratio gate signal — no DuckDB deflate exists, so
     // this is a bench-only entry (was the q139 `err:no_oracle` Verify row
     // through round 7); correctness is pinned in DeflateLenFSpec.

@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Graph-kernel bench forms (round 15, verdict task 6): the
+  * fused-vs-join PageRank crossover was measured only in builder
+  * ScaleExperiment runs (SCALE.md r12graph/r14graph) — the official
+  * driver artifact never carried a row for it, so a regression in either
+  * route between rounds would be invisible to the claims lint. These two
+  * bench-only rows track both routes on the SAME materialized edge
+  * fixture (the sf-scaled co-purchase graph, ~2.4M edges at sf0.1 —
+  * comfortably inside the default session's resource guards on the
+  * driver box), with the graph-build self-join paid ONCE in untimed
+  * benchSetup: the r13graph lesson that a shared ~15 s build term inside
+  * both rows biases every ratio toward 1.
+  *
+  * Correctness of both routes is oracle-adjudicated elsewhere (q134
+  * copurchase rank rides PageRank; the fused/join bit-identity is
+  * spec-pinned in PageRankSpec) — these rows carry only the wall.
+  */
+object GraphBench {
+  import QueryHelpers.QueryFn
+
+  private def root(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_bench_graph_${QueryHelpers.fixtureKey(d)}"
+
+  private def committed(s: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Untimed, idempotent (keyed on _SUCCESS like the q25 fixture): the
+    * distinct directed co-purchase edge list, written once per sf dir. */
+  def benchSetup(s: SparkSession, d: String): Unit = {
+    val dir = s"${root(d)}/dedges"
+    if (!committed(s, dir)) {
+      val li = graft.Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+        .write.mode("overwrite").parquet(dir)
+    }
+  }
+
+  val benchDefs: Map[String, QueryFn] = Map(
+    // the driver-CSR kernel, FORCED (a refusal is a row error, not a
+    // silent fallback measuring the wrong plan)
+    "q185_pagerank_fused_bench" -> { (s, d) =>
+      val edges = s.read.parquet(s"${root(d)}/dedges")
+      graft.graph.PageRank.runFused(edges, 3)
+        .getOrElse(throw new IllegalStateException(
+          "fused PageRank refused the bench fixture — session under-" +
+            "provisioned for the sf-scaled co-purchase graph"))
+    },
+    // the BSP join plan on the identical fixture — the crossover's
+    // other leg, same iteration count
+    "q186_pagerank_join_bench" -> { (s, d) =>
+      val edges = s.read.parquet(s"${root(d)}/dedges")
+      graft.graph.PageRank.run(edges, 3)
+    })
+}
