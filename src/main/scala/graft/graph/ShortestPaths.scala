@@ -121,8 +121,8 @@ object ShortestPaths {
     // ~480 B of heap per edge (0.4 × heap / 192): a 48 GB session
     // refuses 120M and falls back to the join sweeps — this kernel's
     // weighted triples cost ~1.5× PageRank's image and its next decade
-    // belongs to the join plan (or a future executor-side
-    // broadcast-CSR sweep)
+    // belongs to [[runBroadcast]] (executor-side, O(nodes) driver bound
+    // — measured at 120M edges in SCALE.md r15graph) via runAuto
     val maxResult = try edges.sparkSession.sparkContext.getConf
       .getSizeAsBytes("spark.driver.maxResultSize", "1g")
     catch { case _: Throwable => 1L << 30 }
@@ -307,10 +307,20 @@ object ShortestPaths {
     * Long.MaxValue unreached sentinel, or a node count past `maxNodes`
     * or the session-resource guards (node-dictionary collect ~24 B/node
     * against maxResultSize; driver arrays + per-round broadcast ~64
-    * B/node against heap). */
+    * B/node against heap).
+    *
+    * Measured (SCALE.md r15graph, 120M edges / 8M nodes, DEFAULT 8g
+    * heap): 178 s cold (dictionary + dense-index + executor cache
+    * build) / 94 s warm vs 212 s for the join plan — 2.3× warm on a
+    * session where the driver-CSR kernel's 120M attempts died at 24g
+    * AND 48g. The 16M-node default gate is 2× the measured 8M-node
+    * point (the walksFused convention: a conservatism bound inside the
+    * measured win regime) — raise it only with a measurement at the
+    * target node count; the resource guards independently refuse
+    * under-provisioned sessions regardless of the static gate. */
   def runBroadcast(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, source: Long, rounds: Int,
-      maxNodes: Long = 64000000L): Option[DataFrame] = {
+      maxNodes: Long = 16000000L): Option[DataFrame] = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val srcT = edges.schema(srcCol).dataType
     val dstT = edges.schema(dstCol).dataType
@@ -318,10 +328,19 @@ object ShortestPaths {
     val spark = edges.sparkSession
     import spark.implicits._
     val sc = spark.sparkContext
+    // DISK_ONLY, not localCheckpoint: the projected frame is scanned
+    // three times (probe, node dictionary, packed build) and must be
+    // STABLE across scans for any source — but at 120M edges the
+    // checkpoint's deserialized in-memory blocks (~5 GB) starved the
+    // execution pool on an 8g session (UNABLE_TO_ACQUIRE_MEMORY in the
+    // dictionary distinct — the first r15graph attempt). Disk-backed
+    // blocks give the same scan stability with zero storage-pool
+    // pressure, which is also the only posture that scales: at 100 TB
+    // you re-read cheap columnar bytes, you never materialize a copy.
     val e = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"),
         col(weightCol).cast("long").as("w"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val probe = e.agg(count(lit(1)),
       coalesce(sum(when(col("u").isNull || col("v").isNull
         || col("w").isNull, 1L).otherwise(0L)), lit(0L)),
@@ -330,7 +349,7 @@ object ShortestPaths {
     val maxW = probe.getLong(3)
     if (m == 0L || probe.getLong(1) != 0L || probe.getLong(2) < 0L
         || (maxW > 0L && maxW > (Long.MaxValue - 1L) / math.max(1, rounds))) {
-      graft.operators.Checkpoints.free(e)
+      e.unpersist(blocking = false)
       return None
     }
     // node dictionary: distinct endpoints + the source, guarded by NODE
@@ -348,7 +367,7 @@ object ShortestPaths {
       Runtime.getRuntime.maxMemory() * 2L / 5L / 64L)
     if (nDistinct > math.min(math.min(maxNodes, nodeCap), resourceCap)) {
       graft.operators.Checkpoints.free(nodesDf)
-      graft.operators.Checkpoints.free(e)
+      e.unpersist(blocking = false)
       return None
     }
     val nodeChunks = nodesDf.queryExecution.toRdd.mapPartitions { it =>
@@ -372,20 +391,35 @@ object ShortestPaths {
     }
     val nodes = java.util.Arrays.copyOf(ids, n)
     // dense-index the edges ONCE on the executors; the packed chunks
-    // (uIdx, vIdx, w) stay distributed for every round
+    // (uIdx, vIdx, w) stay distributed for every round. Emitted as
+    // FIXED-SIZE sub-chunks (1M triples = 24 MB), not one array per
+    // partition: a single ArrayBuilder doubling up to a ~90 MB
+    // partition image holds ~2x that transiently, and 32 concurrent
+    // tasks of it starved the 8g execution pool in the first r15graph
+    // attempt — the bounded chunk keeps the build's working set flat
+    // at any partition size.
     val bcNodes = sc.broadcast(nodes)
+    val chunkTriples = 1 << 20
     val packed = e.queryExecution.toRdd.mapPartitions { it =>
       val dict = bcNodes.value
-      val b = new scala.collection.mutable.ArrayBuilder.ofLong
-      it.foreach { r =>
-        b += java.util.Arrays.binarySearch(dict, r.getLong(0)).toLong
-        b += java.util.Arrays.binarySearch(dict, r.getLong(1)).toLong
-        b += r.getLong(2)
+      new Iterator[Array[Long]] {
+        def hasNext: Boolean = it.hasNext
+        def next(): Array[Long] = {
+          val b = new Array[Long](3 * chunkTriples)
+          var k = 0
+          while (k < b.length && it.hasNext) {
+            val r = it.next()
+            b(k) = java.util.Arrays.binarySearch(dict, r.getLong(0)).toLong
+            b(k + 1) = java.util.Arrays.binarySearch(dict, r.getLong(1)).toLong
+            b(k + 2) = r.getLong(2)
+            k += 3
+          }
+          if (k == b.length) b else java.util.Arrays.copyOf(b, k)
+        }
       }
-      Iterator.single(b.result())
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     packed.count() // materialize so e's blocks can be freed now
-    graft.operators.Checkpoints.free(e)
+    e.unpersist(blocking = false)
     val INF = Long.MaxValue
     val cur = new Array[Long](n)
     java.util.Arrays.fill(cur, INF)
@@ -446,7 +480,7 @@ object ShortestPaths {
     * contract. */
   def runAuto(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, source: Long, rounds: Int,
-      maxEdges: Long = 16000000L, maxNodes: Long = 64000000L): DataFrame =
+      maxEdges: Long = 16000000L, maxNodes: Long = 16000000L): DataFrame =
     runFused(edges, srcCol, dstCol, weightCol, source, rounds, maxEdges)
       .orElse(runBroadcast(edges, srcCol, dstCol, weightCol, source,
         rounds, maxNodes))
