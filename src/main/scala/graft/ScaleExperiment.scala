@@ -368,6 +368,18 @@ object ScaleExperiment {
       if (cases15.contains("join"))
         timed("r15g_sssp_join_1")(graft.graph.ShortestPaths
           .run(wedges15, "u", "v", "w", 0L, 4))
+      // PR through the same executor-side treatment (dense inflow
+      // accumulators + treeReduce instead of SSSP's sparse frontier
+      // maps). The 120M join (1027.7 s) and driver-CSR (115.2 s warm,
+      // 24g) walls are r14graph's — this case prices the O(nodes)
+      // route on the default-provisioned session those could not use.
+      if (cases15.contains("pr")) {
+        val dedges15 = wedges15.select(col("u").as("src"), col("v").as("dst"))
+        var go = true
+        for (rep <- 1 to 2 if go)
+          go = timedOpt(s"r15g_pr_bcast_$rep")(graft.graph.PageRank
+            .runBroadcast(dedges15, 3, maxNodes = 64000000L))
+      }
     }
 
     if (on("r13graph")) {

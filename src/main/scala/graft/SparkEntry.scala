@@ -136,7 +136,7 @@ object SparkEntry {
     // r12/r14 crossover numbers were taken. q184's broadcast sweep
     // caches executor-side chunks + per-round broadcasts: same class.
     "q185_pagerank_fused_bench", "q186_pagerank_join_bench",
-    "q184_sssp_broadcast")
+    "q184_sssp_broadcast", "q187_pagerank_broadcast")
 
   /** Fit-heavy entries: an iterative model fit (ALS sweeps, k-means) is
     * most of their wall, and fit wall breathes with JVM state no matter how

@@ -238,6 +238,25 @@ object StarQueries {
         .orderBy(col("part_id"))
     },
 
+    // q187 = the executor-side broadcast PageRank sweep FORCED onto
+    // q134's shape (round 15): edges stay distributed, shares broadcast
+    // per iteration, dense inflow accumulators tree-merged. Replays
+    // q134's oracle verbatim — route-invariance across all three PR
+    // plans is driver-adjudicated (the q184 pattern applied to PR).
+    "q187_pagerank_broadcast" -> { (s, d) =>
+      val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      graft.graph.PageRank.runBroadcast(edges, iters = 3)
+        .getOrElse(throw new IllegalStateException(
+          "broadcast sweep unexpectedly refused the q187 fixture"))
+        .select(col("node").as("part_id"), col("rank_fp").as("rank_e12"))
+        .orderBy(col("part_id"))
+    },
+
     // Data-quality audit + quarantine (the engine form of the reference's
     // dbt schema tests — schema.yml unique/not_null on staging keys — with
     // row-level triage instead of batch pass/fail). Violations are injected
@@ -656,6 +675,23 @@ object StarQueries {
          ORDER BY node"""
   }
 
+  /** The 3-iteration exact fixed-point PageRank oracle over the distinct
+    * co-purchase graph — shared verbatim by q134 (the dispatcher route)
+    * and q187 (the forced executor-side broadcast sweep). */
+  private def prOracleSql: String =
+    s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         nodes AS (SELECT DISTINCT src AS node FROM e),
+         nn AS (SELECT COUNT(*) c FROM nodes),
+         deg AS (SELECT src, COUNT(*) dg FROM e GROUP BY 1),
+         r0 AS (SELECT node, 1000000000000 // nn.c AS r FROM nodes, nn),
+         ${prIterSql(1, "r0")},
+         ${prIterSql(2, "r1")},
+         ${prIterSql(3, "r2")}
+         SELECT node AS part_id, CAST(r AS BIGINT) AS rank_e12
+         FROM r3 ORDER BY part_id"""
+
   val oracles: Map[String, String] = Map(
     "q179_topk_str" ->
       """SELECT p_brand, CAST(rk AS INT) AS rk, p_name,
@@ -825,19 +861,10 @@ object StarQueries {
            (CAST(p.c_pair AS DOUBLE) * n.nb) / (ca.c * cb.c) AS lift
          FROM p JOIN ic ca ON p.ante = ca.i JOIN ic cb ON p.cons = cb.i, n
          ORDER BY ante, cons""",
-    "q134_copurchase_rank" ->
-      s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-            FROM lineitem a JOIN lineitem b
-              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-         nodes AS (SELECT DISTINCT src AS node FROM e),
-         nn AS (SELECT COUNT(*) c FROM nodes),
-         deg AS (SELECT src, COUNT(*) dg FROM e GROUP BY 1),
-         r0 AS (SELECT node, 1000000000000 // nn.c AS r FROM nodes, nn),
-         ${prIterSql(1, "r0")},
-         ${prIterSql(2, "r1")},
-         ${prIterSql(3, "r2")}
-         SELECT node AS part_id, CAST(r AS BIGINT) AS rank_e12
-         FROM r3 ORDER BY part_id""",
+    "q134_copurchase_rank" -> prOracleSql,
+    // identical text by design: q187 is the executor-side broadcast
+    // sweep on the same shape — one truth hash-checks both routes
+    "q187_pagerank_broadcast" -> prOracleSql,
     "q70_drift_report" ->
       """WITH ord AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
                              o_orderdate

@@ -174,6 +174,47 @@ class PageRankSpec extends SparkSpecBase {
     assert(PageRank.runAuto(strs, 1).count() == 2)
   }
 
+  test("broadcast sweep is bit-identical to the join plan (multi-edges, dangling, 0..5 iters)") {
+    // round 15: the executor-side route replays the fused kernel's
+    // identity contract — same multi-edge + dangling fixture, every
+    // iteration count, partitioning-invariant
+    val multi = g ++ Seq((1L, 2L), (4L, 2L))
+    for (iters <- Seq(0, 1, 3, 5)) {
+      val bc = PageRank.runBroadcast(multi.toDF("src", "dst"), iters)
+      assert(bc.isDefined)
+      val bm = bc.get.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val jm = PageRank.run(multi.toDF("src", "dst"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(bm === jm, s"iters=$iters")
+    }
+    val a = PageRank.runBroadcast(g.toDF("src", "dst"), 3).get.collect().toSet
+    val b = PageRank.runBroadcast(g.toDF("src", "dst").repartition(7), 3)
+      .get.collect().toSet
+    assert(a === b)
+  }
+
+  test("broadcast sweep refuses what the fused kernel refuses; Auto dispatches through it") {
+    val df = g.toDF("src", "dst")
+    // node budget: the fixture has 5 nodes
+    assert(PageRank.runBroadcast(df, 2, maxNodes = 4L).isEmpty)
+    val strs = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    assert(PageRank.runBroadcast(strs, 2).isEmpty)
+    val withNull = df.unionByName(
+      Seq((Option.empty[Long], Option(2L))).toDF("src", "dst"))
+    assert(PageRank.runBroadcast(withNull, 2).isEmpty)
+    // int ids keep their type through the broadcast route
+    val gi = Seq((1, 2), (2, 3), (3, 1)).toDF("src", "dst")
+    val bi = PageRank.runBroadcast(gi, 2).get
+    assert(bi.schema.map(f => (f.name, f.dataType))
+      == PageRank.run(gi, 2).schema.map(f => (f.name, f.dataType)))
+    // edge budget refuses the CSR kernel, node budget admits this route
+    assert(PageRank.runAuto(df, 2, maxEdges = 3L, maxNodes = 64L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === run(g, 2))
+    // both refused: the join plan still answers identically
+    assert(PageRank.runAuto(df, 2, maxEdges = 3L, maxNodes = 2L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === run(g, 2))
+  }
+
   test("fused output keeps the input id type (int edges -> int nodes)") {
     val gi = Seq((1, 2), (2, 3), (3, 1)).toDF("src", "dst")
     val fused = PageRank.runFused(gi, 2).get
