@@ -36,11 +36,26 @@ object GopherQuality {
   def metricExprMap(text: Column): Map[String, Column] = metricExprs(text).toMap
 
   /** The eight metric expressions over a text column, in output order.
-    * All integer-typed. */
-  private def metricExprs(text: Column): Seq[(String, Column)] = {
-    val toks = TextOps.tokens(text)
-    val lowerToks = transform(toks, x => lower(x))
-    val lines = split(text, "\n")
+    * All integer-typed. Single-expression form (each subtree re-derives
+    * its arrays from `text`) — the filter/pushdown-friendly shape; the
+    * projection path ([[metrics]]) uses [[metricExprsOver]] on arrays
+    * materialized once instead. */
+  private def metricExprs(text: Column): Seq[(String, Column)] =
+    metricExprsOver(TextOps.tokens(text), split(text, "\n"), text)
+
+  /** The metric expressions over PRE-COMPUTED token/line arrays (round 15,
+    * guide §2.3 "don't compute things twice" / §4 expression tier): the
+    * metrics are higher-order functions (CodegenFallback — no codegen
+    * subexpression elimination), so with inline array subtrees the
+    * whitespace split re-ran once per referencing metric. Passing
+    * attributes evaluates each array once per row. `n_stop` counts
+    * distinct stopwords present via ONE `array_intersect` instead of a
+    * filter over the stopword list whose lambda re-derived the lowered
+    * token array per stopword (8 evaluations/row): the stopword list is
+    * duplicate-free, so |stopwords ∩ set(lowerToks)| is the identical
+    * count (pinned in GopherQualitySpec). */
+  private def metricExprsOver(toks: Column, lines: Column,
+      text: Column): Seq[(String, Column)] =
     Seq(
       "n_words" -> size(toks),
       "total_len" -> TextOps.totalTokenLength(toks),
@@ -50,10 +65,9 @@ object GopherQuality {
       "n_lines" -> size(lines),
       "n_bullet" -> size(filter(lines, l => ltrim(l).rlike("^[-*•]"))),
       "n_ellipsis" -> size(filter(lines, l => rtrim(l).rlike("\\.\\.\\.$"))),
-      "n_stop" -> size(filter(
+      "n_stop" -> size(array_intersect(
         array(Stopwords.map(lit(_)): _*),
-        s => array_contains(lowerToks, s))))
-  }
+        transform(toks, x => lower(x)))))
 
   private def keepFrom(m: Map[String, Column], minWords: Int, maxWords: Int,
       minStopwords: Int): Column =
@@ -75,8 +89,19 @@ object GopherQuality {
   def metrics(docs: DataFrame, idCol: String, textCol: String,
       minWords: Int = 50, maxWords: Int = 100000,
       minStopwords: Int = 2): DataFrame = {
-    val exprs = metricExprs(col(textCol))
-    docs.select(col(idCol) +: exprs.map { case (n, c) => c.as(n) }: _*)
+    // two-projection form (round 15): the token and line arrays are
+    // materialized ONCE in a lower projection and the metrics read the
+    // attributes. CollapseProject keeps the layers apart because the
+    // producers are non-cheap and referenced by several consumers, so the
+    // runtime really evaluates one whitespace split + one line split per
+    // row (vs ~11 splits/row with inline subtrees — HOFs get no codegen
+    // subexpression elimination). Values are expression-identical.
+    val base = docs.select(col(idCol), col(textCol).as("__g_text"),
+      TextOps.tokens(col(textCol)).as("__g_toks"),
+      split(col(textCol), "\n").as("__g_lines"))
+    val exprs = metricExprsOver(col("__g_toks"), col("__g_lines"),
+      col("__g_text"))
+    base.select(col(idCol) +: exprs.map { case (n, c) => c.as(n) }: _*)
       .withColumn("keep",
         keepFrom(exprs.map { case (n, _) => n -> col(n) }.toMap,
           minWords, maxWords, minStopwords))

@@ -158,8 +158,10 @@ object CorpusPipeline {
       k: Int, seed: String = "dsir"): Stage =
     stage("dsir_select") { df =>
       val toks = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
-      val raw = Dsir.fit(toks, col("__toks"), target.buckets, cache = false)
-      val scored = Dsir.scoreDocs(toks, idCol, col("__toks"), target, raw)
+      // one feature-hash pass for raw fit + scoring (round 15, guide §2.3
+      // — the two-pass form md5-hashed every n-gram of the incoming frame
+      // twice); value-identical by construction
+      val (_, scored) = Dsir.fitRawAndScore(toks, idCol, col("__toks"), target)
       df.join(Dsir.gumbelTopK(scored, idCol, k, seed).select(col(idCol)),
         Seq(idCol), "left_semi")
     }

@@ -122,7 +122,47 @@ object Dsir {
     * no tokens report 0 counts and null logw. Both models must share
     * `buckets`. */
   def scoreDocs(docs: DataFrame, idCol: String, toks: Column,
-      target: Model, raw: Model, alpha: Double = 1.0): DataFrame = {
+      target: Model, raw: Model, alpha: Double = 1.0): DataFrame =
+    scoreFeats(docs, idCol,
+      docs.select(col(idCol), toks.as("__toks"))
+        .select(col(idCol),
+          explode(featureBuckets(col("__toks"), target.buckets)).as("bucket")),
+      target, raw, alpha)
+
+  /** Fit the RAW model and score in ONE feature-hash pass (round 15,
+    * optimization: guide §2.3 "don't compute things twice"). The standard
+    * fit-raw-then-score composition (q121/q122/q128, dsirSelect) evaluated
+    * `featureBuckets` — an md5+conv per unigram AND bigram — over the SAME
+    * raw corpus twice: once inside [[fit]] for the bucket counts, once
+    * inside [[scoreDocs]] for the per-doc join. Here the exploded
+    * (id, bucket) frame is materialized once (eager localCheckpoint, the
+    * SetSimJoin precedent — blocks are corpus-feature-linear and reclaimed
+    * by the ContextCleaner when the result dies) and BOTH the raw bucket
+    * counts and the scoring join read it. The raw model and every output
+    * column are value-identical to the two-pass composition: the counts
+    * aggregate the identical exploded expression, and the scoring core is
+    * the same [[scoreFeats]]. Returns (raw model, scored frame) — the raw
+    * model's counts frame is the materialized ≤ `buckets`-row aggregate,
+    * same contract as `fit(cache = false)`. */
+  def fitRawAndScore(docs: DataFrame, idCol: String, toks: Column,
+      target: Model, alpha: Double = 1.0): (Model, DataFrame) = {
+    val feats = docs.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol),
+        explode(featureBuckets(col("__toks"), target.buckets)).as("bucket"))
+      .localCheckpoint()
+    val counts = feats.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val raw = Model(counts,
+      counts.agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0),
+      target.buckets)
+    (raw, scoreFeats(docs, idCol, feats, target, raw, alpha))
+  }
+
+  /** Scoring core over a pre-exploded (idCol, bucket) feature frame —
+    * shared by [[scoreDocs]] (derives the frame lazily) and
+    * [[fitRawAndScore]] (derives it once, materialized). */
+  private def scoreFeats(docs: DataFrame, idCol: String, feats: DataFrame,
+      target: Model, raw: Model, alpha: Double): DataFrame = {
     require(alpha > 0, s"alpha must be positive: $alpha")
     require(target.buckets == raw.buckets,
       s"bucket spaces differ: ${target.buckets} vs ${raw.buckets}")
@@ -130,9 +170,6 @@ object Dsir {
       .select(col("bucket"), col("c").as("ct")))
     val r = broadcast(raw.counts
       .select(col("bucket"), col("c").as("cr")))
-    val feats = docs.select(col(idCol), toks.as("__toks"))
-      .select(col(idCol),
-        explode(featureBuckets(col("__toks"), target.buckets)).as("bucket"))
     // per-feature log ratio; denominators are per-model constants, kept
     // inside the per-feature term so the oracle replays one association
     val logp =

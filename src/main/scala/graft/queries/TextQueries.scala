@@ -912,10 +912,10 @@ object TextQueries {
       // model tables in the block-manager
       val tgt = Dsir.fit(docs.filter(col("source") === "src0"), col("__toks"),
         cache = false)
-      val raw = Dsir.fit(docs.filter(col("source") =!= "src0"), col("__toks"),
-        cache = false)
-      Dsir.scoreDocs(docs.filter(col("source") =!= "src0"), "doc_id",
-          col("__toks"), tgt, raw)
+      // fitRawAndScore: ONE feature-hash pass fits the raw model and
+      // scores (round 15, guide §2.3) — value-identical to fit+scoreDocs
+      Dsir.fitRawAndScore(docs.filter(col("source") =!= "src0"), "doc_id",
+          col("__toks"), tgt)._2
         .drop("logw")
         .orderBy(col("doc_id"))
     },
@@ -936,10 +936,10 @@ object TextQueries {
       // model tables in the block-manager
       val tgt = Dsir.fit(docs.filter(col("source") === "src0"), col("__toks"),
         cache = false)
-      val raw = Dsir.fit(docs.filter(col("source") =!= "src0"), col("__toks"),
-        cache = false)
-      val scored = Dsir.scoreDocs(docs.filter(col("source") =!= "src0"),
-        "doc_id", col("__toks"), tgt, raw)
+      // fitRawAndScore: ONE feature-hash pass fits the raw model and
+      // scores (round 15, guide §2.3) — value-identical to fit+scoreDocs
+      val (_, scored) = Dsir.fitRawAndScore(
+        docs.filter(col("source") =!= "src0"), "doc_id", col("__toks"), tgt)
       Dsir.gumbelTopK(scored, "doc_id", 200)
         .select(col("doc_id"), col("n_feats"), col("n_oov_t"))
         .orderBy(col("doc_id"))

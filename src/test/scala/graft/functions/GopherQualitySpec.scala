@@ -49,6 +49,38 @@ class GopherQualitySpec extends SparkSpecBase {
     assert(m._2 >= 3 * m._1 && m._2 <= 10 * m._1)
   }
 
+  test("factored metrics == the original inline expressions, all columns") {
+    // round 15: metrics() materializes the token/line arrays once and
+    // n_stop moved from filter(stopwords, array_contains(lowerToks, _)) to
+    // size(array_intersect(stopwords, lowerToks)) — this pins value
+    // equality against the ORIGINAL inline forms on edge-shaped text
+    // (empty, whitespace-only, dup stopwords, unicode bullets, no-newline)
+    val fixtures = Seq(
+      (1L, good), (2L, ""), (3L, "   "), (4L, "the the THE tHe and"),
+      (5L, "• bulleted\n- dash\n* star\nplain ..."),
+      (6L, "one-line no newline with the and of"),
+      (7L, (1 to 80).map(i => s"w$i").mkString("\n")))
+    val d = docs(fixtures: _*)
+    val toks = split(trim(col("text")), "\\s+")
+    val lowerToks = transform(toks, x => lower(x))
+    val lines = split(col("text"), "\n")
+    val orig = d.select(col("id"),
+      size(toks).as("n_words"),
+      aggregate(toks, lit(0), (acc, x) => acc + length(x)).as("total_len"),
+      size(filter(toks, x => x.rlike("[A-Za-z]"))).as("n_alpha"),
+      (regexp_count(col("text"), lit("#")) +
+        regexp_count(col("text"), lit("\\.\\.\\."))).cast("int").as("n_sym"),
+      size(lines).as("n_lines"),
+      size(filter(lines, l => ltrim(l).rlike("^[-*•]"))).as("n_bullet"),
+      size(filter(lines, l => rtrim(l).rlike("\\.\\.\\.$"))).as("n_ellipsis"),
+      size(filter(array(GopherQuality.Stopwords.map(lit(_)): _*),
+        s => array_contains(lowerToks, s))).as("n_stop"))
+      .orderBy("id").collect().toSeq
+    val now = GopherQuality.metrics(d, "id", "text").drop("keep")
+      .orderBy("id").collect().toSeq
+    assert(now === orig)
+  }
+
   test("the battery is a pure per-row filter: no shuffle, no join, no UDF") {
     val plan = GopherQuality.filterDocs(docs((1L, good)), "text")
       .queryExecution.executedPlan.toString

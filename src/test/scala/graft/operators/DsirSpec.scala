@@ -117,6 +117,26 @@ class DsirSpec extends SparkSpecBase {
     assert(s1 === s2)
   }
 
+  test("fitRawAndScore == fit(cache=false) + scoreDocs, model and rows") {
+    // the round-15 single-feature-pass path must be VALUE-identical to the
+    // two-pass composition it replaces (raw model counts/total AND every
+    // scored column, logw included), on real fixture text
+    val docs = tbl("documents")
+      .select(col("doc_id"), col("source"), split(trim(col("text")), "\\s+").as("__toks"))
+    val tgt = Dsir.fit(docs.filter(col("source") === "src0"), col("__toks"))
+    val nonT = docs.filter(col("source") =!= "src0")
+    val rawRef = Dsir.fit(nonT, col("__toks"), cache = false)
+    val ref = Dsir.scoreDocs(nonT, "doc_id", col("__toks"), tgt, rawRef)
+      .orderBy("doc_id").collect().toSeq
+    val (raw, scored) = Dsir.fitRawAndScore(nonT, "doc_id", col("__toks"), tgt)
+    assert(raw.total === rawRef.total)
+    assert(raw.buckets === rawRef.buckets)
+    val cnt = raw.counts.orderBy("bucket").collect().toSeq
+    val cntRef = rawRef.counts.orderBy("bucket").collect().toSeq
+    assert(cnt === cntRef)
+    assert(scored.orderBy("doc_id").collect().toSeq === ref)
+  }
+
   test("scoreDocs keeps zero-token-array docs at 0 evidence") {
     // a doc whose token array is empty (filtered upstream) still comes out
     val docs = Seq((1L, Seq.empty[String]), (2L, Seq("a"))).toDF("doc_id", "__toks")
