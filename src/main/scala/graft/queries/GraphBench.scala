@@ -37,7 +37,9 @@ object GraphBench {
     if (!committed(s, dir)) {
       val li = graft.Tables.load(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
-      li.as("a").join(li.as("b"),
+      // shuffled-hash build, matching StarQueries.copurchaseJoin (round 15,
+      // guide §3.1 — sort-merge paid two per-partition sorts for nothing)
+      li.as("a").join(li.as("b").hint("shuffle_hash"),
           col("a.l_orderkey") === col("b.l_orderkey")
             && col("a.l_partkey") =!= col("b.l_partkey"))
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
