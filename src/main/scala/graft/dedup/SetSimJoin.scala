@@ -108,11 +108,19 @@ object SetSimJoin {
     // posexplode is 0-based over the sliced prefix, which is a prefix of
     // the full canonical order, so __p = pos + 1 is the token's 1-based
     // canonical position in the whole set
+    // Materialized ONCE (round 15, guide §2.3): the candidate self-join
+    // reads `pref` from BOTH sides, and without the cut the whole prefix
+    // lineage — shingle explode, the dfreq join, the canonical-order
+    // collect_list, the posexplode — executed once per side (the plan
+    // carried two full copies; measured on q175 at sf0.1). Blocks are
+    // prefix-linear (≈ half the shingle occurrences) and reclaimed by the
+    // ContextCleaner when the result frame dies, the `base` precedent.
     val pref = ordered.select(col("__id"), col("__n"),
         posexplode(slice(transform(col("__o"), s => s.getField("tok")),
           lit(1), pLen)))
       .select(col("__id"), col("__n"), (col("pos") + 1).as("__p"),
         col("col").as("tok"))
+      .localCheckpoint()
     val lengthFilter =
       // length filter: J >= t forces t·|a| <= |b| and t·|b| <= |a|
       lit(tNum) * col("a.__n") <= lit(tDen) * col("b.__n") &&
