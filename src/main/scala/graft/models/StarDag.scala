@@ -153,7 +153,16 @@ object StarDag {
       img: DataFrame, trainEndUs: Long = 946684800000000L,
       minInteractions: Long = 5L, verifyFk: Boolean = false): DataFrame = {
     val meta = articlesMetadata(art, img)
-    val dedup = dedupTransactions(tx)
+    // Materialized ONCE (round 15, guide §2.3): dedup_transactions is read
+    // by the joined branch AND the frequency branch (freqSource = dedup),
+    // and the plan carried the whole transactions lineage twice — envelope
+    // JSON decode of the biggest table, the dedup exchange, and the
+    // LAST_VALUE window (no exchange reuse fires across the branches).
+    // Blocks are deduped-transaction-linear, ContextCleaner-reclaimed;
+    // this is exactly dbt's `materialized: table` boundary on the model
+    // every downstream model reads (the registry form declares the same
+    // boundary via `tables`). Values unchanged — deterministic lineage.
+    val dedup = dedupTransactions(tx).localCheckpoint()
     if (verifyFk) {
       val bad = fkViolations(dedup, meta, cust).limit(5).collect()
       require(bad.isEmpty,
