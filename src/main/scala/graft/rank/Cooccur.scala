@@ -42,7 +42,12 @@ object Cooccur {
         Interactions.recentN(inter, maxBasket).select(col("user_id"), col("item_id"))
       else inter.select(col("user_id"), col("item_id"))
         .repartition(col("user_id")).distinct()
-    val pairs = t.as("a").join(t.as("b"),
+    // shuffled-hash build (round 15, guide §3.1): the sides are already
+    // co-partitioned on the basket key, so sort-merge paid two
+    // per-partition sorts for nothing — the hinted build is
+    // row-identical (order-insensitive consumers) and measured faster
+    // on every basket self-join shape (see StarQueries.copurchaseJoin).
+    val pairs = t.as("a").join(t.as("b").hint("shuffle_hash"),
         col("a.user_id") === col("b.user_id") && col("a.item_id") =!= col("b.item_id"))
       .select(col("a.item_id").as("item_a"), col("b.item_id").as("item_b"))
       .repartition(col("item_a"))
@@ -111,7 +116,12 @@ object Cooccur {
         Interactions.recentN(inter, maxBasket).select(col("user_id"), col("item_id"))
       else inter.select(col("user_id"), col("item_id"))
         .repartition(col("user_id")).distinct()
-    val pairs = t.as("a").join(t.as("b"),
+    // shuffled-hash build (round 15, guide §3.1): the sides are already
+    // co-partitioned on the basket key, so sort-merge paid two
+    // per-partition sorts for nothing — the hinted build is
+    // row-identical (order-insensitive consumers) and measured faster
+    // on every basket self-join shape (see StarQueries.copurchaseJoin).
+    val pairs = t.as("a").join(t.as("b").hint("shuffle_hash"),
         col("a.user_id") === col("b.user_id") && col("a.item_id") =!= col("b.item_id"))
       .select(col("a.item_id").as("item_a"), col("b.item_id").as("item_b"))
       .repartition(col("item_a"))
