@@ -92,11 +92,18 @@ object NegativeSampling {
           16, 10).cast("long") % totalW)
       .withColumn("__bkt", expr(s"__u * ${numBuckets}L div ${totalW}L"))
 
-    val hits = draws.join(buckets, Seq("__bkt"))
+    // shuffled-hash builds (round 15, guide §3.1): the bucket lookup joins
+    // on ~numBuckets distinct keys (far fewer than partitions would sort
+    // efficiently) and the positives anti-join on (user, item) — both
+    // planned sort-merge, paying four per-partition sorts whose order no
+    // consumer needs. Build sides are one partition's slice of the bucket
+    // table / the distinct positives — bounded at any scale by partition
+    // sizing. Row-identical: join algorithm only.
+    val hits = draws.join(buckets.hint("shuffle_hash"), Seq("__bkt"))
       .filter(col("__u") >= col("lo") && col("__u") < col("hi"))
       .select(col("user_id"), col("slot"), col("item_id"))
     val negatives = hits.join(
-      pos.distinct(),
+      pos.distinct().hint("shuffle_hash"),
       Seq("user_id", "item_id"), "left_anti")
     graft.operators.Relational.topKPerGroup(negatives, Seq("user_id"),
         Seq(col("slot").asc), k)
