@@ -87,71 +87,148 @@ object Triangles {
       graft.operators.Checkpoints.free(grouped)
       return None
     }
-    val rows = grouped.collect()
-    graft.operators.Checkpoints.free(grouped)
-    // driver: exact degrees, then the (deg, id)-orientation — the same
-    // lexLess the composed plan evaluates per row
-    val deg = new java.util.HashMap[Long, Long](rows.length * 4)
-    rows.foreach { r =>
-      val u = r.getLong(0)
-      r.getSeq[Long](1).foreach { v =>
-        deg.merge(u, 1L, (a, b) => a + b)
-        deg.merge(v, 1L, (a, b) => a + b)
-      }
-    }
-    val nplus = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
-    rows.foreach { r =>
-      val u = r.getLong(0); val du = deg.get(u)
-      r.getSeq[Long](1).foreach { v =>
-        val dv = deg.get(v)
-        val (lo, hi) =
-          if (du < dv || (du == dv && u < v)) (u, v) else (v, u)
-        nplus.computeIfAbsent(lo,
-          _ => scala.collection.mutable.ArrayBuffer[Long]()) += hi
-      }
-    }
-    // id-sorted out-neighbor arrays: set intersection needs one shared
-    // order, and plain id order is it (the rank order only decided the
-    // edge DIRECTIONS above)
-    val adj = new java.util.HashMap[Long, Array[Long]](nplus.size * 2)
-    nplus.forEach((k, buf) => adj.put(k, buf.toArray.sorted))
-    val bc = spark.sparkContext.broadcast(adj)
-    val slices = spark.sparkContext.defaultParallelism
-    val apexes = spark.createDataset(
-      adj.keySet().toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq)
-      .repartition(slices)
-    val partials = apexes.mapPartitions { it =>
-      val a = bc.value
-      val counts = new java.util.HashMap[Long, Long]()
-      def bump(n: Long): Unit = counts.merge(n, 1L, (x, y) => x + y)
-      it.foreach { x =>
-        val na = a.get(x)
+    // PACKED PRIMITIVE transfer (round 15 — the r14 PageRank lesson
+    // applied here): the old boxed Dataset collect deserialized every
+    // half-adjacency row through Row + Seq[Long] (per-element boxing on
+    // the single-threaded driver), and the old driver structures were
+    // java.util.HashMap[java.lang.Long, ...] — a boxed lookup per wedge
+    // step in the kernel's hottest loop. Each partition now emits one
+    // long[] stream of [u, len, v1..vlen] records (UnsafeArrayData →
+    // toLongArray is a bulk copy), and the driver builds DENSE int-indexed
+    // CSR arrays: node dictionary (sorted dedup), degrees, and the
+    // (deg, id)-oriented out-adjacency, id-sorted per node. Counts,
+    // orientation, and intersections are value-identical — only the
+    // representation changed (spec-pinned vs the composed plan).
+    val chunks = grouped.queryExecution.toRdd.mapPartitions { it =>
+      val b = new scala.collection.mutable.ArrayBuilder.ofLong
+      it.foreach { r =>
+        val vs = r.getArray(1).toLongArray()
+        b += r.getLong(0); b += vs.length.toLong
         var i = 0
-        while (i < na.length) {
-          val y = na(i)
-          val nb = a.get(y)
-          if (nb != null) {
+        while (i < vs.length) { b += vs(i); i += 1 }
+      }
+      Iterator.single(b.result())
+    }.collect()
+    graft.operators.Checkpoints.free(grouped)
+    // node dictionary: every endpoint, sorted + deduped
+    val ids = new Array[Long](chunks.map(_.length).sum) // upper bound
+    var p = 0
+    chunks.foreach { c =>
+      var i = 0
+      while (i < c.length) {
+        val len = c(i + 1).toInt
+        ids(p) = c(i); p += 1
+        var j = 0
+        while (j < len) { ids(p) = c(i + 2 + j); p += 1; j += 1 }
+        i += 2 + len
+      }
+    }
+    val sorted = java.util.Arrays.copyOf(ids, p)
+    java.util.Arrays.parallelSort(sorted)
+    var n = 0
+    var si = 0
+    while (si < sorted.length) {
+      if (n == 0 || sorted(n - 1) != sorted(si)) { sorted(n) = sorted(si); n += 1 }
+      si += 1
+    }
+    val nodes = java.util.Arrays.copyOf(sorted, n)
+    def idx(id: Long): Int = java.util.Arrays.binarySearch(nodes, id)
+    // exact degrees per dense id
+    val deg = new Array[Long](n)
+    chunks.foreach { c =>
+      var i = 0
+      while (i < c.length) {
+        val len = c(i + 1).toInt
+        val ui = idx(c(i))
+        deg(ui) += len.toLong
+        var j = 0
+        while (j < len) { deg(idx(c(i + 2 + j))) += 1L; j += 1 }
+        i += 2 + len
+      }
+    }
+    // (deg, id)-orientation: count oriented out-degrees, then fill CSR
+    val outCnt = new Array[Int](n)
+    chunks.foreach { c =>
+      var i = 0
+      while (i < c.length) {
+        val len = c(i + 1).toInt
+        val ui = idx(c(i)); val du = deg(ui)
+        var j = 0
+        while (j < len) {
+          val vi = idx(c(i + 2 + j)); val dv = deg(vi)
+          val lo = if (du < dv || (du == dv && nodes(ui) < nodes(vi))) ui else vi
+          outCnt(lo) += 1
+          j += 1
+        }
+        i += 2 + len
+      }
+    }
+    val off = new Array[Int](n + 1)
+    var oi = 0
+    while (oi < n) { off(oi + 1) = off(oi) + outCnt(oi); oi += 1 }
+    val nbr = new Array[Int](off(n))
+    val fill = java.util.Arrays.copyOf(off, n)
+    chunks.foreach { c =>
+      var i = 0
+      while (i < c.length) {
+        val len = c(i + 1).toInt
+        val ui = idx(c(i)); val du = deg(ui)
+        var j = 0
+        while (j < len) {
+          val vi = idx(c(i + 2 + j)); val dv = deg(vi)
+          val (lo, hi) =
+            if (du < dv || (du == dv && nodes(ui) < nodes(vi))) (ui, vi)
+            else (vi, ui)
+          nbr(fill(lo)) = hi; fill(lo) += 1
+          j += 1
+        }
+        i += 2 + len
+      }
+    }
+    // id-sorted out-neighbor runs: set intersection needs one shared
+    // order, and dense-id order (= id order) is it
+    oi = 0
+    while (oi < n) {
+      java.util.Arrays.sort(nbr, off(oi), off(oi + 1)); oi += 1
+    }
+    val bcNodes = spark.sparkContext.broadcast(nodes)
+    val bcOff = spark.sparkContext.broadcast(off)
+    val bcNbr = spark.sparkContext.broadcast(nbr)
+    val slices = spark.sparkContext.defaultParallelism
+    val partials = spark.range(0L, n.toLong, 1L, slices)
+      .as[Long]
+      .mapPartitions { it =>
+        val nodesL = bcNodes.value; val offL = bcOff.value; val nbrL = bcNbr.value
+        // per-partition counts over dense ids — primitive map, no boxing
+        val counts = new scala.collection.mutable.LongMap[Long]()
+        def bump(i: Int): Unit =
+          counts.update(i.toLong, counts.getOrElse(i.toLong, 0L) + 1L)
+        it.foreach { xl =>
+          val x = xl.toInt
+          var i = offL(x)
+          val xEnd = offL(x + 1)
+          while (i < xEnd) {
+            val y = nbrL(i)
             // two-pointer merge: common out-neighbors of x and y each
             // close one triangle {x, y, c}, charged to all three corners
-            var p = 0; var q = 0
-            while (p < na.length && q < nb.length) {
-              if (na(p) < nb(q)) p += 1
-              else if (na(p) > nb(q)) q += 1
-              else { bump(x); bump(y); bump(na(p)); p += 1; q += 1 }
+            var pp = offL(x); var q = offL(y)
+            val qEnd = offL(y + 1)
+            while (pp < xEnd && q < qEnd) {
+              if (nbrL(pp) < nbrL(q)) pp += 1
+              else if (nbrL(pp) > nbrL(q)) q += 1
+              else { bump(x); bump(y); bump(nbrL(pp)); pp += 1; q += 1 }
             }
+            i += 1
           }
-          i += 1
         }
-      }
-      val out = new Array[(Long, Long)](counts.size)
-      var j = 0
-      counts.forEach((n, c) => { out(j) = (n, c); j += 1 })
-      out.iterator
-    }.toDF("n", "__tri")
+        counts.iterator.map { case (i, c) => (nodesL(i.toInt), c) }
+      }.toDF("n", "__tri")
       .groupBy(col("n")).agg(sum(col("__tri")).as("triangles"))
     val degDf = spark.createDataset(
       { val b = Seq.newBuilder[(Long, Long)]
-        deg.forEach((n, d) => b += ((n, d))); b.result() })
+        var i = 0
+        while (i < n) { b += ((nodes(i), deg(i))); i += 1 }
+        b.result() })
       .toDF("n", "degree")
     Some(degDf.join(partials, Seq("n"), "left")
       .select(col("n").cast(srcT).as("node"), col("degree"),
