@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Round-16 (verdict task 1): the driver keeps only the last ~2000 chars of
+// the bench run's stdout and parses the FINAL line as JSON. Every
+// BENCH_r01..r15 artifact has `parsed: null` because sbt (a) prefixed the
+// forked process's output with `[info] ` via the default LoggedOutput
+// strategy and (b) appended its own `[success] Total time: ...` line after
+// the JSON. StdoutOutput pipes the forked JVM's stdout through verbatim,
+// and showSuccess/showTiming drop the trailer, so Bench's compact line is
+// the bare, final stdout line.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -464,7 +464,13 @@ object Bench {
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, full.getBytes("UTF-8"))
     } catch { case _: Throwable => () } // file dump is best-effort; stdout line is the contract
-    emit(line)
+    // Round-16 (verdict task 1): the compact line is emitted AFTER
+    // spark.stop() so no Spark shutdown output can land behind it — the
+    // driver parses the FINAL line of its ~2000-char tail as JSON, and
+    // with build.sbt's StdoutOutput strategy + showSuccess/showTiming off
+    // this is now the bare last line of the whole sbt invocation. The
+    // timed region is untouched (every query completed long before).
     spark.stop()
+    emit(line)
   }
 }
