@@ -83,7 +83,14 @@ object Triangles {
       .localCheckpoint()
     val m = grouped.agg(coalesce(sum(size(col("nbrs"))), lit(0L)))
       .head().getLong(0)
-    if (m == 0L || m > maxEdges) {
+    // Int-index bound (round-16, ADVICE r15): the packed transfer and the
+    // CSR arrays index with Int — packed entries total ≤ 2·groups + m ≤ 3m
+    // (each group contributes [u, len] + its neighbors), so a caller
+    // passing maxEdges past ~Int.MaxValue/3 would overflow into negative
+    // array sizes/indices instead of refusing. Cap the fused route
+    // explicitly; oversized graphs fall back to the composed plan.
+    val intIndexCap = (Int.MaxValue / 3 - 4).toLong
+    if (m == 0L || m > maxEdges || m > intIndexCap) {
       graft.operators.Checkpoints.free(grouped)
       return None
     }

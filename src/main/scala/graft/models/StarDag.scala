@@ -162,6 +162,15 @@ object StarDag {
     // this is exactly dbt's `materialized: table` boundary on the model
     // every downstream model reads (the registry form declares the same
     // boundary via `tables`). Values unchanged — deterministic lineage.
+    // CONTRACT (round-16, ADVICE r15): the checkpoint is EAGER — calling
+    // this (or buildStarDag) runs the envelope-decode + dedup + window job
+    // of the biggest table at DAG-construction time, even when the caller
+    // never executes the consuming branches, and the blocks are
+    // non-reliable (an executor loss cannot recompute them; rebuild the
+    // DAG instead). Every current caller (q25/q25b, the registry form,
+    // the specs) executes the result immediately, so construction-time
+    // laziness buys nothing here; a caller that needs a lazy DAG handle
+    // should take the staged frames and compose dedupTransactions itself.
     val dedup = dedupTransactions(tx).localCheckpoint()
     if (verifyFk) {
       val bad = fkViolations(dedup, meta, cust).limit(5).collect()

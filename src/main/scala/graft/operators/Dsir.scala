@@ -58,15 +58,22 @@ object Dsir {
   /** A fitted hashed-n-gram multinomial: bucket counts (≤ `buckets` rows)
     * plus the total feature count. Smoothed probability of bucket b is
     * (c_b + alpha) / (total + alpha·buckets). */
-  case class Model(counts: DataFrame, total: Long, buckets: Int) {
+  case class Model(counts: DataFrame, total: Long, buckets: Int,
+      aux: Seq[DataFrame] = Nil) {
     /** Release the fit-time blocks deterministically — both fit modes
       * (round-10 advice, same contract as NgramLm.Model.unpersist): the
       * cache unpersists directly; the `cache = false` localCheckpoint
       * blocks are freed via Checkpoints.free (no-op for loaded/other
-      * plans). The model is unusable after this call in checkpoint mode. */
+      * plans). `aux` carries any corpus-scale scaffolding the fit
+      * materialized ([[fitRawAndScore]]'s exploded feature frame — round-16
+      * ADVICE: it was block-manager-resident with no release handle) and
+      * is freed here too — call only AFTER the scored frame has been
+      * consumed (localCheckpoint blocks are unrecomputable). The model is
+      * unusable after this call in checkpoint mode. */
     def unpersist(): Unit = {
       counts.unpersist()
       Checkpoints.free(counts)
+      aux.foreach(Checkpoints.free)
     }
 
     /** Alias of [[unpersist]]. */
@@ -143,7 +150,19 @@ object Dsir {
     * aggregate the identical exploded expression, and the scoring core is
     * the same [[scoreFeats]]. Returns (raw model, scored frame) — the raw
     * model's counts frame is the materialized ≤ `buckets`-row aggregate,
-    * same contract as `fit(cache = false)`. */
+    * same contract as `fit(cache = false)`.
+    *
+    * SCALE NOTE (round-16, ADVICE r15): unlike [[fit]]'s ≤ buckets-row
+    * checkpoint, the `feats` frame is CORPUS-LINEAR (one row per hashed
+    * unigram+bigram occurrence) and non-reliably checkpointed — the price
+    * of running the md5 feature hash once instead of twice. The returned
+    * model carries it in `aux`: callers that consume the scored frame
+    * (pipelines, tests) should `model.unpersist()` AFTER the final action
+    * to release the blocks deterministically; query fns that return the
+    * scored frame unconsumed rely on the ContextCleaner (the NgramLm
+    * cache=false precedent), which reclaims the blocks when the frame
+    * dies. On a multi-tenant cluster where an executor loss mid-read
+    * must be recoverable, prefer the two-pass fit + scoreDocs form. */
   def fitRawAndScore(docs: DataFrame, idCol: String, toks: Column,
       target: Model, alpha: Double = 1.0): (Model, DataFrame) = {
     val feats = docs.select(col(idCol), toks.as("__toks"))
@@ -154,7 +173,7 @@ object Dsir {
       .localCheckpoint()
     val raw = Model(counts,
       counts.agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0),
-      target.buckets)
+      target.buckets, aux = Seq(feats))
     (raw, scoreFeats(docs, idCol, feats, target, raw, alpha))
   }
 

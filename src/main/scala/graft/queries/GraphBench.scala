@@ -22,8 +22,30 @@ import org.apache.spark.sql.functions._
 object GraphBench {
   import QueryHelpers.QueryFn
 
-  private def root(d: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_bench_graph_${QueryHelpers.fixtureKey(d)}"
+  // Round-16 (r15 verdict, "minor/latent"): the fixture was keyed on the
+  // sf dir PATH alone and persists in java.io.tmpdir across runs — if
+  // /root/testdata/sfX were regenerated in place, q185/q186 would read a
+  // stale edge graph. The key now also carries a cheap content
+  // fingerprint of the lineitem table (file names + lengths + mtimes —
+  // one driver-side listing, no data read), so a regenerated input gets
+  // a fresh fixture directory automatically.
+  private def lineitemPrint(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/lineitem")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val acc =
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).sortBy(_.getPath.getName).foldLeft(1125899906842597L) {
+        (h, st) =>
+          var x = h * 31 + st.getPath.getName.hashCode
+          x = x * 31 + st.getLen
+          x * 31 + st.getModificationTime
+      }
+    java.lang.Long.toHexString(acc)
+  }
+
+  private def root(s: SparkSession, d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_bench_graph_" +
+      s"${QueryHelpers.fixtureKey(d)}_${lineitemPrint(s, d)}"
 
   private def committed(s: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
@@ -33,7 +55,7 @@ object GraphBench {
   /** Untimed, idempotent (keyed on _SUCCESS like the q25 fixture): the
     * distinct directed co-purchase edge list, written once per sf dir. */
   def benchSetup(s: SparkSession, d: String): Unit = {
-    val dir = s"${root(d)}/dedges"
+    val dir = s"${root(s, d)}/dedges"
     if (!committed(s, dir)) {
       val li = graft.Tables.load(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
@@ -52,7 +74,7 @@ object GraphBench {
     // the driver-CSR kernel, FORCED (a refusal is a row error, not a
     // silent fallback measuring the wrong plan)
     "q185_pagerank_fused_bench" -> { (s, d) =>
-      val edges = s.read.parquet(s"${root(d)}/dedges")
+      val edges = s.read.parquet(s"${root(s, d)}/dedges")
       graft.graph.PageRank.runFused(edges, 3)
         .getOrElse(throw new IllegalStateException(
           "fused PageRank refused the bench fixture — session under-" +
@@ -61,7 +83,7 @@ object GraphBench {
     // the BSP join plan on the identical fixture — the crossover's
     // other leg, same iteration count
     "q186_pagerank_join_bench" -> { (s, d) =>
-      val edges = s.read.parquet(s"${root(d)}/dedges")
+      val edges = s.read.parquet(s"${root(s, d)}/dedges")
       graft.graph.PageRank.run(edges, 3)
     })
 }
