@@ -382,6 +382,151 @@ object ScaleExperiment {
       }
     }
 
+    // Round-16 task 3 (r15 verdict): PHASE ATTRIBUTION for the fused
+    // co-occurrence serve (q52f/q51s/q52s's shared recommendAuto path) —
+    // the r15 blind packed-transfer A/B measured worse and was reverted;
+    // this leg names the wall before any further change. Phases 1-5
+    // mirror Cooccur.recommendFused's internal sequence of eager actions
+    // (each localCheckpoint/head/collect is a separate Spark job, so the
+    // sum of laps ≈ the full serve minus the final kernel+output stage,
+    // which falls out by subtraction against r16serve_full).
+    if (on("r16serve")) {
+      import graft.rank._
+      val stage16 = java.nio.file.Files.createTempDirectory("graft_r16s").toString
+      val (tr0, _) = Interactions.splitByTime(
+        Interactions.fromStar(spark, dir), "2000-01-01")
+      tr0.write.mode("overwrite").parquet(s"$stage16/tr")
+      val trS = spark.read.parquet(s"$stage16/tr")
+      RetrievalPipeline.fitAndSave(trS, s"$stage16/cooccur", 50)
+      val nbS = RetrievalPipeline.loadModel(spark, s"$stage16/cooccur")
+      for (rep <- 1 to 3) {
+        var t0 = System.nanoTime()
+        def lap(name: String): Unit = {
+          println(f"r16serve_r$rep%s_$name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+          t0 = System.nanoTime()
+        }
+        // phase 1: model grouping + eager checkpoint (one shuffle of the
+        // items×50 neighbor rows into grouped struct arrays)
+        val nbG = nbS
+          .select(col("item_a").cast("long").as("ia"),
+            struct(col("item_b").cast("long").as("ib"),
+              col("c").cast("long").as("c")).as("nb"))
+          .groupBy(col("ia")).agg(collect_list(col("nb")).as("nbs"))
+          .localCheckpoint()
+        lap("model_group_ckpt")
+        nbG.agg(coalesce(sum(size(col("nbs"))), lit(0L)),
+          coalesce(sum(when(col("ia").isNull, 1L).otherwise(0L)), lit(0L))).head()
+        lap("model_budget_probe")
+        val nbRows = nbG.collect()
+        val model = new java.util.HashMap[Long, (Array[Long], Array[Long])](
+          nbRows.length * 2)
+        nbRows.foreach { r =>
+          val nbs = r.getSeq[org.apache.spark.sql.Row](1)
+          val items = new Array[Long](nbs.length)
+          val counts = new Array[Long](nbs.length)
+          var j = 0
+          nbs.foreach { e => items(j) = e.getLong(0); counts(j) = e.getLong(1); j += 1 }
+          model.put(r.getLong(0), (items, counts))
+        }
+        graft.operators.Checkpoints.free(nbG)
+        lap("model_collect_build")
+        // phase 4: seen-set prep as shipped (distinct -> groupBy collect_set)
+        val t0d = trS.select(col("user_id").cast("long").as("u"),
+            col("item_id").cast("long").as("i")).distinct()
+        val seenG = t0d.groupBy(col("u"))
+          .agg(collect_set(col("i")).as("__seen"), count(lit(1)).as("__cnt"))
+          .localCheckpoint()
+        lap("seen_distinct_group_ckpt")
+        seenG.agg(
+          coalesce(sum(when(size(col("__seen")) =!= col("__cnt"), 1L)
+            .otherwise(0L)), lit(0L)),
+          coalesce(sum(when(col("u").isNull, 1L).otherwise(0L)), lit(0L))).head()
+        lap("seen_probe")
+        graft.operators.Checkpoints.free(seenG)
+        // diagnostic alternative: ONE exchange (groupBy straight off the
+        // scan, collect_set dedups; null items counted inline) — the §2.4
+        // candidate change, previewed here before touching the operator
+        val seenG2 = trS.select(col("user_id").cast("long").as("u"),
+            col("item_id").cast("long").as("i"))
+          .groupBy(col("u"))
+          .agg(collect_set(col("i")).as("__seen"),
+            count(when(col("i").isNull, 1)).as("__nulls"))
+          .localCheckpoint()
+        lap("seen_onepass_ALT_ckpt")
+        graft.operators.Checkpoints.free(seenG2)
+        // reference: the whole serve, end to end, through the shipped path
+        Cooccur.recommendAuto(trS, nbS, 10)
+          .write.format("noop").mode("overwrite").save()
+        lap("full_recommendAuto")
+      }
+    }
+
+    // Round-16 task 4 attribution: q175's stage split (the merge-intersect
+    // rewrite measured FLAT at sf0.1 — this leg shows why: candidate
+    // volume at this SF is tiny, so the verification array_intersect the
+    // r15 verdict flagged from the 6.3 s driver reading is not this box's
+    // wall; the prefix lineage is).
+    if (on("r16setsim")) {
+      import graft.functions.TextOps
+      val docs16 = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+      val sh16 = docs16.select(col("doc_id"),
+        TextOps.wordShingles(col("__toks"), 4).as("sh"))
+      for (rep <- 1 to 3) {
+        var t0 = System.nanoTime()
+        def lap(name: String): Unit = {
+          println(f"r16setsim_r$rep%s_$name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+          t0 = System.nanoTime()
+        }
+        val base = graft.dedup.SetSimJoin.prepared(sh16, "doc_id", col("sh"))
+          .localCheckpoint()
+        lap("base_prep_ckpt")
+        val nDocs = base.count()
+        val cand = graft.dedup.SetSimJoin
+          .candidatePairs(base, 1L, 2L, positional = true)
+        val nCand = cand.count()
+        lap("candidates")
+        println(s"r16setsim_r$rep docs=$nDocs candidates=$nCand")
+        graft.operators.Checkpoints.free(base)
+        graft.dedup.SetSimJoin.selfJoin(sh16, "doc_id", col("sh"), 1L, 2L)
+          .write.format("noop").mode("overwrite").save()
+        lap("full_selfJoin")
+      }
+    }
+
+    // Round-16 task 5 (r15 verdict): the Triangles fused kernel measured
+    // AT ITS GATE SCALE (~8M distinct undirected edges — the default
+    // edgeLimit) instead of sf0.1's 20k nodes: fused (packed transfer +
+    // dense CSR, the round-15 rewrite) vs the composed join plan, same
+    // synthetic co-purchase-density graph as r15graph. Run this leg on
+    // r15-close bytes vs r14-close bytes for the before/after the verdict
+    // asked for (the kernel diff is confined to graph/Triangles.scala).
+    if (on("r16tri")) {
+      val m16 = sys.env.getOrElse("SPARK_GRAFT_R16_EDGES", "8000000").toLong
+      val n16 = m16 / 15
+      println(s"r16tri heap=${Runtime.getRuntime.maxMemory() / (1L << 20)}M" +
+        s" edges~$m16 nodes<=$n16")
+      val stage16t = java.nio.file.Files.createTempDirectory("graft_r16t").toString
+      spark.range(0L, m16, 1L, cpus.toInt)
+        .select(pmod(xxhash64(col("id")), lit(n16)).as("src"),
+          pmod(xxhash64(col("id"), lit(1)), lit(n16)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .write.mode("overwrite").parquet(s"$stage16t/edges")
+      val edges16 = spark.read.parquet(s"$stage16t/edges")
+      println(s"r16tri directed_rows=${edges16.count()}")
+      val cases16 = sys.env.getOrElse("SPARK_GRAFT_R16_CASES", "fused,composed")
+      if (cases16.contains("fused")) {
+        var go = true
+        for (rep <- 1 to 2 if go)
+          go = timedOpt(s"r16t_tri_fused_$rep")(graft.graph.Triangles
+            .perNodeFused(edges16, "src", "dst", maxEdges = 16000000L))
+      }
+      if (cases16.contains("composed"))
+        for (rep <- 1 to 2)
+          timed(s"r16t_tri_composed_$rep")(graft.graph.Triangles
+            .perNodeComposed(edges16, "src", "dst"))
+    }
+
     if (on("r13graph")) {
       val li = Tables.load(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))

@@ -59,6 +59,7 @@ object SetSimJoin {
   def selfJoin(docs: DataFrame, idCol: String, toksCol: Column,
       tNum: Long, tDen: Long): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold must be in (0,1]: $tNum/$tDen")
+    graft.sql.GraftFunctions.register(docs.sparkSession)
     // Materialize the prepared sets ONCE (eager): the plan reads base
     // from four branches (document frequencies, canonical ordering, and
     // both verification sides), and without this the tokenize/shingle
@@ -74,18 +75,31 @@ object SetSimJoin {
         col("__n").as("__na")), Seq("id_a"))
       .join(base.select(col("__id").as("id_b"), col("__s").as("__sb"),
         col("__n").as("__nb")), Seq("id_b"))
-      .withColumn("n_inter", size(array_intersect(col("__sa"), col("__sb"))))
+      // merge-intersect over the shared sorted order (round 16, guide §4):
+      // __s is array_sort'ed once per document in `prepared`, so the
+      // per-candidate count — the verification stage that dominated q175
+      // after the round-15 prefix checkpoint — is a linear byte-compare
+      // walk instead of ArrayIntersect's per-element hash set
+      // (count-identical under the sorted-distinct precondition;
+      // SortedInterCountFSpec pins it against array_intersect itself).
+      .withColumn("n_inter",
+        graft.sql.GraftFunctions.sortedInterCount(col("__sa"), col("__sb")))
       .withColumn("n_union", col("__na") + col("__nb") - col("n_inter"))
       .filter(lit(tDen) * col("n_inter") >= lit(tNum) * col("n_union"))
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
         (col("n_inter").cast("double") / col("n_union")).as("jaccard"))
   }
 
-  /** (__id, __s array<string> distinct, __n size) with empties dropped. */
-  private[dedup] def prepared(docs: DataFrame, idCol: String,
+  /** (__id, __s array<string> distinct SORTED, __n size) with empties
+    * dropped. The sort (round 16) costs one row-local n·log n per DOCUMENT
+    * and buys the merge-intersect verification per CANDIDATE — every
+    * downstream consumer is order-insensitive (explode/df-counts/the
+    * canonical (df, tok) collect_list) except the verification, which
+    * requires exactly this order. */
+  private[graft] def prepared(docs: DataFrame, idCol: String,
       toksCol: Column): DataFrame =
     docs
-      .select(col(idCol).as("__id"), array_distinct(toksCol).as("__s"))
+      .select(col(idCol).as("__id"), array_sort(array_distinct(toksCol)).as("__s"))
       .withColumn("__n", size(col("__s")))
       .filter(col("__n") > 0)
 
@@ -93,7 +107,7 @@ object SetSimJoin {
     * with the length filter and (when `positional`) the PPJoin
     * positional filter inline. Exposed for the spec's candidate-volume
     * assertion; `selfJoin` always runs positional. */
-  private[dedup] def candidatePairs(base: DataFrame, tNum: Long, tDen: Long,
+  private[graft] def candidatePairs(base: DataFrame, tNum: Long, tDen: Long,
       positional: Boolean): DataFrame = {
     val dfreq = base.select(explode(col("__s")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("__df"))

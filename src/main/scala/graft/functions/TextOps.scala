@@ -67,6 +67,29 @@ object TextOps {
     * is shorter than n. The building block for MinHash / Jaccard dedup.
     */
   def wordShingles(toks: Column, n: Int): Column =
+    // Fused kernel (round 16, guide §4 — the CharNgramsF lesson applied
+    // to word grams): the old HOF chain
+    //   transform(sequence(1, size-n+1), i -> concat_ws(" ", slice(toks, i, n)))
+    // is CodegenFallback — per position it paid an interpreted lambda
+    // dispatch, a slice sub-array allocation and a concat_ws evaluation;
+    // r16setsim attributed q175's prepared stage to exactly this chain,
+    // and it sits on every shingle consumer (MinHash/LSH, span dedup,
+    // incremental dedup, decontaminate, repetition, streaming ingests).
+    // WordShinglesF walks the array once inside whole-stage codegen;
+    // value-identical incl. null-element skipping (WordShinglesFSpec).
+    // The coalesce replays the old null-input → empty-array branch
+    // (`when(size(null) >= n)` fell through to `otherwise`).
+    coalesce(
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.sql.WordShinglesF(
+          org.apache.spark.sql.graft.ColumnBridge.expression(toks), n)),
+      array().cast(ArrayType(StringType)))
+
+  /** The pre-round-16 HOF form of [[wordShingles]] — kept for the
+    * equivalence spec (WordShinglesFSpec pins kernel ≡ chain on edge
+    * fixtures) and as the readable documentation of the semantics the
+    * kernel replicates. Not used on any query path. */
+  private[graft] def wordShinglesHof(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))

@@ -25,6 +25,8 @@ object GraftFunctions {
   val TopKName = "graft_topk"
   val TopKStrName = "graft_topk_str"
   val TopKDotName = "graft_topk_dot_f32"
+  val SortedInterName = "graft_sorted_inter_count"
+  val WordShinglesName = "graft_word_shingles"
 
   /** ENGINE-SESSION CONTRACT (round-11, narrowed per the round-10
     * advice): running a graft operator that aggregates with one of the
@@ -97,6 +99,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       TopKDotName, exprs => TopKDotF32.fromExprs(exprs.head, exprs(1),
         exprs(2), exprs(3), exprs(4)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      SortedInterName, exprs => SortedInterCountF(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      WordShinglesName, exprs => WordShinglesF.fromExprs(exprs.head, exprs(1)), "built-in")
   }
 
   /** Column-level call; requires `register` (or GraftExtensions) first. */
@@ -187,6 +193,20 @@ object GraftFunctions {
   def topKAggStr(score: Column, id: Column, k: Int): Column =
     call_function(TopKStrName, score.cast("double"), id.cast("string"),
       org.apache.spark.sql.functions.lit(k))
+
+  /** Column-level call; requires `register` (or GraftExtensions) first.
+    * |a ∩ b| of two sorted-distinct string arrays by one merge walk —
+    * equals size(array_intersect(a, b)) under that precondition (see
+    * SortedInterCountF). */
+  def sortedInterCount(a: Column, b: Column): Column =
+    call_function(SortedInterName, a, b)
+
+  /** Column-level call; requires `register` (or GraftExtensions) first.
+    * All overlapping n-token word shingles in one pass (null input →
+    * null; TextOps.wordShingles adds the empty-array coalesce). */
+  def wordShingles(toks: Column, n: Int): Column =
+    call_function(WordShinglesName, toks,
+      org.apache.spark.sql.functions.lit(n))
 }
 
 /** spark.sql.extensions entry point. */
@@ -270,5 +290,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[TopKDotF32].getName, GraftFunctions.TopKDotName),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TopKDotF32.fromExprs(exprs.head, exprs(1), exprs(2), exprs(3), exprs(4))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.SortedInterName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SortedInterCountF].getName, GraftFunctions.SortedInterName),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedInterCountF(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.WordShinglesName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WordShinglesF].getName, GraftFunctions.WordShinglesName),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordShinglesF.fromExprs(exprs.head, exprs(1))))
   }
 }

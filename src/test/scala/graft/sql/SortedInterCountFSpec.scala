@@ -67,12 +67,18 @@ class SortedInterCountFSpec extends SparkSpecBase {
 
   test("the kernel stays inside whole-stage codegen") {
     GraftFunctions.register(spark)
-    val df = Seq((1L, Seq("a", "b"))).toDF("id", "toks")
-      .select($"id", prep($"toks").as("__s"))
+    // non-foldable input (a literal Seq constant-folds to LocalTableScan)
+    val df = spark.range(8).select($"id",
+      prep(split(concat($"id".cast("string"), lit(" a b")), " ")).as("__s"))
     val plan = df.select(
       GraftFunctions.sortedInterCount($"__s", $"__s").as("n"))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("WholeStageCodegen"),
-      s"expected whole-stage codegen, got:\n$plan")
+    // the `*(n)` prefix marks a WholeStageCodegen stage; the interpreted
+    // array_sort HOF below it keeps the stages apart, so assert on the
+    // kernel's own Project line
+    val kernelLine = plan.linesIterator
+      .find(_.contains("graft_sorted_inter_count")).getOrElse("")
+    assert(kernelLine.trim.startsWith("*("),
+      s"expected the kernel's Project inside whole-stage codegen, got:\n$plan")
   }
 }
