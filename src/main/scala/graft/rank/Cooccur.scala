@@ -287,22 +287,54 @@ object Cooccur {
     }
     val nbRows = nbG.collect()
     graft.operators.Checkpoints.free(nbG)
-    val model = new java.util.HashMap[Long, (Array[Long], Array[Long])](
-      nbRows.length * 2)
+    // DENSE CSR MODEL (round 16, guide §4/§5 — the Triangles/PageRank
+    // packed-kernel lesson applied to the serve kernel): the old model was
+    // java.util.HashMap[java.lang.Long, (Array[Long], Array[Long])] — a
+    // boxed lookup per history item AND per-candidate boxed HashMap/HashSet
+    // work in the scoring loop below. Here the model is five primitive
+    // arrays: sorted item_a ids + CSR offsets, neighbor counts, and
+    // neighbors pre-translated to DENSE indices over the sorted distinct
+    // item_b dictionary, so the executor kernel scores by direct array
+    // indexing with zero hashing and zero boxing. Values unchanged — the
+    // same (item_b, c) multiset per item_a, summed in a different order
+    // (long sums are order-free); spec-pinned against the join plan.
+    val sortedRows = nbRows.sortBy(_.getLong(0))
+    val nA = sortedRows.length
+    val aIds = new Array[Long](nA)
+    val aOff = new Array[Int](nA + 1)
     var nullInner = false
-    nbRows.foreach { r =>
+    val bAll = new scala.collection.mutable.ArrayBuilder.ofLong
+    var ai = 0
+    sortedRows.foreach { r =>
+      aIds(ai) = r.getLong(0)
       val nbs = r.getSeq[org.apache.spark.sql.Row](1)
-      val items = new Array[Long](nbs.length)
-      val counts = new Array[Long](nbs.length)
-      var j = 0
+      aOff(ai + 1) = aOff(ai) + nbs.length
       nbs.foreach { e =>
         if (e.isNullAt(0) || e.isNullAt(1)) nullInner = true
-        else { items(j) = e.getLong(0); counts(j) = e.getLong(1) }
-        j += 1
+        else bAll += e.getLong(0)
       }
-      model.put(r.getLong(0), (items, counts))
+      ai += 1
     }
     if (nullInner) return refuse()
+    val bSorted = bAll.result()
+    java.util.Arrays.sort(bSorted)
+    var nB = 0
+    var si = 0
+    while (si < bSorted.length) {
+      if (nB == 0 || bSorted(nB - 1) != bSorted(si)) { bSorted(nB) = bSorted(si); nB += 1 }
+      si += 1
+    }
+    val bIds = java.util.Arrays.copyOf(bSorted, nB)
+    val nbIdx = new Array[Int](aOff(nA))
+    val nbCnt = new Array[Long](aOff(nA))
+    var p = 0
+    sortedRows.foreach { r =>
+      r.getSeq[org.apache.spark.sql.Row](1).foreach { e =>
+        nbIdx(p) = java.util.Arrays.binarySearch(bIds, e.getLong(0))
+        nbCnt(p) = e.getLong(1)
+        p += 1
+      }
+    }
     // per-user frames: full-history seen set (+ the collect_set-size null
     // device: t is distinct, so size(set) == count(1) iff no null item).
     // With a `users` subset, the semi-join prunes BEFORE the grouped
@@ -326,7 +358,7 @@ object Cooccur {
     // broadcast AFTER the last refusal path (round-12 advice: a broadcast
     // created before the seenG probe leaked one executor-resident model
     // per refused call until the ContextCleaner ran)
-    val bc = spark.sparkContext.broadcast(model)
+    val bc = spark.sparkContext.broadcast((aIds, aOff, bIds, nbIdx, nbCnt))
     val both =
       if (maxBasket > 0) {
         val capped = inter.select(col("user_id").cast("long").as("user_id"),
@@ -340,36 +372,92 @@ object Cooccur {
         histG.join(seenG, Seq("u"))
       } else seenG.withColumn("__hist", col("__seen"))
     val slices = spark.sparkContext.defaultParallelism
-    val out = both
-      .select(col("u"), col("__hist").cast("array<bigint>"),
+    // PRIMITIVE SCORING KERNEL (round 16, guide §4/§5 — with the dense
+    // CSR model above): the old loop paid a boxed HashMap.merge per
+    // (history item × neighbor) — the kernel's hottest line — a boxed
+    // HashSet membership test per candidate, and a boxed tuple sort per
+    // user for the top-k cut. Now: rows decode through the InternalRow
+    // RDD (UnsafeArrayData.toLongArray is a bulk primitive copy — the
+    // exchange/plan shape is IDENTICAL, only the row decode changed, so
+    // this is not the r15 reverted transfer rewrite), scores accumulate
+    // into a generation-stamped dense long[] (one per task, reused across
+    // users — O(touched) per user, no per-user allocation or zeroing),
+    // seen-membership is a binary search over the user's sorted seen ids,
+    // and the top-k cut is a bounded insertion into two k-length arrays
+    // under the same (score desc, id asc) order. Row-identical: long sums
+    // are order-free and the cut replays the same total order
+    // (CooccurSpec pins fused ≡ join plan, with ties).
+    val prepared = both
+      .select(col("u").cast("long"), col("__hist").cast("array<bigint>"),
         col("__seen").cast("array<bigint>"))
       .repartition(slices)
-      .as[(Long, Seq[Long], Seq[Long])]
-      .mapPartitions { it =>
-        val m = bc.value
-        it.flatMap { case (u, hist, seen) =>
-          val scores = new java.util.HashMap[Long, Long]()
-          hist.foreach { h =>
-            val nb = m.get(h)
-            if (nb != null) {
-              var j = 0
-              while (j < nb._1.length) {
-                scores.merge(nb._1(j), nb._2(j), (a: Long, b: Long) => a + b)
-                j += 1
-              }
+    val outRdd = prepared.queryExecution.toRdd.mapPartitions { it =>
+      val (aIdsL, aOffL, bIdsL, nbIdxL, nbCntL) = bc.value
+      val nBL = bIdsL.length
+      val scores = new Array[Long](nBL)
+      val stamp = new Array[Int](nBL)
+      var touched = new Array[Int](math.min(math.max(nBL, 16), 1 << 16))
+      var epoch = 0
+      val topI = new Array[Long](k)
+      val topS = new Array[Long](k)
+      it.flatMap { r =>
+        val u = r.getLong(0)
+        val hist = r.getArray(1).toLongArray()
+        val seen = r.getArray(2).toLongArray()
+        if (epoch == Int.MaxValue) { java.util.Arrays.fill(stamp, 0); epoch = 0 }
+        epoch += 1
+        var nTouched = 0
+        var hi = 0
+        while (hi < hist.length) {
+          val a = java.util.Arrays.binarySearch(aIdsL, hist(hi))
+          if (a >= 0) {
+            var j = aOffL(a)
+            val end = aOffL(a + 1)
+            while (j < end) {
+              val bi = nbIdxL(j)
+              if (stamp(bi) != epoch) {
+                stamp(bi) = epoch
+                scores(bi) = nbCntL(j)
+                if (nTouched == touched.length)
+                  touched = java.util.Arrays.copyOf(touched, touched.length * 2)
+                touched(nTouched) = bi
+                nTouched += 1
+              } else scores(bi) += nbCntL(j)
+              j += 1
             }
           }
-          val seenSet = new java.util.HashSet[Long](seen.length * 2)
-          seen.foreach(seenSet.add)
-          val cand = Seq.newBuilder[(Long, Long)]
-          scores.forEach((item, s) =>
-            if (!seenSet.contains(item)) cand += ((item, s)))
-          cand.result()
-            .sortBy { case (item, s) => (-s, item) } // (score desc, id asc)
-            .take(k).zipWithIndex
-            .map { case ((item, s), idx) => (u, idx + 1, item, s) }
+          hi += 1
         }
-      }.toDF("user_id", "rk", "item_id", "score")
+        java.util.Arrays.sort(seen) // fresh copy from toLongArray — safe
+        var sz = 0
+        var t = 0
+        while (t < nTouched) {
+          val bi = touched(t)
+          val id = bIdsL(bi)
+          if (java.util.Arrays.binarySearch(seen, id) < 0) {
+            val s = scores(bi)
+            if (sz < k || s > topS(sz - 1) ||
+                (s == topS(sz - 1) && id < topI(sz - 1))) {
+              var pos = if (sz < k) sz else k - 1
+              while (pos > 0 && (topS(pos - 1) < s ||
+                  (topS(pos - 1) == s && topI(pos - 1) > id))) {
+                topS(pos) = topS(pos - 1); topI(pos) = topI(pos - 1); pos -= 1
+              }
+              topS(pos) = s
+              topI(pos) = id
+              if (sz < k) sz += 1
+            }
+          }
+          t += 1
+        }
+        val outArr = new Array[(Long, Int, Long, Long)](sz)
+        var x = 0
+        while (x < sz) { outArr(x) = (u, x + 1, topI(x), topS(x)); x += 1 }
+        outArr.toSeq
+      }
+    }
+    val out = spark.createDataset(outRdd)
+      .toDF("user_id", "rk", "item_id", "score")
     Some(out.select(col("user_id").cast(uT).as("user_id"),
       col("rk").cast("int").as("rk"),
       col("item_id").cast(iT).as("item_id"), col("score")))
