@@ -72,7 +72,12 @@ object NegativeSampling {
     val pop = pos.groupBy(col("item_id"))
       .agg(count(lit(1)).as("n"))
       .select(col("item_id"), weightExpr.cast("long").as("w"))
-    val totalW = pop.agg(sum(col("w"))).head().getLong(0) // one long — bounded collect
+    // one bounded collect: total weight + item count (the count gates the
+    // bucket-table broadcast below)
+    val aggRow = pop.agg(coalesce(sum(col("w")), lit(0L)),
+      count(lit(1))).head()
+    val totalW = aggRow.getLong(0)
+    val nItems = aggRow.getLong(1)
     require(totalW > 0, "no positive item weights")
     require(totalW <= (Long.MaxValue / math.max(numBuckets, 4)),
       s"total weight $totalW too large for $numBuckets buckets without overflow")
@@ -92,14 +97,27 @@ object NegativeSampling {
           16, 10).cast("long") % totalW)
       .withColumn("__bkt", expr(s"__u * ${numBuckets}L div ${totalW}L"))
 
-    // shuffled-hash builds (round 15, guide §3.1): the bucket lookup joins
-    // on ~numBuckets distinct keys (far fewer than partitions would sort
-    // efficiently) and the positives anti-join on (user, item) — both
-    // planned sort-merge, paying four per-partition sorts whose order no
-    // consumer needs. Build sides are one partition's slice of the bucket
-    // table / the distinct positives — bounded at any scale by partition
-    // sizing. Row-identical: join algorithm only.
-    val hits = draws.join(buckets.hint("shuffle_hash"), Seq("__bkt"))
+    // BROADCAST bucket lookup (round 16, ADVICE r15 + guide §3.1): the
+    // bucket table is ~(items + numBuckets) slim rows — bounded by
+    // construction, the textbook broadcast side — while the r15
+    // SHUFFLE_HASH hint hash-partitioned BOTH sides on __bkt, a key with
+    // only ~numBuckets distinct values: the (large) draws side crossed a
+    // full exchange whose effective parallelism was capped at numBuckets,
+    // and the heaviest-weight buckets concentrated into single tasks.
+    // Broadcasting removes the draws-side shuffle entirely and sidesteps
+    // the low-cardinality skew. Row-identical: join algorithm only.
+    // SCALE GATE: the bucket table has at most nItems + numBuckets rows
+    // (each item once, plus one extra row per bucket boundary an interval
+    // crosses) — broadcast only while that is executor-budget-sized
+    // (~4 slim longs/row; 8M rows ≈ 256 MB relation); a catalog past the
+    // gate keeps the r15 shuffled-hash plan, which completes at any
+    // scale. (The positives anti-join keeps its r15 shuffled-hash build —
+    // its key is (user, item), high-cardinality, and the build side is
+    // one partition's slice of the distinct positives.)
+    val bucketSide =
+      if (nItems + numBuckets <= 8000000L) broadcast(buckets)
+      else buckets.hint("shuffle_hash")
+    val hits = draws.join(bucketSide, Seq("__bkt"))
       .filter(col("__u") >= col("lo") && col("__u") < col("hi"))
       .select(col("user_id"), col("slot"), col("item_id"))
     val negatives = hits.join(
