@@ -136,7 +136,18 @@ object SparkEntry {
     // r12/r14 crossover numbers were taken. q184's broadcast sweep
     // caches executor-side chunks + per-round broadcasts: same class.
     "q185_pagerank_fused_bench", "q186_pagerank_join_bench",
-    "q184_sssp_broadcast", "q187_pagerank_broadcast")
+    "q184_sssp_broadcast", "q187_pagerank_broadcast",
+    // round-16 (verdict task 2): BENCH_r15 read q02 at 4.03s (pin 0.46,
+    // raw 8.75x) and q07 at 7.90s median / 6.70s floor (pin 1.35, raw
+    // 4.97x) — both past the claims lint's 2.0x raw hard bound — while
+    // both r15 local legs read them in-band (q02 0.39-0.61s, q07
+    // 1.17-1.63s) on UNTOUCHED code, and the r15 driver run carried a
+    // mid-grid probe spike (cal 1.50 / shuf 7.36). Same single-row
+    // driver-environment anomaly class as r14's q91 (isolated last round,
+    // now in-band). q63ts_twotower_served (driver 7.01s vs 2.2s pin,
+    // WARN) joins its already-isolated serve siblings q51s/q52s/q52f —
+    // same model-prep + broadcast JVM-state-sensitive shape.
+    "q02_agg_having", "q07_topk_per_group", "q63ts_twotower_served")
 
   /** Fit-heavy entries: an iterative model fit (ALS sweeps, k-means) is
     * most of their wall, and fit wall breathes with JVM state no matter how
@@ -166,7 +177,12 @@ object SparkEntry {
     // ALS train + per-user top-10 + ranking eval, end to end (F9/F12).
     "q60_als_retrieval" -> { (s, d) =>
       import graft.rank._
-      val (tr, te) = Interactions.splitByTime(Interactions.fromStar(s, d), "2000-01-01")
+      // star join materialized once (round 16, §2.3 — verdict task 6):
+      // tr/te feed the fit, the recommend users, and the eval join; each
+      // branch replayed the orders-lineitem lineage before. Fit math
+      // untouched — bit-identical model.
+      val inter = Interactions.fromStar(s, d).localCheckpoint()
+      val (tr, te) = Interactions.splitByTime(inter, "2000-01-01")
       val model = AlsRecommender.train(tr, AlsConfig(rank = 16, maxIter = 5))
       val recs = AlsRecommender.recommend(model, te.select("user_id"), 10)
       RankingEval.perUser(recs, te, 10)
@@ -182,7 +198,9 @@ object SparkEntry {
     // model, spec-pinned) -> short schedule here + benchVolatile.
     "q63t_twotower_retrieval" -> { (s, d) =>
       import graft.rank._
-      val (tr, te) = Interactions.splitByTime(Interactions.fromStar(s, d), "2000-01-01")
+      // star join materialized once (round 16, §2.3 — verdict task 6)
+      val inter = Interactions.fromStar(s, d).localCheckpoint()
+      val (tr, te) = Interactions.splitByTime(inter, "2000-01-01")
       val model = TwoTower.fit(
         Interactions.recentN(tr, 12).select("user_id", "item_id"),
         TwoTower.Config(embDim = 16, hiddenDim = 8, steps = 12,
@@ -205,7 +223,9 @@ object SparkEntry {
     // single-sorted-task form; convergence parity is TwoTowerSpec's job.
     "q63s_twotower_sharded" -> { (s, d) =>
       import graft.rank._
-      val (tr, te) = Interactions.splitByTime(Interactions.fromStar(s, d), "2000-01-01")
+      // star join materialized once (round 16, §2.3 — verdict task 6)
+      val inter = Interactions.fromStar(s, d).localCheckpoint()
+      val (tr, te) = Interactions.splitByTime(inter, "2000-01-01")
       val model = TwoTower.fit(
         Interactions.recentN(tr, 12).select("user_id", "item_id"),
         TwoTower.Config(embDim = 16, hiddenDim = 8, steps = 12,
@@ -226,8 +246,14 @@ object SparkEntry {
     "q63g_twotower_grid" -> { (s, d) =>
       import graft.rank._
       import org.apache.spark.sql.functions._
-      val (tr, te) = Interactions.splitByTime(Interactions.fromStar(s, d), "2000-01-01")
+      // star join materialized once + the shared grid input pre-cut
+      // hoisted across BOTH grid points (round 16, §2.3 — verdict task 6:
+      // each config's fit re-ran the recentN window and the star join).
+      // Fit math untouched — bit-identical models per config.
+      val inter = Interactions.fromStar(s, d).localCheckpoint()
+      val (tr, te) = Interactions.splitByTime(inter, "2000-01-01")
       val pairs = Interactions.recentN(tr, 12).select("user_id", "item_id")
+        .localCheckpoint()
       // harder eval sampling than q63t (1/21 users): the grid pays the
       // recommend+eval wall once PER CONFIG, and the entry measures the
       // fan-out seam, not the eval kernel (that's q63t/q158k)

@@ -22,7 +22,12 @@ object RankQueries {
     // Item-item co-occurrence retrieval: top-10 unseen items per user
     // (reference capability: top-k retrieval, my_merlin_flow.py:333-345).
     "q50_topk_retrieval" -> { (s, d) =>
-      val (tr, _) = Interactions.splitByTime(Interactions.fromStar(s, d), b1)
+      // star join materialized ONCE (round 16, §2.3 — the q53/q175
+      // convention): tr feeds the fit's basket frames AND recommend's
+      // history/seen frames; without the cut each branch replayed the
+      // orders⋈lineitem lineage. Values unchanged — oracle re-gated.
+      val (tr0, _) = Interactions.splitByTime(Interactions.fromStar(s, d), b1)
+      val tr = tr0.localCheckpoint()
       val nb = Cooccur.itemNeighbors(tr, neighborCap)
       Cooccur.recommend(tr, nb, k)
         .filter(col("user_id") < 200)
@@ -42,7 +47,10 @@ object RankQueries {
     // semi-joins the history frames before the grouped aggregates
     // (spec-pinned ≡ post-filtered in CooccurSpec).
     "q182_topk_fused" -> { (s, d) =>
-      val (tr, _) = Interactions.splitByTime(Interactions.fromStar(s, d), b1)
+      // star join materialized once (round 16, §2.3): fit + history/seen
+      // + the users subset all read tr
+      val (tr0, _) = Interactions.splitByTime(Interactions.fromStar(s, d), b1)
+      val tr = tr0.localCheckpoint()
       val nb = Cooccur.itemNeighbors(tr, neighborCap)
       val users = tr.select(col("user_id")).filter(col("user_id") < 200).distinct()
       // round-14: under the |users| regime gate this subset (< the
@@ -61,7 +69,9 @@ object RankQueries {
     // keeps the fused-with-subset path under the DuckDB oracle now that
     // the dispatcher routes q182's shape to the join plan.
     "q183_topk_fused_subset" -> { (s, d) =>
-      val (tr, _) = Interactions.splitByTime(Interactions.fromStar(s, d), b1)
+      // star join materialized once (round 16, §2.3) — q182's twin
+      val (tr0, _) = Interactions.splitByTime(Interactions.fromStar(s, d), b1)
+      val tr = tr0.localCheckpoint()
       val nb = Cooccur.itemNeighbors(tr, neighborCap)
       val users = tr.select(col("user_id")).filter(col("user_id") < 200).distinct()
       Cooccur.recommendFused(tr, nb, k, users = Some(users),
@@ -76,7 +86,10 @@ object RankQueries {
     // 318,324,446-450). DCG discounts are plan-time literals (see
     // RankingEval doc) so the doubles hash-match the oracle.
     "q51_rank_eval" -> { (s, d) =>
-      val (tr, te) = Interactions.splitByTime(Interactions.fromStar(s, d), b1)
+      // star join materialized once (round 16, §2.3): tr and te are both
+      // filters over ONE checkpointed interactions frame
+      val inter = Interactions.fromStar(s, d).localCheckpoint()
+      val (tr, te) = Interactions.splitByTime(inter, b1)
       val nb = Cooccur.itemNeighbors(tr, neighborCap)
       val recs = Cooccur.recommendAuto(tr, nb, k)
       RankingEval.perUser(recs, te, k)
@@ -87,7 +100,9 @@ object RankQueries {
     // with the no_user fallback row (reference: my_merlin_flow.py:512-537,
     // 620-630; handler.py:56-64).
     "q52_recs_table" -> { (s, d) =>
-      val (tr, te) = Interactions.splitByTime(Interactions.fromStar(s, d), b1)
+      // star join materialized once (round 16, §2.3)
+      val inter = Interactions.fromStar(s, d).localCheckpoint()
+      val (tr, te) = Interactions.splitByTime(inter, b1)
       val nb = Cooccur.itemNeighbors(tr, neighborCap)
       val recs = Cooccur.recommendAuto(tr, nb, k)
       val targets = RecsTable.firstTargetPerUser(te, Seq(col("ts").asc, col("item_id").asc))
@@ -139,7 +154,9 @@ object RankQueries {
     // seen-items exclusion still covers the full history. Fully
     // oracle-checked (the cap is a plain ROW_NUMBER window in SQL).
     "q54_capped_topk" -> { (s, d) =>
-      val (tr, _) = Interactions.splitByTime(Interactions.fromStar(s, d), b1)
+      // star join materialized once (round 16, §2.3)
+      val (tr0, _) = Interactions.splitByTime(Interactions.fromStar(s, d), b1)
+      val tr = tr0.localCheckpoint()
       val nb = Cooccur.itemNeighbors(tr, neighborCap, maxBasket = basketCap)
       Cooccur.recommend(tr, nb, k, maxBasket = basketCap)
         .filter(col("user_id") < 200)
