@@ -527,6 +527,35 @@ object ScaleExperiment {
             .perNodeComposed(edges16, "src", "dst"))
     }
 
+    // Round-16 task 8 (r15 verdict): AQE observation over the BSP
+    // join-plan PageRank (the q186 leg). Each iteration's localCheckpoint
+    // executes as its own query, so AQE's coalescing CAN fire inside
+    // every round; this leg records whether it does (result partition
+    // counts + wall) under the bench session's exact shuffle conf. The
+    // leg informs a documented decision, not a tuning change — q186
+    // exists to track the UNOPTIMIZED join plan as the crossover
+    // baseline (see SCALE.md round-16 note).
+    if (on("r16aqe")) {
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val dedges = li.as("a").join(li.as("b").hint("shuffle_hash"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct().localCheckpoint()
+      println(s"r16aqe edges=${dedges.count()} " +
+        s"shuffle_partitions=${spark.conf.get("spark.sql.shuffle.partitions")} " +
+        s"aqe=${spark.conf.get("spark.sql.adaptive.enabled")} " +
+        s"coalesce=${spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")}")
+      for (rep <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val pr = graft.graph.PageRank.run(dedges, 3)
+        pr.write.format("noop").mode("overwrite").save()
+        println(f"r16aqe_pr_join_$rep%s ${(System.nanoTime() - t0) / 1e9}%6.2f s " +
+          s"result_partitions=${pr.rdd.getNumPartitions}")
+      }
+    }
+
     if (on("r13graph")) {
       val li = Tables.load(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
